@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration. Used by
+  * Verify/Bench/tests; on a real cluster the same settings apply (minus
+  * `master`).
+  */
+object GraftSession {
+  /** Configs that must be present on any session running this engine. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
+    // read as long and convert (Corpus.events truncates to micros, matching
+    // DuckDB's nanos→micros truncation).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // AQE: runtime shuffle-partition coalescing + skew-join splitting —
+    // the knobs that let one plan survive sf0.001 → 100 TB.
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(cores: Int, shufflePartitions: Int = 0): SparkSession = {
+    val sp = if (shufflePartitions > 0) shufflePartitions else cores
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", sp.toString))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,514 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.io.Corpus
+import Num._
+
+/** Core relational operator surface (SURVEY.md §2.1–§2.8) expressed over the
+  * shared corpus, each with a DuckDB oracle.
+  *
+  * Scale notes baked into every query:
+  *  - small dims (`region`/`nation`) are explicitly `broadcast()` — at 100 TB
+  *    a fact⋈dim shuffle would dominate; broadcast keeps the fact side
+  *    shuffle-free.
+  *  - fact⋈fact joins (orders⋈lineitem) rely on sort-merge + AQE; both sides
+  *    shuffle on the join key once, and downstream aggregation on that key
+  *    reuses the partitioning.
+  *  - aggregates use map-side partial aggregation (Catalyst HashAggregate)
+  *    automatically; `dsum` keeps the result order-independent so the same
+  *    plan is correct on 1 or 1000 executors.
+  *  - every query ends with a deterministic ORDER BY (mirrored in the
+  *    oracle) so result comparison is stable; the sort happens *after*
+  *    aggregation (tiny output) and is eliminated by Catalyst when a
+  *    downstream action (e.g. Bench's noop write via count) doesn't need it.
+  */
+object Relational {
+
+  /** §2.4 A1/A3/A4/A5, P18: TPC-H Q1-shaped pricing summary on lineitem.
+    * Map-side partial agg on (returnflag, linestatus) — 6 groups, so the
+    * shuffle moves only partial buffers, not rows. Capability of
+    * reference `Gold_layer/starschema.py:137-146` (KPI rollup). */
+  private def q01(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** §2.4 A8: dims-via-distinct (reference `starschema.py:75-96`). */
+  private def q02(spark: SparkSession, dir: String): DataFrame =
+    Corpus.part(spark, dir)
+      .select(col("p_brand"), col("p_type"))
+      .distinct()
+      .orderBy(col("p_brand"), col("p_type"))
+
+  private val q02Sql =
+    """SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type"""
+
+  /** §2.4 A9 + §2.8: dedup-by-key with a deterministic keep rule (latest
+    * order per customer). `dropDuplicates` keeps an arbitrary row; a
+    * row_number window makes the choice reproducible — the scalable
+    * pattern for keyed dedup at 100 TB (single shuffle on the key). */
+  private def q03(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Corpus.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q03Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** §2.3 G1: explode/flatten (reference `Silver_tranformation.py:78`),
+    * here as token explosion over documents + frequency filter. */
+  private def q04(spark: SparkSession, dir: String): DataFrame =
+    Corpus.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 50)
+      .orderBy(col("token"))
+
+  private val q04Sql =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |HAVING COUNT(*) > 50
+      |ORDER BY token""".stripMargin
+
+  /** §2.2 P15/P6 + §2.7: selective filter + narrow projection + top-k.
+    * Both the range predicate and the 4-column projection push into the
+    * parquet scan (PushedFilters/ReadSchema); the top-k is a
+    * TakeOrderedAndProject (no global sort materialization). */
+  private def q05(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")) &&
+        col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_shipdate"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val q05Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05 AND l_quantity < 10
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  /** §2.5: fact⋈dim⋈dim star join with explicit broadcasts (nation/region
+    * are tiny at any scale factor — never shuffle the customer side). */
+  private def q06(spark: SparkSession, dir: String): DataFrame =
+    Corpus.customer(spark, dir)
+      .join(broadcast(Corpus.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Corpus.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"),
+        davg(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy(col("r_name"))
+
+  private val q06Sql =
+    s"""SELECT r_name, COUNT(*) AS n_customers,
+       |  ${dsumSql("c_acctbal")} AS sum_acctbal,
+       |  ${davgSql("c_acctbal")} AS avg_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name
+       |ORDER BY r_name""".stripMargin
+
+  /** §2.5: fact⋈fact join (orders⋈lineitem) — sort-merge on the shuffled
+    * key; countDistinct(o_orderkey) reuses the join-side partitioning. */
+  private def q07(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lineitem(spark, dir)
+      .join(Corpus.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q07Sql =
+    s"""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** §2.5 anti join: parts with no shipment after a cutoff (data-quality
+    * shape: "facts without a dim entry"). Filter is applied on the build
+    * side *before* the join — at scale this prunes the broadcast/shuffle. */
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    val shipped = Corpus.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")))
+      .select(col("l_partkey"))
+    Corpus.part(spark, dir)
+      .join(shipped, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q08Sql =
+    """SELECT p_brand, COUNT(*) AS n_parts
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** §2.5 semi join: suppliers active in a window (EXISTS). */
+  private def q09(spark: SparkSession, dir: String): DataFrame = {
+    val active = Corpus.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("2001-01-01")))
+      .select(col("l_suppkey"))
+    Corpus.supplier(spark, dir)
+      .join(active, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("sum_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val q09Sql =
+    s"""SELECT s_nationkey, COUNT(*) AS n_suppliers, ${dsumSql("s_acctbal")} AS sum_acctbal
+       |FROM supplier
+       |WHERE EXISTS (SELECT 1 FROM lineitem
+       |              WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-01-01')
+       |GROUP BY s_nationkey
+       |ORDER BY s_nationkey""".stripMargin
+
+  /** §2.6 U1: union-all of filtered slices then aggregate (reference
+    * `prediction.py:80` folds per-date frames; here one unionByName). */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Corpus.orders(spark, dir)
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995)
+    val big = o.filter(col("o_totalprice") > 400000.0)
+    y1995.unionByName(big)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q10Sql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM (SELECT * FROM orders WHERE year(o_orderdate) = 1995
+       |      UNION ALL
+       |      SELECT * FROM orders WHERE o_totalprice > 400000.0)
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  /** §2.8: latest-event-per-user (row_number over desc ts) — the
+    * "latest checkpoint per shipment" shape from SURVEY §2.8. */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Corpus.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q11Sql =
+    """SELECT user_id, event_id, event_type, ts, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.8 lag: inter-event dwell time per user, aggregated by type.
+    * Gap sums stay in exact integer micros (no fp order-dependence). */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Corpus.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_gap_us"))
+      .withColumn("avg_gap_us", col("sum_gap_us").cast("double") / col("n_gaps"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q12Sql =
+    """SELECT event_type, COUNT(*) AS n_gaps,
+      |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+      |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+      |FROM (SELECT event_type,
+      |             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |      FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** §2.2 P9/P10: when/isin/otherwise bucketing (reference
+    * `Silver_tranformation.py:107-111` delivery_status semantics). */
+  private def q13(spark: SparkSession, dir: String): DataFrame =
+    Corpus.orders(spark, dir)
+      .withColumn("bucket",
+        when(col("o_orderstatus").isin("F", "P"), lit("SETTLED")).otherwise(lit("OPEN")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  private val q13Sql =
+    s"""SELECT CASE WHEN o_orderstatus IN ('F','P') THEN 'SETTLED' ELSE 'OPEN' END AS bucket,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  /** §2.7: aggregate + global top-k (TakeOrderedAndProject). Decimal sums
+    * make the ranking key deterministic, so LIMIT is stable cross-engine. */
+  private def q14(spark: SparkSession, dir: String): DataFrame =
+    Corpus.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+
+  private val q14Sql =
+    s"""SELECT o_custkey, ${dsumSql("o_totalprice")} AS total_spend, COUNT(*) AS n_orders
+       |FROM orders
+       |GROUP BY o_custkey
+       |ORDER BY total_spend DESC, o_custkey
+       |LIMIT 10""".stripMargin
+
+  /** §2.4 parity-plus: ROLLUP over region→nation (BI hierarchy). Names are
+    * coalesced to 'ALL' so NULL-ordering differences between engines can't
+    * affect the comparison. */
+  private def q15(spark: SparkSession, dir: String): DataFrame =
+    Corpus.customer(spark, dir)
+      .join(broadcast(Corpus.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Corpus.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+
+  private val q15Sql =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       |  COUNT(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY region, nation""".stripMargin
+
+  /** §2.2 P8 + date bucketing: monthly order rollup via date_trunc. */
+  private def q16(spark: SparkSession, dir: String): DataFrame =
+    Corpus.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month"))
+
+  private val q16Sql =
+    s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY month""".stripMargin
+
+  /** §2.2 P15: point lookup by key (reference `pastapi.py:173` tracking
+    * lookup). At scale this is the case for bucketed/Z-ordered layout;
+    * on plain parquet the predicate pushes to row-group stats. */
+  private def q17(spark: SparkSession, dir: String): DataFrame =
+    Corpus.orders(spark, dir)
+      .filter(col("o_orderkey") === 1L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+
+  private val q17Sql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey = 1""".stripMargin
+
+  /** §2.2 P4/P5: string normalization (trim/upper/substr/length/concat —
+    * reference `Silver_tranformation.py:81-82`). */
+  private def q18(spark: SparkSession, dir: String): DataFrame =
+    Corpus.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("seg_name"))
+      .orderBy(col("c_custkey"))
+
+  private val q18Sql =
+    """SELECT c_custkey, UPPER(TRIM(c_name)) AS name_upper, substr(c_name, 1, 8) AS name_prefix,
+      |  CAST(length(c_name) AS BIGINT) AS name_len, c_mktsegment || '#' || c_name AS seg_name
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi-structured: JSON extraction from the events props column +
+    * exact integer aggregation (P17 numeric coercion). */
+  private def q19(spark: SparkSession, dir: String): DataFrame =
+    Corpus.events(spark, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  private val q19Sql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** §2.5 left outer join + §2.2 P13 null-fill (reference fillna,
+    * `Silver_tranformation.py:102-106`): per-customer order stats with
+    * zero-defaults for customers without matches. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Corpus.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"))
+    Corpus.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("s"), lit(0.0)).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q20Sql =
+    s"""SELECT c_custkey, COALESCE(n, 0) AS n_orders, COALESCE(s, 0.0) AS spend
+       |FROM customer
+       |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS s
+       |           FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** §2.2 P7/P8/P20: timestamp→date, date_add, year/month extraction. */
+  private def q21(spark: SparkSession, dir: String): DataFrame =
+    Corpus.orders(spark, dir)
+      .filter(col("o_orderkey") <= 100L)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .orderBy(col("o_orderkey"))
+
+  private val q21Sql =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(year(o_orderdate) AS INT) AS order_year,
+      |  CAST(month(o_orderdate) AS INT) AS order_month
+      |FROM orders WHERE o_orderkey <= 100
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** §2.4 A2: exact distinct counts per group (multiple countDistinct →
+    * Catalyst expand; at 100 TB prefer q23's approx variant). */
+  private def q22(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private val q22Sql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** §2.4 A2 scale path: HLL approx_count_distinct — the 100 TB variant of
+    * q22. No oracle (HLL sketches are engine-specific); rows-only check. */
+  private def q23(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** Batch windowed aggregation via window() — identical semantics to the
+    * Structured Streaming tumbling-window KPI (SURVEY §2.10); oracle uses
+    * date_trunc since 1h epoch-aligned buckets coincide. */
+  private def q24(spark: SparkSession, dir: String): DataFrame =
+    Corpus.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val q24Sql =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
+    QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
+    QuerySpec("q03_latest_order_per_customer", q03, Some(q03Sql)),
+    QuerySpec("q04_token_explode", q04, Some(q04Sql)),
+    QuerySpec("q05_filter_topk", q05, Some(q05Sql)),
+    QuerySpec("q06_region_customer_stats", q06, Some(q06Sql)),
+    QuerySpec("q07_priority_revenue", q07, Some(q07Sql)),
+    QuerySpec("q08_anti_unshipped_parts", q08, Some(q08Sql)),
+    QuerySpec("q09_semi_active_suppliers", q09, Some(q09Sql)),
+    QuerySpec("q10_union_order_slices", q10, Some(q10Sql)),
+    QuerySpec("q11_latest_event_per_user", q11, Some(q11Sql)),
+    QuerySpec("q12_event_dwell_time", q12, Some(q12Sql)),
+    QuerySpec("q13_status_buckets", q13, Some(q13Sql)),
+    QuerySpec("q14_top_customers", q14, Some(q14Sql)),
+    QuerySpec("q15_rollup_region_nation", q15, Some(q15Sql)),
+    QuerySpec("q16_monthly_orders", q16, Some(q16Sql)),
+    QuerySpec("q17_point_lookup", q17, Some(q17Sql)),
+    QuerySpec("q18_string_norm", q18, Some(q18Sql)),
+    QuerySpec("q19_json_extract", q19, Some(q19Sql)),
+    QuerySpec("q20_left_join_fill", q20, Some(q20Sql)),
+    QuerySpec("q21_date_arith", q21, Some(q21Sql)),
+    QuerySpec("q22_distinct_counts", q22, Some(q22Sql)),
+    QuerySpec("q23_approx_distinct", q23, None),
+    QuerySpec("q24_hourly_event_windows", q24, Some(q24Sql)))
+}
