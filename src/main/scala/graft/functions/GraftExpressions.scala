@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths where built-in functions
+  * fall short. Both participate in whole-stage codegen (`doGenCode`), so
+  * they run inside the generated loop with no boxing or lambda dispatch —
+  * the preference order from SURVEY §7.4: built-in > custom Expression >
+  * custom operator > mapPartitions.
+  */
+
+/** 64-bit polynomial rolling hash over a string's UTF-8 bytes
+  * (h = h*31 + byte, wrapping). Deterministic document fingerprint for
+  * content-addressed dedup; cheaper than md5 (no allocation, codegen'd).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long ${ev.value}_h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value}_h = ${ev.value}_h * 31L + ($bytes[$i] & 0xffL);
+         |}
+         |${ev.value} = ${ev.value}_h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Dot product of two double arrays, evaluated as a tight codegen'd loop.
+  * The HOF equivalent (`aggregate(zip_with(a,b,*),0d,+)`) allocates an
+  * intermediate array and interprets two lambdas per element — at
+  * brute-force ANN scale (|vectors| × |queries| × dim multiplications)
+  * that's the entire runtime. Accumulation is a sequential left fold, so
+  * results are bit-identical to DuckDB's `list_sum(list_transform(...))`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Registers the custom expressions in a session's function registry so
+  * they are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
+object GraftExpressions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

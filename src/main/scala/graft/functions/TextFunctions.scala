@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analysis for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristics.
+  *
+  * Everything here is built-in-function composition (codegen'd, no UDFs) so
+  * it runs at scan speed and pushes through Catalyst untouched. Each helper
+  * has a mechanical DuckDB mirror used by the oracle queries in
+  * [[graft.queries.Text]].
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped (parity: DuckDB
+    * `list_filter(str_split(text,' '), t -> t <> '')`). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword segmentation: letter runs or single non-letter,
+    * non-space characters — a cheap proxy for LLM token counting. */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-z]+|[^a-z\\s]"), lit(0))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard similarity.
+    * Documents shorter than n words get an empty set (guard needed:
+    * Spark's sequence(1,0) would count *down*, unlike DuckDB's range). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /** |A∩B| / |A∪B| on pre-distinct shingle arrays; exact integer counts so
+    * the double division is bit-identical cross-engine. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  val StopwordList: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(StopwordList)))
+
+  /** Fraction of characters that are neither lowercase letters nor spaces
+    * (punctuation/digit density — a classic quality signal). */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[a-z ]", "")).cast("double") / length(c)
+
+  /** Language marker wordlists for the n-gram/stopword language-ID
+    * heuristic. Tiny by design — the point is the *shape* (argmax of
+    * per-language evidence computed in one pass), swappable for real
+    * profiles. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "las", "y"))
+}

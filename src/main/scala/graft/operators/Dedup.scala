@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication family for training-data pipelines — exact,
+  * MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is one hash-shuffle on a 16-byte digest — never on the
+  *    raw text.
+  *  - MinHash/LSH turns the O(n²) near-dup problem into: one pass to build
+  *    k-wide signatures (map-side min-aggregation per doc), an explode to
+  *    (band, bandHash) keys, a self-join that only meets documents sharing
+  *    a band bucket, then exact Jaccard verification on the candidate set.
+  *    Candidate volume ≈ true-pair volume, not n².
+  *  - SimHash is the same shape with bit-sliced Hamming blocking
+  *    (4×16-bit bands ⇒ any pair within Hamming distance 3 shares a band,
+  *    by pigeonhole).
+  *  - Blocked Jaccard bounds the pairwise join to an explicit blocking key
+  *    (e.g. `source`) when the domain provides one.
+  */
+object Dedup {
+
+  /** Adds `toks` + `shingles` (word n-grams, distinct) to a documents
+    * frame. Docs with fewer than n words keep an empty shingle set and are
+    * excluded from near-dup search (nothing to compare). */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("shingles", shingles(col("toks"), n))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact duplicate groups keyed by md5(text). Returns one row per group
+    * with >1 members: (text_hash, n_copies, keep_id, max_id). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
+        max(col("doc_id")).as("max_id"))
+      .filter(col("n_copies") > 1)
+
+  /** Corpus-level exact-dedup summary: total docs, distinct texts, and how
+    * many rows a keep-first dedup would drop. Single-row output. */
+  def exactDedupStats(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_rows"))
+
+  /** MinHash signature columns h0..h{k-1}: min over shingles of
+    * xxhash64(shingle, i). One groupBy per doc; partial (map-side) min
+    * aggregation means the shuffle carries k longs per doc, not shingles. */
+  private def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
+    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sigCols = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band of the signature.
+    * bands × rowsPerBand must equal k. */
+  private def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id") +:
+        (0 until bands).map { b =>
+          val rowCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+          xxhash64(lit(b) +: rowCols: _*).as(s"band$b")
+        }: _*)
+    val keyed = (0 until bands)
+      .map(b => banded.select(col("doc_id"), lit(b).as("band_idx"), col(s"band$b").as("band_hash")))
+      .reduce(_ unionByName _)
+    keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs with exact n-gram Jaccard ≥ threshold, found via
+    * MinHash+LSH candidate generation and verified exactly. With the
+    * default 32 hashes / 8 bands of 4, a pair at Jaccard j is caught with
+    * probability 1-(1-j⁴)⁸ (≥ 0.998 at j=0.8, ~1 at j≥0.9). */
+  def minhashNearDups(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val shingled = withShingles(docs, shingleSize)
+    val sigs = minhashSignatures(shingled, numHashes)
+    val cand = lshCandidates(sigs, bands, numHashes / bands)
+    val sets = shingled.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force pairwise Jaccard restricted to an explicit blocking
+    * column — the right tool when the domain has a natural partition
+    * (source, language, time bucket) that near-dups can't cross. */
+  def blockedJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val s = withShingles(docs, shingleSize)
+      .select(col(blockCol).as("blk"), col("doc_id"), col("shingles"))
+    s.as("x").join(s.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jaccard", jaccard(col("x.shingles"), col("y.shingles")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per document: tf-weighted sign-sum of token-hash bits.
+    * Output: (doc_id, simhash LONG). */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    tf.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming (default 3),
+    * blocked on 4×16-bit bands: any pair within distance 3 must agree on
+    * at least one band, so the self-join never goes O(n²). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(docs)
+    val banded = (0 until 4)
+      .map(b => sh.select(col("doc_id"), col("simhash"), lit(b).as("band_idx"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val")))
+      .reduce(_ unionByName _)
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

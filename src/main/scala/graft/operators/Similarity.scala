@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers:
+  *  - [[cosineTopK]] — exact brute force: broadcast the (small) query set,
+  *    stream the vector table once, codegen'd dot product
+  *    ([[graft.functions.DotProduct]]), per-query top-k via window. This is
+  *    the correctness baseline and is already the right plan for "few
+  *    queries × huge corpus" at cluster scale (one scan, no shuffle of the
+  *    big side until the tiny top-k aggregation).
+  *  - [[lshTopK]] — random-hyperplane LSH: 16-bit sign signatures bucket
+  *    the corpus; each query only scores its own bucket plus Hamming-1
+  *    neighbors. Sub-linear candidate volume; recall measured against the
+  *    brute-force baseline in tests.
+  */
+object Similarity {
+
+  /** Embeddings with double-precision vector `v` and L2 norm `nrm`.
+    * Floats are widened to double *before* any arithmetic so results are
+    * bit-identical to DuckDB's double pipeline. */
+  def normed(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .drop("embedding")
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries
+    * selects the query set). Output: (query_id, rank, neighbor_id,
+    * cos_sim), rank 1..k per query. */
+  def cosineTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    GraftExpressions.register(spark)
+    val n = normed(emb)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** All pairs (a<b) with cosine ≥ threshold — embedding-space near-dup
+    * detection. Brute force with the codegen'd dot in the join condition;
+    * for corpora where n² is prohibitive use [[lshTopK]]-style bucketing
+    * first. */
+  def nearDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    GraftExpressions.register(spark)
+    val n = normed(emb)
+    n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (expr("graft_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * hash-derived value in [-1, 1). Seeded — stable across runs/engines. */
+  private def planeLiteral(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Random-hyperplane LSH signature (one int, numPlanes sign bits). */
+  private def withSignature(spark: SparkSession, df: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = planeLiteral(numPlanes, dim)
+    val sig = (0 until numPlanes).map { p =>
+      // SQL numeric literals parse as decimal — cast so graft_dot sees doubles
+      when(expr(s"graft_dot(v, cast(array(${planes(p).mkString(",")}) as array<double>))") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("sig", sig)
+  }
+
+  /** Approximate top-k: score only candidates whose LSH signature is
+    * within `maxHamming` of the query's (multi-probe). For a pair at
+    * angle θ each plane flips with probability θ/π, so Hamming ~
+    * Binomial(numPlanes, θ/π): the defaults (8 planes, radius 2) score
+    * ~14% of the corpus per query with ~45% recall of θ≈66° neighbors —
+    * on *clustered* corpora (near-dup mining, θ small) recall approaches
+    * 1 while still skipping most of the corpus. Tune per workload. */
+  def lshTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      numPlanes: Int = 8, maxHamming: Int = 2): DataFrame = {
+    GraftExpressions.register(spark)
+    val dim = 64
+    val n = withSignature(spark, normed(emb), numPlanes, dim)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

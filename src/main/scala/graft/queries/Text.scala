@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.io.Corpus
+import graft.functions.{GraftExpressions, TextFunctions}
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication operator surface for training-data
+  * pipelines (the BASELINE.json north-star ops), over the `documents`
+  * table. All scoring is built-in-function composition (codegen'd); the
+  * oracle mirrors use DuckDB list/regex functions with identical
+  * semantics.
+  */
+object Text {
+
+  // Shared SQL fragments (DuckDB): whitespace tokens with empties dropped.
+  private val toksSql = "list_filter(str_split(text, ' '), t -> t <> '')"
+
+  /** Token counting: whitespace tokens, BPE-ish subword count, mean token
+    * length. */
+  private def t01(spark: SparkSession, dir: String): DataFrame =
+    Corpus.documents(spark, dir)
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("double")
+          ./(col("n_tokens")).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+
+  private val t01Sql =
+    s"""SELECT doc_id,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[^a-z\\s]')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($toksSql) AS mean_token_len
+       |FROM documents
+       |WHERE len($toksSql) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, punctuation density, composite
+    * quality in [0,1]. Identical arithmetic structure on both sides so
+    * doubles match bit-for-bit. */
+  private def t02(spark: SparkSession, dir: String): DataFrame =
+    Corpus.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("stop_hits", stopwordHits(col("toks")))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", punctRatio(col("text")))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("stop_hits").cast("long").as("stop_hits"),
+        col("stop_ratio"),
+        col("punct_ratio"),
+        (least(lit(1.0), col("n_tokens") / lit(200.0)) * 0.5 +
+          least(lit(1.0), col("stop_ratio") * 4.0) * 0.3 +
+          (lit(1.0) - col("punct_ratio")) * 0.2).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val t02Sql = {
+    val stopList = TextFunctions.StopwordList.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(stop_hits AS BIGINT) AS stop_hits, stop_ratio, punct_ratio,
+       |  least(1.0, n_tokens / 200.0) * 0.5 + least(1.0, stop_ratio * 4.0) * 0.3
+       |    + (1.0 - punct_ratio) * 0.2 AS quality
+       |FROM (SELECT doc_id, n_tokens, stop_hits,
+       |        CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+       |        CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+       |      FROM (SELECT doc_id, text, len($toksSql) AS n_tokens,
+       |              len(list_filter($toksSql, t -> t IN ($stopList))) AS stop_hits
+       |            FROM documents))
+       |WHERE n_tokens > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID heuristic: argmax of per-language marker-word evidence
+    * computed in one pass (no UDF). */
+  private def t03(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "fr", "de", "es")
+    val base = Corpus.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+    val withHits = langs.foldLeft(base) { (df, l) =>
+      df.withColumn(s"hits_$l",
+        size(filter(col("toks"), t => t.isInCollection(LangMarkers(l)))).cast("long"))
+    }
+    withHits
+      .withColumn("pred_lang",
+        when(col("hits_en") === 0 && col("hits_fr") === 0 &&
+          col("hits_de") === 0 && col("hits_es") === 0, lit("und"))
+          .when(col("hits_en") >= col("hits_fr") && col("hits_en") >= col("hits_de") &&
+            col("hits_en") >= col("hits_es"), lit("en"))
+          .when(col("hits_fr") >= col("hits_de") && col("hits_fr") >= col("hits_es"), lit("fr"))
+          .when(col("hits_de") >= col("hits_es"), lit("de"))
+          .otherwise(lit("es")))
+      .select(col("doc_id"), col("hits_en"), col("hits_fr"), col("hits_de"),
+        col("hits_es"), col("pred_lang"), col("lang"),
+        (col("pred_lang") === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t03Sql = {
+    def hits(l: String) = {
+      val list = LangMarkers(l).map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter($toksSql, t -> t IN ($list))) AS BIGINT)"
+    }
+    s"""SELECT doc_id, hits_en, hits_fr, hits_de, hits_es,
+       |  CASE WHEN hits_en = 0 AND hits_fr = 0 AND hits_de = 0 AND hits_es = 0 THEN 'und'
+       |       WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es THEN 'en'
+       |       WHEN hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr'
+       |       WHEN hits_de >= hits_es THEN 'de'
+       |       ELSE 'es' END AS pred_lang,
+       |  lang,
+       |  (CASE WHEN hits_en = 0 AND hits_fr = 0 AND hits_de = 0 AND hits_es = 0 THEN 'und'
+       |       WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es THEN 'en'
+       |       WHEN hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr'
+       |       WHEN hits_de >= hits_es THEN 'de'
+       |       ELSE 'es' END) = lang AS is_match
+       |FROM (SELECT doc_id, lang,
+       |        ${hits("en")} AS hits_en, ${hits("fr")} AS hits_fr,
+       |        ${hits("de")} AS hits_de, ${hits("es")} AS hits_es
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting via the codegen'd rolling-hash Catalyst
+    * expression (graft_rolling_hash) — rows-only check (64-bit wrapping
+    * arithmetic is not expressible in DuckDB SQL). */
+  private def t04(spark: SparkSession, dir: String): DataFrame = {
+    GraftExpressions.register(spark)
+    Corpus.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("graft_rolling_hash(text)").as("fingerprint64"),
+        xxhash64(col("text")).as("xxh64"),
+        expr("graft_rolling_hash(array_join(array_sort(filter(split(text, ' '), t -> t != '')), ' '))")
+          .as("bow_fingerprint64"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-dedup corpus summary (count/distinct/drop counts). */
+  private def t05(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupStats(Corpus.documents(spark, dir))
+
+  private val t05Sql =
+    """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_rows
+      |FROM documents""".stripMargin
+
+  /** Exact duplicate groups keyed by content hash. */
+  private def t06(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(Corpus.documents(spark, dir)).orderBy(col("text_hash"))
+
+  private val t06Sql =
+    """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keep_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY text_hash""".stripMargin
+
+  // DuckDB brute-force 3-gram shingle sets (mirror of Dedup.withShingles).
+  private val shingleCte =
+    s"""sh AS (
+       |  SELECT doc_id, src, list_distinct([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+       |                                     for i in range(1, len(sp) - 1)]) AS s
+       |  FROM (SELECT doc_id, source AS src, $toksSql AS sp FROM documents)
+       |  WHERE len(sp) >= 3)""".stripMargin
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified at ≥0.8. Oracle is
+    * the brute-force O(n²) pairwise Jaccard — at the verify scale factor
+    * they coincide (LSH detection probability ≥ 1-3e-5 for the pairs
+    * present, all at j ≥ 0.9). */
+  private def t07(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Corpus.documents(spark, dir), shingleSize = 3, threshold = 0.8)
+
+  private val t07Sql =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dups (Hamming ≤ 3, band-blocked) — rows-only (xxhash64
+    * bit arithmetic has no DuckDB equivalent); validated in unit tests
+    * against planted duplicates. */
+  private def t08(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Corpus.documents(spark, dir), maxHamming = 3)
+
+  /** Blocked pairwise n-gram Jaccard (block = source) at ≥0.3 — the
+    * "domain gives you a partition" dedup strategy. */
+  private def t09(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccardPairs(Corpus.documents(spark, dir), "source", shingleSize = 3, threshold = 0.3)
+
+  private val t09Sql =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |FROM sh a JOIN sh b ON a.src = b.src AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("t01_token_stats", t01, Some(t01Sql)),
+    QuerySpec("t02_quality_score", t02, Some(t02Sql)),
+    QuerySpec("t03_langid", t03, Some(t03Sql)),
+    QuerySpec("t04_fingerprint", t04, None),
+    QuerySpec("t05_dedup_exact_stats", t05, Some(t05Sql)),
+    QuerySpec("t06_dedup_exact_groups", t06, Some(t06Sql)),
+    QuerySpec("t07_dedup_minhash_lsh", t07, Some(t07Sql)),
+    QuerySpec("t08_dedup_simhash", t08, None),
+    QuerySpec("t09_dedup_jaccard_blocked", t09, Some(t09Sql)))
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.io.Corpus
+import graft.operators.{Multimodal, Similarity}
+
+/** Similarity search over embeddings + multimodal column plumbing
+  * (BASELINE.json north-star ops). Vector math uses the codegen'd
+  * [[graft.functions.DotProduct]]; floats widen to double before any
+  * arithmetic so the sequential fold is bit-identical to DuckDB's
+  * `list_sum(list_transform(...))` (verified empirically).
+  */
+object Vectors {
+
+  // DuckDB mirror of Similarity.normed: double vectors + L2 norm.
+  private val normedCte =
+    """n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |            FROM embeddings))""".stripMargin
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.qv[i]))"
+
+  /** Exact brute-force cosine top-k (k=10) for query vectors vec_id<5 —
+    * the ANN correctness baseline. */
+  private def v01(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5, k = 10)
+
+  private val v01Sql =
+    s"""WITH $normedCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+       |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+       |        $dotSql / (a.nrm * q.qnrm) AS cos_sim
+       |      FROM n a, q WHERE a.vec_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-space near-dup pairs: all (a<b) with cosine ≥ 0.45. */
+  private def v02(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(spark, Corpus.embeddings(spark, dir), threshold = 0.45)
+
+  private val v02Sql =
+    s"""WITH $normedCte
+       |SELECT a.vec_id AS vec_a, q.vec_id AS vec_b,
+       |  $dotSql / (a.nrm * q.qnrm) AS cos_sim
+       |FROM n a JOIN (SELECT vec_id, v AS qv, nrm AS qnrm FROM n) q ON a.vec_id < q.vec_id
+       |WHERE $dotSql / (a.nrm * q.qnrm) >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** LSH-bucketed approximate top-k (scale path for v01) — rows-only;
+    * recall vs the brute-force baseline is asserted in unit tests. */
+  private def v03(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5, k = 10)
+
+  /** Multimodal plumbing: documents → binary media column → partition-wise
+    * stub decode → typed feature table. The oracle checks the *plumbing*
+    * (bytes survive the binary round-trip; features are the deterministic
+    * stub formula) — the codec itself is stubbed, see
+    * [[graft.operators.Multimodal]]. */
+  private def m01(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.toMediaTable(Corpus.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  private val m01Sql =
+    """SELECT doc_id, 'img-stub' AS format,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
+      |  CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS INT) AS height,
+      |  CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INT) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
+    QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
+    QuerySpec("v03_ann_lsh_topk", v03, None),
+    QuerySpec("m01_multimodal_features", m01, Some(m01Sql)))
+}
