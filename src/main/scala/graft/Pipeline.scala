@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.gen.BronzeGenerator
+import graft.gold.StarSchema
+import graft.silver.SilverTransform
+
+/** End-to-end layered pipeline runner — replaces the reference's Airflow
+  * DAG (`scheduling/orchestration.py:164-167`: generate → check → silver →
+  * gold) with one driver:
+  *
+  *   gen → bronze JSON → silver parquet (partitioned by load_date) →
+  *   gold parquet (dims/facts/KPIs, per-table dirs)
+  *
+  * Stage properties preserved from the reference: idempotent
+  * overwrite-per-partition writes, bronze-existence precheck, per-stage
+  * row counts. Gold stays typed parquet (the reference writes CSV and
+  * loses every type — SURVEY §1.2); `exportCsv` mirrors to CSV for
+  * compatibility.
+  *
+  * Scale notes: silver is written partitioned by load_date so daily
+  * reruns replace one partition; the 7 gold outputs reuse one cached
+  * silver scan instead of re-reading 7× like the reference
+  * (`starschema.py:75-146`).
+  */
+object Pipeline {
+
+  final case class StageResult(stage: String, rows: Long, path: String)
+
+  def run(
+      spark: SparkSession,
+      rootDir: String,
+      loadDate: String,
+      nShipments: Long = 2000L,
+      seed: Long = 42L,
+      exportCsv: Boolean = false): Seq[StageResult] = {
+    val loadTs = java.sql.Timestamp.valueOf(s"$loadDate 00:00:00")
+    val bronzeDir = s"$rootDir/bronze/shipments/$loadDate"
+    val silverDir = s"$rootDir/silver/shipments"
+    val goldDir = s"$rootDir/gold/$loadDate"
+
+    // gen → bronze JSON (the reference's raw layer is JSON-per-day,
+    // extraction.py:114-136)
+    val bronzeOut = BronzeGenerator.shipments(spark, nShipments, seed, loadDate)
+    bronzeOut.write.mode(SaveMode.Overwrite).json(bronzeDir)
+
+    // precheck (orchestration.py:51-83) then bronze JSON → silver
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(bronzeDir), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(bronzeDir)), s"bronze missing: $bronzeDir")
+
+    val bronze = spark.read.schema(graft.model.Schemas.bronzeShipment).json(bronzeDir)
+    val silver = SilverTransform.transform(bronze, loadDate, loadTs)
+    silver.write.mode(SaveMode.Overwrite).partitionBy("load_date").parquet(silverDir)
+
+    // silver → gold: one cached scan fans out to 7 outputs
+    val silverBack = spark.read.parquet(silverDir)
+      .where(s"load_date = '$loadDate'")
+      .persist()
+    val goldTables: Seq[(String, DataFrame)] = Seq(
+      "dim_courier" -> StarSchema.dimCourier(silverBack),
+      "dim_location" -> StarSchema.dimLocation(silverBack),
+      "dim_date" -> StarSchema.dimDate(silverBack),
+      "dim_shipment_status" -> StarSchema.dimStatus(silverBack),
+      "fact_shipment" -> StarSchema.factShipment(silverBack),
+      "fact_tracking_event" -> StarSchema.factTrackingEvent(silverBack),
+      "fact_courier_metrics" -> StarSchema.courierMetrics(silverBack))
+    val goldResults = goldTables.map { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$goldDir/$name")
+      if (exportCsv)
+        df.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$goldDir/csv/$name")
+      StageResult(s"gold/$name", spark.read.parquet(s"$goldDir/$name").count(), s"$goldDir/$name")
+    }
+    val silverRows = silverBack.count()
+    silverBack.unpersist()
+
+    Seq(
+      StageResult("bronze", nShipments, bronzeDir),
+      StageResult("silver", silverRows, silverDir)) ++ goldResults
+  }
+}

@@ -31,12 +31,15 @@ object Corpus {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark reads as long
     * (nanosAsLong, see [[graft.GraftSession]]); truncate to micros exactly
     * like DuckDB/Arrow do so both engines see identical timestamps. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
+
+  /** Applies the nanos→micros ts normalization to any events-shaped frame
+    * (batch or streaming). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

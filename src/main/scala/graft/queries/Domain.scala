@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.io.Corpus
+import graft.gold.StarSchema
+import graft.ml.DeliveryModel
+import graft.model.CorpusAdapter
+import graft.serve.ServeQueries
+import graft.silver.SilverTransform
+import graft.streaming.SilverStream
+import Num._
+
+/** The reference pipeline's own transforms (Silver flatten/clean, Gold
+  * star schema + KPIs, serving lookups, ML, streaming), run over the
+  * corpus via [[CorpusAdapter]] so the DuckDB oracle can check them:
+  * orders⋈lineitem plays shipments×checkpoints, and the nest→explode
+  * round trip plus every projection/cast/fillna/conditional is verified
+  * against a flat-join SQL mirror.
+  */
+object Domain {
+
+  private val LoadDate = "2024-01-01"
+  private val LoadTsStr = "2024-01-01 00:00:00"
+  private val LoadTs = java.sql.Timestamp.valueOf(LoadTsStr)
+
+  /** Corpus-backed Silver frame (shipment × checkpoint grain). */
+  def silver(spark: SparkSession, dir: String): DataFrame =
+    SilverTransform.transform(CorpusAdapter.bronzeShipments(spark, dir), LoadDate, LoadTs)
+
+  // Minimal flat CTE for aggregate oracles (courier/status/days only need
+  // orders⋈lineitem — customer/nation/region joins never drop rows).
+  private val kpiCte =
+    """s AS (
+      |  SELECT 'TN' || CAST(o_orderkey AS VARCHAR) AS tracking_number,
+      |    UPPER(o_orderpriority) AS courier,
+      |    UPPER(CASE o_orderstatus WHEN 'F' THEN 'Delivered' WHEN 'O' THEN 'InTransit' ELSE 'Pending' END) AS status,
+      |    CAST(o_orderkey % 7 AS INT) AS delivery_days
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin
+
+  /** Bronze→Silver flatten/clean/enrich (reference
+    * `Silver_tranformation.py:76-114`) — the full Silver table. */
+  private def p01(spark: SparkSession, dir: String): DataFrame =
+    silver(spark, dir).orderBy(col("shipment_id"), col("checkpoint_time"))
+
+  private val p01Sql = CorpusAdapter.silverOracleSql(LoadDate, LoadTsStr)
+
+  /** Gold courier KPI aggregate (reference `starschema.py:137-146`). */
+  private def p02(spark: SparkSession, dir: String): DataFrame =
+    StarSchema.courierMetrics(silver(spark, dir)).orderBy(col("courier"))
+
+  private val p02Sql =
+    s"""WITH $kpiCte
+       |SELECT courier,
+       |  COUNT(DISTINCT tracking_number) AS total_shipments,
+       |  COUNT(CASE WHEN status = 'DELIVERED' THEN 1 END) AS delivered_shipments,
+       |  ROUND(CAST(SUM(delivery_days) AS DOUBLE) / COUNT(delivery_days), 2) AS avg_delivery_days,
+       |  ROUND(CAST(COUNT(CASE WHEN status = 'DELIVERED' THEN 1 END) AS DOUBLE)
+       |        / COUNT(DISTINCT tracking_number) * 100, 2) AS delivery_success_pct
+       |FROM s
+       |GROUP BY courier
+       |ORDER BY courier""".stripMargin
+
+  /** Serving: tracking-number point lookup + latest checkpoint
+    * (reference `pastapi.py:168-194`). */
+  private def p03(spark: SparkSession, dir: String): DataFrame =
+    ServeQueries.trackingLookup(silver(spark, dir), "TN100")
+
+  private val p03Sql =
+    s"""WITH s AS (${CorpusAdapter.silverOracleSql(LoadDate, LoadTsStr)})
+       |SELECT tracking_number, courier, status, origin_country, destination_country,
+       |  shipment_weight, delivery_days, delivery_status,
+       |  checkpoint_city AS last_checkpoint_city,
+       |  checkpoint_message AS last_checkpoint_message,
+       |  checkpoint_time AS last_checkpoint_time
+       |FROM (SELECT *, row_number() OVER (PARTITION BY tracking_number
+       |        ORDER BY checkpoint_time DESC, checkpoint_message, checkpoint_city) AS rn
+       |      FROM s WHERE tracking_number = 'TN100')
+       |WHERE rn = 1""".stripMargin
+
+  /** Serving: per-country delivery expectation with injected as-of date
+    * (reference `pastapi.py:197-219`). */
+  private def p04(spark: SparkSession, dir: String): DataFrame =
+    ServeQueries.countryExpectation(silver(spark, dir), "NATION_7", "2024-06-01")
+
+  private val p04Sql =
+    s"""WITH s AS (${CorpusAdapter.silverOracleSql(LoadDate, LoadTsStr)}),
+       |d AS (SELECT DISTINCT tracking_number, delivery_days FROM s
+       |      WHERE UPPER(destination_country) = 'NATION_7')
+       |SELECT 'NATION_7' AS destination_country,
+       |  COUNT(*) AS n_shipments,
+       |  ROUND(CAST(SUM(delivery_days) AS DOUBLE) / COUNT(*), 2) AS avg_delivery_days,
+       |  CAST('2024-06-01' AS DATE)
+       |    + CAST(ROUND(CAST(SUM(delivery_days) AS DOUBLE) / COUNT(*), 0) AS INT) AS expected_delivery_date
+       |FROM d""".stripMargin
+
+  /** MLlib RandomForest delivery model (reference `prediction.py:94-143`):
+    * train on corpus-silver features, report test-set confusion counts.
+    * Rows-only (tree ensembles are engine-specific). */
+  private def p05(spark: SparkSession, dir: String): DataFrame = {
+    val feats = DeliveryModel.features(silver(spark, dir))
+    val result = DeliveryModel.train(feats)
+    DeliveryModel.predict(result.model, feats)
+      .groupBy(col("delivery_status"), col("predicted_status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("delivery_status"), col("predicted_status"))
+  }
+
+  /** Structured Streaming: hourly event windows computed via readStream +
+    * memory sink (Trigger.AvailableNow), oracle-checked against the batch
+    * SQL — stream/batch equivalence as a correctness gate. */
+  private def p06(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-source streams need a directory; glob-filter to the events table
+    val stream = Corpus.normalizeEventTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+    SilverStream.runToMemory(agg, s"p06_stream_${System.nanoTime()}", "complete")
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  private val p06Sql =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin
+
+  /** Full layered pipeline end-to-end (gen → bronze JSON → silver parquet
+    * partitioned by load_date → gold tables), reference DAG semantics
+    * (`orchestration.py:164-167`). Rows-only: inputs are engine-generated. */
+  private def p07(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipeline_").toString
+    val results = graft.Pipeline.run(spark, tmp, LoadDate, nShipments = 2000L, seed = 42L)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      results.map(r => org.apache.spark.sql.Row(r.stage, r.rows)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stage", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rows", org.apache.spark.sql.types.LongType))))
+      .orderBy(col("stage"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
+    QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
+    QuerySpec("p03_serve_tracking", p03, Some(p03Sql)),
+    QuerySpec("p04_serve_country", p04, Some(p04Sql)),
+    QuerySpec("p05_ml_delivery_model", p05, None),
+    QuerySpec("p06_stream_hourly_windows", p06, Some(p06Sql)),
+    QuerySpec("p07_pipeline_e2e", p07, None))
+}

@@ -6,7 +6,7 @@ import graft.QuerySpec
   * change here. Names must be unique across groups. */
 object Registry {
   def specs: Seq[QuerySpec] =
-    Relational.specs ++ Text.specs ++ Vectors.specs
+    Relational.specs ++ Text.specs ++ Vectors.specs ++ Domain.specs
 
   require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
 }

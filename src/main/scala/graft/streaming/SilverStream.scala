@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.model.Schemas
+import graft.silver.SilverTransform
+
+/** Structured Streaming variants of the batch pipeline (SURVEY §2.10).
+  * The reference simulates streaming with a daily Airflow loop +
+  * overwrite-per-partition; here the same transforms run as incremental
+  * streams with watermarks — `Trigger.AvailableNow` reproduces the batch
+  * semantics exactly while keeping the late-data machinery.
+  */
+object SilverStream {
+
+  /** Bronze JSON file-source stream → Silver transform. Same plan as the
+    * batch path (SilverTransform is stream-agnostic), so batch/stream
+    * equivalence is structural, not re-implemented. */
+  def silverStream(spark: SparkSession, bronzeDir: String, loadDate: String,
+      loadTs: java.sql.Timestamp): DataFrame = {
+    val bronze = spark.readStream
+      .schema(Schemas.bronzeShipment)
+      .option("multiLine", "true")
+      .json(bronzeDir)
+    SilverTransform.transform(bronze, loadDate, loadTs)
+  }
+
+  /** Watermarked tumbling-window KPI over checkpoint events — the
+    * streaming variant of the Gold courier metrics
+    * (`Gold_layer/starschema.py:137-146`). Late events beyond the
+    * watermark are dropped instead of reprocessing a trailing 7-day
+    * window like the reference. */
+  def courierWindowedKpis(silver: DataFrame, watermark: String = "7 days",
+      window_ : String = "1 day"): DataFrame =
+    silver
+      .withWatermark("checkpoint_time", watermark)
+      .groupBy(window(col("checkpoint_time"), window_), col("courier"))
+      .agg(
+        approx_count_distinct(col("tracking_number")).as("approx_shipments"),
+        count(when(col("status") === "DELIVERED", true)).as("delivered_events"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("courier"),
+        col("approx_shipments"), col("delivered_events"), col("n_events"))
+
+  /** Runs a streaming frame to completion against a memory sink and
+    * returns the materialized result — used by tests and the stream/batch
+    * equivalence oracle query. */
+  def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}
