@@ -18,12 +18,16 @@ object SilverStream {
 
   /** Bronze JSON file-source stream → Silver transform. Same plan as the
     * batch path (SilverTransform is stream-agnostic), so batch/stream
-    * equivalence is structural, not re-implemented. */
+    * equivalence is structural, not re-implemented.
+    *
+    * `multiLine = true` only for the reference's one-JSON-array-per-day
+    * blobs (`Silver_tranformation.py:62`); Spark-written bronze is JSON
+    * lines, where multiLine would silently parse one record per file. */
   def silverStream(spark: SparkSession, bronzeDir: String, loadDate: String,
-      loadTs: java.sql.Timestamp): DataFrame = {
+      loadTs: java.sql.Timestamp, multiLine: Boolean = false): DataFrame = {
     val bronze = spark.readStream
       .schema(Schemas.bronzeShipment)
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .json(bronzeDir)
     SilverTransform.transform(bronze, loadDate, loadTs)
   }

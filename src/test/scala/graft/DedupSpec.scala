@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup family on planted duplicates — exact, MinHash+LSH, SimHash,
+  * blocked Jaccard. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+  private def docs = Seq(
+    (0L, base, "s1"),
+    (1L, base, "s1"),                                   // exact dup of 0
+    (2L, base.replace("delta", "DELTA-EDIT"), "s2"),    // near dup of 0
+    (3L, "one two three four five six seven eight nine ten", "s2"),
+    (4L, "completely different words nothing shared here at all ok then", "s1"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup finds the planted pair and nothing else") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("n_copies") === 2)
+    assert(groups(0).getAs[Long]("keep_id") === 0)
+    assert(groups(0).getAs[Long]("max_id") === 1)
+    val stats = Dedup.exactDedupStats(docs).head()
+    assert(stats.getAs[Long]("n_docs") === 5)
+    assert(stats.getAs[Long]("n_distinct_texts") === 4)
+    assert(stats.getAs[Long]("n_dup_rows") === 1)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact pair")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "unrelated docs must not pair")
+  }
+
+  test("minhash jaccard values equal exact brute-force jaccard") {
+    import graft.functions.TextFunctions
+    val shingled = Dedup.withShingles(docs)
+    val brute = shingled.as("x").join(shingled.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        TextFunctions.jaccard(col("x.shingles"), col("y.shingles")).as("j"))
+      .filter(col("j") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh === brute)
+  }
+
+  test("simhash: identical docs at distance 0; near dups within 3") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect()
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((0L, 1L)) === 0, "identical docs → identical simhash")
+    assert(!asMap.keySet.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc excluded")
+  }
+
+  test("blocked jaccard only pairs within the block") {
+    val pairs = Dedup.blockedJaccardPairs(docs, "source", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // 0 and 1 share source s1; 2 is in s2, so (0,2)/(1,2) are unreachable
+    assert(pairs === Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions
+import graft.io.Corpus
+import graft.operators.Similarity
+
+/** Similarity search: custom DotProduct expression (interpreted + codegen
+  * paths), brute-force top-k on hand-checkable vectors, LSH recall. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_dot matches manual dot product (codegen + interpreted)") {
+    GraftExpressions.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(expr("graft_dot(a, b)")).as[Double].head() === 32.0)
+    // force interpreted path too (eval via filter on driver-side literal)
+    val viaSql = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+    assert(viaSql.as[Double].head() === 11.0)
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),   // same direction as 0
+      (11L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),   // close
+      (12L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),   // orthogonal
+      (13L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1))  // opposite
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.cosineTopK(spark, vecs, nQueries = 1, k = 3)
+      .select("rank", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(top(0)._2 === 10L && math.abs(top(0)._3 - 1.0) < 1e-12)
+    assert(top(1)._2 === 11L)
+    assert(top(2)._2 === 12L && math.abs(top(2)._3) < 1e-12)
+  }
+
+  test("nearDupPairs finds only the aligned pair at high threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.nearDupPairs(spark, vecs, threshold = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("lshTopK recall vs brute force is usable on the corpus") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val brute = Similarity.cosineTopK(spark, emb, 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(spark, emb, 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    // near-uniform corpus: LSH trades recall for ~14% candidate volume;
+    // see Similarity.lshTopK scaladoc for the math
+    assert(recall >= 0.15, s"recall $recall")
+  }
+}

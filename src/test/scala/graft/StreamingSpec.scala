@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.gen.BronzeGenerator
+import graft.silver.SilverTransform
+import graft.streaming.SilverStream
+
+/** Structured Streaming semantics (SURVEY §2.10/§5.2): batch/stream
+  * equivalence for the Silver transform, watermark late-data drop. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  test("file-source silver stream ≡ batch silver") {
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    BronzeGenerator.shipments(spark, 500, 42L, "2024-01-01")
+      .write.mode("overwrite").json(dir)
+    val batch = SilverTransform.transform(
+      spark.read.schema(graft.model.Schemas.bronzeShipment).json(dir), "2024-01-01", ts)
+    val streamed = SilverStream.runToMemory(
+      SilverStream.silverStream(spark, dir, "2024-01-01", ts),
+      s"silver_eq_${System.nanoTime()}", "append")
+    assert(streamed.count() === batch.count())
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
+  test("watermark drops late events in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"wm_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: events at 10:00-10:09 and a watermark-advancing event at 11:00
+    input.addData((t("2024-01-01 10:01:00"), "a"), (t("2024-01-01 10:05:00"), "a"),
+      (t("2024-01-01 11:00:00"), "b"))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the already-finalized 10:00 window
+    input.addData((t("2024-01-01 10:02:00"), "a"))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to flush everything else
+    input.addData((t("2024-01-01 12:00:00"), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select(col("window.start").cast("string"), col("k"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    // the 10:00 window closed with n=2 — the late event did NOT bump it to 3
+    assert(rows.contains(("2024-01-01 10:00:00", "a", 2L)))
+    assert(!rows.contains(("2024-01-01 10:00:00", "a", 3L)))
+  }
+
+  test("windowed courier KPIs run as a stream over generated bronze") {
+    val dir = Files.createTempDirectory("graft_stream_kpi_").toString
+    BronzeGenerator.shipments(spark, 300, 42L, "2024-01-01")
+      .write.mode("overwrite").json(dir)
+    val silver = SilverStream.silverStream(spark, dir, "2024-01-01", ts)
+    val kpis = SilverStream.courierWindowedKpis(silver, watermark = "30 days", window_ = "1 day")
+    val out = SilverStream.runToMemory(kpis, s"kpi_${System.nanoTime()}", "complete")
+    assert(out.count() > 0)
+    assert(out.filter(col("n_events") <= 0).count() === 0)
+  }
+}
