@@ -90,6 +90,60 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Jaccard similarity |A∩B|/|A∪B| of two pre-sorted, pre-distinct string
+  * arrays, via a single merge pass — no hash set, no intermediate array.
+  * The naive `size(array_intersect)/size(array_union)` form allocates two
+  * arrays and hashes every element per pair; at near-dup-mining scale
+  * (10⁵–10⁶ candidate pairs × hundreds of shingles) this expression is
+  * the difference between minutes and seconds. Inputs MUST be sorted
+  * ascending and duplicate-free (see Dedup.withShingles).
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val union = ctx.freshName("union")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |int $union = $nx + $ny - $inter;
+         |${ev.value} = $union == 0 ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
 /** Registers the custom expressions in a session's function registry so
   * they are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftExpressions {
@@ -99,5 +153,7 @@ object GraftExpressions {
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
   }
 }

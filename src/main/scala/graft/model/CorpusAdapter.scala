@@ -65,6 +65,47 @@ object CorpusAdapter {
         col("checkpoints"))
   }
 
+  /** Flat silver equivalent: the same output as
+    * `SilverTransform.transform(bronzeShipments(...))` but joining
+    * lineitem directly instead of nesting into checkpoint arrays and
+    * exploding back. Semantically identical (verified by the shared
+    * oracle); used by the aggregate/serving queries where the nest→explode
+    * round trip adds a groupBy shuffle for nothing. p01 keeps the nested
+    * path — that round trip is the thing it verifies. */
+  def silverFlat(spark: SparkSession, dir: String, loadDate: String,
+      loadTs: java.sql.Timestamp): DataFrame =
+    Corpus.orders(spark, dir)
+      .join(Corpus.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Corpus.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Corpus.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .join(Corpus.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderkey").cast("string").as("shipment_id"),
+        concat(lit("TN"), col("o_orderkey").cast("string")).as("tracking_number"),
+        upper(col("o_orderpriority")).as("courier"),
+        upper(when(col("o_orderstatus") === "F", lit("Delivered"))
+          .when(col("o_orderstatus") === "O", lit("InTransit"))
+          .otherwise(lit("Pending"))).as("status"),
+        col("r_name").as("origin_country"),
+        col("n_name").as("destination_country"),
+        col("c_name").as("customer_name"),
+        (col("o_totalprice") / 10000.0).as("shipment_weight"),
+        pmod(col("o_orderkey"), lit(7)).cast("int").as("delivery_days"),
+        col("o_orderdate").as("created_at"),
+        (col("o_orderdate") + expr("make_interval(0, 0, 0, cast(o_orderkey % 7 as int), 0, 0, 0)")).as("updated_at"),
+        coalesce(
+          when(pmod(col("l_suppkey"), lit(100)) === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("CITY_"), pmod(col("l_suppkey"), lit(100)).cast("string"))),
+          lit("UNKNOWN")).as("checkpoint_city"),
+        col("l_returnflag").as("checkpoint_country"),
+        concat(lit("EVT-"), col("l_returnflag"), col("l_linestatus")).as("checkpoint_message"),
+        col("l_shipdate").as("checkpoint_time"))
+      .withColumn("delivery_status",
+        when(col("status").isin("DELIVERED", "OUTFORDELIVERY"), lit("SUCCESS"))
+          .otherwise(lit("PENDING")))
+      .withColumn("load_date", lit(loadDate))
+      .withColumn("load_timestamp", lit(loadTs))
+
   /** DuckDB mirror of bronzeShipments ∘ SilverTransform (flat join form),
     * parameterized by the fixed load stamp. */
   def silverOracleSql(loadDate: String, loadTs: String): String =

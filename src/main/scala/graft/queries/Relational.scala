@@ -380,18 +380,25 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   /** Semi-structured: JSON extraction from the events props column +
-    * exact integer aggregation (P17 numeric coercion). */
+    * exact integer aggregation, plus P17 coercion semantics — try_cast
+    * turns invalid input into null instead of an ANSI error (counting
+    * non-null casts of a non-numeric column yields 0 on both engines). */
   private def q19(spark: SparkSession, dir: String): DataFrame =
     Corpus.events(spark, dir)
-      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        expr("try_cast(event_type as int)").as("bad_cast"))
       .groupBy(col("event_type"))
-      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+        count(col("bad_cast")).as("n_valid_casts"))
       .orderBy(col("event_type"))
 
   private val q19Sql =
     """SELECT event_type,
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  COUNT(json_extract_string(props, '$.k')) AS n_k
+      |  COUNT(json_extract_string(props, '$.k')) AS n_k,
+      |  COUNT(TRY_CAST(event_type AS INT)) AS n_valid_casts
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
