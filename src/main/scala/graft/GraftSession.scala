@@ -27,6 +27,8 @@ object GraftSession {
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName("graft")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_wh_").toString)
         .config("spark.sql.shuffle.partitions", sp.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -493,6 +493,61 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY hour, event_type""".stripMargin
 
+  /** As-of join (parity-plus): each click event enriched with the most
+    * recent error event (≤ its timestamp) for the same user — the
+    * time-series operator Spark lacks natively, here one shuffle + window
+    * ([[graft.operators.AsOfJoin]]). Oracle: DuckDB's native ASOF JOIN.
+    * The right side is deduped to one row per (user, ts) first, otherwise
+    * equal-timestamp matches are ambiguous in both engines. */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val dedupeW = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val errors = ev.filter(col("event_type") === "error")
+      .withColumn("rn", row_number().over(dedupeW)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("value").as("err_value"), col("event_id").as("err_event_id"))
+    graft.operators.AsOfJoin(clicks, errors, "user_id", "ts",
+      payload = Seq("err_value", "err_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q25Sql =
+    """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+      |errors AS (SELECT user_id, ts, value AS err_value, event_id AS err_event_id
+      |           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |                 FROM events WHERE event_type = 'error')
+      |           WHERE rn = 1)
+      |SELECT c.event_id, c.user_id, c.ts, c.value,
+      |  e.err_value AS asof_err_value, e.err_event_id AS asof_err_event_id
+      |FROM clicks c ASOF LEFT JOIN errors e
+      |  ON c.user_id = e.user_id AND c.ts >= e.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Gap-based sessionization (30 min) with per-session rollup
+    * ([[graft.operators.Sessionize]]); streaming equivalent is
+    * session_window (see StreamingSpec). */
+  private def q26(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize
+      .sessionStats(Corpus.events(spark, dir), "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .orderBy(col("user_id"), col("session_id"))
+
+  private val q26Sql =
+    """SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM (SELECT user_id, ts,
+      |        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id
+      |      FROM (SELECT user_id, ts, event_id,
+      |              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                     > 1800 * 1000000 OR
+      |                   LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                   THEN 1 ELSE 0 END AS new_session
+      |            FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -517,5 +572,7 @@ object Relational {
     QuerySpec("q21_date_arith", q21, Some(q21Sql)),
     QuerySpec("q22_distinct_counts", q22, Some(q22Sql)),
     QuerySpec("q23_approx_distinct", q23, None),
-    QuerySpec("q24_hourly_event_windows", q24, Some(q24Sql)))
+    QuerySpec("q24_hourly_event_windows", q24, Some(q24Sql)),
+    QuerySpec("q25_asof_join", q25, Some(q25Sql)),
+    QuerySpec("q26_sessionize", q26, Some(q26Sql)))
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.LayerIO
+import graft.operators.{AsOfJoin, Sessionize, Skew}
+
+/** Scale-path operators: as-of join semantics, sessionization, salted
+  * skew-join equivalence, bucketed join shuffle elimination. */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join attaches the latest right row at-or-before, per key") {
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")),
+      (2L, 10L, t("2024-01-01 12:00:00")),
+      (3L, 20L, t("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("2024-01-01 09:30:00"), 1.0),
+      (10L, t("2024-01-01 11:00:00"), 2.0),
+      (10L, t("2024-01-01 12:00:00"), 3.0), // equal ts → inclusive match
+      (20L, t("2024-01-01 10:00:00"), 9.0)) // after left's only row
+      .toDF("user_id", "ts", "v")
+    val got = AsOfJoin(left, right, "user_id", "ts", Seq("v"))
+      .select("event_id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === Some(1.0))  // latest ≤ 10:00 is 09:30
+    assert(got(2L) === Some(3.0))  // equal timestamp matches (inclusive)
+    assert(got(3L) === None)       // nothing at-or-before → null
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val ev = Seq(
+      (1L, 5L, t("2024-01-01 10:00:00")),
+      (2L, 5L, t("2024-01-01 10:10:00")),  // same session (10 min)
+      (3L, 5L, t("2024-01-01 11:00:00")),  // new session (50 min gap)
+      (4L, 6L, t("2024-01-01 10:00:00")))  // separate user
+      .toDF("event_id", "user_id", "ts")
+    val s = Sessionize.sessionStats(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
+    assert(s.toSeq === Seq((5L, 0L, 2L), (5L, 1L, 1L), (6L, 0L, 1L)))
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // 90% of rows share one hot key
+    val large = spark.range(10000)
+      .select((when(col("id") % 10 < 9, 1L).otherwise(col("id"))).as("k"), col("id").as("payload"))
+    val small = Seq((1L, "hot"), (42L, "cold"), (7777L, "x")).toDF("k", "name")
+    val plain = large.join(small, "k")
+    val salted = Skew.saltedJoin(large, small, "k", factor = 8, saltSource = "payload")
+    assert(salted.count() === plain.count())
+    assert(plain.exceptAll(salted.select(plain.columns.map(col): _*)).count() === 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    LayerIO.writeBucketed(a, "bkt_a", "k", buckets = 8)
+    LayerIO.writeBucketed(b, "bkt_b", "k", buckets = 8)
+    // force the SMJ path (the tables are tiny, so the planner would
+    // otherwise broadcast and never consult bucketing)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = LayerIO.readTable(spark, "bkt_a")
+        .join(LayerIO.readTable(spark, "bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
