@@ -548,6 +548,67 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Exact percentiles (median/p90 via interpolation) — Spark `percentile`
+    * vs DuckDB `quantile_cont`, both linear interpolation on the sorted
+    * values, so results are bit-comparable. At 100 TB the approx_percentile
+    * sketch replaces this (same API shape, rows-only check). */
+  private def q27(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q27Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** CUBE over (returnflag, linestatus): all 2ⁿ grouping-set combinations
+    * in one pass (Catalyst Expand). Names coalesced so NULL ordering
+    * can't differ cross-engine. */
+  private def q28(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private val q28Sql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Pivot: order status → columns, revenue per priority. The oracle uses
+    * the equivalent conditional aggregation (pivot is sugar for it). */
+  private def q29(spark: SparkSession, dir: String): DataFrame =
+    Corpus.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .orderBy(col("o_orderpriority"))
+
+  private val q29Sql =
+    s"""SELECT o_orderpriority,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -574,5 +635,8 @@ object Relational {
     QuerySpec("q23_approx_distinct", q23, None),
     QuerySpec("q24_hourly_event_windows", q24, Some(q24Sql)),
     QuerySpec("q25_asof_join", q25, Some(q25Sql)),
-    QuerySpec("q26_sessionize", q26, Some(q26Sql)))
+    QuerySpec("q26_sessionize", q26, Some(q26Sql)),
+    QuerySpec("q27_percentiles", q27, Some(q27Sql)),
+    QuerySpec("q28_cube", q28, Some(q28Sql)),
+    QuerySpec("q29_pivot", q29, Some(q29Sql)))
 }
