@@ -65,6 +65,48 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF-style approximate top-k: a KMeans coarse quantizer partitions
+    * the corpus into `nCells` cells; each query scores only the
+    * `nProbe` cells whose centroids are nearest to it. The classic
+    * inverted-file ANN layout: candidate volume ≈ n·nProbe/nCells, and
+    * on a cluster the cell assignment doubles as the partition key, so a
+    * probe touches only its cells' partitions. */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    GraftExpressions.register(spark)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = normed(emb).withColumn("fv", array_to_vector(col("v"))).cache()
+    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(n)
+    val assigned = model.transform(n).drop("fv")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val centroidDf = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // rank cells per query by centroid distance, keep nProbe
+    val cellRank = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", -expr("graft_dot(qv, centroid)"))
+      .withColumn("crank", row_number().over(cellRank))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val out = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+    n.unpersist()
+    out
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash-derived value in [-1, 1). Seeded — stable across runs/engines. */
   private def planeLiteral(numPlanes: Int, dim: Int): Array[Array[Double]] = {

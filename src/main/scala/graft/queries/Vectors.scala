@@ -77,9 +77,15 @@ object Vectors {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
+    * cell probes) — rows-only; recall vs brute force asserted in tests. */
+  private def v04(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5, k = 10)
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
     QuerySpec("v03_ann_lsh_topk", v03, None),
+    QuerySpec("v04_ann_ivf_topk", v04, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)))
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Corpus
+
+/** Plan-shape assertions: the properties that make queries survive a
+  * 100× scale-up — filter/projection pushdown to the parquet scan,
+  * broadcast joins for small dims, map-side partial aggregation. These
+  * guard against regressions that correctness tests can't see. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val spec = graft.queries.Registry.specs.find(_.name == name).get
+    spec.run(spark, sf0001).queryExecution.executedPlan.toString
+  }
+
+  test("q05: range filter and projection push into the parquet scan") {
+    val plan = planOf("q05_filter_topk")
+    // note: Spark truncates the metadata string, so match the prefix only
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_shipda"), s"missing pushdown:\n$plan")
+    // only the 6 needed columns are read, not all 11
+    assert(plan.contains("ReadSchema") && !plan.contains("l_tax"),
+      "projection must prune unused columns")
+  }
+
+  test("q06: dims join via broadcast, not shuffle") {
+    val plan = planOf("q06_region_customer_stats")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial)") {
+    val plan = planOf("q01_pricing_summary")
+    // partial + final HashAggregate pair around the exchange (under AQE
+    // the codegen * markers only appear once the plan finalizes, so
+    // assert the partial_ functions directly)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected partial agg:\n$plan")
+    assert(plan.contains("partial_sum"), s"map-side combine missing:\n$plan")
+  }
+
+  test("q17: point lookup pushes the key predicate to the scan") {
+    val plan = planOf("q17_point_lookup")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]") ||
+      plan.contains("EqualTo(o_orderkey,1)"), s"missing key pushdown:\n$plan")
+  }
+
+  test("similarity top-k broadcasts the query side") {
+    val plan = graft.operators.Similarity
+      .cosineTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query set must broadcast:\n$plan")
+  }
+}

@@ -45,6 +45,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("ivfTopK recall vs brute force is usable on the corpus") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val brute = Similarity.cosineTopK(spark, emb, 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, emb, 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // 4-of-16 cells scored; on a near-uniform corpus expect roughly the
+    // probed fraction of true neighbors, far more on clustered data
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("lshTopK recall vs brute force is usable on the corpus") {
     val emb = Corpus.embeddings(spark, sf0001)
     val brute = Similarity.cosineTopK(spark, emb, 5, 10)

@@ -61,6 +61,29 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.contains(("2024-01-01 10:00:00", "a", 3L)))
   }
 
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.EventIn
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventIn]
+    val totals = StatefulOps.runningUserTotals(input.toDS())
+    val name = s"state_${System.nanoTime()}"
+    val q = totals.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(EventIn(1L, 1L, 10.0), EventIn(1L, 2L, 5.0), EventIn(2L, 3L, 1.0))
+    q.processAllAvailable()
+    input.addData(EventIn(1L, 4L, 2.5)) // state must carry over
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select("user_id", "n_events", "total_value", "max_event_id")
+      .as[(Long, Long, Double, Long)].collect()
+    // last emission for user 1 reflects ALL 3 events across both batches
+    val lastUser1 = rows.filter(_._1 == 1L).maxBy(_._2)
+    assert(lastUser1 === ((1L, 3L, 17.5, 4L)))
+    assert(rows.filter(_._1 == 2L).head === ((2L, 1L, 1.0, 3L)))
+  }
+
   test("windowed courier KPIs run as a stream over generated bronze") {
     val dir = Files.createTempDirectory("graft_stream_kpi_").toString
     BronzeGenerator.shipments(spark, 300, 42L, "2024-01-01")
