@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gold.Scd2
+import graft.io.Merge
+import graft.silver.DataQuality
+
+/** Lakehouse table operations: upsert/merge, SCD2 history, row-level
+  * data-quality quarantine. */
+class LakehouseOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("upsert: updates win, inserts append, untouched rows survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_").toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v").write.parquet(dir)
+    val updates = Seq((2L, "b2", 21.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val (before, after, updated, inserted) = Merge.upsertParquet(spark, dir, updates, "k")
+    assert((before, after, updated, inserted) === ((3L, 4L, 1L, 1L)))
+    val rows = spark.read.parquet(dir).as[(Long, String, Double)].collect().toSet
+    assert(rows === Set((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("scd2: attribute change closes old version and opens new") {
+    val d0 = Scd2.init(
+      Seq(("DHL", "east"), ("UPS", "west")).toDF("courier", "zone"),
+      "courier", Seq("zone"), "2024-01-01")
+    // day 2: DHL moves zones, UPS unchanged, FEDEX appears
+    val d1 = Scd2.apply(d0,
+      Seq(("DHL", "north"), ("UPS", "west"), ("FEDEX", "south")).toDF("courier", "zone"),
+      "courier", Seq("zone"), "2024-01-02")
+    val rows = d1.select("courier", "zone", "effective_from", "effective_to", "is_current")
+      .as[(String, String, String, Option[String], Boolean)].collect().toSet
+    assert(rows === Set(
+      ("DHL", "east", "2024-01-01", Some("2024-01-02"), false),
+      ("DHL", "north", "2024-01-02", None, true),
+      ("UPS", "west", "2024-01-01", None, true),
+      ("FEDEX", "south", "2024-01-02", None, true)))
+    // day 3: DHL disappears entirely → its current row closes
+    val d2 = Scd2.apply(d1,
+      Seq(("UPS", "west"), ("FEDEX", "south")).toDF("courier", "zone"),
+      "courier", Seq("zone"), "2024-01-03")
+    val dhl = d2.filter($"courier" === "DHL")
+      .select("zone", "is_current").as[(String, Boolean)].collect().toSet
+    assert(dhl === Set(("east", false), ("north", false)))
+  }
+
+  test("pipeline rerun for the same load date is idempotent (overwrite-per-partition)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idem_").toString
+    val r1 = graft.Pipeline.run(spark, tmp, "2024-01-01", nShipments = 300L)
+    val r2 = graft.Pipeline.run(spark, tmp, "2024-01-01", nShipments = 300L)
+    assert(r1.map(s => s.stage -> s.rows).toMap === r2.map(s => s.stage -> s.rows).toMap)
+  }
+
+  test("data quality: violations quarantine with rule names, clean rows pass") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val later = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val df = Seq(
+      ("TN1", 1.0, 2, ts, later, ts),                       // clean
+      ("", 1.0, 2, ts, later, ts),                          // empty tracking
+      ("TN3", -5.0, -1, ts, later, ts),                     // weight + days bad
+      ("TN4", 1.0, 2, later, ts, ts))                       // updated < created
+      .toDF("tracking_number", "shipment_weight", "delivery_days",
+        "created_at", "updated_at", "checkpoint_time")
+    val split = DataQuality.check(df, DataQuality.silverRules)
+    assert(split.clean.count() === 1)
+    val q = split.quarantine
+      .select(col("tracking_number"), array_sort(col("violations")).cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(q("") .contains("tracking_number_present"))
+    assert(q("TN3").contains("delivery_days_nonnegative") && q("TN3").contains("weight_in_range"))
+    assert(q("TN4").contains("event_order_sane"))
+  }
+}

@@ -19,6 +19,20 @@ class MlSpec extends SparkTestBase {
     assert(result.accuracy > 0.95, s"accuracy ${result.accuracy}")
   }
 
+  test("model save/load round trip gives identical predictions (S11 artifact store)") {
+    val silver = SilverTransform.transform(
+      BronzeGenerator.shipments(spark, 500, 42L, "2024-01-01"), "2024-01-01", ts)
+    val feats = DeliveryModel.features(silver).cache()
+    val model = DeliveryModel.train(feats).model
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = DeliveryModel.predict(model, feats).select("courier", "status", "predicted_status")
+    val b = DeliveryModel.predict(loaded, feats).select("courier", "status", "predicted_status")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    feats.unpersist()
+  }
+
   test("predictions on a filtered subset equal the full-frame predictions (no refit drift)") {
     val silver = SilverTransform.transform(
       BronzeGenerator.shipments(spark, 1000, 42L, "2024-01-01"), "2024-01-01", ts)
