@@ -51,6 +51,9 @@ object Pipeline {
     require(fs.exists(new org.apache.hadoop.fs.Path(bronzeDir)), s"bronze missing: $bronzeDir")
 
     val bronze = spark.read.schema(graft.model.Schemas.bronzeShipment).json(bronzeDir)
+    // emptiness guard (reference `Silver_tranformation.py:67`): Dataset
+    // .isEmpty, not rdd.isEmpty — no RDD conversion, stops at first row
+    require(!bronze.isEmpty, s"bronze empty for $loadDate")
     val silver = SilverTransform.transform(bronze, loadDate, loadTs)
     silver.write.mode(SaveMode.Overwrite).partitionBy("load_date").parquet(silverDir)
 
