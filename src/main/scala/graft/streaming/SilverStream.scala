@@ -49,6 +49,25 @@ object SilverStream {
       .select(col("window.start").as("window_start"), col("courier"),
         col("approx_shipments"), col("delivered_events"), col("n_events"))
 
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped, and the dedup state is evicted
+    * once the watermark passes — the only way streaming dedup survives at
+    * 100 TB (unbounded dropDuplicates state grows forever). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** foreachBatch parquet appender: micro-batches land as date-partitioned
+    * appends, with the (epochId) available for idempotent sinks — the
+    * streaming version of the reference's per-day overwrite loop. */
+  def appendSink(df: DataFrame, outDir: String): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      batch.withColumn("_epoch", lit(epochId))
+        .write.mode("append").parquet(outDir)
+    }
+
   /** Runs a streaming frame to completion against a memory sink and
     * returns the materialized result — used by tests and the stream/batch
     * equivalence oracle query. */

@@ -84,6 +84,39 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.filter(_._1 == 2L).head === ((2L, 1L, 1.0, 3L)))
   }
 
+  test("dropDuplicatesWithinWatermark dedups across micro-batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = SilverStream.dedupWithinWatermark(
+      input.toDF().toDF("k", "ts"), Seq("k"), "ts", "10 minutes")
+    val name = s"dd_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:00:30")))
+    q.processAllAvailable()
+    input.addData((1L, t("2024-01-01 10:01:00"))) // still within watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(name).count() === 1, "only the first arrival survives")
+  }
+
+  test("foreachBatch sink appends micro-batches as parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_fb_").toString + "/out"
+    val input = MemoryStream[(Long, Double)]
+    val q = SilverStream.appendSink(input.toDF().toDF("k", "v"), dir)
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation", Files.createTempDirectory("graft_fb_ck_").toString)
+      .start()
+    input.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable()
+    input.addData((3L, 3.0)); q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(back.select("_epoch").distinct().count() === 2, "two micro-batches landed")
+  }
+
   test("windowed courier KPIs run as a stream over generated bronze") {
     val dir = Files.createTempDirectory("graft_stream_kpi_").toString
     BronzeGenerator.shipments(spark, 300, 42L, "2024-01-01")
