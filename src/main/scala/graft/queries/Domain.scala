@@ -32,9 +32,18 @@ object Domain {
     SilverTransform.transform(CorpusAdapter.bronzeShipments(spark, dir), LoadDate, LoadTs)
 
   /** Same rows via the direct flat join (no collect_list shuffle) — used
-    * by the aggregate/serving/ML queries. */
-  def silverFlat(spark: SparkSession, dir: String): DataFrame =
-    CorpusAdapter.silverFlat(spark, dir, LoadDate, LoadTs)
+    * by the aggregate/serving/ML queries. Cached once per (session, dir):
+    * four downstream queries share one scan+join instead of recomputing
+    * it (the reference re-scans silver 7× for its gold outputs,
+    * `starschema.py:75-146` — this is the fix at engine level). */
+  def silverFlat(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key = (spark, dir)
+    flatCache.getOrElseUpdate(key,
+      CorpusAdapter.silverFlat(spark, dir, LoadDate, LoadTs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+  private val flatCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   // Minimal flat CTE for aggregate oracles (courier/status/days only need
   // orders⋈lineitem — customer/nation/region joins never drop rows).
