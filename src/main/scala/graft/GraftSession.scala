@@ -19,6 +19,10 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // dynamic partition overwrite: an overwrite write replaces only the
+    // partitions present in the incoming data — without this, a daily
+    // rerun of one load_date would truncate ALL silver partitions.
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int, shufflePartitions: Int = 0): SparkSession = {

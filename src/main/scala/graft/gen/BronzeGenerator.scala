@@ -41,7 +41,7 @@ object BronzeGenerator {
       .withColumn("created_ts",
         to_timestamp(lit(s"$loadDate 00:00:00")) +
           expr(s"make_interval(0, 0, 0, 0, cast(pmod(xxhash64(id, $seed, 7), 24) as int), 0, 0)"))
-      .withColumn("delivery_hours", (u(seed, 5) * 71).cast("int") + 1)
+      .withColumn("delivery_hours", (u(seed, 5) * 72).cast("int") + 1)
       .withColumn("updated_ts",
         col("created_ts") + expr("make_interval(0, 0, 0, 0, delivery_hours, 0, 0)"))
       .withColumn("n_checkpoints", (u(seed, 6) * 5).cast("int") + 2)

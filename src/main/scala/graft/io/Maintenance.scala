@@ -13,26 +13,35 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Maintenance {
 
-  /** Rewrites a parquet directory into ~targetFileBytes files. Returns
-    * (filesBefore, filesAfter). The rewrite goes through a sibling temp
-    * dir and a rename so readers never see a half-written table. */
+  /** Rewrites a parquet table into ~targetFileBytes files. Returns
+    * (filesBefore, filesAfter). Partitioned layouts are handled by
+    * compacting each leaf partition directory in place (layout and
+    * partition pruning preserved); flat layouts swap atomically through
+    * a temp dir + checked rename ([[Merge.swapInto]]). */
   def compactParquet(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(conf)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val before = dataFiles(path)
-    val totalBytes = before.map(_.getLen).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
 
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
-    spark.read.parquet(dir).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(dir + "_old")
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
-    fs.delete(bak, true)
-    (before.size, dataFiles(path).size)
+    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val subdirs = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(s => leafDirs(s.getPath))
+    }
+
+    def compactLeaf(p: org.apache.hadoop.fs.Path): (Int, Int) = {
+      val files = fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.isEmpty) return (0, 0)
+      val nFiles = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+      if (nFiles >= files.size) return (files.size, files.size) // already compact
+      Merge.swapInto(spark, p.toString,
+        spark.read.parquet(p.toString).repartition(nFiles), suffix = "_compacting")
+      val after = fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      (files.size, after)
+    }
+
+    val results = leafDirs(root).map(compactLeaf)
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 }

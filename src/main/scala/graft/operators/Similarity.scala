@@ -78,17 +78,23 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val n = normed(emb).withColumn("fv", array_to_vector(col("v"))).cache()
     val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(n)
+    val model = km.fit(n) // cache pays off here (iterative); freed right after
+    n.unpersist()
     val assigned = model.transform(n).drop("fv")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     val centroidDf = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
 
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // rank cells per query by centroid distance, keep nProbe
+    // rank cells per query by the SAME metric KMeans assigns with —
+    // squared Euclidean distance: |q-c|² = |q|² - 2q·c + |c|²; |q|² is
+    // constant per query, so rank by |c|² - 2q·c. Ranking by raw dot
+    // product instead can drop the query's own cell when centroid norms
+    // differ (max-inner-product ≠ nearest-centroid).
     val cellRank = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
     val probes = q.crossJoin(broadcast(centroidDf))
-      .withColumn("cdist", -expr("graft_dot(qv, centroid)"))
+      .withColumn("cdist",
+        expr("graft_dot(centroid, centroid)") - lit(2.0) * expr("graft_dot(qv, centroid)"))
       .withColumn("crank", row_number().over(cellRank))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
@@ -103,7 +109,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
-    n.unpersist()
     out
   }
 
@@ -135,7 +140,9 @@ object Similarity {
   def lshTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
       numPlanes: Int = 8, maxHamming: Int = 2): DataFrame = {
     GraftExpressions.register(spark)
-    val dim = 64
+    // derive the plane dimensionality from the data — a hardcoded dim
+    // would silently dot only a prefix of wider vectors
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val n = withSignature(spark, normed(emb), numPlanes, dim)
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

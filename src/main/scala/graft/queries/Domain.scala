@@ -45,6 +45,15 @@ object Domain {
   private val flatCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** Unpersists and drops all memoized frames — for long-lived drivers
+    * embedding the library (the one-shot Verify/Bench mains never need
+    * it, but without an eviction hook the cache would pin stopped
+    * sessions for the JVM lifetime). */
+  def clearCache(): Unit = synchronized {
+    flatCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => })
+    flatCache.clear()
+  }
+
   // Minimal flat CTE for aggregate oracles (courier/status/days only need
   // orders⋈lineitem — customer/nation/region joins never drop rows).
   private val kpiCte =

@@ -394,10 +394,13 @@ object Relational {
         count(col("bad_cast")).as("n_valid_casts"))
       .orderBy(col("event_type"))
 
+  // TRY_CAST keeps the oracle aligned with Spark's null-on-uncastable
+  // semantics even if a future corpus carries non-numeric k values
+  // (plain CAST would abort the DuckDB query where Spark returns null).
   private val q19Sql =
     """SELECT event_type,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  COUNT(json_extract_string(props, '$.k')) AS n_k,
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
       |  COUNT(TRY_CAST(event_type AS INT)) AS n_valid_casts
       |FROM events
       |GROUP BY event_type

@@ -59,13 +59,17 @@ object SilverStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** foreachBatch parquet appender: micro-batches land as date-partitioned
-    * appends, with the (epochId) available for idempotent sinks — the
-    * streaming version of the reference's per-day overwrite loop. */
-  def appendSink(df: DataFrame, outDir: String): DataStreamWriter[Row] =
+  /** foreachBatch parquet appender, at-least-once: on failure-replay the
+    * same epochId is re-delivered and its rows append AGAIN — exactly-once
+    * needs either a transactional table format or downstream dedup on
+    * (_epoch, key), which is why _epoch is stamped on every row. Pass
+    * `partitionCol` to keep the layout partitioned (e.g. a date column). */
+  def appendSink(df: DataFrame, outDir: String,
+      partitionCol: Option[String] = None): DataStreamWriter[Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
-      batch.withColumn("_epoch", lit(epochId))
-        .write.mode("append").parquet(outDir)
+      val stamped = batch.withColumn("_epoch", lit(epochId))
+      val writer = stamped.write.mode("append")
+      partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(outDir)
     }
 
   /** Runs a streaming frame to completion against a memory sink and

@@ -53,6 +53,26 @@ class LakehouseOpsSpec extends SparkTestBase {
     assert(r1.map(s => s.stage -> s.rows).toMap === r2.map(s => s.stage -> s.rows).toMap)
   }
 
+  test("day-2 pipeline run must NOT wipe day-1's silver partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_2day_").toString
+    graft.Pipeline.run(spark, tmp, "2024-01-01", nShipments = 200L)
+    graft.Pipeline.run(spark, tmp, "2024-01-02", nShipments = 200L)
+    val dates = spark.read.parquet(s"$tmp/silver/shipments")
+      .select("load_date").distinct().as[String].collect().toSet
+    assert(dates === Set("2024-01-01", "2024-01-02"),
+      "dynamic partition overwrite must preserve other load_dates")
+  }
+
+  test("upsert with duplicate update keys reports key-level counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge2_").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name").write.parquet(dir)
+    // two update rows for the same existing key + one new key
+    val updates = Seq((2L, "b2"), (2L, "b3"), (9L, "z")).toDF("k", "name")
+    val (before, after, updated, inserted) = Merge.upsertParquet(spark, dir, updates, "k")
+    assert((before, updated, inserted) === ((2L, 1L, 1L)))
+    assert(after === 4L) // 1 untouched + 2 rows for k=2 (grain preserved) + 1 new
+  }
+
   test("data quality: violations quarantine with rule names, clean rows pass") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val later = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
