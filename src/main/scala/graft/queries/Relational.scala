@@ -612,6 +612,48 @@ object Relational {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Range join via bucketization ([[graft.operators.RangeJoin]]):
+    * lineitems shipped inside each order-window, with NO equi key — the
+    * shape Spark would otherwise plan as a nested-loop theta join.
+    * Oracle: DuckDB's native range join (IEJoin). */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    val intervals = Corpus.orders(spark, dir)
+      .filter(col("o_orderkey") <= 100L)
+      .select(col("o_orderkey").as("window_id"), col("o_orderdate").as("w_start"),
+        expr("o_orderdate + make_interval(0, 0, 2, 0, 0, 0, 0)").as("w_end"))
+    val points = Corpus.lineitem(spark, dir).select(col("l_shipdate"), col("l_quantity"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, "l_shipdate", intervals, "w_start", "w_end",
+        bucketUs = 86400L * 1000000L) // 1-day buckets vs 14-day windows
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_points"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("window_id"))
+  }
+
+  private val q30Sql =
+    s"""SELECT o_orderkey AS window_id, COUNT(*) AS n_points,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM orders JOIN lineitem
+       |  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 14 DAY
+       |WHERE o_orderkey <= 100
+       |GROUP BY 1
+       |ORDER BY window_id""".stripMargin
+
+  /** Histogram binning: fixed-width price buckets (floor arithmetic —
+    * bit-identical cross-engine). */
+  private def q31(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lineitem(spark, dir)
+      .groupBy((floor(col("l_extendedprice") / 10000.0) * 10000).cast("long").as("price_bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("price_bin"))
+
+  private val q31Sql =
+    s"""SELECT CAST(floor(l_extendedprice / 10000.0) * 10000 AS BIGINT) AS price_bin,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY 1
+       |ORDER BY price_bin""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -641,5 +683,7 @@ object Relational {
     QuerySpec("q26_sessionize", q26, Some(q26Sql)),
     QuerySpec("q27_percentiles", q27, Some(q27Sql)),
     QuerySpec("q28_cube", q28, Some(q28Sql)),
-    QuerySpec("q29_pivot", q29, Some(q29Sql)))
+    QuerySpec("q29_pivot", q29, Some(q29Sql)),
+    QuerySpec("q30_range_join", q30, Some(q30Sql)),
+    QuerySpec("q31_histogram", q31, Some(q31Sql)))
 }

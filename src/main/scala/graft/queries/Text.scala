@@ -207,6 +207,37 @@ object Text {
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-engine-verifiable fingerprints: a modular rolling hash
+    * (h·31 + codepoint mod 2³¹−1 per char) that both engines can compute
+    * exactly — the oracle-checked companion to t04's 64-bit wrapping
+    * hash (which no SQL engine can express). bow variant fingerprints
+    * the sorted token bag, so token-order-permuted duplicates collide. */
+  private def t10(spark: SparkSession, dir: String): DataFrame = {
+    def fold(charsExpr: String) =
+      expr(s"""aggregate(
+               |  filter(split($charsExpr, ''), c -> c != ''),
+               |  0L, (h, c) -> pmod(h * 31 + ascii(c), 2147483647))""".stripMargin)
+    Corpus.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        fold("text").as("fp31"),
+        fold("array_join(array_sort(filter(split(text, ' '), t -> t != '')), ' ')")
+          .as("bow_fp31"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t10Sql = {
+    def fold(e: String) =
+      s"""list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
+         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+    s"""SELECT doc_id,
+       |  ${fold("text")} AS fp31,
+       |  ${fold("array_to_string(list_sort(list_filter(str_split(text, ' '), t -> t <> '')), ' ')")} AS bow_fp31
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -216,5 +247,6 @@ object Text {
     QuerySpec("t06_dedup_exact_groups", t06, Some(t06Sql)),
     QuerySpec("t07_dedup_minhash_lsh", t07, Some(t07Sql)),
     QuerySpec("t08_dedup_simhash", t08, None),
-    QuerySpec("t09_dedup_jaccard_blocked", t09, Some(t09Sql)))
+    QuerySpec("t09_dedup_jaccard_blocked", t09, Some(t09Sql)),
+    QuerySpec("t10_fingerprint_mod", t10, Some(t10Sql)))
 }

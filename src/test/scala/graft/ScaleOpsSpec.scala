@@ -44,6 +44,25 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(s.toSeq === Seq((5L, 0L, 2L), (5L, 1L, 1L), (6L, 0L, 1L)))
   }
 
+  test("bucketized range join equals the naive theta join") {
+    val points = Seq(
+      (1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-02 00:00:00")),
+      (3L, t("2024-01-05 23:59:59")), (4L, t("2024-02-01 00:00:00")))
+      .toDF("pt_id", "ts")
+    val intervals = Seq(
+      (100L, t("2024-01-01 00:00:00"), t("2024-01-03 00:00:00")),
+      (200L, t("2024-01-05 00:00:00"), t("2024-01-06 00:00:00")),
+      (300L, t("2024-03-01 00:00:00"), t("2024-03-02 00:00:00")))
+      .toDF("iv_id", "s", "e")
+    val bucketized = graft.operators.RangeJoin
+      .pointInInterval(points, "ts", intervals, "s", "e", bucketUs = 3600L * 1000000L)
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(bucketized === naive)
+    assert(naive === Set((1L, 100L), (2L, 100L), (3L, 200L))) // 4 matches nothing
+  }
+
   test("salted join equals plain join on skewed data") {
     // 90% of rows share one hot key
     val large = spark.range(10000)
