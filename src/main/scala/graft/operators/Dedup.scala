@@ -118,9 +118,16 @@ object Dedup {
       threshold: Double = 0.3): DataFrame = {
     graft.functions.GraftExpressions.register(docs.sparkSession)
     val s = withShingles(docs, shingleSize)
-      .select(col(blockCol).as("blk"), col("doc_id"), col("shingles"))
+      .select(col(blockCol).as("blk"), col("doc_id"), col("shingles"),
+        size(col("shingles")).as("sz"))
+    // lossless size-ratio prune: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so any pair passing J ≥ t must have size ratio ≥ t — cheap integer
+    // comparison in the join condition skips the merge pass entirely for
+    // length-mismatched pairs.
     s.as("x").join(s.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") >= col("y.sz") * threshold &&
+          col("y.sz") >= col("x.sz") * threshold)
       .withColumn("jaccard", sortedJaccard("x.shingles", "y.shingles"))
       .filter(col("jaccard") >= threshold)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))

@@ -174,6 +174,31 @@ object Domain {
       .orderBy(col("stage"))
   }
 
+  /** Stream-static join (§2.10): the events *stream* enriched against the
+    * static customer dim (broadcast — the static side never re-scans per
+    * micro-batch under broadcast), aggregated per market segment. Oracle:
+    * the batch join SQL — stream-static equivalence as a gate. */
+  private def p08(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = Corpus.normalizeEventTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val cust = Corpus.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    SilverStream.runToMemory(agg, s"p08_stream_${System.nanoTime()}", "complete")
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val p08Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -181,5 +206,6 @@ object Domain {
     QuerySpec("p04_serve_country", p04, Some(p04Sql)),
     QuerySpec("p05_ml_delivery_model", p05, None),
     QuerySpec("p06_stream_hourly_windows", p06, Some(p06Sql)),
-    QuerySpec("p07_pipeline_e2e", p07, None))
+    QuerySpec("p07_pipeline_e2e", p07, None),
+    QuerySpec("p08_stream_static_join", p08, Some(p08Sql)))
 }

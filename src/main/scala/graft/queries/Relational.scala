@@ -654,6 +654,60 @@ object Relational {
        |GROUP BY 1
        |ORDER BY price_bin""".stripMargin
 
+  /** TPC-H Q3 shape: selective 3-way join (customer⋈orders⋈lineitem)
+    * with filters on both dimensions of time, top-10 unshipped revenue.
+    * The segment filter prunes the broadcast side before the join. */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Corpus.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    Corpus.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Corpus.lineitem(spark, dir)
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q32Sql =
+    s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** Correlated-aggregate shape (decorrelated via window): orders priced
+    * above their priority group's average — one pass, no self-join. */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+    Corpus.orders(spark, dir)
+      .withColumn("grp_sum", sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 6))).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("grp_avg", col("grp_sum").cast("double") / col("grp_n"))
+      .filter(col("o_totalprice") > col("grp_avg") * 1.8)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("grp_avg").as("priority_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q33Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice, priority_avg
+      |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+      |          / COUNT(*) OVER (PARTITION BY o_orderpriority) AS priority_avg
+      |      FROM orders)
+      |WHERE o_totalprice > priority_avg * 1.8
+      |ORDER BY o_orderkey""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -685,5 +739,7 @@ object Relational {
     QuerySpec("q28_cube", q28, Some(q28Sql)),
     QuerySpec("q29_pivot", q29, Some(q29Sql)),
     QuerySpec("q30_range_join", q30, Some(q30Sql)),
-    QuerySpec("q31_histogram", q31, Some(q31Sql)))
+    QuerySpec("q31_histogram", q31, Some(q31Sql)),
+    QuerySpec("q32_unshipped_revenue", q32, Some(q32Sql)),
+    QuerySpec("q33_above_group_avg", q33, Some(q33Sql)))
 }

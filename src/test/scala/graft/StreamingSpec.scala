@@ -117,6 +117,29 @@ class StreamingSpec extends SparkTestBase {
     assert(back.select("_epoch").distinct().count() === 2, "two micro-batches landed")
   }
 
+  test("stream-stream join with watermarks joins within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "1 hour")
+    val b = buys.toDF().toDF("buser", "bts", "amount").withWatermark("bts", "1 hour")
+    // purchase attributed to a click within the preceding hour
+    val joined = c.join(b,
+      expr("user = buser AND bts >= cts AND bts <= cts + interval 1 hour"))
+    val name = s"ss_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    clicks.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+    buys.addData((1L, t("2024-01-01 10:30:00"), 9.99))   // within the hour → joins
+    buys.addData((2L, t("2024-01-01 12:30:00"), 5.00))   // 2.5h later → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("user", "amount")
+      .as[(Long, Double)].collect().toSet
+    assert(rows === Set((1L, 9.99)))
+  }
+
   test("windowed courier KPIs run as a stream over generated bronze") {
     val dir = Files.createTempDirectory("graft_stream_kpi_").toString
     BronzeGenerator.shipments(spark, 300, 42L, "2024-01-01")
