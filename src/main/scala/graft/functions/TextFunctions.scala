@@ -50,6 +50,20 @@ object TextFunctions {
   def punctRatio(c: Column): Column =
     length(regexp_replace(c, "[a-z ]", "")).cast("double") / length(c)
 
+  /** PII-style scrubbing patterns for training-data pipelines: applied in
+    * order, each replaces matches with a typed placeholder. Simple
+    * character-class regexes only, so Java and RE2-style engines agree. */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9.]+@[a-z0-9.]+" -> "<EMAIL>",
+    "[0-9]+(-[0-9]+)+" -> "<PHONE>",
+    "[0-9]{4,}" -> "<NUM>")
+
+  /** Applies [[RedactionPatterns]] left to right. */
+  def redact(c: Column): Column =
+    RedactionPatterns.foldLeft(c) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
   /** Language marker wordlists for the n-gram/stopword language-ID
     * heuristic. Tiny by design — the point is the *shape* (argmax of
     * per-language evidence computed in one pass), swappable for real

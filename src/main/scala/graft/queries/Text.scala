@@ -238,6 +238,33 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** PII-style redaction over synthesized dirty text: the corpus text is
+    * clean, so doc_id-derived tokens (fake email/phone/id) are appended
+    * deterministically on BOTH sides and the scrubber must remove them —
+    * verifying the patterns fire, not just that clean text passes. */
+  private def t11(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
+      col("doc_id"), lit(" ref "), (col("doc_id") + 100000).cast("string"))
+    Corpus.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.redact(dirty).as("clean_text"),
+        (length(dirty) - length(TextFunctions.redact(dirty))).cast("long").as("chars_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t11Sql = {
+    val dirty = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-01' || CAST(doc_id AS VARCHAR) || ' ref ' || CAST(doc_id + 100000 AS VARCHAR)"
+    val red = TextFunctions.RedactionPatterns.foldLeft(s"($dirty)") {
+      case (acc, (pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"
+    }
+    s"""SELECT doc_id, $red AS clean_text,
+       |  CAST(length($dirty) - length($red) AS BIGINT) AS chars_removed
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -248,5 +275,6 @@ object Text {
     QuerySpec("t07_dedup_minhash_lsh", t07, Some(t07Sql)),
     QuerySpec("t08_dedup_simhash", t08, None),
     QuerySpec("t09_dedup_jaccard_blocked", t09, Some(t09Sql)),
-    QuerySpec("t10_fingerprint_mod", t10, Some(t10Sql)))
+    QuerySpec("t10_fingerprint_mod", t10, Some(t10Sql)),
+    QuerySpec("t11_redaction", t11, Some(t11Sql)))
 }
