@@ -54,7 +54,7 @@ object TextFunctions {
     * order, each replaces matches with a typed placeholder. Simple
     * character-class regexes only, so Java and RE2-style engines agree. */
   val RedactionPatterns: Seq[(String, String)] = Seq(
-    "[a-z0-9.]+@[a-z0-9.]+" -> "<EMAIL>",
+    "(?i)[a-z0-9.]+@[a-z0-9.]+" -> "<EMAIL>", // (?i): works in Java and RE2
     "[0-9]+(-[0-9]+)+" -> "<PHONE>",
     "[0-9]{4,}" -> "<NUM>")
 

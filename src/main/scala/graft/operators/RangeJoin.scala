@@ -28,12 +28,17 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     // cast handles TIMESTAMP_NTZ parquet columns (unix_micros only takes
     // TIMESTAMP; with a UTC session the cast is value-preserving)
     def bucketOf(c: String) = expr(s"unix_micros(cast($c as timestamp)) div $bucketUs")
     val pts = points.withColumn("_bucket", bucketOf(ptCol))
-    val ivs = intervals.withColumn("_bucket",
-      explode(sequence(bucketOf(startCol), bucketOf(endCol))))
+    val ivs = intervals
+      // malformed end<start intervals would make sequence() count DOWN
+      // and emit |span| bogus bucket rows; they can never match, drop them
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("_bucket",
+        explode(sequence(bucketOf(startCol), bucketOf(endCol))))
     pts.join(ivs, Seq("_bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bucket")

@@ -135,16 +135,21 @@ object Domain {
       .orderBy(col("delivery_status"), col("predicted_status"))
   }
 
+  /** Events file-source stream (shared by the streaming oracle queries):
+    * directory + glob (file sources need a directory) with the nanos→
+    * micros ts normalization applied. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    Corpus.normalizeEventTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
+
   /** Structured Streaming: hourly event windows computed via readStream +
     * memory sink (Trigger.AvailableNow), oracle-checked against the batch
     * SQL — stream/batch equivalence as a correctness gate. */
   private def p06(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-source streams need a directory; glob-filter to the events table
-    val stream = Corpus.normalizeEventTs(
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-    val agg = stream
+    val agg = eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
@@ -179,10 +184,7 @@ object Domain {
     * micro-batch under broadcast), aggregated per market segment. Oracle:
     * the batch join SQL — stream-static equivalence as a gate. */
   private def p08(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = Corpus.normalizeEventTs(
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val stream = eventsStream(spark, dir)
     val cust = Corpus.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = stream

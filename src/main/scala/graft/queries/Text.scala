@@ -247,10 +247,12 @@ object Text {
       lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
       col("doc_id"), lit(" ref "), (col("doc_id") + 100000).cast("string"))
     Corpus.documents(spark, dir)
+      .withColumn("dirty", dirty)
+      .withColumn("clean_text", TextFunctions.redact(col("dirty")))
       .select(
         col("doc_id"),
-        TextFunctions.redact(dirty).as("clean_text"),
-        (length(dirty) - length(TextFunctions.redact(dirty))).cast("long").as("chars_removed"))
+        col("clean_text"),
+        (length(col("dirty")) - length(col("clean_text"))).cast("long").as("chars_removed"))
       .orderBy(col("doc_id"))
   }
 
