@@ -267,6 +267,50 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF top terms per document (rank by tf·N/df). The idf is kept in
+    * exact rational form (tf·N as integer, divided by integer df) instead
+    * of log-scaled — log() is libm-dependent and can differ across
+    * engines in the last ulp, while integer-ratio division is
+    * bit-identical. Ranking and top-3 are unaffected (idf is monotone in
+    * N/df). */
+  private def t12(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    terms
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val t12Sql =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -278,5 +322,6 @@ object Text {
     QuerySpec("t08_dedup_simhash", t08, None),
     QuerySpec("t09_dedup_jaccard_blocked", t09, Some(t09Sql)),
     QuerySpec("t10_fingerprint_mod", t10, Some(t10Sql)),
-    QuerySpec("t11_redaction", t11, Some(t11Sql)))
+    QuerySpec("t11_redaction", t11, Some(t11Sql)),
+    QuerySpec("t12_tfidf_topterms", t12, Some(t12Sql)))
 }

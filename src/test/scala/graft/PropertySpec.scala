@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions
+import graft.operators.Sessionize
+import graft.silver.SilverTransform
+
+/** Property-style invariants (SURVEY §5.2) over generated inputs —
+  * deterministic samples drawn from ScalaCheck generators (seed 7) so
+  * failures are reproducible. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default, Seed(7L + i)))
+
+  test("silver row count = Σ|checkpoints| for arbitrary checkpoint arrays") {
+    val cpGen = Gen.listOfN(3,
+      Gen.chooseNum(0, 6).flatMap(k => Gen.const(k))) // sizes incl. empty
+    val sizesPerShipment = sample(Gen.chooseNum(0, 6), 40)
+    val rows = sizesPerShipment.zipWithIndex.map { case (k, i) =>
+      (s"id$i", s"TN$i", "dhl", "Pending", "2024-01-01 00:00:00",
+        "2024-01-02 00:00:00", "USA", "DEU", "c", 1.0, 1,
+        (0 until k).map(j => ("m", "city", "USA", s"2024-01-01 0$j:00:00".take(19), "Pending")))
+    }
+    val df = rows.toDF("id", "tracking_number", "slug", "tag", "created_at",
+      "updated_at", "origin_country_iso3", "destination_country_iso3",
+      "customer_name", "shipment_weight_kg", "delivery_days", "checkpoints")
+      .withColumn("checkpoints", col("checkpoints").cast(
+        "array<struct<message:string,city:string,country:string,checkpoint_time:string,tag:string>>"))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val silver = SilverTransform.transform(df, "2024-01-01", ts)
+    assert(silver.count() === sizesPerShipment.sum)
+    // outer mode keeps one row even for empty arrays
+    val outer = SilverTransform.transform(df, "2024-01-01", ts, explodeOuter = true)
+    assert(outer.count() === sizesPerShipment.map(math.max(_, 1)).sum)
+    // filled columns never null
+    assert(silver.filter(col("status").isNull || col("checkpoint_city").isNull).count() === 0)
+  }
+
+  test("jaccard ∈ [0,1], symmetric, and 1 iff equal sets") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val setGen = Gen.listOfN(6, wordGen).map(_.distinct)
+    val pairs = sample(Gen.zip(setGen, setGen), 60).filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    val df = pairs.toDF("a", "b")
+    val j = df.select(
+      TextFunctions.jaccard(col("a"), col("b")).as("ab"),
+      TextFunctions.jaccard(col("b"), col("a")).as("ba"))
+      .as[(Double, Double)].collect()
+    j.foreach { case (ab, ba) =>
+      assert(ab >= 0.0 && ab <= 1.0)
+      assert(ab === ba, "symmetry")
+    }
+    pairs.zip(j).foreach { case ((a, b), (ab, _)) =>
+      assert((ab == 1.0) === (a.toSet == b.toSet), s"$a vs $b → $ab")
+    }
+  }
+
+  test("sessionize: session ids contiguous from 0, count bounded by events") {
+    val gapGen = Gen.chooseNum(1L, 7200L) // seconds between events
+    val gaps = sample(gapGen, 50)
+    var t = 0L
+    val events = gaps.zipWithIndex.map { case (g, i) =>
+      t += g * 1000000L
+      (i.toLong, 1L, new java.sql.Timestamp(1700000000000L + t / 1000))
+    }
+    val df = events.toDF("event_id", "user_id", "ts")
+    val s = Sessionize.withSessionIds(df, "user_id", "ts", "event_id", gapSeconds = 1800L)
+    val ids = s.select("session_id").as[Long].collect().sorted
+    assert(ids.head === 0)
+    assert(ids.distinct.length === ids.max + 1, "contiguous session ids")
+    // expected session count = 1 + gaps exceeding the threshold (first gap opens session 0)
+    val expected = 1 + gaps.tail.count(_ > 1800L)
+    assert(ids.max + 1 === expected)
+  }
+
+  test("rolling hash equals reference on arbitrary unicode strings") {
+    graft.functions.GraftExpressions.register(spark)
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    val strs = sample(Gen.listOfN(12, Gen.choose(32.toChar, 0x2FF.toChar)).map(_.mkString), 50)
+    val got = strs.toDF("t")
+      .select(col("t"), expr("graft_rolling_hash(t)")).as[(String, Long)].collect()
+    got.foreach { case (s, h) => assert(h === ref(s), s"'$s'") }
+  }
+}
