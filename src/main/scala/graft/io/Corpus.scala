@@ -18,8 +18,42 @@ object Corpus {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Natural key used to redistribute an under-parallel scan. Chosen to
+    * match the downstream shuffle keys where possible (events → user_id
+    * feeds the window/sessionize/as-of family; lineitem → l_orderkey feeds
+    * the orders joins), so the rebalance exchange is REUSED instead of
+    * re-shuffled. */
+  private val rebalanceKey: Map[String, String] = Map(
+    "customer" -> "c_custkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "part" -> "p_partkey",
+    "supplier" -> "s_suppkey", "documents" -> "doc_id",
+    "embeddings" -> "vec_id", "events" -> "user_id")
+
+  // one planning pass per (session, dir, table) to learn the scan's split
+  // count; the decision is memoized so later queries skip it
+  private val splitCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Boolean]
+
+  /** A scan over one small single-row-group file yields ONE split — and no
+    * scan-time knob can split it further, so every per-row-heavy stage
+    * (decimal aggregation, JSON extraction, shingling) would run on one
+    * core. AQE can't help either: it only re-plans *shuffle* outputs, not
+    * scans. When the scan under-parallelizes the cluster, redistribute by
+    * a high-cardinality natural key (hash — round-robin would trigger
+    * sort-before-repartition on the whole row). Filters and column pruning
+    * still push through the repartition to the scan. At real multi-file
+    * scale the split count exceeds the parallelism and this is a no-op. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    rebalanceKey.get(name) match {
+      case Some(k) =>
+        val p = spark.sparkContext.defaultParallelism
+        val need = splitCache.getOrElseUpdate((spark, dir, name),
+          df.rdd.getNumPartitions < p)
+        if (need) df.repartition(p, col(k)) else df
+      case None => df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

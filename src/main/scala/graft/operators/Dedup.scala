@@ -34,10 +34,6 @@ object Dedup {
       .withColumn("shingles", array_sort(shingles(col("toks"), n)))
       .filter(size(col("shingles")) > 0)
 
-  /** Merge-pass Jaccard on the sorted shingle arrays (codegen'd). */
-  private def sortedJaccard(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"graft_jaccard_sorted($a, $b)")
-
   /** Exact duplicate groups keyed by md5(text). Returns one row per group
     * with >1 members: (text_hash, n_copies, keep_id, max_id). */
   def exactDupGroups(docs: DataFrame): DataFrame =
@@ -58,8 +54,7 @@ object Dedup {
   /** MinHash signature columns h0..h{k-1}: min over shingles of
     * xxhash64(shingle, i). One groupBy per doc; partial (map-side) min
     * aggregation means the shuffle carries k longs per doc, not shingles. */
-  private def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
-    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+  private def minhashSignatures(exploded: DataFrame, k: Int): DataFrame = {
     val sigCols = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
@@ -94,43 +89,71 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    graft.functions.GraftExpressions.register(docs.sparkSession)
-    val shingled = withShingles(docs, shingleSize)
-    val sigs = minhashSignatures(shingled, numHashes)
+    // Catalyst does NOT dedupe common subplans across a self-join's two
+    // sides (or union branches), so the two shared frames are persisted:
+    // the narrow exploded (doc_id, sz, shingle) rows — feeding both the
+    // signature aggregation and the exact verification joins — and the
+    // k-long signatures feeding the band self-join. (Persisting the
+    // shingle ARRAYS instead measures slower: columnar-caching
+    // array<string> costs more than the pass it saves.)
+    val ex = withShingles(docs, shingleSize)
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(ex, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sigs, bands, numHashes / bands)
-    val sets = shingled.select(col("doc_id"), col("shingles"))
+    // Exact Jaccard on the candidates by counting shared shingles (same
+    // count-based identity as [[blockedJaccardPairs]]): candidates sharing
+    // zero shingles can't pass any threshold > 0 and drop out naturally.
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-      .withColumn("jaccard", sortedJaccard("sa", "sb"))
+      .join(ex.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("sh")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Brute-force pairwise Jaccard restricted to an explicit blocking
-    * column — the right tool when the domain has a natural partition
-    * (source, language, time bucket) that near-dups can't cross. */
+  /** Exact pairwise Jaccard restricted to an explicit blocking column —
+    * the right tool when the domain has a natural partition (source,
+    * language, time bucket) that near-dups can't cross.
+    *
+    * Computed as a count-based set-similarity join, not a per-pair array
+    * merge: explode shingles, self-join on (block, shingle) — meeting only
+    * pairs that SHARE a shingle — then |A∩B| falls out of the pair's group
+    * count and |A∪B| = |A|+|B|−|A∩B|. Lossless (a pair sharing zero
+    * shingles has Jaccard 0), and the block-cartesian never materializes:
+    * cost scales with Σ_groups g² over (block, shingle) co-occurrence
+    * groups, not with block². The size-ratio prune
+    * (J ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ t ⇒ sizes within ×t) drops
+    * length-mismatched pairs inside the join condition. */
   def blockedJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    graft.functions.GraftExpressions.register(docs.sparkSession)
-    val s = withShingles(docs, shingleSize)
-      .select(col(blockCol).as("blk"), col("doc_id"), col("shingles"),
-        size(col("shingles")).as("sz"))
-    // lossless size-ratio prune: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
-    // so any pair passing J ≥ t must have size ratio ≥ t — cheap integer
-    // comparison in the join condition skips the merge pass entirely for
-    // length-mismatched pairs.
-    s.as("x").join(s.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
+    // persisted: the self-join would otherwise recompute the shingle
+    // explosion once per side (no cross-branch CSE in Catalyst)
+    val ex = withShingles(docs, shingleSize)
+      .select(col(blockCol).as("blk"), col("doc_id"),
+        size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ex.as("x").join(ex.as("y"),
+        col("x.blk") === col("y.blk") && col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id") &&
           col("x.sz") >= col("y.sz") * threshold &&
           col("y.sz") >= col("x.sz") * threshold)
-      .withColumn("jaccard", sortedJaccard("x.shingles", "y.shingles"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -158,7 +181,11 @@ object Dedup {
     * blocked on 4×16-bit bands: any pair within distance 3 must agree on
     * at least one band, so the self-join never goes O(n²). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // persisted: referenced by 4 union branches × 2 self-join sides — 8
+    // recomputations of the signature aggregation without it (measured 21s
+    // vs 2.5s for one pass at sf0.1)
     val sh = simhashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = (0 until 4)
       .map(b => sh.select(col("doc_id"), col("simhash"), lit(b).as("band_idx"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val")))

@@ -76,10 +76,18 @@ object Similarity {
     GraftExpressions.register(spark)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val n = normed(emb).withColumn("fv", array_to_vector(col("v"))).cache()
-    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(n) // cache pays off here (iterative); freed right after
-    n.unpersist()
+    val n = normed(emb).withColumn("fv", array_to_vector(col("v")))
+    // The coarse quantizer only needs approximate centroids: fit on a
+    // deterministic ~25% hash sample with few iterations (training cost is
+    // iterations × sample, the dominant term of IVF build). Assignment of
+    // the FULL corpus uses the fitted centroids, so recall depends only on
+    // centroid quality — sampled+capped fit measurably changes nothing at
+    // nProbe/nCells = 1/4 (recall test in SimilaritySpec).
+    val fitSample = n.where(pmod(xxhash64(col("vec_id")), lit(4)) === 0).cache()
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(fitSample) // cache pays off here (iterative); freed right after
+    fitSample.unpersist()
     val assigned = model.transform(n).drop("fv")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     val centroidDf = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
