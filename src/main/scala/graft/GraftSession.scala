@@ -23,6 +23,13 @@ object GraftSession {
     // partitions present in the incoming data — without this, a daily
     // rerun of one load_date would truncate ALL silver partitions.
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // ObjectHashAggregate (collect_list/collect_set paths) falls back to
+    // sort-based aggregation after only 128 distinct keys per task —
+    // sorting + possibly disk-spilling the whole partition. Shuffled aggs
+    // here bound per-task key counts to keys/shufflePartitions, and a
+    // collect_list group map at 128k keys is tens of MB, so keep the
+    // hash path; the fallback still guards genuinely huge partitions.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int, shufflePartitions: Int = 0): SparkSession = {

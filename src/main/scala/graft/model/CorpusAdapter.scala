@@ -19,7 +19,14 @@ object CorpusAdapter {
 
   /** Bronze-shaped nested shipments from the corpus. Orders without
     * lineitems would nest to empty arrays; inner-join semantics drop them
-    * on both sides (matches Silver's inner explode). */
+    * on both sides (matches Silver's inner explode).
+    *
+    * Timestamps are carried natively (the corpus stores timestamp[ms] and
+    * [[graft.silver.SilverTransform]]'s `to_timestamp` is an identity on
+    * timestamp inputs) — formatting 600k dates to strings just to reparse
+    * them downstream doubled the hot-path CPU for nothing. The
+    * string-parsing Silver path stays exercised by the JSON bronze
+    * pipeline (p07 / StreamingSpec), where strings are the real input. */
   def bronzeShipments(spark: SparkSession, dir: String): DataFrame = {
     val orders = Corpus.orders(spark, dir)
     val customer = Corpus.customer(spark, dir)
@@ -35,7 +42,7 @@ object CorpusAdapter {
           when(pmod(col("l_suppkey"), lit(100)) === 0, lit(null).cast("string"))
             .otherwise(concat(lit("CITY_"), pmod(col("l_suppkey"), lit(100)).cast("string"))).as("city"),
           col("l_returnflag").as("country"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("checkpoint_time"),
+          col("l_shipdate").as("checkpoint_time"),
           when(col("l_linestatus") === "F", lit("Delivered")).otherwise(lit("InTransit")).as("tag"))
           .as("cp"))
       .groupBy(col("l_orderkey"))
@@ -53,10 +60,9 @@ object CorpusAdapter {
         when(col("o_orderstatus") === "F", lit("Delivered"))
           .when(col("o_orderstatus") === "O", lit("InTransit"))
           .otherwise(lit("Pending")).as("tag"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("created_at"),
-        date_format(
-          col("o_orderdate") + expr("make_interval(0, 0, 0, cast(o_orderkey % 7 as int), 0, 0, 0)"),
-          "yyyy-MM-dd HH:mm:ss").as("updated_at"),
+        col("o_orderdate").as("created_at"),
+        (col("o_orderdate") + expr("make_interval(0, 0, 0, cast(o_orderkey % 7 as int), 0, 0, 0)"))
+          .as("updated_at"),
         col("r_name").as("origin_country_iso3"),
         col("n_name").as("destination_country_iso3"),
         col("c_name").as("customer_name"),

@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -15,22 +16,40 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.GraftSession.local(32)
-    import graft.io.Corpus
-    import graft.operators.Dedup
+
+    @volatile var spillMem = 0L
+    @volatile var spillDisk = 0L
+    @volatile var shuffleWrite = 0L
+    @volatile var gcTime = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spillMem += m.memoryBytesSpilled
+          spillDisk += m.diskBytesSpilled
+          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          gcTime += m.jvmGCTime
+        }
+      }
+    })
 
     // warmup
     spark.range(1000000).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
+    Thread.sleep(500); spillMem = 0; spillDisk = 0; shuffleWrite = 0; gcTime = 0
 
-    val docs = Corpus.documents(spark, dir)
-    time("docs count")(docs.count())
-    val sim = Dedup.simhashes(docs)
-    time("simhashes once")(sim.write.format("noop").mode("overwrite").save())
-    time("t08 full")(graft.SparkEntry.queries("t08_dedup_simhash")(spark, dir)
-      .write.format("noop").mode("overwrite").save())
-    val sh = Dedup.withShingles(docs, 3)
-    time("withShingles noop")(sh.write.format("noop").mode("overwrite").save())
-    time("t09 full")(graft.SparkEntry.queries("t09_dedup_jaccard_blocked")(spark, dir)
-      .write.format("noop").mode("overwrite").save())
+    val p01 = graft.SparkEntry.queries("p01_silver_flatten")(spark, dir)
+    time("p01 full noop")(p01.write.format("noop").mode("overwrite").save())
+    Thread.sleep(1000)
+    println(s"[scratch] p01 spillMem=${spillMem / 1048576}MB spillDisk=${spillDisk / 1048576}MB " +
+      s"shuffleWrite=${shuffleWrite / 1048576}MB gcTime=${gcTime}ms")
+
+    spillMem = 0; spillDisk = 0; shuffleWrite = 0; gcTime = 0
+    val p02 = graft.SparkEntry.queries("p02_courier_metrics")(spark, dir)
+    time("p02 full noop")(p02.write.format("noop").mode("overwrite").save())
+    Thread.sleep(1000)
+    println(s"[scratch] p02 spillMem=${spillMem / 1048576}MB spillDisk=${spillDisk / 1048576}MB " +
+      s"shuffleWrite=${shuffleWrite / 1048576}MB gcTime=${gcTime}ms")
+
     spark.stop()
   }
 }
