@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,10 +52,53 @@ object Similarity {
   }
 
   /** All pairs (a<b) with cosine ≥ threshold — embedding-space near-dup
-    * detection. Brute force with the codegen'd dot in the join condition;
-    * for corpora where n² is prohibitive use [[lshTopK]]-style bucketing
-    * first. */
-  def nearDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    * detection via banded hyperplane LSH + exact verify (the t07
+    * LSH-then-verify shape applied to vectors):
+    *
+    *  1. each vector gets `numPlanes` sign bits, grouped into
+    *     `numPlanes/bandBits` bands; 2. candidate pairs = pairs sharing
+    *     at least one exact band value (a plain equi-join on
+    *     (band, band_val) — shuffles on the band key, never enumerates
+    *     n²); 3. candidates are verified with the exact codegen'd
+    *     cosine, so every emitted pair is exact — LSH only affects
+    *     recall.
+    *
+    * Recall envelope: a pair at angle θ matches one b-bit band with
+    * p = (1-θ/π)^b, any of B bands with 1-(1-p)^B. At the defaults
+    * (128 planes, 16×8-bit bands) a cos ≥ 0.9 pair is found with
+    * ≥ 99.96% probability while only ~6% of random (θ≈90°) pairs become
+    * candidates — and the planes are seeded, so a given corpus's result
+    * is deterministic. Below cos ≈ 0.7 the sign-bit gap to random
+    * closes and no bucketing scheme stays sub-quadratic at recall 1
+    * (the threshold sinks under the inter-pair noise floor); that
+    * regime is [[nearDupPairsExact]]'s. */
+  def nearDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
+      numPlanes: Int = 128, bandBits: Int = 8): DataFrame = {
+    GraftExpressions.register(spark)
+    val dim = embDim(emb)
+    val n = normed(emb)
+    val sigs = n.select(col("vec_id"),
+        posexplode(bandValues(numPlanes, bandBits, dim)).as(Seq("band", "band_val")))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // a pair may collide in several bands — verify once
+    val x = n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val y = n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(x, "vec_a").join(y, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact all-pairs cosine ≥ threshold — O(n²) by construction. The
+    * verification oracle for [[nearDupPairs]], and the only complete
+    * answer when the threshold sits below the corpus noise floor
+    * (sub-noise all-pairs similarity admits no sub-quadratic exact
+    * algorithm — every pair must be examined). */
+  def nearDupPairsExact(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
     GraftExpressions.register(spark)
     val n = normed(emb)
     n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
@@ -64,6 +107,31 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Per-band sign-bit values over `v`: band b's value is the integer
+    * formed by the sign bits of planes [b·bandBits, (b+1)·bandBits).
+    * Pure column-API lambdas (no per-plane expr() strings — 128 planes
+    * as one nested-array literal) so the whole signature stays a single
+    * projection. Bit-exactness doesn't matter here (only candidate
+    * membership), the exact verify downstream is what lands in results. */
+  private def bandValues(numPlanes: Int, bandBits: Int, dim: Int): Column = {
+    require(numPlanes % bandBits == 0, s"numPlanes $numPlanes not a multiple of bandBits $bandBits")
+    val pl = typedLit(planeLiteral(numPlanes, dim).map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(numPlanes / bandBits - 1)), b =>
+      aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0), (acc, j) => {
+        val plane = element_at(pl, b * lit(bandBits) + j + lit(1))
+        val d = aggregate(zip_with(col("v"), plane, (xx, yy) => xx * yy), lit(0.0), (a, xx) => a + xx)
+        acc * lit(2) + when(d > lit(0.0), lit(1)).otherwise(lit(0))
+      }))
+  }
+
+  // one driver probe per distinct input plan to learn the vector width
+  // (dim isn't in the schema); memoized so repeated calls skip the head()
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Int]
+  private def embDim(emb: DataFrame): Int =
+    dimCache.getOrElseUpdate(emb.queryExecution.logical.semanticHash(),
+      emb.select(size(col("embedding"))).head().getInt(0))
 
   /** IVF-style approximate top-k: a KMeans coarse quantizer partitions
     * the corpus into `nCells` cells; each query scores only the
@@ -149,8 +217,9 @@ object Similarity {
       numPlanes: Int = 8, maxHamming: Int = 2): DataFrame = {
     GraftExpressions.register(spark)
     // derive the plane dimensionality from the data — a hardcoded dim
-    // would silently dot only a prefix of wider vectors
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // would silently dot only a prefix of wider vectors (probe memoized
+    // in embDim: one head() per distinct input plan, not per call)
+    val dim = embDim(emb)
     val n = withSignature(spark, normed(emb), numPlanes, dim)
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

@@ -41,17 +41,47 @@ object Vectors {
        |FROM r WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding-space near-dup pairs: all (a<b) with cosine ≥ 0.45. */
+  /** Corpus + planted near-dups: every 20th vector re-enters (vec_id +
+    * 1,000,000) perturbed by a cyclic neighbor-mix `v'ᵢ = vᵢ + 0.25·v₍ᵢ₊₁₎`
+    * — cos(v, v') ≈ 0.97, far above the corpus noise floor (measured max
+    * inter-pair cosine: 0.51 at sf0.01, 0.60 at sf0.1). The corpus itself
+    * has no true near-dups, so the planted copies are what gives the
+    * detector something real to find, exactly like t11's synthesized PII
+    * text. Doubles from the first arithmetic op, so DuckDB reproduces the
+    * construction bit-for-bit. */
+  private def plantedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val base = Corpus.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.25) * element_at(col("embedding"),
+            pmod(i + lit(1), size(col("embedding"))) + lit(1))).as("embedding"))
+    base.unionByName(planted)
+  }
+
+  /** Embedding-space near-dup pairs at cos ≥ 0.9 over the planted corpus,
+    * via banded-LSH candidates + exact cosine verify (no n² join in the
+    * plan — asserted in PlanSpec). The DuckDB oracle rebuilds the same
+    * planted corpus and brute-forces all pairs, so this checks both the
+    * exact arithmetic AND that banding recalled every qualifying pair. */
   private def v02(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(spark, Corpus.embeddings(spark, dir), threshold = 0.45)
+    Similarity.nearDupPairs(spark, plantedEmbeddings(spark, dir), threshold = 0.9)
 
   private val v02Sql =
-    s"""WITH $normedCte
-       |SELECT a.vec_id AS vec_a, q.vec_id AS vec_b,
-       |  $dotSql / (a.nrm * q.qnrm) AS cos_sim
-       |FROM n a JOIN (SELECT vec_id, v AS qv, nrm AS qnrm FROM n) q ON a.vec_id < q.vec_id
-       |WHERE $dotSql / (a.nrm * q.qnrm) >= 0.45
-       |ORDER BY vec_a, vec_b""".stripMargin
+    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |              FROM embeddings),
+      |plant AS (SELECT vec_id + 1000000 AS vec_id,
+      |            list_transform(range(1, len(v) + 1), i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
+      |          FROM base WHERE vec_id % 20 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM u),
+      |s AS (SELECT a.vec_id AS vec_a, q.vec_id AS vec_b,
+      |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.qv[i])) / (a.nrm * q.qnrm) AS cos_sim
+      |      FROM n a JOIN (SELECT vec_id, v AS qv, nrm AS qnrm FROM n) q ON a.vec_id < q.vec_id)
+      |SELECT vec_a, vec_b, cos_sim FROM s
+      |WHERE cos_sim >= 0.9
+      |ORDER BY vec_a, vec_b""".stripMargin
 
   /** LSH-bucketed approximate top-k (scale path for v01) — rows-only;
     * recall vs the brute-force baseline is asserted in unit tests. */

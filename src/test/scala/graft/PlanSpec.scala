@@ -45,6 +45,12 @@ class PlanSpec extends SparkTestBase {
       plan.contains("EqualTo(o_orderkey,1)"), s"missing key pushdown:\n$plan")
   }
 
+  test("v02 near-dup pairs: no cartesian/theta join in the plan") {
+    val plan = planOf("v02_embedding_neardups")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded candidates must equi-join on the band key, not enumerate n²:\n$plan")
+  }
+
   test("similarity top-k broadcasts the query side") {
     val plan = graft.operators.Similarity
       .cosineTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10)

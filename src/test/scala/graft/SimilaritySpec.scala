@@ -45,6 +45,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("banded nearDupPairs ≡ exact brute force on a corpus with planted dups") {
+    // plant near-dups the same way v02 does: every 10th vector re-enters
+    // perturbed; banded LSH must recall every pair the exact scan finds
+    val base = Corpus.embeddings(spark, sf0001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.25) * element_at(col("embedding"),
+            pmod(i + lit(1), size(col("embedding"))) + lit(1))).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val exact = Similarity.nearDupPairsExact(spark, corpus, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val banded = Similarity.nearDupPairs(spark, corpus, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "planted dups must exist above the threshold")
+    assert(banded === exact, s"banded missed ${exact -- banded}, extra ${banded -- exact}")
+  }
+
   test("ivfTopK recall vs brute force is usable on the corpus") {
     val emb = Corpus.embeddings(spark, sf0001)
     val brute = Similarity.cosineTopK(spark, emb, 5, 10)
