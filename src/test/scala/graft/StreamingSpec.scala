@@ -65,14 +65,17 @@ class StreamingSpec extends SparkTestBase {
     import graft.streaming.StatefulOps
     import graft.streaming.StatefulOps.EventIn
     implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
     val input = MemoryStream[EventIn]
     val totals = StatefulOps.runningUserTotals(input.toDS())
     val name = s"state_${System.nanoTime()}"
     val q = totals.toDF().writeStream.format("memory").queryName(name)
       .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
-    input.addData(EventIn(1L, 1L, 10.0), EventIn(1L, 2L, 5.0), EventIn(2L, 3L, 1.0))
+    input.addData(EventIn(1L, 1L, 10.0, t("2024-01-01 10:00:00")),
+      EventIn(1L, 2L, 5.0, t("2024-01-01 10:00:10")),
+      EventIn(2L, 3L, 1.0, t("2024-01-01 10:00:20")))
     q.processAllAvailable()
-    input.addData(EventIn(1L, 4L, 2.5)) // state must carry over
+    input.addData(EventIn(1L, 4L, 2.5, t("2024-01-01 10:05:00"))) // within TTL → carries over
     q.processAllAvailable()
     q.stop()
     val rows = spark.table(name)
@@ -82,6 +85,42 @@ class StreamingSpec extends SparkTestBase {
     val lastUser1 = rows.filter(_._1 == 1L).maxBy(_._2)
     assert(lastUser1 === ((1L, 3L, 17.5, 4L)))
     assert(rows.filter(_._1 == 2L).head === ((2L, 1L, 1.0, 3L)))
+  }
+
+  test("mapGroupsWithState evicts idle state once the watermark passes the TTL") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.EventIn
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[EventIn]
+    // 0s lateness bound, 30min TTL: user 1's state must die once the
+    // watermark passes 10:00 + 30min
+    val totals = StatefulOps.runningUserTotals(input.toDS(),
+      watermarkDelay = "0 seconds", ttl = java.time.Duration.ofMinutes(30))
+    val name = s"ttl_${System.nanoTime()}"
+    val q = totals.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(EventIn(1L, 1L, 10.0, t("2024-01-01 10:00:00")),
+      EventIn(1L, 2L, 5.0, t("2024-01-01 10:00:30")))
+    q.processAllAvailable()
+    // advance the watermark past 10:30 (needs two batches: the watermark a
+    // batch runs with is computed from the PREVIOUS batch's max event time)
+    input.addData(EventIn(9L, 3L, 1.0, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    input.addData(EventIn(9L, 4L, 1.0, t("2024-01-01 12:00:01")))
+    q.processAllAvailable()
+    // user 1 returns AFTER eviction: totals restart from zero instead of
+    // resuming at n_events=2 — proof the state store dropped the group
+    input.addData(EventIn(1L, 5L, 2.0, t("2024-01-01 12:00:02")))
+    q.processAllAvailable()
+    q.stop()
+    val user1 = spark.table(name).filter($"user_id" === 1L)
+      .select("n_events", "total_value", "max_event_id")
+      .as[(Long, Double, Long)].collect()
+    assert(user1.contains((2L, 15.0, 2L)), s"pre-eviction totals missing: ${user1.mkString(",")}")
+    assert(user1.contains((1L, 2.0, 5L)),
+      s"state must restart after TTL eviction, got: ${user1.mkString(",")}")
+    assert(!user1.contains((3L, 17.0, 5L)), "state carried over past the TTL — not evicted")
   }
 
   test("dropDuplicatesWithinWatermark dedups across micro-batches with bounded state") {
