@@ -32,9 +32,9 @@ object PredictionLog {
 
   /** Warehouse export via JDBC (SURVEY §2 S7). Thin by design: typed DDL
     * comes from the DataFrame schema instead of the reference's
-    * all-STRING tables (`snowflake_connection.py:97-101`). Untestable in
-    * this offline environment (no JDBC driver on the classpath) — the
-    * call path is exercised against real warehouses only. */
+    * all-STRING tables (`snowflake_connection.py:97-101`). Round-tripped
+    * in tests against embedded Derby (PredictionLogSpec) — the same
+    * write path a real warehouse URL exercises. */
   def exportJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
