@@ -1,21 +1,31 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with typed
-  * metadata, decoded/feature-extracted by a partition-wise stub decoder.
+  * metadata, decoded/feature-extracted partition-wise.
   *
-  * The Spark-side plumbing is real — schema (binary + struct metadata),
-  * partition-wise batch iteration via `mapPartitions` with product
-  * encoders, deterministic feature output — while the actual codec is a
-  * STUB (this container ships no image/audio libraries): features are
-  * derived from the raw bytes with a fixed formula. Swapping in a real
-  * decoder changes only [[decodeStub]]'s body.
+  * The pipeline shape is the production one — binary blobs + metadata
+  * travel in columns, the decode runs inside `mapPartitions` so payloads
+  * stay executor-local and never shuffle, and the downstream feature
+  * table is columnar/compact. The codec itself is a REAL pure-JVM BMP
+  * header parser ([[decodeBmp]]): [[toMediaTable]] emits genuine
+  * BITMAPFILEHEADER/BITMAPINFOHEADER payloads (dimensions derived
+  * deterministically from each document, pixels from its text bytes) and
+  * the decoder reads the dimensions back out of the bytes — so the m01
+  * oracle verifies an actual decode, not an echo. Formats without a
+  * built-in parser fall through to [[decodeOpaque]], which derives
+  * deterministic pseudo-features from the payload length (the slot where
+  * a jpeg/png/audio library would plug in; none ship in this
+  * environment).
   *
   * At 100 TB the mapPartitions boundary is the right interface: decode
-  * batches stay executor-local, binary blobs never shuffle, and the
-  * downstream feature table is columnar/compact.
+  * batches stay executor-local, binary blobs never shuffle, and a real
+  * image/audio codec changes only the per-row function.
   */
 object Multimodal {
 
@@ -24,30 +34,79 @@ object Multimodal {
       doc_id: Long, format: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)
 
-  /** Builds a media table from documents: utf-8 bytes stand in for an
-    * encoded image payload; metadata travels alongside the blob. */
-  def toMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("media"),
-      lit("img-stub").as("format"))
+  /** Builds a media table from documents: each doc becomes a small but
+    * VALID 24-bit BMP whose dimensions derive from the doc (width from
+    * doc_id, height from the text's UTF-8 byte length) and whose pixel
+    * bytes cycle through the text — a deterministic stand-in for a real
+    * image payload that still exercises a real decoder. */
+  def toMediaTable(docs: DataFrame): DataFrame = {
+    val ds = docs.select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    ds.map { case (id, text) =>
+      val bytes = Option(text).map(_.getBytes(StandardCharsets.UTF_8)).getOrElse(Array.empty[Byte])
+      val width = (4 + id % 16).toInt
+      val height = 3 + bytes.length % 8
+      MediaRow(id, bmpBytes(width, height, bytes), "bmp")
+    }(Encoders.product[MediaRow]).toDF()
+  }
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would parse the codec header here. */
-  private def decodeStub(m: MediaRow): MediaFeatures = {
-    val n = m.media.length.toLong
+  /** A minimal valid 24bpp BMP: 14-byte file header, 40-byte info
+    * header, rows padded to 4 bytes, pixels cycled from `fill`. */
+  private[graft] def bmpBytes(width: Int, height: Int, fill: Array[Byte]): Array[Byte] = {
+    val rowSize = (3 * width + 3) / 4 * 4
+    val imageSize = rowSize * height
+    val fileSize = 54 + imageSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // color planes, bits per pixel
+      .putInt(0).putInt(imageSize) // no compression
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, default palette
+    var i = 0
+    while (i < imageSize) {
+      buf.put(if (fill.isEmpty) 0.toByte else fill(i % fill.length))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real decode: validates the BM magic and reads width/height/bpp out
+    * of the BITMAPINFOHEADER. Height is abs()'d — negative encodes
+    * top-down row order, the magnitude is still the pixel height. */
+  private[graft] def decodeBmp(m: MediaRow): MediaFeatures = {
+    val buf = ByteBuffer.wrap(m.media).order(ByteOrder.LITTLE_ENDIAN)
+    require(m.media.length >= 54 && buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte,
+      s"doc ${m.doc_id}: not a BMP payload")
     MediaFeatures(
       doc_id = m.doc_id,
       format = m.format,
-      n_bytes = n,
+      n_bytes = m.media.length.toLong,
+      width = buf.getInt(18),
+      height = math.abs(buf.getInt(22)),
+      n_frames = 1)
+  }
+
+  /** Fallback for formats with no built-in parser: deterministic
+    * pseudo-metadata from the payload length. This is the honest stub
+    * slot where an external codec library would plug in. */
+  private[graft] def decodeOpaque(m: MediaRow): MediaFeatures = {
+    val n = m.media.length.toLong
+    MediaFeatures(m.doc_id, m.format, n,
       width = (64 + n % 512).toInt,
       height = (64 + (n * 7) % 512).toInt,
       n_frames = (1 + n % 16).toInt)
   }
 
+  private def decode(m: MediaRow): MediaFeatures =
+    m.format match {
+      case "bmp" => decodeBmp(m)
+      case _ => decodeOpaque(m)
+    }
+
   /** Partition-wise decode: binary in, typed features out. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val ds: Dataset[MediaRow] = media.as(Encoders.product[MediaRow])
-    ds.mapPartitions(_.map(decodeStub))(Encoders.product[MediaFeatures]).toDF()
+    ds.mapPartitions(_.map(decode))(Encoders.product[MediaFeatures]).toDF()
   }
 }

@@ -88,23 +88,26 @@ object Vectors {
   private def v03(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5, k = 10)
 
-  /** Multimodal plumbing: documents → binary media column → partition-wise
-    * stub decode → typed feature table. The oracle checks the *plumbing*
-    * (bytes survive the binary round-trip; features are the deterministic
-    * stub formula) — the codec itself is stubbed, see
-    * [[graft.operators.Multimodal]]. */
+  /** Multimodal decode: documents → genuine BMP payloads in a binary
+    * column → partition-wise header parse → typed feature table. The
+    * oracle independently predicts what a correct BMP encode+decode must
+    * yield (dimensions derive deterministically from each doc; n_bytes
+    * follows the BMP row-padding formula), so a broken encoder OR a
+    * broken parser both fail the hash. See [[graft.operators.Multimodal]]. */
   private def m01(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.toMediaTable(Corpus.documents(spark, dir)))
       .orderBy(col("doc_id"))
 
   private val m01Sql =
-    """SELECT doc_id, 'img-stub' AS format,
-      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      |  CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT) AS width,
-      |  CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512 AS INT) AS height,
-      |  CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INT) AS n_frames
-      |FROM documents
+    """WITH d AS (SELECT doc_id,
+      |    CAST(4 + doc_id % 16 AS INT) AS width,
+      |    CAST(3 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS height
+      |  FROM documents)
+      |SELECT doc_id, 'bmp' AS format,
+      |  CAST(54 + height * ((3 * width + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+      |  width, height, CAST(1 AS INT) AS n_frames
+      |FROM d
       |ORDER BY doc_id""".stripMargin
 
   /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
