@@ -122,18 +122,27 @@ object Domain {
 
   /** MLlib RandomForest delivery model (reference `prediction.py:94-143`):
     * train on corpus-silver features, report test-set confusion counts.
-    * Rows-only (tree ensembles are engine-specific). */
-  private def p05(spark: SparkSession, dir: String): DataFrame = {
-    // deterministic 25% shipment sample: RF training cost scales linearly
-    // and a hash-sample is the standard move at 100 TB
-    val feats = DeliveryModel.features(
-      silverFlat(spark, dir).where(pmod(xxhash64(col("tracking_number")), lit(4)) === 0))
+    * Rows-only (tree ensembles are engine-specific).
+    *
+    * `sampleOneInN = 1` (the default, and what p05 runs) trains on
+    * EVERYTHING, matching the reference (`prediction.py:119`). Passing
+    * N > 1 opts into a deterministic 1-in-N shipment hash-sample — the
+    * standard lever when RF training cost bites at extreme SF — but
+    * sampling is a caller's choice, never a silent divergence. */
+  def mlConfusion(spark: SparkSession, dir: String, sampleOneInN: Int = 1): DataFrame = {
+    val flat = silverFlat(spark, dir)
+    val base = if (sampleOneInN <= 1) flat
+      else flat.where(pmod(xxhash64(col("tracking_number")), lit(sampleOneInN)) === 0)
+    val feats = DeliveryModel.features(base)
     val result = DeliveryModel.train(feats)
     DeliveryModel.predict(result.model, feats)
       .groupBy(col("delivery_status"), col("predicted_status"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("delivery_status"), col("predicted_status"))
   }
+
+  private def p05(spark: SparkSession, dir: String): DataFrame =
+    mlConfusion(spark, dir)
 
   /** Events file-source stream (shared by the streaming oracle queries):
     * directory + glob (file sources need a directory) with the nanos→
