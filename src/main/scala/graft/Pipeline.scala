@@ -28,13 +28,56 @@ object Pipeline {
 
   final case class StageResult(stage: String, rows: Long, path: String)
 
+  /** Per-stage retry policy (the reference's Airflow tasks run with
+    * `retries=1..2, retry_delay=…`, `orchestration.py:124-147`).
+    * `maxRetries` is the number of RE-attempts after the first failure. */
+  final case class RetryPolicy(maxRetries: Int = 1, backoffMs: Long = 0L,
+      backoffFactor: Double = 2.0)
+
+  /** Lifecycle hooks mirroring the reference DAG's notify tasks
+    * (`orchestration.py:150-160`): `onSuccess` ≈ notify_success,
+    * `onExhausted` ≈ notify_failure with trigger_rule=one_failed (fires
+    * once, when a stage runs out of retries); `onStageFailure` observes
+    * every individual failure (attempt number included) for logging. */
+  final case class Hooks(
+      onSuccess: Seq[StageResult] => Unit = _ => (),
+      onStageFailure: (String, Throwable, Int) => Unit = (_, _, _) => (),
+      onExhausted: (String, Throwable) => Unit = (_, _) => ())
+
+  /** Runs `body`, retrying per `policy`; every failure is reported to
+    * `hooks.onStageFailure`, exhaustion to `hooks.onExhausted` before
+    * the final error propagates. Stages must be idempotent to be
+    * retryable — which the overwrite-per-partition writes here are. */
+  private[graft] def retryStage[T](stage: String, policy: RetryPolicy, hooks: Hooks)(
+      body: => T): T = {
+    var attempt = 0
+    var delay = policy.backoffMs
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          hooks.onStageFailure(stage, e, attempt)
+          if (attempt > policy.maxRetries) {
+            hooks.onExhausted(stage, e)
+            throw e
+          }
+          if (delay > 0) Thread.sleep(delay)
+          delay = (delay * policy.backoffFactor).toLong
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def run(
       spark: SparkSession,
       rootDir: String,
       loadDate: String,
       nShipments: Long = 2000L,
       seed: Long = 42L,
-      exportCsv: Boolean = false): Seq[StageResult] = {
+      exportCsv: Boolean = false,
+      retry: RetryPolicy = RetryPolicy(),
+      hooks: Hooks = Hooks()): Seq[StageResult] = {
     val loadTs = java.sql.Timestamp.valueOf(s"$loadDate 00:00:00")
     val bronzeDir = s"$rootDir/bronze/shipments/$loadDate"
     val silverDir = s"$rootDir/silver/shipments"
@@ -42,44 +85,54 @@ object Pipeline {
 
     // gen → bronze JSON (the reference's raw layer is JSON-per-day,
     // extraction.py:114-136)
-    val bronzeOut = BronzeGenerator.shipments(spark, nShipments, seed, loadDate)
-    bronzeOut.write.mode(SaveMode.Overwrite).json(bronzeDir)
-
-    // precheck (orchestration.py:51-83) then bronze JSON → silver
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(bronzeDir), spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(bronzeDir)), s"bronze missing: $bronzeDir")
-
-    val bronze = spark.read.schema(graft.model.Schemas.bronzeShipment).json(bronzeDir)
-    // emptiness guard (reference `Silver_tranformation.py:67`): Dataset
-    // .isEmpty, not rdd.isEmpty — no RDD conversion, stops at first row
-    require(!bronze.isEmpty, s"bronze empty for $loadDate")
-    val silver = SilverTransform.transform(bronze, loadDate, loadTs)
-    silver.write.mode(SaveMode.Overwrite).partitionBy("load_date").parquet(silverDir)
-
-    // silver → gold: one cached scan fans out to 7 outputs
-    val silverBack = spark.read.parquet(silverDir)
-      .where(s"load_date = '$loadDate'")
-      .persist()
-    val goldTables: Seq[(String, DataFrame)] = Seq(
-      "dim_courier" -> StarSchema.dimCourier(silverBack),
-      "dim_location" -> StarSchema.dimLocation(silverBack),
-      "dim_date" -> StarSchema.dimDate(silverBack),
-      "dim_shipment_status" -> StarSchema.dimStatus(silverBack),
-      "fact_shipment" -> StarSchema.factShipment(silverBack),
-      "fact_tracking_event" -> StarSchema.factTrackingEvent(silverBack),
-      "fact_courier_metrics" -> StarSchema.courierMetrics(silverBack))
-    val goldResults = goldTables.map { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$goldDir/$name")
-      if (exportCsv)
-        df.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$goldDir/csv/$name")
-      StageResult(s"gold/$name", spark.read.parquet(s"$goldDir/$name").count(), s"$goldDir/$name")
+    retryStage("bronze", retry, hooks) {
+      val bronzeOut = BronzeGenerator.shipments(spark, nShipments, seed, loadDate)
+      bronzeOut.write.mode(SaveMode.Overwrite).json(bronzeDir)
     }
-    val silverRows = silverBack.count()
-    silverBack.unpersist()
 
-    Seq(
+    val silverRows = retryStage("silver", retry, hooks) {
+      // precheck (orchestration.py:51-83) then bronze JSON → silver
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(bronzeDir), spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(bronzeDir)), s"bronze missing: $bronzeDir")
+
+      val bronze = spark.read.schema(graft.model.Schemas.bronzeShipment).json(bronzeDir)
+      // emptiness guard (reference `Silver_tranformation.py:67`): Dataset
+      // .isEmpty, not rdd.isEmpty — no RDD conversion, stops at first row
+      require(!bronze.isEmpty, s"bronze empty for $loadDate")
+      val silver = SilverTransform.transform(bronze, loadDate, loadTs)
+      silver.write.mode(SaveMode.Overwrite).partitionBy("load_date").parquet(silverDir)
+      spark.read.parquet(silverDir).where(s"load_date = '$loadDate'").count()
+    }
+
+    // silver → gold: one cached scan fans out to 7 outputs; one retryable
+    // stage (all writes are overwrite-per-table, so a rerun is safe)
+    val goldResults = retryStage("gold", retry, hooks) {
+      val silverBack = spark.read.parquet(silverDir)
+        .where(s"load_date = '$loadDate'")
+        .persist()
+      try {
+        val goldTables: Seq[(String, DataFrame)] = Seq(
+          "dim_courier" -> StarSchema.dimCourier(silverBack),
+          "dim_location" -> StarSchema.dimLocation(silverBack),
+          "dim_date" -> StarSchema.dimDate(silverBack),
+          "dim_shipment_status" -> StarSchema.dimStatus(silverBack),
+          "fact_shipment" -> StarSchema.factShipment(silverBack),
+          "fact_tracking_event" -> StarSchema.factTrackingEvent(silverBack),
+          "fact_courier_metrics" -> StarSchema.courierMetrics(silverBack))
+        goldTables.map { case (name, df) =>
+          df.write.mode(SaveMode.Overwrite).parquet(s"$goldDir/$name")
+          if (exportCsv)
+            df.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$goldDir/csv/$name")
+          StageResult(s"gold/$name", spark.read.parquet(s"$goldDir/$name").count(), s"$goldDir/$name")
+        }
+      } finally silverBack.unpersist()
+    }
+
+    val results = Seq(
       StageResult("bronze", nShipments, bronzeDir),
       StageResult("silver", silverRows, silverDir)) ++ goldResults
+    hooks.onSuccess(results)
+    results
   }
 }

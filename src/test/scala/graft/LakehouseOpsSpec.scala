@@ -63,6 +63,49 @@ class LakehouseOpsSpec extends SparkTestBase {
       "dynamic partition overwrite must preserve other load_dates")
   }
 
+  test("retryStage: transient failure succeeds on retry, each failure observed") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var exhausted = 0
+    val hooks = graft.Pipeline.Hooks(
+      onStageFailure = (s, _, n) => failures += (s -> n),
+      onExhausted = (_, _) => exhausted += 1)
+    var calls = 0
+    val out = graft.Pipeline.retryStage("flaky", graft.Pipeline.RetryPolicy(maxRetries = 2), hooks) {
+      calls += 1
+      if (calls < 3) sys.error(s"transient $calls")
+      "ok"
+    }
+    assert(out === "ok" && calls === 3)
+    assert(failures.toList === List("flaky" -> 1, "flaky" -> 2))
+    assert(exhausted === 0, "exhaustion hook must not fire when a retry succeeds")
+  }
+
+  test("retryStage: exhaustion fires the failure hook once and rethrows") {
+    var exhausted = List.empty[String]
+    var attempts = 0
+    val hooks = graft.Pipeline.Hooks(onExhausted = (s, _) => exhausted ::= s)
+    val e = intercept[RuntimeException] {
+      graft.Pipeline.retryStage("doomed", graft.Pipeline.RetryPolicy(maxRetries = 1), hooks) {
+        attempts += 1; sys.error("permanent")
+      }
+    }
+    assert(e.getMessage === "permanent")
+    assert(attempts === 2, "one initial try + one retry")
+    assert(exhausted === List("doomed"), "notify_failure fires exactly once")
+  }
+
+  test("pipeline run fires the success hook with every stage result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hooks_").toString
+    var notified = Seq.empty[graft.Pipeline.StageResult]
+    graft.Pipeline.run(spark, tmp, "2024-01-01", nShipments = 200L,
+      hooks = graft.Pipeline.Hooks(onSuccess = notified = _))
+    assert(notified.map(_.stage).toSet ===
+      Set("bronze", "silver", "dim_courier", "dim_location", "dim_date",
+        "dim_shipment_status", "fact_shipment", "fact_tracking_event",
+        "fact_courier_metrics").map(s => if (s.startsWith("dim") || s.startsWith("fact")) s"gold/$s" else s))
+    assert(notified.forall(_.rows > 0))
+  }
+
   test("upsert with duplicate update keys reports key-level counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge2_").toString + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("k", "name").write.parquet(dir)
