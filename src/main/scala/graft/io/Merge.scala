@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** The merged frame plus its key-level counts; `cached` is the
+    * updates-side cache to release once `merged` has been written. */
+  private[io] final case class MergePlan(
+      merged: DataFrame, cached: DataFrame,
+      before: Long, matchedKeys: Long, updateKeys: Long)
+
+  /** Builds the MERGE frame shared by [[upsertParquet]] (in-place swap)
+    * and [[VersionedTable.upsert]] (new published version). */
+  private[io] def mergePlan(target: DataFrame, updates: DataFrame, key: String): MergePlan = {
+    require(target.columns.sameElements(updates.columns) ||
+      target.columns.toSet == updates.columns.toSet,
+      s"schema mismatch: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val u = updates.select(target.columns.map(col): _*).cache()
+    val updateKeys = u.select(col(key)).distinct()
+    val nUpdateKeys = updateKeys.count()
+    val matchedKeys = target.select(col(key)).distinct()
+      .join(updateKeys, Seq(key), "left_semi").count()
+    val merged = target.join(u.select(col(key).as("_uk")), col(key) === col("_uk"), "left_anti")
+      .unionByName(u)
+    MergePlan(merged, u, target.count(), matchedKeys, nUpdateKeys)
+  }
+
   /** Returns (rowsBefore, rowsAfter, updatedKeys, insertedKeys).
     *
     * Key semantics: ALL target rows carrying an updated key are replaced
@@ -27,29 +49,22 @@ object Merge {
       updates: DataFrame,
       key: String): (Long, Long, Long, Long) = {
     val target = spark.read.parquet(targetDir)
-    require(target.columns.sameElements(updates.columns) ||
-      target.columns.toSet == updates.columns.toSet,
-      s"schema mismatch: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
-    val u = updates.select(target.columns.map(col): _*).cache()
-    val updateKeys = u.select(col(key)).distinct()
-    val nUpdateKeys = updateKeys.count()
-    val matchedKeys = target.select(col(key)).distinct()
-      .join(updateKeys, Seq(key), "left_semi").count()
-
-    val merged = target.join(u.select(col(key).as("_uk")), col(key) === col("_uk"), "left_anti")
-      .unionByName(u)
-    val before = target.count()
-
-    swapInto(spark, targetDir, merged, suffix = "_merging")
-    u.unpersist()
+    val plan = mergePlan(target, updates, key)
+    swapInto(spark, targetDir, plan.merged, suffix = "_merging")
+    plan.cached.unpersist()
     val after = spark.read.parquet(targetDir).count()
-    (before, after, matchedKeys, nUpdateKeys - matchedKeys)
+    (plan.before, after, plan.matchedKeys, plan.updateKeys - plan.matchedKeys)
   }
 
-  /** Writes `df` to a temp sibling then atomically swaps it into `dir`,
-    * checking every filesystem step. Stale temp/backup dirs from a
-    * crashed prior run are cleaned first — otherwise their presence makes
-    * rename silently fail and the swap becomes a data-losing no-op. */
+  /** Writes `df` to a temp sibling then swaps it into `dir`, checking
+    * every filesystem step. Stale temp/backup dirs from a crashed prior
+    * run are cleaned first — otherwise their presence makes rename
+    * silently fail and the swap becomes a data-losing no-op.
+    *
+    * The two renames leave a small window where `dir` does not exist; a
+    * concurrent reader planning a scan right then fails. Single-writer
+    * single-reader pipelines tolerate that; for always-readable tables
+    * use [[VersionedTable]], whose marker-file commit has no gap. */
   private[io] def swapInto(spark: SparkSession, dir: String,
       df: DataFrame, suffix: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

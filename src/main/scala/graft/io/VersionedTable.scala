@@ -1,0 +1,120 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-version parquet table with gap-free swaps — the fix for the
+  * rename-twice window in [[Merge.swapInto]], where a concurrent reader
+  * can catch the instant between "moved aside" and "moved into place"
+  * and find no table at all.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   _log/000000001   ← marker file, content = data dir name
+  *   _log/000000002
+  *   d-5f3a…/         ← immutable parquet snapshot dirs, unique names
+  *   d-81c0…/
+  * }}}
+  *
+  * Commit protocol (the Delta/Iceberg idea reduced to its kernel):
+  * a writer materializes a NEW uniquely-named snapshot dir, then
+  * publishes it by creating the next numbered marker with
+  * `create(overwrite = false)` — an atomic exclusive create on any
+  * correct filesystem. Readers resolve the highest marker and read the
+  * dir it names. Nothing is ever renamed or deleted during a swap, so
+  * every reader sees a complete committed snapshot; concurrent writers
+  * race on the marker number and the loser just re-creates at n+1
+  * (its snapshot, not the data, is what retries).
+  *
+  * Old snapshots stay readable until [[vacuum]] — retention is what
+  * bounds storage, exactly like table formats' VACUUM. */
+object VersionedTable {
+
+  private val LogDir = "_log"
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markers(f: FileSystem, root: String): Seq[(Long, Path)] = {
+    val log = new Path(root, LogDir)
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption.map(_ -> st.getPath))
+      .sortBy(_._1)
+  }
+
+  private def readMarker(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](256)
+      val n = in.read(bytes)
+      new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8).trim
+    } finally in.close()
+  }
+
+  /** Highest committed version number, if any. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    markers(fs(spark, root), root).lastOption.map(_._1)
+
+  /** Writes `df` as a new immutable snapshot and publishes it atomically.
+    * Returns the committed version number. */
+  def write(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val f = fs(spark, root)
+    val dirName = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(new Path(root, dirName).toString)
+    f.mkdirs(new Path(root, LogDir))
+    var n = markers(f, root).lastOption.map(_._1).getOrElse(0L) + 1
+    while (!tryCommit(f, root, n, dirName)) n += 1
+    n
+  }
+
+  private def tryCommit(f: FileSystem, root: String, n: Long, dirName: String): Boolean =
+    try {
+      // overwrite=false → atomic exclusive create: exactly one writer
+      // wins a given version number
+      val out = f.create(new Path(new Path(root, LogDir), f"$n%09d"), false)
+      try out.write(dirName.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  /** Reads the current committed snapshot. Always sees a complete table:
+    * the marker it resolves points at an immutable, fully-written dir. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val last = markers(f, root).lastOption
+      .getOrElse(throw new java.io.FileNotFoundException(s"no committed version under $root"))
+    spark.read.parquet(new Path(root, readMarker(f, last._2)).toString)
+  }
+
+  /** MERGE with the same key semantics as [[Merge.upsertParquet]], but
+    * publishing the rewrite as a new version instead of swapping in
+    * place — concurrent readers keep their snapshot. */
+  def upsert(spark: SparkSession, root: String,
+      updates: DataFrame, key: String): (Long, Long, Long, Long) = {
+    val target = read(spark, root)
+    val plan = Merge.mergePlan(target, updates, key)
+    write(spark, root, plan.merged)
+    plan.cached.unpersist()
+    val after = read(spark, root).count()
+    (plan.before, after, plan.matchedKeys, plan.updateKeys - plan.matchedKeys)
+  }
+
+  /** Drops all but the newest `keep` committed versions (marker first,
+    * then data dir). `keep ≥ 2` leaves the previous snapshot alive for
+    * readers that resolved it just before a commit. Returns the deleted
+    * version numbers. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "must keep at least the current version")
+    val f = fs(spark, root)
+    val all = markers(f, root)
+    val doomed = all.dropRight(keep)
+    doomed.map { case (n, marker) =>
+      val dir = readMarker(f, marker)
+      f.delete(marker, false)
+      f.delete(new Path(root, dir), true)
+      n
+    }
+  }
+}

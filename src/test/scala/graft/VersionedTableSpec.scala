@@ -1,0 +1,74 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import graft.io.VersionedTable
+
+/** The gap-free table swap: version publish is an atomic marker create,
+  * so a concurrent reader must ALWAYS resolve a complete committed
+  * snapshot — the property Merge.swapInto's rename window lacks. */
+class VersionedTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_vt_${tag}_").toString + "/t"
+
+  test("write/read round trip, version numbers increase") {
+    val root = tmpRoot("rt")
+    assert(VersionedTable.currentVersion(spark, root).isEmpty)
+    val v1 = VersionedTable.write(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    val v2 = VersionedTable.write(spark, root, Seq((1L, "a2")).toDF("k", "name"))
+    assert(v1 === 1L && v2 === 2L)
+    assert(VersionedTable.currentVersion(spark, root) === Some(2L))
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet === Set((1L, "a2")))
+  }
+
+  test("upsert publishes a new version with merge semantics") {
+    val root = tmpRoot("up")
+    VersionedTable.write(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    val (before, after, updated, inserted) = VersionedTable.upsert(
+      spark, root, Seq((2L, "b2"), (9L, "z")).toDF("k", "name"), "k")
+    assert((before, after, updated, inserted) === ((2L, 3L, 1L, 1L)))
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b2"), (9L, "z")))
+    assert(VersionedTable.currentVersion(spark, root) === Some(2L))
+  }
+
+  test("concurrent reader always sees a complete committed snapshot during swaps") {
+    val root = tmpRoot("cc")
+    def table(n: Int) = spark.range(n * 10L).toDF("k")
+    VersionedTable.write(spark, root, table(1))
+    val committed = (1 to 6).map(_ * 10L).toSet
+    val failure = new AtomicReference[Throwable](null)
+    val reads = new AtomicLong(0)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && failure.get() == null) {
+        try {
+          val c = VersionedTable.read(spark, root).count()
+          if (!committed.contains(c))
+            failure.set(new AssertionError(s"read a non-committed snapshot: $c rows"))
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failure.set(t) }
+      }
+    })
+    reader.start()
+    try (2 to 6).foreach(n => VersionedTable.write(spark, root, table(n)))
+    finally { stop = true; reader.join(30000) }
+    assert(failure.get() == null, s"reader failed mid-swap: ${failure.get()}")
+    assert(reads.get() > 0, "reader must have actually read during the writes")
+    assert(VersionedTable.read(spark, root).count() === 60L)
+  }
+
+  test("vacuum drops old versions, current stays readable") {
+    val root = tmpRoot("vac")
+    (1 to 4).foreach(n => VersionedTable.write(spark, root, spark.range(n.toLong).toDF("k")))
+    val dropped = VersionedTable.vacuum(spark, root, keep = 2)
+    assert(dropped === Seq(1L, 2L))
+    assert(VersionedTable.read(spark, root).count() === 4L)
+    assert(VersionedTable.currentVersion(spark, root) === Some(4L))
+    // vacuumed snapshot dirs are gone from disk
+    val dirs = new java.io.File(root).listFiles().count(_.getName.startsWith("d-"))
+    assert(dirs === 2)
+  }
+}
