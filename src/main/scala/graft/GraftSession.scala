@@ -29,6 +29,12 @@ object GraftSession {
     // here bound per-task key counts to keys/shufflePartitions, and a
     // collect_list group map at 128k keys is tens of MB, so keep the
     // hash path; the fallback still guards genuinely huge partitions.
+    // CAVEAT: the setting is global, so it also raises the threshold for
+    // the PARTIAL (map-side) aggregate, whose key count is bounded by the
+    // scan split, not the shuffle — on a cluster, pair it with
+    // files.maxPartitionBytes sizing, or set it per-query via
+    // spark.conf.set around the collect_list stages if map-side splits
+    // can carry >128k distinct keys of large objects.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
     .config("spark.ui.enabled", "false")
 

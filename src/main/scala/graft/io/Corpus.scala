@@ -34,6 +34,12 @@ object Corpus {
   private val splitCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Boolean]
 
+  /** Drops the memoized split decisions — for long-lived drivers that
+    * stop/replace sessions (a stopped session's map keys would otherwise
+    * pin it for the JVM lifetime). [[graft.queries.Domain.clearCache]]
+    * calls through here. */
+  def clearCache(): Unit = splitCache.clear()
+
   /** A scan over one small single-row-group file yields ONE split — and no
     * scan-time knob can split it further, so every per-row-heavy stage
     * (decimal aggregation, JSON extraction, shingling) would run on one

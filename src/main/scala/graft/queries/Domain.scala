@@ -52,6 +52,7 @@ object Domain {
   def clearCache(): Unit = synchronized {
     flatCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => })
     flatCache.clear()
+    Corpus.clearCache()
   }
 
   // Minimal flat CTE for aggregate oracles (courier/status/days only need
