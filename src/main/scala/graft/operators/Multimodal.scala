@@ -87,6 +87,65 @@ object Multimodal {
       n_frames = 1)
   }
 
+  /** Builds an audio table from documents: each doc becomes a valid
+    * 16-bit mono PCM WAV whose sample count derives from the text length
+    * and whose samples cycle through the text bytes — the audio-modality
+    * counterpart of [[toMediaTable]]. */
+  def toAudioTable(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val ds = docs.select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    ds.map { case (id, text) =>
+      val bytes = Option(text).map(_.getBytes(StandardCharsets.UTF_8)).getOrElse(Array.empty[Byte])
+      MediaRow(id, wavBytes(sampleRate, 32 + bytes.length % 256, bytes), "wav")
+    }(Encoders.product[MediaRow]).toDF()
+  }
+
+  /** A minimal valid RIFF/WAVE: PCM fmt chunk (mono, 16-bit) + data
+    * chunk with `numSamples` frames cycled from `fill`. */
+  private[graft] def wavBytes(sampleRate: Int, numSamples: Int, fill: Array[Byte]): Array[Byte] = {
+    val dataSize = numSamples * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataSize)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate × block align
+      .putShort(2).putShort(16) // block align, bits per sample
+    buf.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) {
+      buf.put(if (fill.isEmpty) 0.toByte else fill(i % fill.length))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real decode: validates RIFF/WAVE magic, walks the chunk list to the
+    * fmt and data chunks. Features: width = sample rate, height = bits
+    * per sample, n_frames = frame count (data bytes / block align) — the
+    * audio meaning of a frame. */
+  private[graft] def decodeWav(m: MediaRow): MediaFeatures = {
+    val buf = ByteBuffer.wrap(m.media).order(ByteOrder.LITTLE_ENDIAN)
+    require(m.media.length >= 44 &&
+      buf.getInt(0) == 0x46464952 && buf.getInt(8) == 0x45564157, // "RIFF", "WAVE"
+      s"doc ${m.doc_id}: not a WAV payload")
+    var pos = 12
+    var sampleRate = 0; var bits = 0; var blockAlign = 0; var dataSize = -1
+    while (pos + 8 <= m.media.length && (sampleRate == 0 || dataSize < 0)) {
+      val id = buf.getInt(pos); val size = buf.getInt(pos + 4)
+      if (id == 0x20746d66) { // "fmt "
+        sampleRate = buf.getInt(pos + 12)
+        blockAlign = buf.getShort(pos + 20).toInt
+        bits = buf.getShort(pos + 22).toInt
+      } else if (id == 0x61746164) dataSize = size // "data"
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataSize >= 0 && blockAlign > 0,
+      s"doc ${m.doc_id}: WAV missing fmt/data chunks")
+    MediaFeatures(m.doc_id, m.format, m.media.length.toLong,
+      width = sampleRate, height = bits, n_frames = dataSize / blockAlign)
+  }
+
   /** Fallback for formats with no built-in parser: deterministic
     * pseudo-metadata from the payload length. This is the honest stub
     * slot where an external codec library would plug in. */
@@ -101,6 +160,7 @@ object Multimodal {
   private def decode(m: MediaRow): MediaFeatures =
     m.format match {
       case "bmp" => decodeBmp(m)
+      case "wav" => decodeWav(m)
       case _ => decodeOpaque(m)
     }
 

@@ -110,6 +110,25 @@ object Vectors {
       |FROM d
       |ORDER BY doc_id""".stripMargin
 
+  /** Audio-modality decode: documents → valid PCM WAV payloads →
+    * chunk-walk parse (sample rate / bit depth / frame count). Same
+    * oracle idea as m01: the SQL independently predicts what a correct
+    * WAV encode+decode must yield. */
+  private def m02(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.toAudioTable(Corpus.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  private val m02Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(32 + octet_length(CAST(text AS BLOB)) % 256 AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, 'wav' AS format,
+      |  CAST(44 + 2 * n_frames AS BIGINT) AS n_bytes,
+      |  CAST(8000 AS INT) AS width, CAST(16 AS INT) AS height, n_frames
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
     * cell probes) — rows-only; recall vs brute force asserted in tests. */
   private def v04(spark: SparkSession, dir: String): DataFrame =
@@ -120,5 +139,6 @@ object Vectors {
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
     QuerySpec("v03_ann_lsh_topk", v03, None),
     QuerySpec("v04_ann_ivf_topk", v04, None),
-    QuerySpec("m01_multimodal_features", m01, Some(m01Sql)))
+    QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
+    QuerySpec("m02_audio_features", m02, Some(m02Sql)))
 }

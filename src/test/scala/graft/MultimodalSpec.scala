@@ -35,6 +35,34 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("generated WAVs are valid per the JDK's own audio parser") {
+    val bytes = Multimodal.wavBytes(8000, 120, "audio".getBytes("UTF-8"))
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(in.getFormat.getSampleRate === 8000f)
+    assert(in.getFormat.getSampleSizeInBits === 16)
+    assert(in.getFrameLength === 120L)
+  }
+
+  test("decodeWav reads rate/bits/frames from the chunk list") {
+    val f = Multimodal.decodeWav(MediaRow(1L, Multimodal.wavBytes(44100, 256, Array(7)), "wav"))
+    assert(f.width === 44100 && f.height === 16 && f.n_frames === 256)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(2L, "not audio at all, definitely".getBytes("UTF-8") ++ new Array[Byte](44), "wav"))
+    }
+  }
+
+  test("audio table end-to-end: every corpus doc decodes to its frame count") {
+    val docs = Corpus.documents(spark, sf0001)
+    val feats = Multimodal.extractFeatures(Multimodal.toAudioTable(docs))
+    assert(feats.count() === docs.count())
+    assert(feats.filter(col("width") =!= 8000 || col("height") =!= 16).count() === 0)
+    val expected = docs.select(col("doc_id"),
+      (lit(32) + octet_length(col("text")) % 256).cast("int").as("exp_frames"))
+    val bad = feats.join(expected, "doc_id").filter(col("n_frames") =!= col("exp_frames"))
+    assert(bad.count() === 0, "frame count must round-trip through the WAV encode/decode")
+  }
+
   test("media table end-to-end: every corpus doc decodes to its own dimensions") {
     val docs = Corpus.documents(spark, sf0001)
     val feats = Multimodal.extractFeatures(Multimodal.toMediaTable(docs))
