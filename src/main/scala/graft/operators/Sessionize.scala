@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Gap-based sessionization: consecutive events of the same key belong to
   * one session while the gap stays under `gapSeconds`. The lag + running
   * sum formulation is one shuffle on the key and mirrors 1:1 into the
-  * DuckDB oracle; Structured Streaming gets the same semantics from
-  * `session_window` (covered in streaming tests).
+  * DuckDB oracle; the incremental counterpart is
+  * [[graft.streaming.StatefulOps.sessionizeStream]], whose closed-session
+  * output is asserted equal to this operator's in StreamingSpec.
   */
 object Sessionize {
 

@@ -530,7 +530,8 @@ object Relational {
 
   /** Gap-based sessionization (30 min) with per-session rollup
     * ([[graft.operators.Sessionize]]); streaming equivalent is
-    * session_window (see StreamingSpec). */
+    * [[graft.streaming.StatefulOps.sessionizeStream]] (stream≡batch
+    * asserted in StreamingSpec). */
   private def q26(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sessionize
       .sessionStats(Corpus.events(spark, dir), "user_id", "ts", "event_id", gapSeconds = 1800L)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state via `mapGroupsWithState` (SURVEY §2.10 — the
   * KeyValueGroupedDataset state API): per-user running aggregates that
@@ -65,5 +65,68 @@ object StatefulOps {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(
         updateTotals(ttl.toMillis))
+  }
+
+  // ---- streaming sessionization (flatMapGroupsWithState) -----------------
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+  final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+
+  private def closeSession(userId: Long, s: OpenSession): SessionOut =
+    SessionOut(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+      s.n, s.total)
+
+  private def sessionize(gapMs: Long)(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      // watermark passed session_end + gap: no event can extend this
+      // session any more — emit it closed and free the state
+      val out = closeSession(userId, state.get)
+      state.remove()
+      Iterator.single(out)
+    } else {
+      val sorted = events.toArray.sortBy(_.ts.getTime)
+      val closed = Vector.newBuilder[SessionOut]
+      var open = state.getOption.orNull
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case null => open = OpenSession(t, t, 1L, e.value)
+          case s if t - s.end > gapMs =>
+            closed += closeSession(userId, s)
+            open = OpenSession(t, t, 1L, e.value)
+          case s =>
+            open = OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value)
+        }
+      }
+      state.update(open)
+      state.setTimeoutTimestamp(
+        math.max(open.end + gapMs, state.getCurrentWatermarkMs() + 1))
+      closed.result().iterator
+    }
+  }
+
+  /** Gap-based streaming sessionization — the incremental counterpart of
+    * [[graft.operators.Sessionize]] (same semantics: a session extends
+    * while consecutive events arrive within `gap`). Closed sessions are
+    * emitted as soon as they're provably closed: either a same-key event
+    * arrives beyond the gap, or the watermark passes session_end + gap
+    * (the event-time timeout) — which is also when the state is freed,
+    * so state size tracks OPEN sessions only, never history. Built on
+    * `flatMapGroupsWithState` because one input batch can close several
+    * sessions for a key (0..n outputs per invocation). */
+  def sessionizeStream(events: Dataset[SessionEvent], gap: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionize(gap.toMillis))
   }
 }

@@ -123,6 +123,53 @@ class StreamingSpec extends SparkTestBase {
     assert(!user1.contains((3L, 17.0, 5L)), "state carried over past the TTL — not evicted")
   }
 
+  test("flatMapGroupsWithState sessionization: closed sessions match the batch operator") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[SessionEvent]
+    val sessions = StatefulOps.sessionizeStream(input.toDS(),
+      gap = java.time.Duration.ofMinutes(5), watermarkDelay = "0 seconds")
+    val name = s"sess_${System.nanoTime()}"
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val evts = Seq(
+      SessionEvent(1L, t("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1L, t("2024-01-01 10:01:00"), 2.0),
+      SessionEvent(1L, t("2024-01-01 10:30:00"), 4.0), // >5min gap → new session
+      SessionEvent(2L, t("2024-01-01 10:00:30"), 8.0))
+    // user 2's event rides in batch 1: with a 0s lateness bound it would
+    // be (correctly) dropped as late once the watermark reaches 10:01
+    input.addData(Seq(evts(0), evts(1), evts(3)))
+    q.processAllAvailable()
+    // in-batch close: the 10:30 event closes session [10:00,10:01] immediately
+    input.addData(Seq(evts(2)))
+    q.processAllAvailable()
+    // advance the watermark far past every session_end + gap (two batches:
+    // the watermark a batch runs with comes from the previous batch's max)
+    input.addData(SessionEvent(9L, t("2024-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    input.addData(SessionEvent(9L, t("2024-01-01 12:00:01"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter($"user_id".isin(1L, 2L))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSet
+    // batch truth from the SAME events via the oracle-checked operator
+    val batch = graft.operators.Sessionize.sessionStats(
+        evts.toDF("user_id", "ts", "value"), "user_id", "ts", "ts", gapSeconds = 300L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed.map(s => (s._1, s._2, s._3, s._4)) === batch,
+      s"stream sessions $streamed != batch $batch")
+    // value sums carried through the state machine
+    assert(streamed.map(s => (s._1, s._2.toString, s._5)) ===
+      Set((1L, "2024-01-01 10:00:00.0", 3.0), (1L, "2024-01-01 10:30:00.0", 4.0),
+        (2L, "2024-01-01 10:00:30.0", 8.0)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
