@@ -144,9 +144,67 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Banded random-hyperplane LSH signature of a double vector: band b's
+  * value is the integer formed by the sign bits of planes
+  * [b·bandBits, (b+1)·bandBits). The HOF formulation (nested
+  * `aggregate`/`zip_with` lambdas) interprets ~numPlanes×dim lambda
+  * calls per row with boxing; here the planes live as one flat primitive
+  * array (seeded, derived from (numPlanes, dim) — identical to
+  * `Similarity.planeLiteral`) and the whole signature is two tight
+  * loops. Codegen emits a single call on the expression instance, so
+  * the surrounding stage stays whole-stage-compiled.
+  */
+case class BandedSignature(child: Expression, numPlanes: Int, bandBits: Int)
+    extends UnaryExpression {
+  require(numPlanes % bandBits == 0, s"numPlanes $numPlanes not a multiple of bandBits $bandBits")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_bands"
+
+  // planes materialize once per task on first row (dim isn't known until
+  // then); rows of one vector column share a dim by contract
+  @transient private var planes: Array[Double] = _
+  @transient private var dim: Int = -1
+
+  def computeBands(input: ArrayData): ArrayData = {
+    if (planes == null) {
+      dim = input.numElements()
+      planes = graft.operators.Similarity.flatPlanes(numPlanes, dim)
+    }
+    val n = math.min(dim, input.numElements())
+    val bands = new Array[Int](numPlanes / bandBits)
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      val off = p * dim
+      var j = 0
+      while (j < n) { acc += input.getDouble(j) * planes(off + j); j += 1 }
+      val b = p / bandBits
+      bands(b) = bands(b) * 2 + (if (acc > 0) 1 else 0)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bands)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeBands(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandedSig", this, classOf[BandedSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeBands($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandedSignature =
+    copy(child = newChild)
+}
+
 /** Registers the custom expressions in a session's function registry so
   * they are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftExpressions {
+  private def intArg(e: Expression, name: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -155,5 +213,8 @@ object GraftExpressions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_bands", exprs => BandedSignature(exprs(0),
+        intArg(exprs(1), "numPlanes"), intArg(exprs(2), "bandBits")), "built-in")
   }
 }

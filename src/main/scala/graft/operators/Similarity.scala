@@ -75,10 +75,9 @@ object Similarity {
   def nearDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
       numPlanes: Int = 128, bandBits: Int = 8): DataFrame = {
     GraftExpressions.register(spark)
-    val dim = embDim(emb)
     val n = normed(emb)
     val sigs = n.select(col("vec_id"),
-        posexplode(bandValues(numPlanes, bandBits, dim)).as(Seq("band", "band_val")))
+        posexplode(bandValues(numPlanes, bandBits)).as(Seq("band", "band_val")))
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -108,21 +107,15 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Per-band sign-bit values over `v`: band b's value is the integer
-    * formed by the sign bits of planes [b·bandBits, (b+1)·bandBits).
-    * Pure column-API lambdas (no per-plane expr() strings — 128 planes
-    * as one nested-array literal) so the whole signature stays a single
-    * projection. Bit-exactness doesn't matter here (only candidate
-    * membership), the exact verify downstream is what lands in results. */
-  private def bandValues(numPlanes: Int, bandBits: Int, dim: Int): Column = {
+  /** Per-band sign-bit values over `v`, via the codegen'd
+    * [[graft.functions.BandedSignature]] expression (the planes live
+    * inside the expression as one flat primitive array — no nested-array
+    * literal, no per-plane lambda dispatch). Bit-exactness doesn't
+    * matter here (only candidate membership), the exact verify
+    * downstream is what lands in results. */
+  private def bandValues(numPlanes: Int, bandBits: Int): Column = {
     require(numPlanes % bandBits == 0, s"numPlanes $numPlanes not a multiple of bandBits $bandBits")
-    val pl = typedLit(planeLiteral(numPlanes, dim).map(_.toSeq).toSeq)
-    transform(sequence(lit(0), lit(numPlanes / bandBits - 1)), b =>
-      aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0), (acc, j) => {
-        val plane = element_at(pl, b * lit(bandBits) + j + lit(1))
-        val d = aggregate(zip_with(col("v"), plane, (xx, yy) => xx * yy), lit(0.0), (a, xx) => a + xx)
-        acc * lit(2) + when(d > lit(0.0), lit(1)).otherwise(lit(0))
-      }))
+    expr(s"graft_lsh_bands(v, $numPlanes, $bandBits)")
   }
 
   // one driver probe per distinct input plan to learn the vector width
@@ -194,6 +187,11 @@ object Similarity {
     val rnd = new java.util.Random(42L)
     Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
   }
+
+  /** The same planes, flattened row-major — the layout
+    * [[graft.functions.BandedSignature]] loops over. */
+  private[graft] def flatPlanes(numPlanes: Int, dim: Int): Array[Double] =
+    planeLiteral(numPlanes, dim).flatten
 
   /** Random-hyperplane LSH signature (one int, numPlanes sign bits). */
   private def withSignature(spark: SparkSession, df: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
