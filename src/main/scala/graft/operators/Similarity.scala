@@ -118,13 +118,6 @@ object Similarity {
     expr(s"graft_lsh_bands(v, $numPlanes, $bandBits)")
   }
 
-  // one driver probe per distinct input plan to learn the vector width
-  // (dim isn't in the schema); memoized so repeated calls skip the head()
-  private val dimCache =
-    scala.collection.concurrent.TrieMap.empty[Int, Int]
-  private def embDim(emb: DataFrame): Int =
-    dimCache.getOrElseUpdate(emb.queryExecution.logical.semanticHash(),
-      emb.select(size(col("embedding"))).head().getInt(0))
 
   /** IVF-style approximate top-k: a KMeans coarse quantizer partitions
     * the corpus into `nCells` cells; each query scores only the
@@ -193,15 +186,15 @@ object Similarity {
   private[graft] def flatPlanes(numPlanes: Int, dim: Int): Array[Double] =
     planeLiteral(numPlanes, dim).flatten
 
-  /** Random-hyperplane LSH signature (one int, numPlanes sign bits). */
-  private def withSignature(spark: SparkSession, df: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
-    val planes = planeLiteral(numPlanes, dim)
-    val sig = (0 until numPlanes).map { p =>
-      // SQL numeric literals parse as decimal — cast so graft_dot sees doubles
-      when(expr(s"graft_dot(v, cast(array(${planes(p).mkString(",")}) as array<double>))") > 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("sig", sig)
+  /** Random-hyperplane LSH signature (one int, numPlanes sign bits) —
+    * one band holding every plane's bit from the codegen'd
+    * [[graft.functions.BandedSignature]] (bit order differs from the
+    * historical per-plane form, but Hamming distance is invariant under
+    * bit permutation, so bucket membership is unchanged). */
+  private def withSignature(df: DataFrame, numPlanes: Int): DataFrame = {
+    require(numPlanes <= 31, "single-band signature packs into an int")
+    df.withColumn("sig",
+      element_at(expr(s"graft_lsh_bands(v, $numPlanes, $numPlanes)"), 1).cast("long"))
   }
 
   /** Approximate top-k: score only candidates whose LSH signature is
@@ -214,11 +207,7 @@ object Similarity {
   def lshTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
       numPlanes: Int = 8, maxHamming: Int = 2): DataFrame = {
     GraftExpressions.register(spark)
-    // derive the plane dimensionality from the data — a hardcoded dim
-    // would silently dot only a prefix of wider vectors (probe memoized
-    // in embDim: one head() per distinct input plan, not per call)
-    val dim = embDim(emb)
-    val n = withSignature(spark, normed(emb), numPlanes, dim)
+    val n = withSignature(normed(emb), numPlanes)
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
