@@ -160,16 +160,23 @@ case class BandedSignature(child: Expression, numPlanes: Int, bandBits: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_lsh_bands"
 
-  // planes materialize once per task on first row (dim isn't known until
-  // then); rows of one vector column share a dim by contract
-  @transient private var planes: Array[Double] = _
-  @transient private var dim: Int = -1
+  // Planes materialize on first row (dim isn't known until then); rows of
+  // one vector column share a dim by contract. The instance is SHARED
+  // across concurrent tasks (codegen embeds it via the references array),
+  // so publication must be a single volatile write of a fully-built
+  // object — two separate fields could let another task observe the
+  // planes with a stale dim. A racing duplicate build is idempotent.
+  @transient @volatile private var cached: BandedSignature.PlaneSet = _
 
   def computeBands(input: ArrayData): ArrayData = {
-    if (planes == null) {
-      dim = input.numElements()
-      planes = graft.operators.Similarity.flatPlanes(numPlanes, dim)
+    var ps = cached
+    if (ps == null) {
+      val d = input.numElements()
+      ps = new BandedSignature.PlaneSet(d, graft.operators.Similarity.flatPlanes(numPlanes, d))
+      cached = ps
     }
+    val dim = ps.dim
+    val planes = ps.planes
     val n = math.min(dim, input.numElements())
     val bands = new Array[Int](numPlanes / bandBits)
     var p = 0
@@ -195,6 +202,11 @@ case class BandedSignature(child: Expression, numPlanes: Int, bandBits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): BandedSignature =
     copy(child = newChild)
+}
+
+object BandedSignature {
+  /** Immutable (dim, planes) pair — safe to publish with one volatile write. */
+  final class PlaneSet(val dim: Int, val planes: Array[Double])
 }
 
 /** Registers the custom expressions in a session's function registry so

@@ -70,14 +70,21 @@ object VersionedTable {
     n
   }
 
-  private def tryCommit(f: FileSystem, root: String, n: Long, dirName: String): Boolean =
+  private def tryCommit(f: FileSystem, root: String, n: Long, dirName: String): Boolean = {
+    val marker = new Path(new Path(root, LogDir), f"$n%09d")
     try {
       // overwrite=false → atomic exclusive create: exactly one writer
       // wins a given version number
-      val out = f.create(new Path(new Path(root, LogDir), f"$n%09d"), false)
+      val out = f.create(marker, false)
       try out.write(dirName.getBytes(StandardCharsets.UTF_8)) finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      // only a lost race (marker already there) is retryable at n+1 —
+      // re-throwing genuine IO failures prevents an unbounded retry loop
+      case e: java.io.IOException if f.exists(marker) => false
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+  }
 
   /** Reads the current committed snapshot. Always sees a complete table:
     * the marker it resolves points at an immutable, fully-written dir. */

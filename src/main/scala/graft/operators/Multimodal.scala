@@ -133,6 +133,7 @@ object Multimodal {
     var sampleRate = 0; var bits = 0; var blockAlign = 0; var dataSize = -1
     while (pos + 8 <= m.media.length && (sampleRate == 0 || dataSize < 0)) {
       val id = buf.getInt(pos); val size = buf.getInt(pos + 4)
+      require(size >= 0, s"doc ${m.doc_id}: corrupt WAV chunk size $size")
       if (id == 0x20746d66) { // "fmt "
         sampleRate = buf.getInt(pos + 12)
         blockAlign = buf.getShort(pos + 20).toInt

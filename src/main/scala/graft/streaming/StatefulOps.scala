@@ -103,9 +103,13 @@ object StatefulOps {
             open = OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value)
         }
       }
-      state.update(open)
-      state.setTimeoutTimestamp(
-        math.max(open.end + gapMs, state.getCurrentWatermarkMs() + 1))
+      // open can only be null on an empty invocation with no prior state
+      // (not expected from Spark, but guard rather than NPE the stream)
+      if (open != null) {
+        state.update(open)
+        state.setTimeoutTimestamp(
+          math.max(open.end + gapMs, state.getCurrentWatermarkMs() + 1))
+      }
       closed.result().iterator
     }
   }
