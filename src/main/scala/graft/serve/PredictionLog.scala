@@ -12,10 +12,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object PredictionLog {
 
-  /** Appends prediction rows to a date-partitioned log. Append mode means
-    * concurrent writers never clobber each other — each call adds files. */
-  def append(log: DataFrame, dir: String): Unit =
+  /** Appends prediction rows to a date-partitioned log. Appends within
+    * this JVM are serialized: concurrent append JOBS to one path share
+    * the `_temporary` staging dir, and one job's commit-cleanup can
+    * delete another's in-flight files (the classic FileOutputCommitter
+    * hazard) — a lock is the right price for a low-rate serving log.
+    * Cross-process concurrent appends need a committer that stages
+    * per-job (object-store committers), or the streaming
+    * [[graft.streaming.SilverStream.appendSink]] path. */
+  def append(log: DataFrame, dir: String): Unit = appendLock.synchronized {
     log.write.mode(SaveMode.Append).partitionBy("log_date").parquet(dir)
+  }
+  private val appendLock = new Object
 
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

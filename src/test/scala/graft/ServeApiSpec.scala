@@ -87,6 +87,26 @@ class ServeApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("concurrent requests all answer and all land in the prediction log") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft_serve_cc_").toString + "/log"
+    val server = ServeApi.start(silver, model = None,
+      ServeApi.Config(asOfDate = "2024-06-01", logDir = Some(logDir)))
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val paths = (0 until 8).map { i =>
+        if (i % 2 == 0) s"/predict/tracking/?tracking_id=TN10$i"
+        else "/predict/country/?country=NATION_7"
+      }
+      val codes = Await.result(
+        Future.sequence(paths.map(p => Future(get(server, p)._1))), 120.seconds)
+      assert(codes.forall(_ == 200), s"statuses: $codes")
+      // every request logged — concurrent appends serialized, none clobbered
+      assert(PredictionLog.read(spark, logDir).count() === 8)
+    } finally server.stop(0)
+  }
+
   test("json writer escapes control and quote characters") {
     val s = ServeApi.jsonObj(Seq("k" -> "a\"b\\c\nd"))
     assert(s === """{"k":"a\"b\\c\nd"}""".replace("\n", "\\n"))
