@@ -45,12 +45,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
-  test("banded nearDupPairs ≡ exact brute force on a corpus with planted dups") {
-    // plant near-dups the same way v02 does: every 10th vector re-enters
-    // perturbed; banded LSH must recall every pair the exact scan finds
-    val base = Corpus.embeddings(spark, sf0001)
+  test("banded nearDupPairs ≡ exact brute force on planted dups (sf0.001 and sf0.1)") {
+    // plant near-dups the same way v02 does; banded LSH must recall every
+    // pair the exact scan finds — checked at the small SF AND at the bench
+    // SF (2k vectors), the scales v02 actually runs at
+    bandedEqualsExact(sf0001, everyNth = 10)
+    bandedEqualsExact("/root/testdata/sf0.1", everyNth = 20)
+  }
+
+  private def bandedEqualsExact(dir: String, everyNth: Int): Unit = {
+    val base = Corpus.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
-    val planted = base.filter(col("vec_id") % 10 === 0)
+    val planted = base.filter(col("vec_id") % everyNth === 0)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x + lit(0.25) * element_at(col("embedding"),
@@ -60,8 +66,8 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     val banded = Similarity.nearDupPairs(spark, corpus, 0.9)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    assert(exact.nonEmpty, "planted dups must exist above the threshold")
-    assert(banded === exact, s"banded missed ${exact -- banded}, extra ${banded -- exact}")
+    assert(exact.nonEmpty, s"$dir: planted dups must exist above the threshold")
+    assert(banded === exact, s"$dir: banded missed ${exact -- banded}, extra ${banded -- exact}")
   }
 
   test("ivfTopK recall vs brute force is usable on the corpus") {
