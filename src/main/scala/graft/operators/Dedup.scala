@@ -24,6 +24,24 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  // Persisted intermediates are created per call (no memoization), so a
+  // long-lived driver calling these repeatedly would accumulate tracked
+  // cached RDDs for the session lifetime. Each persist registers here;
+  // [[releaseCaches]] (called from graft.queries.Domain.clearCache) frees
+  // them. One-shot Verify/Bench runs never need to.
+  private val liveCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches += persisted
+    persisted
+  }
+
+  /** Unpersists every cache created by the near-dup operators. */
+  def releaseCaches(): Unit = synchronized {
+    liveCaches.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    liveCaches.clear()
+  }
+
   /** Adds `toks` + `shingles` (word n-grams, distinct, SORTED — the
     * contract the merge-based [[graft.functions.JaccardSorted]] needs) to
     * a documents frame. Docs with fewer than n words keep an empty shingle
@@ -96,12 +114,10 @@ object Dedup {
     // k-long signatures feeding the band self-join. (Persisting the
     // shingle ARRAYS instead measures slower: columnar-caching
     // array<string> costs more than the pass it saves.)
-    val ex = withShingles(docs, shingleSize)
+    val ex = tracked(withShingles(docs, shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"),
-        explode(col("shingles")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(ex, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        explode(col("shingles")).as("sh")))
+    val sigs = tracked(minhashSignatures(ex, numHashes))
     val cand = lshCandidates(sigs, bands, numHashes / bands)
     // Exact Jaccard on the candidates by counting shared shingles (same
     // count-based identity as [[blockedJaccardPairs]]): candidates sharing
@@ -138,10 +154,9 @@ object Dedup {
       threshold: Double = 0.3): DataFrame = {
     // persisted: the self-join would otherwise recompute the shingle
     // explosion once per side (no cross-branch CSE in Catalyst)
-    val ex = withShingles(docs, shingleSize)
+    val ex = tracked(withShingles(docs, shingleSize)
       .select(col(blockCol).as("blk"), col("doc_id"),
-        size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
     ex.as("x").join(ex.as("y"),
         col("x.blk") === col("y.blk") && col("x.sh") === col("y.sh") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -184,8 +199,7 @@ object Dedup {
     // persisted: referenced by 4 union branches × 2 self-join sides — 8
     // recomputations of the signature aggregation without it (measured 21s
     // vs 2.5s for one pass at sf0.1)
-    val sh = simhashes(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = tracked(simhashes(docs))
     val banded = (0 until 4)
       .map(b => sh.select(col("doc_id"), col("simhash"), lit(b).as("band_idx"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val")))

@@ -53,6 +53,7 @@ object Domain {
     flatCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => })
     flatCache.clear()
     Corpus.clearCache()
+    graft.operators.Dedup.releaseCaches()
   }
 
   // Minimal flat CTE for aggregate oracles (courier/status/days only need
