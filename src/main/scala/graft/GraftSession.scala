@@ -36,6 +36,11 @@ object GraftSession {
     // spark.conf.set around the collect_list stages if map-side splits
     // can carry >128k distinct keys of large objects.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 17).toString)
+    // zstd over the snappy default: ~30% smaller parquet at comparable
+    // write CPU — at 100 TB that's 30% less scan IO on every downstream
+    // read, the dominant cost of the medallion fan-out. DuckDB/Arrow read
+    // it natively, so oracle parity is unaffected.
+    .config("spark.sql.parquet.compression.codec", "zstd")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int, shufflePartitions: Int = 0): SparkSession = {
