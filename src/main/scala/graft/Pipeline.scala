@@ -77,7 +77,8 @@ object Pipeline {
       seed: Long = 42L,
       exportCsv: Boolean = false,
       retry: RetryPolicy = RetryPolicy(),
-      hooks: Hooks = Hooks()): Seq[StageResult] = {
+      hooks: Hooks = Hooks(),
+      quarantine: Boolean = false): Seq[StageResult] = {
     val loadTs = java.sql.Timestamp.valueOf(s"$loadDate 00:00:00")
     val bronzeDir = s"$rootDir/bronze/shipments/$loadDate"
     val silverDir = s"$rootDir/silver/shipments"
@@ -90,7 +91,7 @@ object Pipeline {
       bronzeOut.write.mode(SaveMode.Overwrite).json(bronzeDir)
     }
 
-    val silverRows = retryStage("silver", retry, hooks) {
+    val (silverRows, quarantinedRows) = retryStage("silver", retry, hooks) {
       // precheck (orchestration.py:51-83) then bronze JSON → silver
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(bronzeDir), spark.sparkContext.hadoopConfiguration)
@@ -100,9 +101,22 @@ object Pipeline {
       // emptiness guard (reference `Silver_tranformation.py:67`): Dataset
       // .isEmpty, not rdd.isEmpty — no RDD conversion, stops at first row
       require(!bronze.isEmpty, s"bronze empty for $loadDate")
-      val silver = SilverTransform.transform(bronze, loadDate, loadTs)
+      val transformed = SilverTransform.transform(bronze, loadDate, loadTs)
+      // row-level quarantine replaces the reference's try/except-per-file
+      // (a bad record there silently drops the whole day): bad rows land
+      // inspectable under quarantine/, good rows proceed
+      val (silver, quarantined) = if (!quarantine) (transformed, 0L) else {
+        val split = graft.silver.DataQuality.check(transformed, graft.silver.DataQuality.silverRules)
+        val bad = split.quarantine.withColumn("violations",
+          org.apache.spark.sql.functions.concat_ws(",",
+            org.apache.spark.sql.functions.col("violations")))
+        val nBad = bad.count()
+        if (nBad > 0)
+          bad.write.mode(SaveMode.Overwrite).parquet(s"$rootDir/quarantine/silver/$loadDate")
+        (split.clean, nBad)
+      }
       silver.write.mode(SaveMode.Overwrite).partitionBy("load_date").parquet(silverDir)
-      spark.read.parquet(silverDir).where(s"load_date = '$loadDate'").count()
+      (spark.read.parquet(silverDir).where(s"load_date = '$loadDate'").count(), quarantined)
     }
 
     // silver → gold: one cached scan fans out to 7 outputs; one retryable
@@ -131,7 +145,11 @@ object Pipeline {
 
     val results = Seq(
       StageResult("bronze", nShipments, bronzeDir),
-      StageResult("silver", silverRows, silverDir)) ++ goldResults
+      StageResult("silver", silverRows, silverDir)) ++
+      (if (quarantine)
+        Seq(StageResult("quarantine", quarantinedRows, s"$rootDir/quarantine/silver/$loadDate"))
+      else Seq.empty) ++
+      goldResults
     hooks.onSuccess(results)
     results
   }

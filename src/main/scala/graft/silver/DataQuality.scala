@@ -19,9 +19,11 @@ object DataQuality {
 
   /** @param rules name → predicate that must hold for a clean row */
   def check(df: DataFrame, rules: Map[String, Column]): Split = {
-    val violated = array_compact(array(rules.map { case (name, pred) =>
+    // sorted by rule name so the violations array is deterministic — Map
+    // iteration order is an implementation detail
+    val violated = array_compact(array(rules.toSeq.sortBy(_._1).map { case (name, pred) =>
       when(!coalesce(pred, lit(false)), lit(name))
-    }.toSeq: _*))
+    }: _*))
     val flagged = df.withColumn("_violations", violated)
     Split(
       clean = flagged.filter(size(col("_violations")) === 0).drop("_violations"),

@@ -94,6 +94,17 @@ class LakehouseOpsSpec extends SparkTestBase {
     assert(exhausted === List("doomed"), "notify_failure fires exactly once")
   }
 
+  test("pipeline quarantine stage routes no clean generated rows, reports a stage result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quar_").toString
+    val results = graft.Pipeline.run(spark, tmp, "2024-01-01", nShipments = 200L, quarantine = true)
+    val q = results.find(_.stage == "quarantine").get
+    assert(q.rows === 0L, "generated bronze satisfies every silver rule")
+    // silver output is identical to a quality-off run on the same seed
+    val off = java.nio.file.Files.createTempDirectory("graft_quar_off_").toString
+    val base = graft.Pipeline.run(spark, off, "2024-01-01", nShipments = 200L)
+    assert(results.find(_.stage == "silver").get.rows === base.find(_.stage == "silver").get.rows)
+  }
+
   test("pipeline run fires the success hook with every stage result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_hooks_").toString
     var notified = Seq.empty[graft.Pipeline.StageResult]
