@@ -228,5 +228,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction(
       "graft_lsh_bands", exprs => BandedSignature(exprs(0),
         intArg(exprs(1), "numPlanes"), intArg(exprs(2), "bandBits")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopK(exprs(0), exprs(1), intArg(exprs(2), "k")), "built-in")
   }
 }

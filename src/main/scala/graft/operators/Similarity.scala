@@ -11,10 +11,12 @@ import graft.functions.GraftExpressions
   * Two tiers:
   *  - [[cosineTopK]] — exact brute force: broadcast the (small) query set,
   *    stream the vector table once, codegen'd dot product
-  *    ([[graft.functions.DotProduct]]), per-query top-k via window. This is
-  *    the correctness baseline and is already the right plan for "few
-  *    queries × huge corpus" at cluster scale (one scan, no shuffle of the
-  *    big side until the tiny top-k aggregation).
+  *    ([[graft.functions.DotProduct]]), per-query top-k via the bounded
+  *    [[graft.functions.TopK]] aggregate (partial+final — no task ever
+  *    holds more than k candidates per query). This is the correctness
+  *    baseline and the right plan for "few queries × huge corpus" at
+  *    cluster scale: one scan, and only k-element buffers cross the
+  *    shuffle.
   *  - [[lshTopK]] — random-hyperplane LSH: 16-bit sign signatures bucket
   *    the corpus; each query only scores its own bucket plus Hamming-1
   *    neighbors. Sub-linear candidate volume; recall measured against the
@@ -31,6 +33,22 @@ object Similarity {
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .drop("embedding")
 
+  /** Ranks scored candidates (query_id, neighbor_id, cos_sim) to the k
+    * best per query via the bounded [[graft.functions.TopK]] aggregate.
+    * Unlike `row_number().over(Window.partitionBy("query_id"))` — which
+    * shuffles EVERY candidate row of a query to one task and fully sorts
+    * it there — this reduces each input partition to ≤ k rows per query
+    * map-side (ObjectHashAggregate partial), ships only k-element
+    * buffers, and merges them in the final phase. Same total order
+    * (cos_sim desc, neighbor_id asc), so results are identical. */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(expr(s"graft_topk(neighbor_id, cos_sim, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("i", "nb")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("nb.neighbor_id").as("neighbor_id"), col("nb.cos_sim").as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries
     * selects the query set). Output: (query_id, rank, neighbor_id,
     * cos_sim), rank 1..k per query. */
@@ -39,16 +57,12 @@ object Similarity {
     val n = normed(emb)
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    n.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    topKRank(
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
+      k)
   }
 
   /** All pairs (a<b) with cosine ≥ threshold — embedding-space near-dup
@@ -161,17 +175,12 @@ object Similarity {
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val out = assigned.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
-    out
+    topKRank(
+      assigned.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
+      k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
@@ -211,16 +220,12 @@ object Similarity {
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    n.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id") &&
-        bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    topKRank(
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id") &&
+          bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
+      k)
   }
 }

@@ -58,4 +58,18 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"query set must broadcast:\n$plan")
   }
+
+  test("similarity top-k ranks via bounded partial aggregate, not a window sort") {
+    // the window form shuffles every scored candidate of a query to one
+    // task and sorts it there; the bounded TopK aggregate must show up as
+    // an ObjectHashAggregate pair with a partial phase instead
+    for (df <- Seq(
+        graft.operators.Similarity.cosineTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10),
+        graft.operators.Similarity.lshTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+      assert(plan.contains("partial_graft_topk"), s"expected partial top-k phase:\n$plan")
+      assert(!plan.contains("Window"), s"window-based ranking must be gone:\n$plan")
+    }
+  }
 }

@@ -82,6 +82,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("TopKHeap keeps exactly the k best under (score desc, id asc)") {
+    val rnd = new scala.util.Random(7)
+    for (k <- Seq(1, 3, 10, 50)) {
+      val items = Seq.fill(500)((rnd.nextInt(20).toDouble, rnd.nextLong() % 1000))
+      val h = new graft.functions.TopKHeap(k)
+      items.foreach { case (s, i) => h.insert(s, i) }
+      val got = h.sortedIndices().map(i => (h.scores(i), h.ids(i))).toSeq
+      val expected = items.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got === expected, s"k=$k")
+    }
+  }
+
+  test("TopKHeap merge across partial buffers equals a single global heap") {
+    val rnd = new scala.util.Random(11)
+    val items = Seq.fill(300)((rnd.nextInt(10).toDouble, rnd.nextLong() % 500))
+    val parts = items.grouped(75).toSeq
+    val partials = parts.map { p =>
+      val h = new graft.functions.TopKHeap(7)
+      p.foreach { case (s, i) => h.insert(s, i) }
+      h
+    }
+    val merged = new graft.functions.TopKHeap(7)
+    partials.foreach(merged.mergeFrom)
+    val got = merged.sortedIndices().map(i => (merged.scores(i), merged.ids(i))).toSeq
+    assert(got === items.sortBy { case (s, i) => (-s, i) }.take(7))
+  }
+
+  test("bounded-aggregate cosineTopK ≡ window-ranked reference on the corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Corpus.embeddings(spark, sf0001)
+    val n = Similarity.normed(emb)
+    val q = n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val windowed = n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val bounded = Similarity.cosineTopK(spark, emb, 5, 10)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(bounded === windowed)
+  }
+
   test("lshTopK recall vs brute force is usable on the corpus") {
     val emb = Corpus.embeddings(spark, sf0001)
     val brute = Similarity.cosineTopK(spark, emb, 5, 10)
