@@ -53,16 +53,26 @@ object Pipeline {
     var attempt = 0
     var delay = policy.backoffMs
     while (true) {
+      // NonFatal only: a VM error (OOM) or interrupt must propagate, not
+      // burn retries — retrying after OOM on the same plan rarely helps
+      // and hides the real failure
       try return body
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           hooks.onStageFailure(stage, e, attempt)
           if (attempt > policy.maxRetries) {
             hooks.onExhausted(stage, e)
             throw e
           }
-          if (delay > 0) Thread.sleep(delay)
+          if (delay > 0) {
+            try Thread.sleep(delay)
+            catch {
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt() // preserve the cancel signal
+                throw ie
+            }
+          }
           delay = (delay * policy.backoffFactor).toLong
       }
     }
@@ -105,17 +115,25 @@ object Pipeline {
       // row-level quarantine replaces the reference's try/except-per-file
       // (a bad record there silently drops the whole day): bad rows land
       // inspectable under quarantine/, good rows proceed
+      // with quarantine on, the transform output feeds three consumers
+      // (bad count, bad write, clean write) — persist it once so the
+      // transform runs a single time and the rule filters scan the cache
+      val cached = if (quarantine) Some(transformed.persist()) else None
       val (silver, quarantined) = if (!quarantine) (transformed, 0L) else {
         val split = graft.silver.DataQuality.check(transformed, graft.silver.DataQuality.silverRules)
         val bad = split.quarantine.withColumn("violations",
           org.apache.spark.sql.functions.concat_ws(",",
             org.apache.spark.sql.functions.col("violations")))
         val nBad = bad.count()
-        if (nBad > 0)
-          bad.write.mode(SaveMode.Overwrite).parquet(s"$rootDir/quarantine/silver/$loadDate")
+        // overwrite even when empty: a rerun of a date that previously had
+        // bad rows must not leave the stale quarantine dir on disk
+        // contradicting the rows=0 stage result
+        bad.write.mode(SaveMode.Overwrite).parquet(s"$rootDir/quarantine/silver/$loadDate")
         (split.clean, nBad)
       }
-      silver.write.mode(SaveMode.Overwrite).partitionBy("load_date").parquet(silverDir)
+      try {
+        silver.write.mode(SaveMode.Overwrite).partitionBy("load_date").parquet(silverDir)
+      } finally cached.foreach(_.unpersist())
       (spark.read.parquet(silverDir).where(s"load_date = '$loadDate'").count(), quarantined)
     }
 

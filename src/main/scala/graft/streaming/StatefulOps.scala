@@ -73,6 +73,10 @@ object StatefulOps {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
   final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+  /** Per-key state: the still-open session fragments, ascending by start,
+    * pairwise farther than the gap apart. A fragment is a session that
+    * more (late-but-within-watermark) events may yet extend or bridge. */
+  final case class SessionFrags(frags: List[OpenSession])
 
   private def closeSession(userId: Long, s: OpenSession): SessionOut =
     SessionOut(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
@@ -81,51 +85,53 @@ object StatefulOps {
   private def sessionize(gapMs: Long)(
       userId: Long,
       events: Iterator[SessionEvent],
-      state: GroupState[OpenSession]): Iterator[SessionOut] = {
-    if (state.hasTimedOut) {
-      // watermark passed session_end + gap: no event can extend this
-      // session any more — emit it closed and free the state
-      val out = closeSession(userId, state.get)
-      state.remove()
-      Iterator.single(out)
-    } else {
-      val sorted = events.toArray.sortBy(_.ts.getTime)
-      val closed = Vector.newBuilder[SessionOut]
-      var open = state.getOption.orNull
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        open match {
-          case null => open = OpenSession(t, t, 1L, e.value)
-          case s if t - s.end > gapMs =>
-            closed += closeSession(userId, s)
-            open = OpenSession(t, t, 1L, e.value)
-          case s =>
-            open = OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value)
-        }
-      }
-      // open can only be null on an empty invocation with no prior state
-      // (not expected from Spark, but guard rather than NPE the stream)
-      if (open != null) {
-        state.update(open)
-        state.setTimeoutTimestamp(
-          math.max(open.end + gapMs, state.getCurrentWatermarkMs() + 1))
-      }
-      closed.result().iterator
+      state: GroupState[SessionFrags]): Iterator[SessionOut] = {
+    // One uniform step for both the data and the timeout invocation:
+    // fold prior fragments with this batch's events (each a 1-event
+    // fragment) via an interval merge — two fragments within `gap` fuse
+    // (their aggregates are mergeable: min/max/sum). This is
+    // arrival-order-independent: a late event may extend a fragment's
+    // START, open a new earlier fragment, or BRIDGE two existing ones —
+    // exactly what the batch operator's global sort produces.
+    val wm = state.getCurrentWatermarkMs()
+    val prior = state.getOption.map(_.frags).getOrElse(Nil)
+    val incoming = events.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value))
+    val all = (prior ++ incoming).sortBy(f => (f.start, f.end))
+    val merged = List.newBuilder[OpenSession]
+    var cur: OpenSession = null
+    all.foreach { f =>
+      if (cur == null) cur = f
+      else if (f.start - cur.end <= gapMs)
+        cur = OpenSession(cur.start, math.max(cur.end, f.end), cur.n + f.n, cur.total + f.total)
+      else { merged += cur; cur = f }
     }
+    if (cur != null) merged += cur
+    // a fragment is provably closed only once the watermark passes
+    // end + gap: any event that could still extend or bridge it would
+    // have ts ≤ end + gap < watermark, i.e. Spark already drops it
+    val (closed, open) = merged.result().partition(_.end + gapMs < wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionFrags(open))
+      state.setTimeoutTimestamp(math.max(open.map(_.end).min + gapMs, wm + 1))
+    }
+    closed.map(closeSession(userId, _)).iterator
   }
 
   /** Gap-based streaming sessionization — the incremental counterpart of
     * [[graft.operators.Sessionize]] (same semantics: a session extends
-    * while consecutive events arrive within `gap`). Closed sessions are
-    * emitted as soon as they're provably closed: either a same-key event
-    * arrives beyond the gap, or the watermark passes session_end + gap
-    * (the event-time timeout) — which is also when the state is freed,
-    * so state size tracks OPEN sessions only, never history. Built on
-    * `flatMapGroupsWithState` because one input batch can close several
-    * sessions for a key (0..n outputs per invocation). */
+    * while consecutive events arrive within `gap`). Equivalence with the
+    * batch operator holds for ANY arrival order within the watermark:
+    * state keeps open session *fragments*, and a late event can extend a
+    * fragment backward, start an earlier one, or bridge two into one. A
+    * session is emitted exactly when the watermark passes its end + gap
+    * (the event-time timeout) — the moment it is provably closed — and
+    * its state is freed then, so state size tracks open fragments only,
+    * never history. Built on `flatMapGroupsWithState` because one
+    * invocation can close several sessions for a key. */
   def sessionizeStream(events: Dataset[SessionEvent], gap: java.time.Duration,
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
-    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val stateEnc = Encoders.product[SessionFrags]
     implicit val outEnc = Encoders.product[SessionOut]
     events
       .withWatermark("ts", watermarkDelay)

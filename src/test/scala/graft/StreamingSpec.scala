@@ -143,7 +143,7 @@ class StreamingSpec extends SparkTestBase {
     // be (correctly) dropped as late once the watermark reaches 10:01
     input.addData(Seq(evts(0), evts(1), evts(3)))
     q.processAllAvailable()
-    // in-batch close: the 10:30 event closes session [10:00,10:01] immediately
+    // the 10:30 event opens a second fragment; closure is watermark-driven
     input.addData(Seq(evts(2)))
     q.processAllAvailable()
     // advance the watermark far past every session_end + gap (two batches:
@@ -168,6 +168,55 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.map(s => (s._1, s._2.toString, s._5)) ===
       Set((1L, "2024-01-01 10:00:00.0", 3.0), (1L, "2024-01-01 10:30:00.0", 4.0),
         (2L, "2024-01-01 10:00:30.0", 8.0)))
+  }
+
+  test("sessionization handles out-of-order events within the watermark like batch") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[SessionEvent]
+    // 1h lateness bound: late-but-within-watermark events MUST land in the
+    // right session, even when they extend a session backward, open an
+    // earlier one, or bridge two open fragments into one
+    val sessions = StatefulOps.sessionizeStream(input.toDS(),
+      gap = java.time.Duration.ofMinutes(5), watermarkDelay = "1 hour")
+    val name = s"sess_ooo_${System.nanoTime()}"
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val batch1 = Seq(
+      SessionEvent(1L, t("2024-01-01 10:20:00"), 1.0),
+      SessionEvent(1L, t("2024-01-01 10:21:00"), 2.0),
+      SessionEvent(1L, t("2024-01-01 10:10:00"), 4.0)) // separate earlier fragment
+    val batch2 = Seq(
+      SessionEvent(1L, t("2024-01-01 10:18:00"), 8.0),  // extends [10:20] back AND...
+      SessionEvent(1L, t("2024-01-01 10:14:00"), 16.0), // ...bridges it with [10:10]
+      SessionEvent(1L, t("2024-01-01 10:00:00"), 32.0), // new earlier session
+      SessionEvent(1L, t("2024-01-01 10:04:00"), 64.0)) // extends it forward
+    input.addData(batch1)
+    q.processAllAvailable()
+    input.addData(batch2) // all ≥ 09:21 = watermark (10:21 − 1h) → accepted
+    q.processAllAvailable()
+    // advance the watermark past every session_end + gap (two batches)
+    input.addData(SessionEvent(9L, t("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    input.addData(SessionEvent(9L, t("2024-01-01 13:00:01"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).filter($"user_id" === 1L)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSet
+    // batch truth over the SAME events via the oracle-checked operator:
+    // sessions [10:00,10:04] and [10:10,10:21] (10:04→10:10 exceeds the gap)
+    val all = (batch1 ++ batch2).toDF("user_id", "ts", "value")
+    val batch = graft.operators.Sessionize.sessionStats(
+        all, "user_id", "ts", "ts", gapSeconds = 300L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed.map(s => (s._1, s._2, s._3, s._4)) === batch,
+      s"stream sessions $streamed != batch $batch")
+    assert(streamed.map(s => (s._2.toString, s._5)) ===
+      Set(("2024-01-01 10:00:00.0", 96.0), ("2024-01-01 10:10:00.0", 31.0)))
   }
 
   test("dropDuplicatesWithinWatermark dedups across micro-batches with bounded state") {
