@@ -110,18 +110,33 @@ object VersionedTable {
 
   /** Drops all but the newest `keep` committed versions (marker first,
     * then data dir). `keep ≥ 2` leaves the previous snapshot alive for
-    * readers that resolved it just before a commit. Returns the deleted
-    * version numbers. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+    * readers that resolved it just before a commit. Also removes ORPHAN
+    * snapshot dirs — `d-*` dirs no surviving marker references, left by a
+    * writer that crashed between the parquet write and the marker commit —
+    * but only those older than `orphanAgeMs` (default 1h), so an in-flight
+    * writer that has materialized its snapshot but not yet committed its
+    * marker isn't swept out from under it. Returns the deleted version
+    * numbers (orphans have no version; they don't appear). */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+      orphanAgeMs: Long = 3600000L): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
     val f = fs(spark, root)
     val all = markers(f, root)
     val doomed = all.dropRight(keep)
-    doomed.map { case (n, marker) =>
+    val deleted = doomed.map { case (n, marker) =>
       val dir = readMarker(f, marker)
       f.delete(marker, false)
       f.delete(new Path(root, dir), true)
       n
     }
+    val live = markers(f, root).map { case (_, m) => readMarker(f, m) }.toSet
+    val cutoff = System.currentTimeMillis() - orphanAgeMs
+    f.listStatus(new Path(root)).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("d-") && !live.contains(name) &&
+          st.getModificationTime < cutoff)
+        f.delete(st.getPath, true)
+    }
+    deleted
   }
 }

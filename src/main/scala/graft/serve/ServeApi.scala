@@ -44,11 +44,13 @@ object ServeApi {
       safely(ex)(trackingRoute(silver, model, config, ex)))
     server.createContext("/predict/country/", (ex: HttpExchange) =>
       safely(ex)(countryRoute(silver, config, ex)))
+    server.createContext("/ui", (ex: HttpExchange) => safely(ex)(
+      respondHtml(ex, 200, uiPage)))
     server.createContext("/", (ex: HttpExchange) => safely(ex) {
       if (ex.getRequestURI.getPath == "/")
         respond(ex, 200, jsonObj(Seq(
           "service" -> "graft-serving",
-          "routes" -> "/predict/tracking/?tracking_id=…, /predict/country/?country=…")))
+          "routes" -> "/ui, /predict/tracking/?tracking_id=…, /predict/country/?country=…")))
       else respond(ex, 404, jsonObj(Seq("error" -> "not found")))
     })
     // small fixed pool: request handling is IO-light, the work happens in
@@ -106,15 +108,24 @@ object ServeApi {
         agg.collect().headOption.filter(r => r.getLong(r.fieldIndex("n_shipments")) > 0) match {
           case None => respond(ex, 404, jsonObj(Seq("error" -> s"No data for country '$country'.")))
           case Some(row) =>
-            val avg = row.getDouble(row.fieldIndex("avg_delivery_days"))
-            val body = jsonObj(Seq(
-              "country" -> country.toUpperCase,
-              "n_shipments" -> row.getLong(row.fieldIndex("n_shipments")),
-              "average_delivery_days" -> avg,
-              "expected_delivery_date" ->
-                row.getDate(row.fieldIndex("expected_delivery_date")).toString))
-            logPrediction(silver, config, "country", country.toUpperCase, avg.toString)
-            respond(ex, 200, body)
+            val iAvg = row.fieldIndex("avg_delivery_days")
+            val iDate = row.fieldIndex("expected_delivery_date")
+            // shipments can exist with delivery_days all null (in transit,
+            // never delivered) — that's a data gap, not a server fault:
+            // answer 422 with a JSON error, don't let getDouble NPE into a 500
+            if (row.isNullAt(iAvg) || row.isNullAt(iDate))
+              respond(ex, 422, jsonObj(Seq("error" ->
+                s"No completed deliveries recorded for country '$country'.")))
+            else {
+              val avg = row.getDouble(iAvg)
+              val body = jsonObj(Seq(
+                "country" -> country.toUpperCase,
+                "n_shipments" -> row.getLong(row.fieldIndex("n_shipments")),
+                "average_delivery_days" -> avg,
+                "expected_delivery_date" -> row.getDate(iDate).toString))
+              logPrediction(silver, config, "country", country.toUpperCase, avg.toString)
+              respond(ex, 200, body)
+            }
         }
     }
 
@@ -128,6 +139,63 @@ object ServeApi {
         Seq((route, key, prediction, config.asOfDate))
           .toDF("route", "lookup_key", "prediction", "log_date"), dir)
     }
+
+  /** The thin HTML frontend (`API/delivery-frontend.html:1-74` in the
+    * reference): a one-field form over `/predict/country/`. Served from
+    * the same process on a relative URL, so it works on any host:port
+    * (the reference hardcodes `http://localhost:8000`). */
+  private[graft] val uiPage: String =
+    """<!DOCTYPE html>
+      |<html lang="en">
+      |<head>
+      |<meta charset="utf-8">
+      |<meta name="viewport" content="width=device-width, initial-scale=1">
+      |<title>Delivery time by country — graft</title>
+      |<style>
+      |  body{font:16px system-ui,sans-serif;max-width:40rem;margin:3rem auto;padding:0 1rem}
+      |  fieldset{border:1px solid #ccc;border-radius:6px;padding:1rem}
+      |  input,button{font:inherit;padding:.5rem;margin:.25rem 0}
+      |  input{width:100%;box-sizing:border-box}
+      |  button{cursor:pointer}
+      |  #out{margin-top:1rem;padding:.75rem;border-radius:6px;display:none}
+      |  #out.ok{background:#eef6ee;display:block}
+      |  #out.err{background:#f6eeee;display:block}
+      |</style>
+      |</head>
+      |<body>
+      |<h1>Delivery time by country</h1>
+      |<fieldset>
+      |  <label for="c">Destination country code (e.g. USA, IND)</label>
+      |  <input id="c" maxlength="10" autofocus>
+      |  <button id="go">Predict</button>
+      |</fieldset>
+      |<div id="out"></div>
+      |<script>
+      |const out = document.getElementById('out');
+      |async function go() {
+      |  const c = document.getElementById('c').value.trim().toUpperCase();
+      |  if (!c) return;
+      |  out.className = ''; out.textContent = '…';
+      |  try {
+      |    const r = await fetch('/predict/country/?country=' + encodeURIComponent(c));
+      |    const d = await r.json();
+      |    if (!r.ok || d.error) throw new Error(d.error || ('HTTP ' + r.status));
+      |    out.className = 'ok';
+      |    out.innerHTML = '<b>' + d.country + '</b>: ' + d.n_shipments +
+      |      ' shipments, avg ' + d.average_delivery_days.toFixed(1) +
+      |      ' days, expected ' + d.expected_delivery_date;
+      |  } catch (e) {
+      |    out.className = 'err';
+      |    out.textContent = 'Error: ' + e.message;
+      |  }
+      |}
+      |document.getElementById('go').addEventListener('click', go);
+      |document.getElementById('c').addEventListener('keydown',
+      |  e => { if (e.key === 'Enter') go(); });
+      |</script>
+      |</body>
+      |</html>
+      |""".stripMargin
 
   // ---- plumbing ----------------------------------------------------------
 
@@ -148,9 +216,16 @@ object ServeApi {
         URLDecoder.decode(v, "UTF-8") }
       .filter(_.nonEmpty)
 
-  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit =
+    respondWith(ex, status, body, "application/json; charset=utf-8")
+
+  private def respondHtml(ex: HttpExchange, status: Int, body: String): Unit =
+    respondWith(ex, status, body, "text/html; charset=utf-8")
+
+  private def respondWith(ex: HttpExchange, status: Int, body: String,
+      contentType: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

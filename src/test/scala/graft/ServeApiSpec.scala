@@ -107,6 +107,38 @@ class ServeApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("ui route serves the HTML frontend over the live country route") {
+    val server = ServeApi.start(silver, model = None, ServeApi.Config(asOfDate = "2024-06-01"))
+    try {
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${server.getAddress.getPort}/ui")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/html"), resp.headers().toString)
+      // the page must call the real serving route (relative URL, same host)
+      assert(resp.body().contains("/predict/country/"), resp.body().take(200))
+      assert(resp.body().toLowerCase.contains("<!doctype html"))
+    } finally server.stop(0)
+  }
+
+  test("country with shipments but no recorded delivery days answers 422, not 500") {
+    import spark.implicits._
+    // two in-transit shipments: n_shipments > 0 but sum/avg(delivery_days)
+    // is null — the data gap must surface as a JSON error, not an NPE→500
+    val gappy = Seq(
+      ("TN_A", "NULLYLAND", Option.empty[Int]),
+      ("TN_B", "NULLYLAND", Option.empty[Int]))
+      .toDF("tracking_number", "destination_country", "delivery_days")
+    val server = ServeApi.start(gappy, model = None, ServeApi.Config(asOfDate = "2024-06-01"))
+    try {
+      val (st, body) = get(server, "/predict/country/?country=NULLYLAND")
+      assert(st === 422, s"$st $body")
+      assert(body.contains("error") && body.contains("NULLYLAND"), body)
+    } finally server.stop(0)
+  }
+
   test("json writer escapes control and quote characters") {
     val s = ServeApi.jsonObj(Seq("k" -> "a\"b\\c\nd"))
     assert(s === """{"k":"a\"b\\c\nd"}""".replace("\n", "\\n"))

@@ -71,4 +71,25 @@ class VersionedTableSpec extends SparkTestBase {
     val dirs = new java.io.File(root).listFiles().count(_.getName.startsWith("d-"))
     assert(dirs === 2)
   }
+
+  test("vacuum removes aged orphan snapshots but spares young uncommitted ones") {
+    val root = tmpRoot("orph")
+    (1 to 2).foreach(n => VersionedTable.write(spark, root, spark.range(n.toLong).toDF("k")))
+    // simulate a writer that crashed between the snapshot write and the
+    // marker commit: a d-* dir no marker references
+    val orphan = new java.io.File(root, "d-deadbeef0000")
+    spark.range(5L).toDF("k").write.parquet(orphan.toString)
+    def dirNames = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("d-")).map(_.getName).toSet
+
+    // young orphan (age < threshold): spared — could be an in-flight commit
+    VersionedTable.vacuum(spark, root, keep = 2, orphanAgeMs = 3600000L)
+    assert(dirNames.contains("d-deadbeef0000"))
+
+    // aged orphan (threshold 0): swept; committed snapshots untouched
+    VersionedTable.vacuum(spark, root, keep = 2, orphanAgeMs = 0L)
+    assert(!dirNames.contains("d-deadbeef0000"), dirNames.toString)
+    assert(dirNames.size === 2)
+    assert(VersionedTable.read(spark, root).count() === 2L)
+  }
 }
