@@ -54,6 +54,7 @@ object Domain {
     flatCache.clear()
     Corpus.clearCache()
     graft.operators.Dedup.releaseCaches()
+    Text.releaseCaches()
   }
 
   // Minimal flat CTE for aggregate oracles (courier/status/days only need

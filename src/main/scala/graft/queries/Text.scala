@@ -20,6 +20,22 @@ object Text {
   // Shared SQL fragments (DuckDB): whitespace tokens with empties dropped.
   private val toksSql = "list_filter(str_split(text, ' '), t -> t <> '')"
 
+  // Same per-call persist registry as graft.operators.Dedup: frames shared
+  // by two plan branches are persisted here and freed by [[releaseCaches]]
+  // (wired into Domain.clearCache for long-lived drivers).
+  private val liveCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches += persisted
+    persisted
+  }
+
+  /** Unpersists every cache created by the text queries. */
+  def releaseCaches(): Unit = synchronized {
+    liveCaches.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    liveCaches.clear()
+  }
+
   /** Token counting: whitespace tokens, BPE-ish subword count, mean token
     * length. */
   private def t01(spark: SparkSession, dir: String): DataFrame =
@@ -275,10 +291,14 @@ object Text {
     * N/df). */
   private def t12(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.documents(spark, dir)
-    val terms = docs
+    // tf feeds BOTH the scored output and the df roll-up; Catalyst does
+    // not CSE across branches, so without the persist the explode + tf
+    // aggregation runs twice (measured ~2× at sf0.1). Released via
+    // Domain.clearCache (same lifecycle as the Dedup caches).
+    val terms = tracked(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
