@@ -11,7 +11,7 @@ import graft.silver.SilverTransform
   * gold) with one driver:
   *
   *   gen → bronze JSON → silver parquet (partitioned by load_date) →
-  *   gold parquet (dims/facts/KPIs, per-table dirs)
+  *   gold versioned parquet (dims/facts/KPIs, per-table [[graft.io.VersionedTable]]s)
   *
   * Stage properties preserved from the reference: idempotent
   * overwrite-per-partition writes, bronze-existence precheck, per-stage
@@ -79,6 +79,13 @@ object Pipeline {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Reads the current committed snapshot of a gold table written by
+    * [[run]] (gold tables are [[graft.io.VersionedTable]]s, not plain
+    * parquet dirs — read through the marker log, not the raw path). */
+  def readGold(spark: SparkSession, rootDir: String, loadDate: String,
+      table: String): DataFrame =
+    graft.io.VersionedTable.read(spark, s"$rootDir/gold/$loadDate/$table")
+
   def run(
       spark: SparkSession,
       rootDir: String,
@@ -138,7 +145,12 @@ object Pipeline {
     }
 
     // silver → gold: one cached scan fans out to 7 outputs; one retryable
-    // stage (all writes are overwrite-per-table, so a rerun is safe)
+    // stage. Each gold table is a VersionedTable (snapshot + atomic marker
+    // commit), so a rerun publishes a NEW snapshot instead of deleting the
+    // live one — a reader mid-rerun always resolves a complete committed
+    // table, never the partial/missing window a plain overwrite opens.
+    // vacuum(keep = 2) bounds storage across reruns while leaving the
+    // previous snapshot alive for readers that resolved it pre-commit.
     val goldResults = retryStage("gold", retry, hooks) {
       val silverBack = spark.read.parquet(silverDir)
         .where(s"load_date = '$loadDate'")
@@ -153,10 +165,12 @@ object Pipeline {
           "fact_tracking_event" -> StarSchema.factTrackingEvent(silverBack),
           "fact_courier_metrics" -> StarSchema.courierMetrics(silverBack))
         goldTables.map { case (name, df) =>
-          df.write.mode(SaveMode.Overwrite).parquet(s"$goldDir/$name")
+          val tableRoot = s"$goldDir/$name"
+          graft.io.VersionedTable.write(spark, tableRoot, df)
+          graft.io.VersionedTable.vacuum(spark, tableRoot, keep = 2)
           if (exportCsv)
             df.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$goldDir/csv/$name")
-          StageResult(s"gold/$name", spark.read.parquet(s"$goldDir/$name").count(), s"$goldDir/$name")
+          StageResult(s"gold/$name", readGold(spark, rootDir, loadDate, name).count(), tableRoot)
         }
       } finally silverBack.unpersist()
     }

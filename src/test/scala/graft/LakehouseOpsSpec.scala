@@ -63,6 +63,29 @@ class LakehouseOpsSpec extends SparkTestBase {
       "dynamic partition overwrite must preserve other load_dates")
   }
 
+  test("gold tables stay fully readable while a rerun republishes them") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_goldv_").toString
+    val r1 = graft.Pipeline.run(spark, tmp, "2024-01-01", nShipments = 300L)
+    val expected = r1.find(_.stage == "gold/fact_shipment").get.rows
+    // reader loops over the versioned gold table while the pipeline reruns;
+    // with a plain overwrite this window shows a missing/partial table
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() =>
+      try while (!stop.get()) observed.add(
+        graft.Pipeline.readGold(spark, tmp, "2024-01-01", "fact_shipment").count())
+      catch { case t: Throwable => failure.set(t) })
+    reader.start()
+    try graft.Pipeline.run(spark, tmp, "2024-01-01", nShipments = 300L)
+    finally { stop.set(true); reader.join(30000) }
+    assert(failure.get() === null, s"reader failed mid-rerun: ${failure.get()}")
+    import scala.jdk.CollectionConverters._
+    assert(observed.size() > 0, "reader must have completed at least one read")
+    assert(observed.asScala.toSet === Set(expected),
+      "every read during the rerun must see a complete committed snapshot")
+  }
+
   test("retryStage: transient failure succeeds on retry, each failure observed") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var exhausted = 0
@@ -115,6 +138,22 @@ class LakehouseOpsSpec extends SparkTestBase {
         "dim_shipment_status", "fact_shipment", "fact_tracking_event",
         "fact_courier_metrics").map(s => if (s.startsWith("dim") || s.startsWith("fact")) s"gold/$s" else s))
     assert(notified.forall(_.rows > 0))
+  }
+
+  test("PipelineMain: arg parsing and end-to-end run on an existing session") {
+    val a = PipelineMain.parse(Array("/data/lh", "2024-01-01",
+      "--shipments", "250", "--quarantine", "--retries", "2"))
+    assert(a === PipelineMain.Args("/data/lh", "2024-01-01",
+      nShipments = 250L, quarantine = true, retries = 2))
+    intercept[IllegalArgumentException](PipelineMain.parse(Array("/data/lh", "01-01-2024")))
+    intercept[IllegalArgumentException](PipelineMain.parse(Array("/data/lh", "2024-01-01", "--bogus")))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_main_").toString
+    val results = PipelineMain.run(spark,
+      PipelineMain.Args(tmp, "2024-01-01", nShipments = 200L, quarantine = true))
+    assert(results.exists(r => r.stage == "silver" && r.rows > 0))
+    assert(results.count(_.stage.startsWith("gold/")) === 7)
+    assert(Pipeline.readGold(spark, tmp, "2024-01-01", "fact_shipment").count() > 0)
   }
 
   test("upsert with duplicate update keys reports key-level counts") {
