@@ -134,6 +134,63 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate clusters from near-dup PAIRS: connected components over the
+    * pair graph, labeling every document with the minimum doc id of its
+    * component — the step that turns pairwise dedup output into an
+    * actionable keep/drop decision (keep `doc_id == cluster_id`, drop the
+    * rest). Input: a frame with `doc_a < doc_b` pair columns (any of
+    * [[minhashNearDups]] / [[simhashNearDups]] / [[blockedJaccardPairs]]).
+    * Output: (doc_id, cluster_id, cluster_size) for every doc that appears
+    * in at least one pair, ascending doc_id.
+    *
+    * Algorithm: min-label propagation — iterate "label := min(label,
+    * neighbors' labels)" to fixpoint. Each iteration is one shuffle join +
+    * one partial-aggregated groupBy on (id), so an iteration costs what a
+    * big equi-join costs; the iteration COUNT is bounded by the longest
+    * min-label path in a component. Near-dup components are stars/cliques
+    * around a canonical text (diameter ≤ 2-3), so 3-4 iterations close even
+    * a 100 TB corpus; a convergence check stops early and `maxIter` guards
+    * the pathological chain-of-dups case (where an alternating
+    * large-star/small-star scheme — Kiveris et al., "Connected Components
+    * in MapReduce and Beyond" — would be the upgrade). Throws if not
+    * converged rather than returning a partial clustering. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = tracked(pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prev = labels
+      // a node's next label: min over itself and all neighbors' labels
+      val msgs = edges.join(prev, edges("src") === prev("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = prev.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
+      // materialize next FULLY before dropping prev — a partially-cached
+      // next whose prev evaporated would recompute through the whole
+      // iteration chain (the classic iterative-lineage blowup)
+      next.count()
+      // labels only ever decrease, so "changed" is label < old; limit(1)
+      // stops the scan at the first change instead of counting them all
+      converged = next
+        .join(prev.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).limit(1).isEmpty
+      prev.unpersist()
+      labels = next
+      iter += 1
+    }
+    synchronized { liveCaches += labels } // released via releaseCaches
+    require(converged, s"dupClusters did not converge in $maxIter iterations " +
+      "(component diameter exceeds the bound — use large-star/small-star for chain-shaped graphs)")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact pairwise Jaccard restricted to an explicit blocking column —
     * the right tool when the domain has a natural partition (source,
     * language, time bucket) that near-dups can't cross.

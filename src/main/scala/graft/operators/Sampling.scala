@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable dataset splitting for training pipelines.
+  *
+  * `df.randomSplit` / `df.sample` are seed-AND-partitioning dependent: the
+  * same row can land in different splits when the input repartitions, files
+  * split differently, or the corpus grows — silently leaking yesterday's
+  * training docs into today's eval set. Content-hash bucketing fixes the
+  * assignment to the KEY alone: a document keeps its split forever, on any
+  * cluster layout, in any engine that can compute the same hash.
+  *
+  * The hash is the portable mod-2³¹ polynomial fold (h·31 + codepoint,
+  * mod 2³¹−1) — the same fingerprint the oracle-checked t10 query uses, so
+  * split assignment is reproducible bit-for-bit in DuckDB/SQL for audits.
+  * Evaluated as one codegen'd `aggregate` HOF over the key column: a scan,
+  * no shuffle, no UDF.
+  */
+object Sampling {
+
+  /** Portable fingerprint of a string column: fold (h·31 + codepoint)
+    * mod 2³¹−1 over its characters. Range [0, 2³¹−1). */
+  def portableFingerprint(c: String): Column =
+    expr(s"""aggregate(
+            |  filter(split($c, ''), ch -> ch != ''),
+            |  0L, (h, ch) -> pmod(h * 31 + ascii(ch), 2147483647))""".stripMargin)
+
+  /** Adds `bucket` ∈ [0, nBuckets) derived from the key column's content
+    * hash. Same key → same bucket, independent of partitioning, engine,
+    * or corpus growth. */
+  def withHashBucket(df: DataFrame, keyCol: String, nBuckets: Int = 100): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    df.withColumn("bucket", pmod(portableFingerprint(keyCol), lit(nBuckets)))
+  }
+
+  /** Adds `bucket` + `split` columns: `cuts` maps split names to bucket
+    * percentages summing to ≤ 100 (a shortfall leaves a holdout assigned
+    * to the LAST split). E.g. `Seq("train" -> 80, "validation" -> 10,
+    * "test" -> 10)` — buckets [0,80) train, [80,90) validation, rest test.
+    * Deterministic and stable: growing the corpus never reassigns an
+    * existing key's split. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      cuts: Seq[(String, Int)] = Seq("train" -> 80, "validation" -> 10, "test" -> 10))
+      : DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_._2 > 0) && cuts.map(_._2).sum <= 100,
+      s"cuts must be positive and sum to <= 100: $cuts")
+    val bounds = cuts.scanLeft(0) { case (acc, (_, pct)) => acc + pct }.tail
+    val splitCol = cuts.zip(bounds).dropRight(1)
+      .foldRight(lit(cuts.last._1): Column) { case (((name, _), bound), rest) =>
+        when(col("bucket") < bound, name).otherwise(rest)
+      }
+    withHashBucket(df, keyCol, 100).withColumn("split", splitCol)
+  }
+}

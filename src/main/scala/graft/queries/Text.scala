@@ -331,6 +331,56 @@ object Text {
        |FROM ranked WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Duplicate clustering: connected components over the minhash near-dup
+    * pairs (t07's graph), each doc labeled with its component's min doc_id
+    * — the pairs→clusters→keep-one step of a dedup pipeline. Oracle:
+    * DuckDB recursive-CTE transitive closure over the same brute-force
+    * pair set, so the hash gate checks the component labeling itself. */
+  private def t13(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.minhashNearDups(Corpus.documents(spark, dir), shingleSize = 3, threshold = 0.8))
+
+  private val t13Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM clusters c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** Deterministic train/validation/test split by content-hash bucket
+    * (80/10/10) — stable under repartitioning, corpus growth, and engine
+    * choice, unlike `randomSplit`. Bucket = portable mod-2³¹ fingerprint
+    * of the text, % 100 (same fold the t10 oracle verifies). */
+  private def t14(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(Corpus.documents(spark, dir), "text")
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val t14Sql = {
+    val fold =
+      s"""list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+    s"""SELECT doc_id, $fold % 100 AS bucket,
+       |  CASE WHEN $fold % 100 < 80 THEN 'train'
+       |       WHEN $fold % 100 < 90 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -343,5 +393,7 @@ object Text {
     QuerySpec("t09_dedup_jaccard_blocked", t09, Some(t09Sql)),
     QuerySpec("t10_fingerprint_mod", t10, Some(t10Sql)),
     QuerySpec("t11_redaction", t11, Some(t11Sql)),
-    QuerySpec("t12_tfidf_topterms", t12, Some(t12Sql)))
+    QuerySpec("t12_tfidf_topterms", t12, Some(t12Sql)),
+    QuerySpec("t13_dup_clusters", t13, Some(t13Sql)),
+    QuerySpec("t14_hash_split", t14, Some(t14Sql)))
 }

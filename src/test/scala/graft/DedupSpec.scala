@@ -67,4 +67,36 @@ class DedupSpec extends SparkTestBase {
     // 0 and 1 share source s1; 2 is in s2, so (0,2)/(1,2) are unreachable
     assert(pairs === Set((0L, 1L)))
   }
+
+  private def clustersOf(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Dedup.dupClusters(pairs.toDF("doc_a", "doc_b"))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("dupClusters: star, chain, and bridged components all label to the min id") {
+    // star {0,1,2} around 0; CHAIN 10-11-12-13 (10,13 never paired directly);
+    // bridge: {20,21} and {22,23} connected only through (21,22)
+    val m = clustersOf(Seq(
+      (0L, 1L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (22L, 23L), (21L, 22L)))
+    assert(Seq(0L, 1L, 2L).forall(m(_) === ((0L, 3L))), "star labels to hub's min id")
+    assert(Seq(10L, 11L, 12L, 13L).forall(m(_) === ((10L, 4L))),
+      "chain endpoints join transitively")
+    assert(Seq(20L, 21L, 22L, 23L).forall(m(_) === ((20L, 4L))),
+      "bridge pair fuses two components")
+    assert(m.size === 11, "only docs appearing in pairs are labeled")
+  }
+
+  test("dupClusters: empty pair set yields an empty clustering") {
+    assert(clustersOf(Seq.empty).isEmpty)
+  }
+
+  test("dupClusters on minhash pairs keeps one doc per planted dup group") {
+    val clusters = Dedup.dupClusters(Dedup.minhashNearDups(docs, threshold = 0.5))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L),
+      "the exact+near dup trio forms one cluster keyed by doc 0; 3/4 untouched")
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic hash-split: stability, disjointness, proportions. */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    spark.range(n.toLong).select(col("id").as("doc_id"),
+      concat(lit("document body number "), col("id"), lit(" with some text")).as("text"))
+
+  test("hashSplit: every row gets exactly one split; assignment is content-determined") {
+    val split = Sampling.hashSplit(corpus(500), "text")
+    assert(split.count() === 500)
+    assert(split.where(!col("split").isin("train", "validation", "test")).isEmpty)
+    // same content → same split, regardless of partitioning
+    val again = Sampling.hashSplit(corpus(500).repartition(13), "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first === again, "split assignment must not depend on partitioning")
+  }
+
+  test("hashSplit: proportions approximate the cuts and survive corpus growth") {
+    val n = 2000
+    val counts = Sampling.hashSplit(corpus(n), "text")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // hash buckets are uniform-ish; allow generous tolerance at n=2000
+    assert(math.abs(counts("train") - 0.80 * n) < 0.06 * n, s"train ~80%: $counts")
+    assert(math.abs(counts("validation") - 0.10 * n) < 0.04 * n, s"validation ~10%: $counts")
+    assert(math.abs(counts("test") - 0.10 * n) < 0.04 * n, s"test ~10%: $counts")
+    // growing the corpus never reassigns an existing key (randomSplit does)
+    val small = Sampling.hashSplit(corpus(500), "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val grown = Sampling.hashSplit(corpus(n), "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, s) => grown(id) === s },
+      "existing keys keep their split when the corpus grows")
+  }
+
+  test("hashSplit: custom cuts partition the bucket space in order") {
+    val rows = Sampling.hashSplit(corpus(300), "text",
+      Seq("a" -> 50, "b" -> 25, "c" -> 25))
+      .select("bucket", "split").as[(Long, String)].collect()
+    rows.foreach { case (b, s) =>
+      val expect = if (b < 50) "a" else if (b < 75) "b" else "c"
+      assert(s === expect, s"bucket $b mapped to $s")
+    }
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(corpus(1), "text", Seq("x" -> 60, "y" -> 60)))
+  }
+}
