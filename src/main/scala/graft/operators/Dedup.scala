@@ -155,11 +155,19 @@ object Dedup {
     * in MapReduce and Beyond" — would be the upgrade). Throws if not
     * converged rather than returning a partial clustering. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // symmetrize with ONE explode pass, not a self-union: the union's two
+    // branches would each evaluate `pairs` — typically a whole near-dup
+    // pipeline — twice (no cross-branch CSE in Catalyst)
     val edges = tracked(pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // seed with the 1-hop min already folded in (label = min(self,
+    // neighbors)) — same single shuffle a plain distinct() would cost,
+    // one fewer propagation round
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label")).persist()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -169,15 +177,13 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       val next = prev.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
-      // materialize next FULLY before dropping prev — a partially-cached
-      // next whose prev evaporated would recompute through the whole
-      // iteration chain (the classic iterative-lineage blowup)
-      next.count()
-      // labels only ever decrease, so "changed" is label < old; limit(1)
-      // stops the scan at the first change instead of counting them all
+      // ONE job per iteration: the change count both materializes next's
+      // cache fully (the join scans every partition — so dropping prev
+      // can't trigger the iterative-lineage blowup) and decides
+      // convergence (labels only ever decrease, so changed ⇔ label < old)
       converged = next
         .join(prev.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).limit(1).isEmpty
+        .filter(col("label") < col("old")).count() == 0L
       prev.unpersist()
       labels = next
       iter += 1
