@@ -77,17 +77,24 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Per-band LSH keys of a signature frame: (doc_id, band_idx,
+    * band_hash), one posexplode pass. The band hash is a function of
+    * (band index, that band's signature rows) only, so keys built at
+    * index time and query time agree. */
+  private def bandKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = array((0 until bands).map { b =>
+      val rowCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      xxhash64(lit(b) +: rowCols: _*)
+    }: _*)
+    sigs.select(col("doc_id"), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+  }
+
   /** LSH candidate pairs: docs sharing at least one band of the signature.
     * bands × rowsPerBand must equal k. The band table is built with ONE
     * posexplode pass — a union of per-band selects would re-run the whole
     * signature aggregation once per band (measured 8× cost at bench). */
   private def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandHashes = array((0 until bands).map { b =>
-      val rowCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      xxhash64(lit(b) +: rowCols: _*)
-    }: _*)
-    val keyed = sigs
-      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+    val keyed = bandKeys(sigs, bands, rowsPerBand)
     keyed.as("x")
       .join(keyed.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -125,6 +132,60 @@ object Dedup {
     cand
       .join(ex.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("sh")), "doc_a")
       .join(ex.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Builds a persisted near-dup INDEX under `dir`: `bands/` holds the
+    * per-document LSH band keys, `shingles/` the exploded shingle rows the
+    * exact verification needs. This is the production shape of dedup at
+    * corpus scale — the full corpus is signed ONCE, and each new batch is
+    * checked against the index ([[nearDupsAgainstIndex]]) instead of
+    * re-mining all pairs daily. On a cluster, bucket both tables by their
+    * join keys (band_hash / sh) so the daily probe is a co-located join. */
+  def buildNearDupIndex(docs: DataFrame, dir: String, shingleSize: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): Unit = {
+    val ex = tracked(withShingles(docs, shingleSize)
+      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
+    bandKeys(minhashSignatures(ex, numHashes), bands, numHashes / bands)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    ex.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Near-dup pairs between `newDocs` and the corpus indexed at `dir`
+    * (same parameters as at [[buildNearDupIndex]] time): band keys of the
+    * new batch equi-join the index's band table for candidates, then exact
+    * Jaccard verifies against the index's shingle table. Output:
+    * (doc_a = indexed id, doc_b = new id, jaccard), ascending. Cost scales
+    * with the BATCH, not the corpus: the corpus-side tables are only
+    * probed at their join keys, never re-signed. */
+  def nearDupsAgainstIndex(newDocs: DataFrame, dir: String, shingleSize: Int = 3,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val exNew = tracked(withShingles(newDocs, shingleSize)
+      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
+    val newKeys = bandKeys(minhashSignatures(exNew, numHashes), bands, numHashes / bands)
+    val idxKeys = spark.read.parquet(s"$dir/bands")
+    val cand = newKeys.as("n")
+      .join(idxKeys.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_hash") === col("o.band_hash") &&
+          // self-pairs appear when a doc is both indexed and in the batch
+          // (rerun/backfill); identity is not a dup
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    val idxShingles = spark.read.parquet(s"$dir/shingles")
+      .select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("sh"))
+    cand
+      .join(idxShingles, "doc_a")
+      .join(exNew.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("sh")),
+        Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

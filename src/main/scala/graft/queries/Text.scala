@@ -381,6 +381,28 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Incremental index-based dedup — the daily-batch production shape:
+    * the even-id half of the corpus is signed into a persisted band+shingle
+    * index ONCE, then the odd-id half probes it, so cost scales with the
+    * batch rather than the corpus. Oracle: brute-force cross-set Jaccard
+    * between the two halves (12 true pairs at sf0.01), so the hash gate
+    * verifies candidate generation against the on-disk index AND the
+    * exact verification arithmetic. */
+  private def t15(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toString
+    Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 2 === 0), tmp)
+    Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") % 2 === 1), tmp)
+  }
+
+  private val t15Sql =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -395,5 +417,6 @@ object Text {
     QuerySpec("t11_redaction", t11, Some(t11Sql)),
     QuerySpec("t12_tfidf_topterms", t12, Some(t12Sql)),
     QuerySpec("t13_dup_clusters", t13, Some(t13Sql)),
-    QuerySpec("t14_hash_split", t14, Some(t14Sql)))
+    QuerySpec("t14_hash_split", t14, Some(t14Sql)),
+    QuerySpec("t15_dedup_incremental", t15, Some(t15Sql)))
 }

@@ -93,6 +93,29 @@ class DedupSpec extends SparkTestBase {
     assert(clustersOf(Seq.empty).isEmpty)
   }
 
+  test("incremental dedup: a new batch finds its dups in the index, not in itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    Dedup.buildNearDupIndex(docs, dir) // corpus: docs 0-4 indexed
+    // batch: 10/11 = exact dups of indexed 2 (and j≈0.54 near-dups of 0/1
+    // — the same delta-edit the in-corpus LSH test relies on; at j≈0.54 an
+    // 8×4 banding detects with p≈0.5, so a fresh edit word could
+    // legitimately miss); 12 = unrelated
+    val batch = Seq(
+      (10L, base.replace("delta", "DELTA-EDIT"), "s9"),
+      (11L, base.replace("delta", "DELTA-EDIT"), "s9"),
+      (12L, "utterly disjoint vocabulary appears in this very document body", "s9"))
+      .toDF("doc_id", "text", "source")
+    val hits = Dedup.nearDupsAgainstIndex(batch, dir, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(hits === Set((0L, 10L), (1L, 10L), (2L, 10L), (0L, 11L), (1L, 11L), (2L, 11L)),
+      "batch docs pair with INDEXED near-dups only — (10,11) is not reported " +
+        "and unrelated 12 pairs with nothing")
+    // identity guard: re-probing an already-indexed doc must not self-pair
+    val rerun = Dedup.nearDupsAgainstIndex(docs.filter($"doc_id" === 0L), dir, threshold = 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(rerun === Set((1L, 0L)), "doc 0 finds its exact dup 1 but never itself")
+  }
+
   test("dupClusters on minhash pairs keeps one doc per planted dup group") {
     val clusters = Dedup.dupClusters(Dedup.minhashNearDups(docs, threshold = 0.5))
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
