@@ -59,6 +59,13 @@ class PlanSpec extends SparkTestBase {
       s"query set must broadcast:\n$plan")
   }
 
+  test("t15 incremental dedup: batch probes the index by equi-join, never n²") {
+    val plan = planOf("t15_dedup_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"index probe must equi-join on (band_idx, band_hash) and (doc, shingle):\n$plan")
+    assert(plan.contains("partial_min"), s"signature min-agg must have a map-side phase:\n$plan")
+  }
+
   test("similarity top-k ranks via bounded partial aggregate, not a window sort") {
     // the window form shuffles every scored candidate of a query to one
     // task and sorts it there; the bounded TopK aggregate must show up as
