@@ -403,6 +403,39 @@ object Text {
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Train/eval contamination report — the composition of t14's
+    * deterministic split and t15's index probe: which eval-set documents
+    * are near-dups of a training document? (A contaminated eval set
+    * silently inflates benchmark scores; this is the audit a training
+    * pipeline runs before publishing a split.) Exact dups can never cross
+    * splits (identical text → identical bucket), so every row here is a
+    * genuine NEAR-dup leak (9 at sf0.01). Oracle: brute-force cross-split
+    * Jaccard with the split recomputed from the portable fold. */
+  private def t16(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Sampling.hashSplit(Corpus.documents(spark, dir), "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contam_idx_").toString
+    Dedup.buildNearDupIndex(docs.filter(col("split") === "train"), tmp)
+    Dedup.nearDupsAgainstIndex(docs.filter(col("split") =!= "train"), tmp)
+      .select(col("doc_a").as("train_doc"), col("doc_b").as("eval_doc"), col("jaccard"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  private val t16Sql = {
+    val fold =
+      s"""list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+    s"""WITH $shingleCte,
+       |spl AS (SELECT doc_id, $fold % 100 < 80 AS is_train FROM documents)
+       |SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |FROM sh a JOIN spl sa ON a.doc_id = sa.doc_id AND sa.is_train
+       |     JOIN sh b ON true
+       |     JOIN spl sb ON b.doc_id = sb.doc_id AND NOT sb.is_train
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8
+       |ORDER BY train_doc, eval_doc""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -418,5 +451,6 @@ object Text {
     QuerySpec("t12_tfidf_topterms", t12, Some(t12Sql)),
     QuerySpec("t13_dup_clusters", t13, Some(t13Sql)),
     QuerySpec("t14_hash_split", t14, Some(t14Sql)),
-    QuerySpec("t15_dedup_incremental", t15, Some(t15Sql)))
+    QuerySpec("t15_dedup_incremental", t15, Some(t15Sql)),
+    QuerySpec("t16_contamination", t16, Some(t16Sql)))
 }
