@@ -142,15 +142,25 @@ object Similarity {
   def ivfTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     GraftExpressions.register(spark)
+    val (assigned, centroidDf) = fitIvf(spark, emb, nCells)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    probeIvf(assigned, centroidDf, q, k, nProbe)
+  }
+
+  /** Fits the IVF coarse quantizer and assigns every corpus vector to a
+    * cell. The quantizer only needs approximate centroids: fit on a
+    * deterministic ~25% hash sample with few iterations (training cost is
+    * iterations × sample, the dominant term of IVF build). Assignment of
+    * the FULL corpus uses the fitted centroids, so recall depends only on
+    * centroid quality — sampled+capped fit measurably changes nothing at
+    * nProbe/nCells = 1/4 (recall test in SimilaritySpec). Deterministic:
+    * hash sample + fixed seed, so two builds agree bit-for-bit. */
+  private def fitIvf(spark: SparkSession, emb: DataFrame, nCells: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val n = normed(emb).withColumn("fv", array_to_vector(col("v")))
-    // The coarse quantizer only needs approximate centroids: fit on a
-    // deterministic ~25% hash sample with few iterations (training cost is
-    // iterations × sample, the dominant term of IVF build). Assignment of
-    // the FULL corpus uses the fitted centroids, so recall depends only on
-    // centroid quality — sampled+capped fit measurably changes nothing at
-    // nProbe/nCells = 1/4 (recall test in SimilaritySpec).
     val fitSample = n.where(pmod(xxhash64(col("vec_id")), lit(4)) === 0).cache()
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("cell")
@@ -158,15 +168,17 @@ object Similarity {
     fitSample.unpersist()
     val assigned = model.transform(n).drop("fv")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centroidDf = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+    (assigned, spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
+  }
 
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // rank cells per query by the SAME metric KMeans assigns with —
-    // squared Euclidean distance: |q-c|² = |q|² - 2q·c + |c|²; |q|² is
-    // constant per query, so rank by |c|² - 2q·c. Ranking by raw dot
-    // product instead can drop the query's own cell when centroid norms
-    // differ (max-inner-product ≠ nearest-centroid).
+  /** Scores `q` (query_id, qv, qnrm) against the `nProbe` nearest cells of
+    * an assigned corpus. Cells rank by the SAME metric KMeans assigns
+    * with — squared Euclidean distance: |q-c|² = |q|² - 2q·c + |c|²; |q|²
+    * is constant per query, so rank by |c|² - 2q·c. Ranking by raw dot
+    * product instead can drop the query's own cell when centroid norms
+    * differ (max-inner-product ≠ nearest-centroid). */
+  private def probeIvf(assigned: DataFrame, centroidDf: DataFrame,
+      q: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val cellRank = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
     val probes = q.crossJoin(broadcast(centroidDf))
       .withColumn("cdist",
@@ -174,13 +186,42 @@ object Similarity {
       .withColumn("crank", row_number().over(cellRank))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
-
     topKRank(
       assigned.join(broadcast(probes), "cell")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
       k)
+  }
+
+  /** Persists an IVF index under `dir`: `centroids/` (cell, centroid) and
+    * `assigned/` (vec_id, v, nrm, cell; parquet partitioned by cell).
+    * Fitting the quantizer + signing the corpus is the expensive part of
+    * IVF — build it ONCE per corpus and serve arbitrary query batches via
+    * [[ivfTopKAgainstIndex]]. Cell-partitioned layout means a probe reads
+    * only its nProbe cells' partitions (partition pruning / DPP on the
+    * cell join), the on-disk analog of the inverted-file layout. */
+  def buildIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      nCells: Int = 16): Unit = {
+    GraftExpressions.register(spark)
+    val (assigned, centroidDf) = fitIvf(spark, emb, nCells)
+    centroidDf.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  /** Top-k over the persisted index at `dir` for a batch of query vectors
+    * (same (vec_id, embedding) shape as the corpus; a query whose vec_id
+    * exists in the index never matches itself). Bit-identical to running
+    * [[ivfTopK]] over the same corpus — the fit is deterministic and
+    * doubles round-trip parquet exactly (asserted in SimilaritySpec). */
+  def ivfTopKAgainstIndex(spark: SparkSession, queries: DataFrame, dir: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    GraftExpressions.register(spark)
+    val q = normed(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    probeIvf(
+      spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/centroids"), q, k, nProbe)
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a

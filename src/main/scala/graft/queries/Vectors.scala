@@ -134,11 +134,26 @@ object Vectors {
   private def v04(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5, k = 10)
 
+  /** IVF index round trip — the serve-path shape: the corpus is signed
+    * ONCE into a persisted centroids+assignments index (cell-partitioned
+    * parquet), then the query batch probes the on-disk index without
+    * re-fitting the quantizer. Bit-identical to v04's in-memory path
+    * (deterministic fit; doubles round-trip parquet exactly — asserted in
+    * SimilaritySpec). Rows-only for the driver (KMeans isn't
+    * SQL-expressible). */
+  private def v05(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Corpus.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+    Similarity.buildIvfIndex(spark, emb, tmp)
+    Similarity.ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), tmp, k = 10)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
     QuerySpec("v03_ann_lsh_topk", v03, None),
     QuerySpec("v04_ann_ivf_topk", v04, None),
+    QuerySpec("v05_ann_ivf_index", v05, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)))
 }

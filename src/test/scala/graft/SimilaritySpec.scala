@@ -141,4 +141,17 @@ class SimilaritySpec extends SparkTestBase {
     // see Similarity.lshTopK scaladoc for the math
     assert(recall >= 0.15, s"recall $recall")
   }
+
+  test("persisted IVF index probe is bit-identical to the in-memory ivfTopK") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+    Similarity.buildIvfIndex(spark, emb, dir)
+    val fromIndex = Similarity
+      .ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), dir, k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val inMemory = Similarity.ivfTopK(spark, emb, nQueries = 5, k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fromIndex === inMemory,
+      "deterministic fit + exact double round trip ⇒ identical results")
+  }
 }
