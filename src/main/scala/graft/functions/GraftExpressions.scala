@@ -209,6 +209,53 @@ object BandedSignature {
   final class PlaneSet(val dim: Int, val planes: Array[Double])
 }
 
+/** Count of the most frequent element of a string array — the per-row
+  * kernel of Gopher-style repetition filters (top n-gram fraction). The
+  * HOF equivalent (`array_max(transform(array_distinct(g), x ->
+  * size(filter(g, y -> y = x))))`) is O(n·distinct) comparisons per row
+  * with two interpreted lambdas per element; this is one O(n) hash pass
+  * inside whole-stage codegen, which is what keeps the repetition filter
+  * at scan speed over long real-world documents. Null elements are
+  * skipped; an empty array yields 0.
+  */
+case class ModeCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mode_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ModeCount.top(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ModeCount.top($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ModeCount =
+    copy(child = newChild)
+}
+
+object ModeCount {
+  /** One hash pass over the array. Keys are the array's UTF8Strings,
+    * which stay valid for the duration of the call (content-based
+    * hashCode/equals, no copy). */
+  def top(a: ArrayData): Long = {
+    val n = a.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](math.max(8, n))
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        var c = counts.get(a.getUTF8String(i))
+        if (c == null) { c = new Array[Int](1); counts.put(a.getUTF8String(i), c) }
+        c(0) += 1
+        if (c(0) > best) best = c(0)
+      }
+      i += 1
+    }
+    best.toLong
+  }
+}
+
 /** Registers the custom expressions in a session's function registry so
   * they are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftExpressions {
@@ -230,5 +277,7 @@ object GraftExpressions {
         intArg(exprs(1), "numPlanes"), intArg(exprs(2), "bandBits")), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopK(exprs(0), exprs(1), intArg(exprs(2), "k")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_mode_count", exprs => ModeCount(exprs.head), "built-in")
   }
 }

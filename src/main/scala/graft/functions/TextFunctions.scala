@@ -34,6 +34,14 @@ object TextFunctions {
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n))))))
 
+  /** Word n-grams in document order with duplicates KEPT — the unit the
+    * repetition filters count over ([[shingles]] is the distinct variant
+    * for Jaccard). Same short-document guard as [[shingles]]. */
+  def ngramsAll(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
   /** |A∩B| / |A∪B| on pre-distinct shingle arrays; exact integer counts so
     * the double division is bit-identical cross-engine. */
   def jaccard(a: Column, b: Column): Column =

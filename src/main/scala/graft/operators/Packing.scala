@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Greedy concat-and-chunk sequence packing for LLM training: documents
+  * are concatenated in a deterministic order and cut into fixed
+  * `ctxLen`-token training sequences; each document learns the sequence
+  * range `[seq_first, seq_last]` it occupies (a document crossing a
+  * boundary spans several sequences — the standard pack-then-chunk
+  * layout, no padding waste).
+  *
+  * Scale shape: a single global running sum would be one window task, so
+  * the corpus is sharded by content hash first — packing is independent
+  * per shard (the production layout: one packed output stream per
+  * shard), the running-sum window runs per shard, and shard count scales
+  * with the corpus. Order within a shard is (fingerprint, id): fully
+  * deterministic under any input partitioning, file layout, or engine.
+  * All arithmetic is integer (token counts, running sums, `DIV`), so
+  * results are bit-identical cross-engine — the t20 oracle replays the
+  * same layout in DuckDB.
+  *
+  * Reference scope: the reference pipeline has no packing stage; this
+  * extends its training-data surface per the large-scale-pipeline
+  * mandate (SURVEY §2.13).
+  */
+object Packing {
+
+  /** Adds `shard`, `cum_before` (tokens packed before this doc in its
+    * shard), `seq_first`, `seq_last` to `df`. `tokenCol` must be a
+    * non-negative integer column; rows with 0 tokens are dropped (they
+    * occupy no sequence). `idCol` breaks ties between identical keys. */
+  def packSequences(df: DataFrame, keyCol: String, idCol: String,
+      tokenCol: String, ctxLen: Int, nShards: Int): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_fp"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(tokenCol) > 0)
+      .withColumn("_fp", Sampling.portableFingerprint(keyCol))
+      .withColumn("shard", pmod(col("_fp"), lit(nShards)))
+      .withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"cum_before DIV $ctxLen"))
+      .withColumn("seq_last", expr(s"(cum_before + $tokenCol - 1) DIV $ctxLen"))
+      .drop("_fp")
+  }
+}

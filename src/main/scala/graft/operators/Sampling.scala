@@ -53,4 +53,23 @@ object Sampling {
       }
     withHashBucket(df, keyCol, 100).withColumn("split", splitCol)
   }
+
+  /** Deterministic stratified downsampling toward a target mixture: each
+    * stratum keeps `rates(stratum)`% of its rows (strata absent from
+    * `rates` keep 100%), chosen by content-hash bucket — the
+    * mixture-weighting step of a training-data pipeline (e.g. rebalance
+    * an English-heavy corpus before tokenization). Unlike `df.sample`,
+    * the keep decision is a pure function of the key: re-runs, engine
+    * changes, and corpus growth never flip an existing row, so
+    * incremental batches compose with previously published mixes.
+    * Scan-only — the decision is a per-row hash compare, no shuffle. */
+  def stratifiedKeep(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Int]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 100),
+      s"rates must be percentages in 0..100: $rates")
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(100): Column) {
+      case (acc, (stratum, pct)) => when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    withHashBucket(df, keyCol, 100).withColumn("kept", col("bucket") < rateCol)
+  }
 }

@@ -436,6 +436,144 @@ object Text {
        |ORDER BY train_doc, eval_doc""".stripMargin
   }
 
+  /** Unigram-LM quality score (the CCNet shape, LM = the corpus itself):
+    * each document scores as the mean log-probability of its tokens under
+    * the corpus unigram distribution — rare-token-heavy (low-quality or
+    * off-domain) documents score low. Determinism: counts and totals are
+    * exact integers; the per-token `ln` is rounded through the
+    * DECIMAL(30,6) detour before summing ([[Num.davg]]), so the mean is
+    * accumulation-order- and libm-ulp-independent. Scale: one explode
+    * (persisted — it feeds the LM counts, the total, and the scoring
+    * join), a broadcast of the vocabulary-sized LM, and one partial+final
+    * agg per doc; swap the broadcast for a shuffle join when the vocab
+    * outgrows it. */
+  private def t17(spark: SparkSession, dir: String): DataFrame = {
+    val terms = tracked(Corpus.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
+    val lm = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val n = terms.select(count(lit(1)).as("n_total"))
+    terms
+      .join(broadcast(lm), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("logp", log(col("c").cast("double") / col("n_total")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), Num.davg(col("logp")).as("mean_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t17Sql =
+    s"""WITH terms AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |lm AS (SELECT term, COUNT(*) AS c FROM terms GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_total FROM terms)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  ${Num.davgSql("ln(CAST(c AS DOUBLE) / n_total)")} AS mean_logp
+       |FROM terms JOIN lm USING (term) CROSS JOIN n
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition filter: duplicate-token fraction and
+    * top-bigram fraction per document, with a keep decision at thresholds
+    * chosen to split this corpus (dup ≤ 0.65, top-bigram ≤ 0.06 — the
+    * published Gopher rules use the same signals over lines/n-grams).
+    * Entirely per-row (zero shuffle, scan speed): the bigram mode count
+    * runs through the codegen'd O(n) `graft_mode_count` expression rather
+    * than the O(n·distinct) HOF the oracle mirrors. */
+  private def t18(spark: SparkSession, dir: String): DataFrame = {
+    GraftExpressions.register(spark)
+    Corpus.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("bg", TextFunctions.ngramsAll(col("toks"), 2))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+      .withColumn("top_bigram_count", expr("graft_mode_count(bg)"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_count").cast("double") / (col("n_tokens") - 1))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("dup_token_frac"), col("top_bigram_count"), col("top_bigram_frac"),
+        (col("dup_token_frac") <= 0.65 && col("top_bigram_frac") <= 0.06).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t18Sql =
+    s"""WITH feat AS (
+       |  SELECT doc_id, len(sp) AS n_tokens, len(list_distinct(sp)) AS n_distinct,
+       |    [sp[i] || ' ' || sp[i+1] for i in range(1, len(sp))] AS bg
+       |  FROM (SELECT doc_id, $toksSql AS sp FROM documents)
+       |  WHERE len(sp) >= 2),
+       |f2 AS (
+       |  SELECT doc_id, n_tokens, n_distinct,
+       |    CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+       |    CAST(list_max(list_transform(list_distinct(bg),
+       |      b -> len(list_filter(bg, x -> x = b)))) AS BIGINT) AS top_bigram_count
+       |  FROM feat)
+       |SELECT doc_id, n_tokens, n_distinct, dup_token_frac, top_bigram_count,
+       |  CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
+       |  dup_token_frac <= 0.65
+       |    AND CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1) <= 0.06 AS keep
+       |FROM f2
+       |ORDER BY doc_id""".stripMargin
+
+  /** Domain-mixture resampling: deterministic stratified downsampling of
+    * the English-heavy corpus (en keeps 40% by content-hash bucket, other
+    * languages keep all) — the mixture-weighting step before tokenization.
+    * Stable under re-runs and corpus growth, unlike `sample`. */
+  private def t19(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedKeep(Corpus.documents(spark, dir), "text", "lang", Map("en" -> 40))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("kept"))
+      .orderBy(col("doc_id"))
+
+  private val t19Sql = {
+    val fold =
+      s"""list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+    s"""SELECT doc_id, lang, $fold % 100 AS bucket,
+       |  ($fold % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END) AS kept
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequence packing for training: concat-and-chunk into 512-token
+    * sequences across 8 content-hash shards (see
+    * [[graft.operators.Packing]]) — each doc learns which training
+    * sequences it lands in. The oracle replays the identical integer
+    * layout in DuckDB, so the hash gate checks shard assignment, the
+    * deterministic order, and the running sums. */
+  private def t20(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+      Corpus.documents(spark, dir)
+        .withColumn("n_tokens", tokenCount(col("text")).cast("long")),
+      keyCol = "text", idCol = "doc_id", tokenCol = "n_tokens",
+      ctxLen = 512, nShards = 8)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_before"),
+        col("seq_first"), col("seq_last"))
+      .orderBy(col("doc_id"))
+
+  private val t20Sql = {
+    val fold =
+      s"""list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, $fold AS fp, $fold % 8 AS shard,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE len($toksSql) > 0),
+       |w AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY fp, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM base)
+       |SELECT doc_id, shard, n_tokens, cum_before,
+       |  cum_before // 512 AS seq_first,
+       |  (cum_before + n_tokens - 1) // 512 AS seq_last
+       |FROM w
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -452,5 +590,9 @@ object Text {
     QuerySpec("t13_dup_clusters", t13, Some(t13Sql)),
     QuerySpec("t14_hash_split", t14, Some(t14Sql)),
     QuerySpec("t15_dedup_incremental", t15, Some(t15Sql)),
-    QuerySpec("t16_contamination", t16, Some(t16Sql)))
+    QuerySpec("t16_contamination", t16, Some(t16Sql)),
+    QuerySpec("t17_lm_quality", t17, Some(t17Sql)),
+    QuerySpec("t18_repetition_filter", t18, Some(t18Sql)),
+    QuerySpec("t19_mixture_resample", t19, Some(t19Sql)),
+    QuerySpec("t20_sequence_pack", t20, Some(t20Sql)))
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Sequence-packing invariants: running sums are gapless within a shard,
+  * no tokens are lost, sequence ranges cover exactly each doc's span, and
+  * the layout is deterministic under input partitioning. */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    spark.range(n.toLong).select(
+      col("id").as("doc_id"),
+      concat(lit("doc "), col("id"), lit(" body text")).as("text"),
+      (pmod(col("id") * 37, lit(90)) + 10).as("n_tokens"))
+
+  private case class Packed(docId: Long, shard: Long, nTokens: Long,
+      cumBefore: Long, seqFirst: Long, seqLast: Long)
+
+  private def pack(df: org.apache.spark.sql.DataFrame, ctx: Int = 64, shards: Int = 4) =
+    Packing.packSequences(df, "text", "doc_id", "n_tokens", ctx, shards)
+      .select("doc_id", "shard", "n_tokens", "cum_before", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map((Packed.apply _).tupled)
+
+  test("within a shard the running sum is gapless and starts at zero") {
+    val rows = pack(corpus(300))
+    rows.groupBy(_.shard).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_.cumBefore)
+      assert(ordered.head.cumBefore === 0L, s"shard $shard must start at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.cumBefore === a.cumBefore + a.nTokens,
+            s"shard $shard: doc ${b.docId} leaves a gap after ${a.docId}")
+        case _ => ()
+      }
+    }
+    // no tokens lost: per-shard totals equal the input totals
+    assert(rows.map(_.nTokens).sum === corpus(300).agg(sum("n_tokens")).as[Long].head())
+  }
+
+  test("sequence ranges cover exactly each doc's token span") {
+    val ctx = 64
+    val rows = pack(corpus(300), ctx = ctx)
+    rows.foreach { r =>
+      assert(r.seqFirst === r.cumBefore / ctx)
+      assert(r.seqLast === (r.cumBefore + r.nTokens - 1) / ctx)
+      assert(r.seqLast >= r.seqFirst)
+      // a doc shorter than ctx spans at most 2 sequences (one boundary)
+      if (r.nTokens <= ctx) assert(r.seqLast - r.seqFirst <= 1)
+    }
+  }
+
+  test("layout is deterministic under input partitioning; zero-token rows drop") {
+    val base = pack(corpus(250)).sortBy(_.docId).toSeq
+    val shuffled = pack(corpus(250).repartition(13)).sortBy(_.docId).toSeq
+    assert(base === shuffled, "packing must not depend on input partitioning")
+    val withEmpty = corpus(250)
+      .withColumn("n_tokens", when(col("doc_id") % 5 === 0, 0L).otherwise(col("n_tokens")))
+    assert(pack(withEmpty).length === 200, "0-token rows occupy no sequence")
+  }
+}

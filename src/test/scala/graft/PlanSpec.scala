@@ -66,6 +66,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_min"), s"signature min-agg must have a map-side phase:\n$plan")
   }
 
+  test("t18 repetition filter: per-row scan, no join or aggregation") {
+    val plan = planOf("t18_repetition_filter")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"repetition features are per-row — any join/agg means a needless shuffle:\n$plan")
+    assert(plan.contains("graft_mode_count"),
+      s"bigram mode must run through the codegen'd O(n) expression:\n$plan")
+  }
+
+  test("t17 LM scoring: vocabulary joins broadcast; per-doc agg has a map-side phase") {
+    val plan = planOf("t17_lm_quality")
+    assert(plan.contains("BroadcastHashJoin"), s"LM table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the token→LM join must not sort-merge the exploded corpus:\n$plan")
+    assert(plan.contains("partial_count"), s"doc agg needs map-side combine:\n$plan")
+  }
+
+  test("t20 packing: one shuffle on the shard key, then a per-shard window") {
+    val plan = planOf("t20_sequence_pack")
+    assert(plan.contains("Window"), s"running sum must be a window:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"window must partition by shard (a global running sum would be one task):\n$plan")
+  }
+
   test("similarity top-k ranks via bounded partial aggregate, not a window sort") {
     // the window form shuffles every scored candidate of a query to one
     // task and sorts it there; the bounded TopK aggregate must show up as

@@ -51,4 +51,34 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(corpus(1), "text", Seq("x" -> 60, "y" -> 60)))
   }
+
+  private def mixCorpus(n: Int) =
+    corpus(n).withColumn("lang",
+      when(col("doc_id") % 4 === 0, "fr").otherwise("en"))
+
+  test("stratifiedKeep: rates apply per stratum; absent strata keep everything") {
+    val n = 2000
+    val kept = Sampling.stratifiedKeep(mixCorpus(n), "text", "lang", Map("en" -> 40))
+      .filter(col("kept")).groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("fr") === n / 4, "absent stratum must keep 100%")
+    val nEn = n - n / 4
+    assert(math.abs(kept("en") - 0.40 * nEn) < 0.07 * nEn, s"en ~40%: $kept")
+    // rate 0 keeps nothing; rate 100 keeps everything
+    val edge = Sampling.stratifiedKeep(mixCorpus(n), "text", "lang",
+      Map("en" -> 0, "fr" -> 100))
+    assert(edge.filter(col("kept") && col("lang") === "en").isEmpty)
+    assert(edge.filter(!col("kept") && col("lang") === "fr").isEmpty)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedKeep(mixCorpus(1), "text", "lang", Map("en" -> 101)))
+  }
+
+  test("stratifiedKeep: decision is content-determined, stable under partitioning and growth") {
+    val first = Sampling.stratifiedKeep(mixCorpus(600), "text", "lang", Map("en" -> 40))
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    val again = Sampling.stratifiedKeep(mixCorpus(2000).repartition(17), "text", "lang",
+      Map("en" -> 40))
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(first.forall { case (id, k) => again(id) === k },
+      "keep decisions must not depend on partitioning or corpus size")
+  }
 }

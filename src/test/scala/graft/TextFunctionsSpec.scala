@@ -48,6 +48,47 @@ class TextFunctionsSpec extends SparkTestBase {
     df.foreach { case (s, h) => assert(h === refHash(s), s"for '$s'") }
   }
 
+  test("mode count: known modes, ties, empty array, null elements") {
+    GraftExpressions.register(spark)
+    val df = Seq(
+      Seq("a", "b", "a", "c", "a"),          // mode a ×3
+      Seq("x", "y"),                          // tie → 1
+      Seq.empty[String],                      // empty → 0
+      Seq("z", "z", "z", "z"))                // all same → 4
+      .toDF("g")
+    val counts = df.select(expr("graft_mode_count(g)")).as[Long].collect()
+    assert(counts.toSeq === Seq(3L, 1L, 0L, 4L))
+    // null elements are skipped, null array → null
+    val withNulls = spark.sql(
+      "SELECT graft_mode_count(array('a', NULL, 'a')), graft_mode_count(CAST(NULL AS array<string>))")
+      .as[(Option[Long], Option[Long])].head()
+    assert(withNulls === ((Some(2L), None)))
+  }
+
+  test("mode count agrees with the HOF equivalent on generated token arrays") {
+    GraftExpressions.register(spark)
+    val gen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "d", "e"))
+    val samples = (0 until 30).map(i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).get.mkString(" "))
+    val df = samples.toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("g"))
+      .select(
+        expr("graft_mode_count(g)").as("fast"),
+        array_max(transform(array_distinct(col("g")),
+          x => size(filter(col("g"), y => y === x)))).cast("long").as("hof"))
+      .as[(Long, Long)].collect()
+    df.foreach { case (fast, hof) => assert(fast === hof) }
+  }
+
+  test("ngramsAll keeps duplicate n-grams in order; shingles dedups") {
+    val toks = TextFunctions.tokens(col("text"))
+    val df = Seq("a b a b a").toDF("text")
+    val all = df.select(TextFunctions.ngramsAll(toks, 2)).as[Seq[String]].head()
+    assert(all === Seq("a b", "b a", "a b", "b a"))
+    val dd = df.select(TextFunctions.shingles(toks, 2)).as[Seq[String]].head()
+    assert(dd === Seq("a b", "b a"))
+  }
+
   test("langid marker hits are exact") {
     val toks = TextFunctions.tokens(col("text"))
     val df = Seq("the cat and the dog", "le chat et la mer", "xyz qqq").toDF("text")
