@@ -125,23 +125,26 @@ object Pipeline {
       // with quarantine on, the transform output feeds three consumers
       // (bad count, bad write, clean write) — persist it once so the
       // transform runs a single time and the rule filters scan the cache
+      // the finally covers every consumer of the cache (bad count, bad
+      // write, clean write): a failure in any of them — each retryable —
+      // must not leak a persisted copy per attempt
       val cached = if (quarantine) Some(transformed.persist()) else None
-      val (silver, quarantined) = if (!quarantine) (transformed, 0L) else {
-        val split = graft.silver.DataQuality.check(transformed, graft.silver.DataQuality.silverRules)
-        val bad = split.quarantine.withColumn("violations",
-          org.apache.spark.sql.functions.concat_ws(",",
-            org.apache.spark.sql.functions.col("violations")))
-        val nBad = bad.count()
-        // overwrite even when empty: a rerun of a date that previously had
-        // bad rows must not leave the stale quarantine dir on disk
-        // contradicting the rows=0 stage result
-        bad.write.mode(SaveMode.Overwrite).parquet(s"$rootDir/quarantine/silver/$loadDate")
-        (split.clean, nBad)
-      }
       try {
+        val (silver, quarantined) = if (!quarantine) (transformed, 0L) else {
+          val split = graft.silver.DataQuality.check(transformed, graft.silver.DataQuality.silverRules)
+          val bad = split.quarantine.withColumn("violations",
+            org.apache.spark.sql.functions.concat_ws(",",
+              org.apache.spark.sql.functions.col("violations")))
+          val nBad = bad.count()
+          // overwrite even when empty: a rerun of a date that previously had
+          // bad rows must not leave the stale quarantine dir on disk
+          // contradicting the rows=0 stage result
+          bad.write.mode(SaveMode.Overwrite).parquet(s"$rootDir/quarantine/silver/$loadDate")
+          (split.clean, nBad)
+        }
         silver.write.mode(SaveMode.Overwrite).partitionBy("load_date").parquet(silverDir)
+        (spark.read.parquet(silverDir).where(s"load_date = '$loadDate'").count(), quarantined)
       } finally cached.foreach(_.unpersist())
-      (spark.read.parquet(silverDir).where(s"load_date = '$loadDate'").count(), quarantined)
     }
 
     // silver → gold: one cached scan fans out to 7 outputs; one retryable

@@ -37,13 +37,17 @@ object PipelineMain {
     require(argv(1).matches("""\d{4}-\d{2}-\d{2}"""), s"bad loadDate: ${argv(1)}")
     var a = Args(rootDir = argv(0), loadDate = argv(1))
     var i = 2
+    def value(flag: String): String = {
+      require(i + 1 < argv.length, s"$flag needs a value")
+      argv(i + 1)
+    }
     while (i < argv.length) {
       argv(i) match {
-        case "--shipments" => a = a.copy(nShipments = argv(i + 1).toLong); i += 2
-        case "--seed" => a = a.copy(seed = argv(i + 1).toLong); i += 2
+        case "--shipments" => a = a.copy(nShipments = value("--shipments").toLong); i += 2
+        case "--seed" => a = a.copy(seed = value("--seed").toLong); i += 2
         case "--export-csv" => a = a.copy(exportCsv = true); i += 1
         case "--quarantine" => a = a.copy(quarantine = true); i += 1
-        case "--retries" => a = a.copy(retries = argv(i + 1).toInt); i += 2
+        case "--retries" => a = a.copy(retries = value("--retries").toInt); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }

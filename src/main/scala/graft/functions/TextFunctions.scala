@@ -29,10 +29,7 @@ object TextFunctions {
     * Documents shorter than n words get an empty set (guard needed:
     * Spark's sequence(1,0) would count *down*, unlike DuckDB's range). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+    array_distinct(ngramsAll(toks, n))
 
   /** Word n-grams in document order with duplicates KEPT — the unit the
     * repetition filters count over ([[shingles]] is the distinct variant

@@ -24,9 +24,14 @@ final class TopKHeap(val k: Int) {
   var size: Int = 0
 
   /** true if (s1,i1) ranks strictly worse than (s2,i2): lower score, or
-    * same score and larger id. */
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+    * same score and larger id. Double.compare (not `<`) makes this a
+    * TOTAL order: NaN compares greatest — matching how Spark's window
+    * sort ranks a NaN score first under ORDER BY score DESC — where raw
+    * comparisons would return false both ways and corrupt the heap. */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   def insert(score: Double, id: Long): Unit = {
     if (size < k) {
@@ -117,7 +122,13 @@ case class TopK(
         case other => throw new IllegalArgumentException(
           s"graft_topk id must be integral, got ${other.getClass.getName}")
       }
-      buf.insert(s.asInstanceOf[Double], idL)
+      val scoreD = s match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_topk score must be double, got ${other.getClass.getName}")
+      }
+      buf.insert(scoreD, idL)
     }
     buf
   }

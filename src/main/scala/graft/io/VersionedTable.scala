@@ -133,8 +133,12 @@ object VersionedTable {
     val cutoff = System.currentTimeMillis() - orphanAgeMs
     f.listStatus(new Path(root)).foreach { st =>
       val name = st.getPath.getName
+      // mtime 0 means the store doesn't report directory times (object
+      // stores synthesize dir listings) — age is unknowable there, so
+      // never treat it as "old": deleting a freshly materialized
+      // not-yet-committed snapshot would dangle its upcoming marker
       if (st.isDirectory && name.startsWith("d-") && !live.contains(name) &&
-          st.getModificationTime < cutoff)
+          st.getModificationTime > 0 && st.getModificationTime < cutoff)
         f.delete(st.getPath, true)
     }
     deleted

@@ -24,23 +24,13 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  // Persisted intermediates are created per call (no memoization), so a
-  // long-lived driver calling these repeatedly would accumulate tracked
-  // cached RDDs for the session lifetime. Each persist registers here;
-  // [[releaseCaches]] (called from graft.queries.Domain.clearCache) frees
-  // them. One-shot Verify/Bench runs never need to.
-  private val liveCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
-  private def tracked(df: DataFrame): DataFrame = synchronized {
-    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    liveCaches += persisted
-    persisted
-  }
+  // Persisted intermediates are created per call (no memoization); see
+  // graft.util.CacheRegistry for the lifecycle.
+  private val caches = new graft.util.CacheRegistry
+  private def tracked(df: DataFrame): DataFrame = caches.track(df)
 
   /** Unpersists every cache created by the near-dup operators. */
-  def releaseCaches(): Unit = synchronized {
-    liveCaches.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    liveCaches.clear()
-  }
+  def releaseCaches(): Unit = caches.releaseAll()
 
   /** Adds `toks` + `shingles` (word n-grams, distinct, SORTED — the
     * contract the merge-based [[graft.functions.JaccardSorted]] needs) to
@@ -150,11 +140,22 @@ object Dedup {
     * join keys (band_hash / sh) so the daily probe is a co-located join. */
   def buildNearDupIndex(docs: DataFrame, dir: String, shingleSize: Int = 3,
       numHashes: Int = 32, bands: Int = 8): Unit = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands), " +
+        "or trailing signature hashes are silently ignored")
+    val spark = docs.sparkSession
     val ex = tracked(withShingles(docs, shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
     bandKeys(minhashSignatures(ex, numHashes), bands, numHashes / bands)
       .write.mode("overwrite").parquet(s"$dir/bands")
     ex.write.mode("overwrite").parquet(s"$dir/shingles")
+    // the signing parameters ARE the index format: a probe with different
+    // ones finds zero candidates with no error, so persist them and let
+    // the probe fail loudly on a mismatch
+    import spark.implicits._
+    Seq((shingleSize, numHashes, bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
   /** Near-dup pairs between `newDocs` and the corpus indexed at `dir`
@@ -167,6 +168,15 @@ object Dedup {
   def nearDupsAgainstIndex(newDocs: DataFrame, dir: String, shingleSize: Int = 3,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val spark = newDocs.sparkSession
+    // mismatched signing parameters don't error — they find zero
+    // candidates. Check against the params the index was built with.
+    val stored = spark.read.parquet(s"$dir/params")
+      .select("shingle_size", "num_hashes", "bands").head()
+    require(stored.getInt(0) == shingleSize && stored.getInt(1) == numHashes &&
+      stored.getInt(2) == bands,
+      s"index at $dir was built with (shingleSize=${stored.getInt(0)}, " +
+        s"numHashes=${stored.getInt(1)}, bands=${stored.getInt(2)}) but the probe " +
+        s"asked for ($shingleSize, $numHashes, $bands) — results would be silently empty")
     val exNew = tracked(withShingles(newDocs, shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
     val newKeys = bandKeys(minhashSignatures(exNew, numHashes), bands, numHashes / bands)
@@ -249,7 +259,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    synchronized { liveCaches += labels } // released via releaseCaches
+    caches.register(labels) // already persisted in the loop; released via releaseCaches
     require(converged, s"dupClusters did not converge in $maxIter iterations " +
       "(component diameter exceeds the bound — use large-star/small-star for chain-shaped graphs)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))

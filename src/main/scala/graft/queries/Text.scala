@@ -20,21 +20,23 @@ object Text {
   // Shared SQL fragments (DuckDB): whitespace tokens with empties dropped.
   private val toksSql = "list_filter(str_split(text, ' '), t -> t <> '')"
 
-  // Same per-call persist registry as graft.operators.Dedup: frames shared
-  // by two plan branches are persisted here and freed by [[releaseCaches]]
-  // (wired into Domain.clearCache for long-lived drivers).
-  private val liveCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
-  private def tracked(df: DataFrame): DataFrame = synchronized {
-    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    liveCaches += persisted
-    persisted
-  }
+  // DuckDB mirror of Sampling.portableFingerprint — the portable mod-2³¹
+  // fold is a cross-engine CONTRACT (split/sampling/packing oracles all
+  // gate on it), so it has exactly one Spark definition and this one SQL
+  // definition.
+  private def foldSql(e: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+
+  // Frames shared by multiple plan branches persist here and are freed by
+  // [[releaseCaches]] (wired into Domain.clearCache for long-lived
+  // drivers); see graft.util.CacheRegistry for the lifecycle.
+  private val caches = new graft.util.CacheRegistry
+  private def tracked(df: DataFrame): DataFrame = caches.track(df)
 
   /** Unpersists every cache created by the text queries. */
-  def releaseCaches(): Unit = synchronized {
-    liveCaches.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    liveCaches.clear()
-  }
+  def releaseCaches(): Unit = caches.releaseAll()
 
   /** Token counting: whitespace tokens, BPE-ish subword count, mean token
     * length. */
@@ -228,31 +230,22 @@ object Text {
     * exactly — the oracle-checked companion to t04's 64-bit wrapping
     * hash (which no SQL engine can express). bow variant fingerprints
     * the sorted token bag, so token-order-permuted duplicates collide. */
-  private def t10(spark: SparkSession, dir: String): DataFrame = {
-    def fold(charsExpr: String) =
-      expr(s"""aggregate(
-               |  filter(split($charsExpr, ''), c -> c != ''),
-               |  0L, (h, c) -> pmod(h * 31 + ascii(c), 2147483647))""".stripMargin)
+  private def t10(spark: SparkSession, dir: String): DataFrame =
     Corpus.documents(spark, dir)
       .select(
         col("doc_id"),
-        fold("text").as("fp31"),
-        fold("array_join(array_sort(filter(split(text, ' '), t -> t != '')), ' ')")
+        graft.operators.Sampling.portableFingerprint("text").as("fp31"),
+        graft.operators.Sampling.portableFingerprint(
+          "array_join(array_sort(filter(split(text, ' '), t -> t != '')), ' ')")
           .as("bow_fp31"))
       .orderBy(col("doc_id"))
-  }
 
-  private val t10Sql = {
-    def fold(e: String) =
-      s"""list_reduce(
-         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
-         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+  private val t10Sql =
     s"""SELECT doc_id,
-       |  ${fold("text")} AS fp31,
-       |  ${fold("array_to_string(list_sort(list_filter(str_split(text, ' '), t -> t <> '')), ' ')")} AS bow_fp31
+       |  ${foldSql("text")} AS fp31,
+       |  ${foldSql("array_to_string(list_sort(list_filter(str_split(text, ' '), t -> t <> '')), ' ')")} AS bow_fp31
        |FROM documents
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** PII-style redaction over synthesized dirty text: the corpus text is
     * clean, so doc_id-derived tokens (fake email/phone/id) are appended
@@ -369,13 +362,9 @@ object Text {
       .orderBy(col("doc_id"))
 
   private val t14Sql = {
-    val fold =
-      s"""list_reduce(
-         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
-    s"""SELECT doc_id, $fold % 100 AS bucket,
-       |  CASE WHEN $fold % 100 < 80 THEN 'train'
-       |       WHEN $fold % 100 < 90 THEN 'validation'
+    s"""SELECT doc_id, ${foldSql("text")} % 100 AS bucket,
+       |  CASE WHEN ${foldSql("text")} % 100 < 80 THEN 'train'
+       |       WHEN ${foldSql("text")} % 100 < 90 THEN 'validation'
        |       ELSE 'test' END AS split
        |FROM documents
        |ORDER BY doc_id""".stripMargin
@@ -388,11 +377,18 @@ object Text {
     * between the two halves (12 true pairs at sf0.01), so the hash gate
     * verifies candidate generation against the on-disk index AND the
     * exact verification arithmetic. */
+  // One index dir per query per JVM (build overwrites in place): repeated
+  // invocations (Bench pairs, plan inspection, long-lived drivers) must
+  // not leave an unbounded trail of exploded-shingle dirs in /tmp.
+  private lazy val t15Dir =
+    java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toString
+  private lazy val t16Dir =
+    java.nio.file.Files.createTempDirectory("graft_contam_idx_").toString
+
   private def t15(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.documents(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toString
-    Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 2 === 0), tmp)
-    Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") % 2 === 1), tmp)
+    Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 2 === 0), t15Dir)
+    Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") % 2 === 1), t15Dir)
   }
 
   private val t15Sql =
@@ -413,20 +409,15 @@ object Text {
     * Jaccard with the split recomputed from the portable fold. */
   private def t16(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.operators.Sampling.hashSplit(Corpus.documents(spark, dir), "text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_contam_idx_").toString
-    Dedup.buildNearDupIndex(docs.filter(col("split") === "train"), tmp)
-    Dedup.nearDupsAgainstIndex(docs.filter(col("split") =!= "train"), tmp)
+    Dedup.buildNearDupIndex(docs.filter(col("split") === "train"), t16Dir)
+    Dedup.nearDupsAgainstIndex(docs.filter(col("split") =!= "train"), t16Dir)
       .select(col("doc_a").as("train_doc"), col("doc_b").as("eval_doc"), col("jaccard"))
       .orderBy(col("train_doc"), col("eval_doc"))
   }
 
   private val t16Sql = {
-    val fold =
-      s"""list_reduce(
-         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
     s"""WITH $shingleCte,
-       |spl AS (SELECT doc_id, $fold % 100 < 80 AS is_train FROM documents)
+       |spl AS (SELECT doc_id, ${foldSql("text")} % 100 < 80 AS is_train FROM documents)
        |SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
        |FROM sh a JOIN spl sa ON a.doc_id = sa.doc_id AND sa.is_train
@@ -527,12 +518,8 @@ object Text {
       .orderBy(col("doc_id"))
 
   private val t19Sql = {
-    val fold =
-      s"""list_reduce(
-         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
-    s"""SELECT doc_id, lang, $fold % 100 AS bucket,
-       |  ($fold % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END) AS kept
+    s"""SELECT doc_id, lang, ${foldSql("text")} % 100 AS bucket,
+       |  (${foldSql("text")} % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END) AS kept
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
@@ -554,12 +541,8 @@ object Text {
       .orderBy(col("doc_id"))
 
   private val t20Sql = {
-    val fold =
-      s"""list_reduce(
-         |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-         |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
     s"""WITH base AS (
-       |  SELECT doc_id, $fold AS fp, $fold % 8 AS shard,
+       |  SELECT doc_id, ${foldSql("text")} AS fp, ${foldSql("text")} % 8 AS shard,
        |    CAST(len($toksSql) AS BIGINT) AS n_tokens
        |  FROM documents WHERE len($toksSql) > 0),
        |w AS (

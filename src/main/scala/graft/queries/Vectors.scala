@@ -141,11 +141,15 @@ object Vectors {
     * (deterministic fit; doubles round-trip parquet exactly — asserted in
     * SimilaritySpec). Rows-only for the driver (KMeans isn't
     * SQL-expressible). */
+  // One index dir per JVM (build overwrites in place) — repeated Bench
+  // invocations must not accumulate index copies in /tmp.
+  private lazy val v05Dir =
+    java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+
   private def v05(spark: SparkSession, dir: String): DataFrame = {
     val emb = Corpus.embeddings(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
-    Similarity.buildIvfIndex(spark, emb, tmp)
-    Similarity.ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), tmp, k = 10)
+    Similarity.buildIvfIndex(spark, emb, v05Dir)
+    Similarity.ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), v05Dir, k = 10)
   }
 
   val specs: Seq[QuerySpec] = Seq(

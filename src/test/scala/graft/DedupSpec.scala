@@ -114,6 +114,13 @@ class DedupSpec extends SparkTestBase {
     val rerun = Dedup.nearDupsAgainstIndex(docs.filter($"doc_id" === 0L), dir, threshold = 0.99)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(rerun === Set((1L, 0L)), "doc 0 finds its exact dup 1 but never itself")
+    // a probe with different signing parameters would silently find ZERO
+    // candidates — it must fail loudly instead
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearDupsAgainstIndex(batch, dir, numHashes = 64, bands = 16))
+    assert(e.getMessage.contains("built with"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Dedup.buildNearDupIndex(docs, dir, numHashes = 32, bands = 7))
   }
 
   test("dupClusters on minhash pairs keeps one doc per planted dup group") {

@@ -94,6 +94,16 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("TopKHeap totally orders NaN (greatest, as Spark's desc sort ranks it)") {
+    val h = new graft.functions.TopKHeap(3)
+    Seq((0.5, 1L), (Double.NaN, 2L), (0.9, 3L), (0.1, 4L), (Double.NaN, 5L))
+      .foreach { case (s, i) => h.insert(s, i) }
+    val got = h.sortedIndices().map(i => h.ids(i)).toSeq
+    // NaN first (id asc among NaNs), then 0.9 — 0.5/0.1 evicted
+    assert(got === Seq(2L, 5L, 3L),
+      "raw < comparisons would freeze NaN wherever it lands and corrupt the heap")
+  }
+
   test("TopKHeap merge across partial buffers equals a single global heap") {
     val rnd = new scala.util.Random(11)
     val items = Seq.fill(300)((rnd.nextInt(10).toDouble, rnd.nextLong() % 500))
