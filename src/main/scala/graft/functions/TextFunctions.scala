@@ -55,6 +55,15 @@ object TextFunctions {
   def punctRatio(c: Column): Column =
     length(regexp_replace(c, "[a-z ]", "")).cast("double") / length(c)
 
+  /** Composite quality score in [0,1] from length, stopword, and
+    * punctuation signals — ONE definition of the arithmetic, mirrored
+    * token-for-token by the SQL side (graft.queries.Text.qualitySql) so
+    * per-row doubles match bit-for-bit cross-engine. */
+  def qualityScore(nTokens: Column, stopRatio: Column, punctRatio: Column): Column =
+    least(lit(1.0), nTokens / lit(200.0)) * 0.5 +
+      least(lit(1.0), stopRatio * 4.0) * 0.3 +
+      (lit(1.0) - punctRatio) * 0.2
+
   /** PII-style scrubbing patterns for training-data pipelines: applied in
     * order, each replaces matches with a typed placeholder. Simple
     * character-class regexes only, so Java and RE2-style engines agree. */

@@ -166,7 +166,8 @@ object Dedup {
     * with the BATCH, not the corpus: the corpus-side tables are only
     * probed at their join keys, never re-signed. */
   def nearDupsAgainstIndex(newDocs: DataFrame, dir: String, shingleSize: Int = 3,
-      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      cacheIntermediates: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     // mismatched signing parameters don't error — they find zero
     // candidates. Check against the params the index was built with.
@@ -177,8 +178,13 @@ object Dedup {
       s"index at $dir was built with (shingleSize=${stored.getInt(0)}, " +
         s"numHashes=${stored.getInt(1)}, bands=${stored.getInt(2)}) but the probe " +
         s"asked for ($shingleSize, $numHashes, $bands) — results would be silently empty")
-    val exNew = tracked(withShingles(newDocs, shingleSize)
-      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
+    // cacheIntermediates=false for callers that probe repeatedly in one
+    // JVM (a streaming micro-batch sink): the batch-side explode is cheap
+    // to recompute and per-epoch persists would accumulate in the
+    // registry until releaseCaches
+    val exNewRaw = withShingles(newDocs, shingleSize)
+      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+    val exNew = if (cacheIntermediates) tracked(exNewRaw) else exNewRaw
     val newKeys = bandKeys(minhashSignatures(exNew, numHashes), bands, numHashes / bands)
     val idxKeys = spark.read.parquet(s"$dir/bands")
     val cand = newKeys.as("n")

@@ -78,26 +78,33 @@ object Text {
         col("stop_hits").cast("long").as("stop_hits"),
         col("stop_ratio"),
         col("punct_ratio"),
-        (least(lit(1.0), col("n_tokens") / lit(200.0)) * 0.5 +
-          least(lit(1.0), col("stop_ratio") * 4.0) * 0.3 +
-          (lit(1.0) - col("punct_ratio")) * 0.2).as("quality"))
+        TextFunctions.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio"))
+          .as("quality"))
       .orderBy(col("doc_id"))
 
-  private val t02Sql = {
+  // SQL mirror of TextFunctions.qualityScore — keep the arithmetic
+  // token-for-token identical or per-row doubles diverge.
+  private val qualitySql =
+    "least(1.0, n_tokens / 200.0) * 0.5 + least(1.0, stop_ratio * 4.0) * 0.3 + (1.0 - punct_ratio) * 0.2"
+
+  // Per-doc signal subquery shared by t02 and the t21 rollup.
+  private val docSignalsSql = {
     val stopList = TextFunctions.StopwordList.map(s => s"'$s'").mkString(", ")
-    s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  CAST(stop_hits AS BIGINT) AS stop_hits, stop_ratio, punct_ratio,
-       |  least(1.0, n_tokens / 200.0) * 0.5 + least(1.0, stop_ratio * 4.0) * 0.3
-       |    + (1.0 - punct_ratio) * 0.2 AS quality
-       |FROM (SELECT doc_id, n_tokens, stop_hits,
+    s"""SELECT doc_id, lang, text, n_tokens, stop_hits,
        |        CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
        |        CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
-       |      FROM (SELECT doc_id, text, len($toksSql) AS n_tokens,
+       |      FROM (SELECT doc_id, lang, text, len($toksSql) AS n_tokens,
        |              len(list_filter($toksSql, t -> t IN ($stopList))) AS stop_hits
-       |            FROM documents))
+       |            FROM documents)""".stripMargin
+  }
+
+  private val t02Sql =
+    s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(stop_hits AS BIGINT) AS stop_hits, stop_ratio, punct_ratio,
+       |  $qualitySql AS quality
+       |FROM ($docSignalsSql)
        |WHERE n_tokens > 0
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Language-ID heuristic: argmax of per-language marker-word evidence
     * computed in one pass (no UDF). */
@@ -557,6 +564,38 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus datasheet: the per-language rollup a training-data pipeline
+    * publishes with a dataset release — doc/token volumes, mean quality
+    * (decimal-detour mean of the bit-identical per-row score), and exact
+    * duplicate rates. One scan + one partial+final agg on `lang`. */
+  private def t21(spark: SparkSession, dir: String): DataFrame =
+    Corpus.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("stop_ratio",
+        stopwordHits(col("toks")).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", punctRatio(col("text")))
+      .withColumn("quality",
+        TextFunctions.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens_total"),
+        Num.davg(col("quality")).as("mean_quality"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dup_rows"))
+      .orderBy(col("lang"))
+
+  private val t21Sql =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       |  ${Num.davgSql(qualitySql)} AS mean_quality,
+       |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dup_rows
+       |FROM ($docSignalsSql)
+       |WHERE n_tokens > 0
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -577,5 +616,6 @@ object Text {
     QuerySpec("t17_lm_quality", t17, Some(t17Sql)),
     QuerySpec("t18_repetition_filter", t18, Some(t18Sql)),
     QuerySpec("t19_mixture_resample", t19, Some(t19Sql)),
-    QuerySpec("t20_sequence_pack", t20, Some(t20Sql)))
+    QuerySpec("t20_sequence_pack", t20, Some(t20Sql)),
+    QuerySpec("t21_corpus_report", t21, Some(t21Sql)))
 }

@@ -252,6 +252,40 @@ class StreamingSpec extends SparkTestBase {
     assert(back.select("_epoch").distinct().count() === 2, "two micro-batches landed")
   }
 
+  test("streaming near-dup audit probes the persisted index per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val corpus = Seq(
+      (0L, base, "s1"),
+      (1L, "one two three four five six seven eight nine ten", "s1"))
+      .toDF("doc_id", "text", "source")
+    val idxDir = Files.createTempDirectory("graft_sidx_").toString
+    Dedup.buildNearDupIndex(corpus, idxDir)
+    val outDir = Files.createTempDirectory("graft_sidx_out_").toString + "/hits"
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingDedup
+      .nearDupAuditSink(input.toDF().toDF("doc_id", "text", "source"), idxDir, outDir,
+        threshold = 0.5)
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation", Files.createTempDirectory("graft_sidx_ck_").toString)
+      .start()
+    // epoch of arrivals: 10 is a near-dup of indexed 0 (the known-lucky
+    // delta edit); 11 is unrelated
+    input.addData((10L, base.replace("delta", "DELTA-EDIT"), "s9"),
+      (11L, "utterly disjoint vocabulary appears in this very document body", "s9"))
+    q.processAllAvailable()
+    // second epoch: an exact dup of indexed 0 arrives
+    input.addData((12L, base, "s9"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b", "_epoch").as[(Long, Long, Long)].collect().toSet
+    assert(hits.map(h => (h._1, h._2)) === Set((0L, 10L), (0L, 12L)),
+      s"each epoch's batch pairs only with INDEXED docs: $hits")
+    assert(hits.map(_._3).size === 2, "hits landed across two distinct epochs")
+  }
+
   test("stream-stream join with watermarks joins within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, java.sql.Timestamp)]
