@@ -45,4 +45,26 @@ object Packing {
       .withColumn("seq_last", expr(s"(cum_before + $tokenCol - 1) DIV $ctxLen"))
       .drop("_fp")
   }
+
+  /** Overlapping fixed-size token chunking (the RAG / sliding-window
+    * training shape): each document's token array splits into
+    * `ctxLen`-token chunks starting every `ctxLen - overlap` tokens, so
+    * consecutive chunks share `overlap` tokens, every token appears in at
+    * least one chunk, and only the final chunk may be short. Adds
+    * `chunk_idx` (0-based) and `chunk_text`. Entirely per-row
+    * (`transform` + `posexplode`) — scan speed, no shuffle, parallelism =
+    * input partitioning. Rows with an empty token array are dropped. */
+  def chunkTokens(df: DataFrame, toksCol: String, ctxLen: Int, overlap: Int): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(overlap >= 0 && overlap < ctxLen,
+      s"overlap must be in [0, ctxLen), got $overlap for ctxLen $ctxLen")
+    val stride = ctxLen - overlap
+    val n = size(col(toksCol))
+    val starts = sequence(
+      lit(1), when(n > ctxLen, n - ctxLen + stride).otherwise(lit(1)), lit(stride))
+    df.filter(n > 0)
+      .select(col("*"), posexplode(
+        transform(starts, s => concat_ws(" ", slice(col(toksCol), s, lit(ctxLen)))))
+        .as(Seq("chunk_idx", "chunk_text")))
+  }
 }

@@ -596,6 +596,35 @@ object Text {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Overlapping document chunking (32-token chunks, 8-token overlap —
+    * the RAG/sliding-window training shape; see
+    * [[graft.operators.Packing.chunkTokens]]). The oracle rebuilds the
+    * identical chunk boundaries and text with DuckDB list slicing, so the
+    * hash gate checks the start/stride arithmetic AND the chunk content. */
+  private def t22(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkTokens(
+      Corpus.documents(spark, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long")),
+      "toks", ctxLen = 32, overlap = 8)
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx").cast("long"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val t22Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS sp FROM documents WHERE len($toksSql) > 0),
+       |ch AS (
+       |  SELECT doc_id, CAST(len(sp) AS BIGINT) AS n_tokens,
+       |    [array_to_string(sp[s : s + 31], ' ')
+       |     for s in range(1, (CASE WHEN len(sp) > 32 THEN len(sp) - 32 + 24 ELSE 1 END) + 1, 24)] AS chunks
+       |  FROM base)
+       |SELECT doc_id, n_tokens,
+       |  CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx,
+       |  unnest(chunks) AS chunk_text
+       |FROM ch
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -617,5 +646,6 @@ object Text {
     QuerySpec("t18_repetition_filter", t18, Some(t18Sql)),
     QuerySpec("t19_mixture_resample", t19, Some(t19Sql)),
     QuerySpec("t20_sequence_pack", t20, Some(t20Sql)),
-    QuerySpec("t21_corpus_report", t21, Some(t21Sql)))
+    QuerySpec("t21_corpus_report", t21, Some(t21Sql)),
+    QuerySpec("t22_doc_chunks", t22, Some(t22Sql)))
 }

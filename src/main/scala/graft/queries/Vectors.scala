@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.io.Corpus
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Similarity search over embeddings + multimodal column plumbing
   * (BASELINE.json north-star ops). Vector math uses the codegen'd
@@ -68,8 +68,10 @@ object Vectors {
   private def v02(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(spark, plantedEmbeddings(spark, dir), threshold = 0.9)
 
-  private val v02Sql =
-    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  // CTE chain shared by the v02 pair oracle and the v06 clustering
+  // oracle: rebuild the planted corpus, norm it, brute-force all pairs.
+  private val plantedPairsCtes =
+    """base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |              FROM embeddings),
       |plant AS (SELECT vec_id + 1000000 AS vec_id,
       |            list_transform(range(1, len(v) + 1), i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
@@ -78,10 +80,13 @@ object Vectors {
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM u),
       |s AS (SELECT a.vec_id AS vec_a, q.vec_id AS vec_b,
       |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.qv[i])) / (a.nrm * q.qnrm) AS cos_sim
-      |      FROM n a JOIN (SELECT vec_id, v AS qv, nrm AS qnrm FROM n) q ON a.vec_id < q.vec_id)
-      |SELECT vec_a, vec_b, cos_sim FROM s
-      |WHERE cos_sim >= 0.9
-      |ORDER BY vec_a, vec_b""".stripMargin
+      |      FROM n a JOIN (SELECT vec_id, v AS qv, nrm AS qnrm FROM n) q ON a.vec_id < q.vec_id)""".stripMargin
+
+  private val v02Sql =
+    s"""WITH $plantedPairsCtes
+       |SELECT vec_a, vec_b, cos_sim FROM s
+       |WHERE cos_sim >= 0.9
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** LSH-bucketed approximate top-k (scale path for v01) — rows-only;
     * recall vs the brute-force baseline is asserted in unit tests. */
@@ -152,12 +157,42 @@ object Vectors {
     Similarity.ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), v05Dir, k = 10)
   }
 
+  /** Embedding dedup end-to-end: the v02 near-dup pairs fold into
+    * connected components (same [[Dedup.dupClusters]] min-label
+    * propagation the text pipeline uses — the operator is
+    * representation-agnostic), labeling every planted copy with its
+    * source vector's id. Oracle: DuckDB recursive-CTE transitive closure
+    * over the same brute-forced pair set, so the hash gate checks the
+    * component labeling over embedding-space edges. */
+  private def v06(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Similarity.nearDupPairs(spark, plantedEmbeddings(spark, dir), threshold = 0.9)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+
+  private val v06Sql =
+    s"""WITH RECURSIVE $plantedPairsCtes,
+       |pairs AS (SELECT vec_a, vec_b FROM s WHERE cos_sim >= 0.9),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |clusters AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+       |SELECT c.vec_id, c.cluster_id, z.cluster_size
+       |FROM clusters c JOIN sizes z ON c.cluster_id = z.cluster_id
+       |ORDER BY c.vec_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
     QuerySpec("v03_ann_lsh_topk", v03, None),
     QuerySpec("v04_ann_ivf_topk", v04, None),
     QuerySpec("v05_ann_ivf_index", v05, None),
+    QuerySpec("v06_embedding_dup_clusters", v06, Some(v06Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)))
 }

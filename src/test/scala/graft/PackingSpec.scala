@@ -53,6 +53,26 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("chunkTokens: coverage, overlap, short docs, and argument guards") {
+    val toks = (1 to 75).map(i => s"w$i")
+    val df = Seq((1L, toks), (2L, toks.take(10)), (3L, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+    val chunks = Packing.chunkTokens(df, "toks", ctxLen = 32, overlap = 8)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect().sortBy(c => (c._1, c._2))
+    // doc 1 (75 toks, stride 24): starts 1/25/49 → sizes 32/32/27
+    val d1 = chunks.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    assert(d1.map(_.size).toSeq === Seq(32, 32, 27))
+    assert(d1(0).take(32) === toks.slice(0, 32))
+    assert(d1(1).take(8) === d1(0).takeRight(8), "consecutive chunks share the overlap")
+    assert(d1.flatten.distinct.size === 75, "every token appears in some chunk")
+    // a doc shorter than ctxLen is one whole chunk; empty docs drop
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq === Seq(toks.take(10).mkString(" ")))
+    assert(!chunks.exists(_._1 == 3L))
+    intercept[IllegalArgumentException](Packing.chunkTokens(df, "toks", 32, 32))
+    intercept[IllegalArgumentException](Packing.chunkTokens(df, "toks", 0, 0))
+  }
+
   test("layout is deterministic under input partitioning; zero-token rows drop") {
     val base = pack(corpus(250)).sortBy(_.docId).toSeq
     val shuffled = pack(corpus(250).repartition(13)).sortBy(_.docId).toSeq
