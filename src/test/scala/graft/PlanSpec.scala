@@ -89,6 +89,20 @@ class PlanSpec extends SparkTestBase {
       s"window must partition by shard (a global running sum would be one task):\n$plan")
   }
 
+  test("t22 chunking: per-row explode, no shuffle before the output sort") {
+    val plan = planOf("t22_doc_chunks")
+    assert(plan.contains("Generate"), s"chunking must be a generator (posexplode):\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
+      !plan.contains("Window"),
+      s"chunk boundaries are per-row arithmetic — no join/agg/window belongs here:\n$plan")
+  }
+
+  test("t21 corpus rollup: single two-phase aggregation on lang") {
+    val plan = planOf("t21_corpus_report")
+    assert(plan.contains("partial_count"), s"rollup needs map-side combine:\n$plan")
+    assert(!plan.contains("Join"), s"the datasheet is one scan + one agg, no join:\n$plan")
+  }
+
   test("similarity top-k ranks via bounded partial aggregate, not a window sort") {
     // the window form shuffles every scored candidate of a query to one
     // task and sorts it there; the bounded TopK aggregate must show up as
