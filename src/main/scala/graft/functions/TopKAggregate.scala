@@ -24,12 +24,13 @@ final class TopKHeap(val k: Int) {
   var size: Int = 0
 
   /** true if (s1,i1) ranks strictly worse than (s2,i2): lower score, or
-    * same score and larger id. Double.compare (not `<`) makes this a
-    * TOTAL order: NaN compares greatest — matching how Spark's window
-    * sort ranks a NaN score first under ORDER BY score DESC — where raw
-    * comparisons would return false both ways and corrupt the heap. */
+    * same score and larger id. The comparison must match Spark's sort
+    * order exactly (SQLOrderingUtil.compareDoubles): primitive equality
+    * first so -0.0 TIES 0.0 and the id tiebreak applies, then
+    * Double.compare so NaN is a totally-ordered greatest — raw `<` alone
+    * would return false both ways against NaN and corrupt the heap. */
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-    val c = java.lang.Double.compare(s1, s2)
+    val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
     c < 0 || (c == 0 && i1 > i2)
   }
 

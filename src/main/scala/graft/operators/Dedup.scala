@@ -156,7 +156,13 @@ object Dedup {
     Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    paramsMemo.put(dir, (shingleSize, numHashes, bands))
   }
+
+  // (shingleSize, numHashes, bands) per index dir — see the probe-side
+  // comment in nearDupsAgainstIndex.
+  private val paramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
 
   /** Near-dup pairs between `newDocs` and the corpus indexed at `dir`
     * (same parameters as at [[buildNearDupIndex]] time): band keys of the
@@ -171,13 +177,19 @@ object Dedup {
     val spark = newDocs.sparkSession
     // mismatched signing parameters don't error — they find zero
     // candidates. Check against the params the index was built with.
-    val stored = spark.read.parquet(s"$dir/params")
-      .select("shingle_size", "num_hashes", "bands").head()
-    require(stored.getInt(0) == shingleSize && stored.getInt(1) == numHashes &&
-      stored.getInt(2) == bands,
-      s"index at $dir was built with (shingleSize=${stored.getInt(0)}, " +
-        s"numHashes=${stored.getInt(1)}, bands=${stored.getInt(2)}) but the probe " +
-        s"asked for ($shingleSize, $numHashes, $bands) — results would be silently empty")
+    // Memoized per dir: a streaming sink probes every micro-batch and
+    // must not pay a params-read Spark job per epoch (stale only if
+    // ANOTHER JVM rebuilds the same dir with different params mid-run —
+    // rebuilds in this JVM refresh the memo via buildNearDupIndex).
+    val stored = paramsMemo.computeIfAbsent(dir, d => {
+      val r = spark.read.parquet(s"$d/params")
+        .select("shingle_size", "num_hashes", "bands").head()
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    })
+    require(stored == ((shingleSize, numHashes, bands)),
+      s"index at $dir was built with (shingleSize, numHashes, bands) = $stored " +
+        s"but the probe asked for ($shingleSize, $numHashes, $bands) — " +
+        "results would be silently empty")
     // cacheIntermediates=false for callers that probe repeatedly in one
     // JVM (a streaming micro-batch sink): the batch-side explode is cheap
     // to recompute and per-epoch persists would accumulate in the

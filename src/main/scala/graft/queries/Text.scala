@@ -384,18 +384,12 @@ object Text {
     * between the two halves (12 true pairs at sf0.01), so the hash gate
     * verifies candidate generation against the on-disk index AND the
     * exact verification arithmetic. */
-  // One index dir per query per JVM (build overwrites in place): repeated
-  // invocations (Bench pairs, plan inspection, long-lived drivers) must
-  // not leave an unbounded trail of exploded-shingle dirs in /tmp.
-  private lazy val t15Dir =
-    java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toString
-  private lazy val t16Dir =
-    java.nio.file.Files.createTempDirectory("graft_contam_idx_").toString
-
   private def t15(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.documents(spark, dir)
-    Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 2 === 0), t15Dir)
-    Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") % 2 === 1), t15Dir)
+    // fresh bounded-retention dir per invocation: see RotatingTempDir
+    val idx = graft.util.RotatingTempDir.next("graft_dedup_idx_")
+    Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+    Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") % 2 === 1), idx)
   }
 
   private val t15Sql =
@@ -416,8 +410,9 @@ object Text {
     * Jaccard with the split recomputed from the portable fold. */
   private def t16(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.operators.Sampling.hashSplit(Corpus.documents(spark, dir), "text")
-    Dedup.buildNearDupIndex(docs.filter(col("split") === "train"), t16Dir)
-    Dedup.nearDupsAgainstIndex(docs.filter(col("split") =!= "train"), t16Dir)
+    val idx = graft.util.RotatingTempDir.next("graft_contam_idx_")
+    Dedup.buildNearDupIndex(docs.filter(col("split") === "train"), idx)
+    Dedup.nearDupsAgainstIndex(docs.filter(col("split") =!= "train"), idx)
       .select(col("doc_a").as("train_doc"), col("doc_b").as("eval_doc"), col("jaccard"))
       .orderBy(col("train_doc"), col("eval_doc"))
   }

@@ -146,15 +146,12 @@ object Vectors {
     * (deterministic fit; doubles round-trip parquet exactly — asserted in
     * SimilaritySpec). Rows-only for the driver (KMeans isn't
     * SQL-expressible). */
-  // One index dir per JVM (build overwrites in place) — repeated Bench
-  // invocations must not accumulate index copies in /tmp.
-  private lazy val v05Dir =
-    java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
-
   private def v05(spark: SparkSession, dir: String): DataFrame = {
     val emb = Corpus.embeddings(spark, dir)
-    Similarity.buildIvfIndex(spark, emb, v05Dir)
-    Similarity.ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), v05Dir, k = 10)
+    // fresh bounded-retention dir per invocation: see RotatingTempDir
+    val idx = graft.util.RotatingTempDir.next("graft_ivf_idx_")
+    Similarity.buildIvfIndex(spark, emb, idx)
+    Similarity.ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), idx, k = 10)
   }
 
   /** Embedding dedup end-to-end: the v02 near-dup pairs fold into

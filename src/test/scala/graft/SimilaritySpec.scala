@@ -102,6 +102,11 @@ class SimilaritySpec extends SparkTestBase {
     // NaN first (id asc among NaNs), then 0.9 — 0.5/0.1 evicted
     assert(got === Seq(2L, 5L, 3L),
       "raw < comparisons would freeze NaN wherever it lands and corrupt the heap")
+    // -0.0 must TIE 0.0 (Spark's compareDoubles semantics), so the id
+    // tiebreak decides — raw Double.compare would rank -0.0 strictly lower
+    val z = new graft.functions.TopKHeap(1)
+    z.insert(0.0, 7L); z.insert(-0.0, 3L)
+    assert(z.ids(0) === 3L, "-0.0 ties 0.0; lower id wins the k boundary")
   }
 
   test("TopKHeap merge across partial buffers equals a single global heap") {
