@@ -620,6 +620,37 @@ object Text {
        |FROM ch
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Cross-document repeated-passage detection — the 16-token-granular
+    * form of exact-substring dedup (the Lee et al. "deduplicating training
+    * data" shape): every 16-token window that appears in ≥ 2 documents,
+    * with occurrence counts and the spanning doc-id range. One explode +
+    * one partial+final agg keyed on the gram; at 100 TB the group key
+    * would be an 8-byte gram hash (verify collisions on the survivors)
+    * rather than the string — semantics identical, shuffle 10× narrower. */
+  private def t23(spark: SparkSession, dir: String): DataFrame =
+    Corpus.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 16)
+      .select(col("doc_id"), explode(TextFunctions.ngramsAll(col("toks"), 16)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("gram"))
+
+  private val t23Sql =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest([array_to_string(sp[i : i + 15], ' ')
+       |                         for i in range(1, len(sp) - 15 + 1)]) AS gram
+       |  FROM (SELECT doc_id, $toksSql AS sp FROM documents) WHERE len(sp) >= 16)
+       |SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY gram""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -642,5 +673,6 @@ object Text {
     QuerySpec("t19_mixture_resample", t19, Some(t19Sql)),
     QuerySpec("t20_sequence_pack", t20, Some(t20Sql)),
     QuerySpec("t21_corpus_report", t21, Some(t21Sql)),
-    QuerySpec("t22_doc_chunks", t22, Some(t22Sql)))
+    QuerySpec("t22_doc_chunks", t22, Some(t22Sql)),
+    QuerySpec("t23_repeated_passages", t23, Some(t23Sql)))
 }
