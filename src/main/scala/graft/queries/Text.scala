@@ -340,9 +340,10 @@ object Text {
     Dedup.dupClusters(
       Dedup.minhashNearDups(Corpus.documents(spark, dir), shingleSize = 3, threshold = 0.8))
 
-  private val t13Sql =
-    s"""WITH RECURSIVE $shingleCte,
-       |pairs AS (
+  // Transitive closure over the brute-force minhash pair graph — shared
+  // by the t13 clustering oracle and the t24 keep-one oracle.
+  private val dupClosureCtes =
+    s"""pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8),
@@ -353,7 +354,11 @@ object Text {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private val t13Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       |$dupClosureCtes,
        |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM clusters c JOIN sizes s ON c.cluster_id = s.cluster_id
@@ -651,6 +656,52 @@ object Text {
        |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY gram""".stripMargin
 
+  /** Keep-one dedup materialization — the step that actually SHRINKS the
+    * corpus: near-dup clusters (t13's components) keep their
+    * highest-quality member (t02's score; ties → lowest doc_id), every
+    * other member is marked for drop, and un-clustered docs keep
+    * themselves. Composition of three verified operators; the window
+    * partitions by cluster (clusters are tiny — no single-task sort).
+    * Singleton cluster_id = own doc_id, collision-free: a component's
+    * label is its min member's id, and that member is clustered. */
+  private def t24(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    val clusters = Dedup
+      .dupClusters(Dedup.minhashNearDups(docs, shingleSize = 3, threshold = 0.8))
+      .select(col("doc_id"), col("cluster_id"))
+    val scored = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("stop_ratio",
+        stopwordHits(col("toks")).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", punctRatio(col("text")))
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio"))
+          .as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t24Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       |$dupClosureCtes,
+       |q AS (SELECT doc_id, $qualitySql AS quality
+       |      FROM ($docSignalsSql) WHERE n_tokens > 0),
+       |j AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.quality
+       |      FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+       |       FROM j)
+       |SELECT doc_id, cluster_id, quality, rn = 1 AS keep
+       |FROM r2
+       |ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -674,5 +725,6 @@ object Text {
     QuerySpec("t20_sequence_pack", t20, Some(t20Sql)),
     QuerySpec("t21_corpus_report", t21, Some(t21Sql)),
     QuerySpec("t22_doc_chunks", t22, Some(t22Sql)),
-    QuerySpec("t23_repeated_passages", t23, Some(t23Sql)))
+    QuerySpec("t23_repeated_passages", t23, Some(t23Sql)),
+    QuerySpec("t24_dedup_keep_best", t24, Some(t24Sql)))
 }
