@@ -170,4 +170,62 @@ object Multimodal {
     val ds: Dataset[MediaRow] = media.as(Encoders.product[MediaRow])
     ds.mapPartitions(_.map(decode))(Encoders.product[MediaFeatures]).toDF()
   }
+
+  final case class FrameRow(doc_id: Long, n_frames: Int, frame_idx: Int,
+      frame_offset: Long, frame_size: Long, width: Int, height: Int)
+
+  /** Builds a "video" table: each doc becomes a deterministic multi-frame
+    * container — an 8-byte header (magic `GVID` + LE frame count)
+    * followed by `2 + doc_id % 4` concatenated BMP frames. Frames share
+    * the doc's dimensions; frame f's pixels cycle the text bytes rotated
+    * by f, so frames genuinely differ. A stand-in for a real video file
+    * with the structural property that matters: opaque bytes a decoder
+    * must WALK frame by frame, not index. */
+  def toVideoTable(docs: DataFrame): DataFrame = {
+    val ds = docs.select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    ds.map { case (id, text) =>
+      val bytes = Option(text).map(_.getBytes(StandardCharsets.UTF_8)).getOrElse(Array.empty[Byte])
+      val width = (4 + id % 16).toInt
+      val height = 3 + bytes.length % 8
+      val nFrames = (2 + id % 4).toInt
+      val frames = (0 until nFrames).map { f =>
+        val r = if (bytes.isEmpty) 0 else f % bytes.length
+        bmpBytes(width, height, bytes.drop(r) ++ bytes.take(r))
+      }
+      val buf = ByteBuffer.allocate(8 + frames.map(_.length).sum).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte).putInt(nFrames)
+      frames.foreach(buf.put)
+      MediaRow(id, buf.array(), "gvid")
+    }(Encoders.product[MediaRow]).toDF()
+  }
+
+  /** Frame sampling — the video-modality pipeline op: walks each
+    * container (validating the GVID magic and every frame's BMP header),
+    * emits every `every`-th frame's metadata. `mapPartitions` like the
+    * other decoders: blobs stay executor-local, only small typed frame
+    * rows leave the scan — at 100 TB this is what makes video feature
+    * extraction shuffle-free. */
+  def sampleFrames(videos: DataFrame, every: Int): DataFrame = {
+    require(every > 0, s"every must be positive, got $every")
+    val ds: Dataset[MediaRow] = videos.as(Encoders.product[MediaRow])
+    ds.mapPartitions(_.flatMap { m =>
+      val buf = ByteBuffer.wrap(m.media).order(ByteOrder.LITTLE_ENDIAN)
+      require(m.media.length >= 8 && buf.get(0) == 'G'.toByte && buf.get(1) == 'V'.toByte &&
+        buf.get(2) == 'I'.toByte && buf.get(3) == 'D'.toByte,
+        s"doc ${m.doc_id}: not a GVID container")
+      val n = buf.getInt(4)
+      var offset = 8
+      (0 until n).iterator.map { f =>
+        require(m.media.length >= offset + 54 &&
+          buf.get(offset) == 'B'.toByte && buf.get(offset + 1) == 'M'.toByte,
+          s"doc ${m.doc_id}: frame $f is not a BMP at offset $offset")
+        val size = buf.getInt(offset + 2)
+        val row = FrameRow(m.doc_id, n, f, offset.toLong, size.toLong,
+          buf.getInt(offset + 18), math.abs(buf.getInt(offset + 22)))
+        offset += size
+        row
+      }.filter(_.frame_idx % every == 0)
+    })(Encoders.product[FrameRow]).toDF()
+  }
 }

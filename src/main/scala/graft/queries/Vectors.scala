@@ -134,6 +134,33 @@ object Vectors {
       |FROM d
       |ORDER BY doc_id""".stripMargin
 
+  /** Video-modality frame sampling: documents → multi-frame GVID
+    * containers (2–5 BMP frames each) → container walk emitting every
+    * 2nd frame's metadata. The oracle independently predicts the frame
+    * structure a correct encode+walk must yield (count from doc_id,
+    * per-frame size from the BMP padding formula, offsets from the
+    * cumulative walk), so a broken encoder, a mis-walked offset, or a
+    * wrong sampling stride all fail the hash. */
+  private def m03(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.toVideoTable(Corpus.documents(spark, dir)), every = 2)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val m03Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(4 + doc_id % 16 AS INT) AS width,
+      |    CAST(3 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS height,
+      |    CAST(2 + doc_id % 4 AS INT) AS n_frames
+      |  FROM documents),
+      |f AS (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS fi, width, height,
+      |    CAST(54 + height * ((3 * width + 3) // 4 * 4) AS BIGINT) AS frame_size
+      |  FROM d)
+      |SELECT doc_id, n_frames, CAST(fi AS INT) AS frame_idx,
+      |  CAST(8 + fi * frame_size AS BIGINT) AS frame_offset,
+      |  frame_size, width, height
+      |FROM f
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
     * cell probes) — rows-only; recall vs brute force asserted in tests. */
   private def v04(spark: SparkSession, dir: String): DataFrame =
@@ -191,5 +218,6 @@ object Vectors {
     QuerySpec("v05_ann_ivf_index", v05, None),
     QuerySpec("v06_embedding_dup_clusters", v06, Some(v06Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
-    QuerySpec("m02_audio_features", m02, Some(m02Sql)))
+    QuerySpec("m02_audio_features", m02, Some(m02Sql)),
+    QuerySpec("m03_video_frames", m03, Some(m03Sql)))
 }

@@ -63,6 +63,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.count() === 0, "frame count must round-trip through the WAV encode/decode")
   }
 
+  test("video container: every sampled frame is a valid BMP per ImageIO, offsets walk exactly") {
+    val docs = Corpus.documents(spark, sf0001).limit(20)
+    val videos = Multimodal.toVideoTable(docs).collect()
+    val frames = Multimodal.sampleFrames(Multimodal.toVideoTable(docs), every = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val byDoc = frames.groupBy(_._1)
+    videos.foreach { v =>
+      val id = v.getLong(0)
+      val media = v.getAs[Array[Byte]](1)
+      val fs = byDoc(id).sortBy(_._2)
+      // offsets are a gapless walk ending exactly at the container's end
+      assert(fs.head._3 === 8L)
+      fs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4, s"doc $id frame walk gap")
+        case _ => ()
+      }
+      assert(fs.last._3 + fs.last._4 === media.length.toLong, s"doc $id trailing bytes")
+      // every extracted frame parses as a real image in the JDK decoder
+      fs.foreach { case (_, _, off, size) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(media, off.toInt, (off + size).toInt)))
+        assert(img != null, s"doc $id: extracted frame at $off is not a valid BMP")
+      }
+    }
+  }
+
+  test("frame sampling stride keeps every k-th frame only") {
+    val docs = Corpus.documents(spark, sf0001).limit(40)
+    val all = Multimodal.sampleFrames(Multimodal.toVideoTable(docs), every = 1)
+    val sampled = Multimodal.sampleFrames(Multimodal.toVideoTable(docs), every = 2)
+    assert(sampled.filter(col("frame_idx") % 2 =!= 0).count() === 0)
+    val expect = all.filter(col("frame_idx") % 2 === 0).count()
+    assert(sampled.count() === expect)
+  }
+
   test("media table end-to-end: every corpus doc decodes to its own dimensions") {
     val docs = Corpus.documents(spark, sf0001)
     val feats = Multimodal.extractFeatures(Multimodal.toMediaTable(docs))
