@@ -171,6 +171,46 @@ object Multimodal {
     ds.mapPartitions(_.map(decode))(Encoders.product[MediaFeatures]).toDF()
   }
 
+  /** Nearest-neighbor BMP downscale by an integer factor — the RESIZE op
+    * of the multimodal mandate, as a partition-wise binary→binary
+    * transform: real pixel resampling in pure JVM, blobs stay
+    * executor-local, and a libjpeg-style codec would slot into the same
+    * per-row function. Output dimensions are ceil(w/f) × ceil(h/f);
+    * output pixel (x, y) copies source pixel (x·f, y·f) — verified
+    * against ImageIO's view of both payloads in MultimodalSpec. */
+  def resizeMedia(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val ds: Dataset[MediaRow] = media.as(Encoders.product[MediaRow])
+    ds.map { m =>
+      val buf = ByteBuffer.wrap(m.media).order(ByteOrder.LITTLE_ENDIAN)
+      require(m.media.length >= 54 && buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte,
+        s"doc ${m.doc_id}: resize expects a BMP payload")
+      val w = buf.getInt(18); val h = math.abs(buf.getInt(22))
+      val pixelOff = buf.getInt(10)
+      val srcRow = (3 * w + 3) / 4 * 4
+      val w2 = (w + factor - 1) / factor; val h2 = (h + factor - 1) / factor
+      val dstRow = (3 * w2 + 3) / 4 * 4
+      val out = ByteBuffer.allocate(54 + dstRow * h2).order(ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + dstRow * h2)
+        .putShort(0).putShort(0).putInt(54)
+      out.putInt(40).putInt(w2).putInt(h2).putShort(1).putShort(24)
+        .putInt(0).putInt(dstRow * h2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          val src = pixelOff + (y * factor) * srcRow + (x * factor) * 3
+          val dst = 54 + y * dstRow + x * 3
+          out.put(dst, m.media(src)); out.put(dst + 1, m.media(src + 1))
+          out.put(dst + 2, m.media(src + 2))
+          x += 1
+        }
+        y += 1
+      }
+      MediaRow(m.doc_id, out.array(), m.format)
+    }(Encoders.product[MediaRow]).toDF()
+  }
+
   final case class FrameRow(doc_id: Long, n_frames: Int, frame_idx: Int,
       frame_offset: Long, frame_size: Long, width: Int, height: Int)
 

@@ -161,6 +161,29 @@ object Vectors {
       |FROM f
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Image resize: documents → BMP payloads → nearest-neighbor ÷2
+    * downscale → re-decode of the RESIZED bytes. The oracle predicts the
+    * post-resize header (ceil-halved dimensions, re-padded byte size), so
+    * a resize that corrupts the header, mis-pads rows, or doesn't
+    * actually shrink fails the hash; pixel-level correctness is
+    * cross-checked against ImageIO in MultimodalSpec. */
+  private def m04(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.resizeMedia(
+        Multimodal.toMediaTable(Corpus.documents(spark, dir)), factor = 2))
+      .orderBy(col("doc_id"))
+
+  private val m04Sql =
+    """WITH d AS (SELECT doc_id,
+      |    (4 + doc_id % 16 + 1) // 2 AS w2,
+      |    (3 + octet_length(CAST(text AS BLOB)) % 8 + 1) // 2 AS h2
+      |  FROM documents)
+      |SELECT doc_id, 'bmp' AS format,
+      |  CAST(54 + h2 * ((3 * w2 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+      |  CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height, CAST(1 AS INT) AS n_frames
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
     * cell probes) — rows-only; recall vs brute force asserted in tests. */
   private def v04(spark: SparkSession, dir: String): DataFrame =
@@ -219,5 +242,6 @@ object Vectors {
     QuerySpec("v06_embedding_dup_clusters", v06, Some(v06Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
-    QuerySpec("m03_video_frames", m03, Some(m03Sql)))
+    QuerySpec("m03_video_frames", m03, Some(m03Sql)),
+    QuerySpec("m04_image_resize", m04, Some(m04Sql)))
 }

@@ -98,6 +98,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(sampled.count() === expect)
   }
 
+  test("resize halves dimensions and maps pixels nearest-neighbor, per ImageIO") {
+    val docs = Corpus.documents(spark, sf0001).limit(15)
+    val orig = Multimodal.toMediaTable(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val resized = Multimodal.resizeMedia(Multimodal.toMediaTable(docs), factor = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def img(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    resized.foreach { case (id, bytes) =>
+      val small = img(bytes)
+      val big = img(orig(id))
+      assert(small != null, s"doc $id: resized payload is not a valid BMP")
+      assert(small.getWidth === (big.getWidth + 1) / 2 &&
+        small.getHeight === (big.getHeight + 1) / 2, s"doc $id dims")
+      // nearest-neighbor: resized stored-row y2 samples stored-row 2·y2;
+      // BMP rows store bottom-up, so flip both sides for ImageIO coords
+      for (y2 <- 0 until small.getHeight; x2 <- 0 until small.getWidth) {
+        val srcY = big.getHeight - 1 - (small.getHeight - 1 - y2) * 2
+        assert(small.getRGB(x2, y2) === big.getRGB(x2 * 2, srcY),
+          s"doc $id pixel ($x2,$y2)")
+      }
+    }
+  }
+
   test("media table end-to-end: every corpus doc decodes to its own dimensions") {
     val docs = Corpus.documents(spark, sf0001)
     val feats = Multimodal.extractFeatures(Multimodal.toMediaTable(docs))
