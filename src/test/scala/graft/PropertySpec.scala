@@ -86,4 +86,33 @@ class PropertySpec extends SparkTestBase {
       .select(col("t"), expr("graft_rolling_hash(t)")).as[(String, Long)].collect()
     got.foreach { case (s, h) => assert(h === ref(s), s"'$s'") }
   }
+
+  test("ngramsAll count and reference construction on arbitrary token lists") {
+    import graft.functions.TextFunctions
+    val toksGen = Gen.chooseNum(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d")))
+    val lists = sample(toksGen, 60)
+    for (n <- Seq(2, 3, 5)) {
+      val got = lists.toDF("toks")
+        .select(TextFunctions.ngramsAll(col("toks"), n)).as[Seq[String]].collect()
+      lists.zip(got).foreach { case (toks, grams) =>
+        val ref = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        assert(grams === ref, s"n=$n toks=$toks")
+      }
+    }
+  }
+
+  test("mode count equals reference max frequency on arbitrary token lists") {
+    graft.functions.GraftExpressions.register(spark)
+    val toksGen = Gen.chooseNum(0, 20).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c")))
+    val lists = sample(toksGen, 80)
+    val got = lists.toDF("toks")
+      .select(expr("graft_mode_count(toks)")).as[Long].collect()
+    lists.zip(got).foreach { case (toks, m) =>
+      val ref = if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.size).max.toLong
+      assert(m === ref, s"toks=$toks")
+    }
+  }
 }
