@@ -156,13 +156,20 @@ object Dedup {
     Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    paramsMemo.put(dir, (shingleSize, numHashes, bands))
+    memoPut(dir, (shingleSize, numHashes, bands))
   }
 
   // (shingleSize, numHashes, bands) per index dir — see the probe-side
-  // comment in nearDupsAgainstIndex.
+  // comment in nearDupsAgainstIndex. Bounded: rotating per-invocation
+  // index dirs (RotatingTempDir) would otherwise grow this map one dead
+  // path per invocation forever; a rare full reset just costs one
+  // re-read per live dir.
   private val paramsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+  private def memoPut(dir: String, p: (Int, Int, Int)): Unit = {
+    if (paramsMemo.size > 64) paramsMemo.clear()
+    paramsMemo.put(dir, p)
+  }
 
   /** Near-dup pairs between `newDocs` and the corpus indexed at `dir`
     * (same parameters as at [[buildNearDupIndex]] time): band keys of the
@@ -170,10 +177,13 @@ object Dedup {
     * Jaccard verifies against the index's shingle table. Output:
     * (doc_a = indexed id, doc_b = new id, jaccard), ascending. Cost scales
     * with the BATCH, not the corpus: the corpus-side tables are only
-    * probed at their join keys, never re-signed. */
+    * probed at their join keys, never re-signed. `sorted = false` skips
+    * the trailing global orderBy (a range shuffle + full sort) for sinks
+    * where row order carries no meaning — e.g. a per-epoch streaming
+    * parquet append. */
   def nearDupsAgainstIndex(newDocs: DataFrame, dir: String, shingleSize: Int = 3,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      cacheIntermediates: Boolean = true): DataFrame = {
+      cacheIntermediates: Boolean = true, sorted: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     // mismatched signing parameters don't error — they find zero
     // candidates. Check against the params the index was built with.
@@ -181,11 +191,13 @@ object Dedup {
     // must not pay a params-read Spark job per epoch (stale only if
     // ANOTHER JVM rebuilds the same dir with different params mid-run —
     // rebuilds in this JVM refresh the memo via buildNearDupIndex).
-    val stored = paramsMemo.computeIfAbsent(dir, d => {
-      val r = spark.read.parquet(s"$d/params")
+    val stored = Option(paramsMemo.get(dir)).getOrElse {
+      val r = spark.read.parquet(s"$dir/params")
         .select("shingle_size", "num_hashes", "bands").head()
-      (r.getInt(0), r.getInt(1), r.getInt(2))
-    })
+      val p = (r.getInt(0), r.getInt(1), r.getInt(2))
+      memoPut(dir, p)
+      p
+    }
     require(stored == ((shingleSize, numHashes, bands)),
       s"index at $dir was built with (shingleSize, numHashes, bands) = $stored " +
         s"but the probe asked for ($shingleSize, $numHashes, $bands) — " +
@@ -210,7 +222,7 @@ object Dedup {
       .distinct()
     val idxShingles = spark.read.parquet(s"$dir/shingles")
       .select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("sh"))
-    cand
+    val verified = cand
       .join(idxShingles, "doc_a")
       .join(exNew.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("sh")),
         Seq("doc_b", "sh"))
@@ -220,7 +232,7 @@ object Dedup {
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    if (sorted) verified.orderBy(col("doc_a"), col("doc_b")) else verified
   }
 
   /** Duplicate clusters from near-dup PAIRS: connected components over the

@@ -185,15 +185,22 @@ object Multimodal {
       val buf = ByteBuffer.wrap(m.media).order(ByteOrder.LITTLE_ENDIAN)
       require(m.media.length >= 54 && buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte,
         s"doc ${m.doc_id}: resize expects a BMP payload")
-      val w = buf.getInt(18); val h = math.abs(buf.getInt(22))
+      val w = buf.getInt(18)
+      val rawH = buf.getInt(22) // negative = top-down row order
+      val h = math.abs(rawH)
       val pixelOff = buf.getInt(10)
       val srcRow = (3 * w + 3) / 4 * 4
+      require(m.media.length >= pixelOff + srcRow.toLong * h,
+        s"doc ${m.doc_id}: BMP header claims ${srcRow.toLong * h} pixel bytes " +
+          s"at offset $pixelOff but payload has ${m.media.length}")
       val w2 = (w + factor - 1) / factor; val h2 = (h + factor - 1) / factor
       val dstRow = (3 * w2 + 3) / 4 * 4
       val out = ByteBuffer.allocate(54 + dstRow * h2).order(ByteOrder.LITTLE_ENDIAN)
       out.put('B'.toByte).put('M'.toByte).putInt(54 + dstRow * h2)
         .putShort(0).putShort(0).putInt(54)
-      out.putInt(40).putInt(w2).putInt(h2).putShort(1).putShort(24)
+      // rows copy in STORED order, so the output must keep the source's
+      // row direction — flipping the sign would mirror the image
+      out.putInt(40).putInt(w2).putInt(if (rawH < 0) -h2 else h2).putShort(1).putShort(24)
         .putInt(0).putInt(dstRow * h2).putInt(2835).putInt(2835).putInt(0).putInt(0)
       var y = 0
       while (y < h2) {

@@ -61,25 +61,35 @@ object Text {
        |WHERE len($toksSql) > 0
        |ORDER BY doc_id""".stripMargin
 
-  /** Quality scoring: stopword ratio, punctuation density, composite
-    * quality in [0,1]. Identical arithmetic structure on both sides so
-    * doubles match bit-for-bit. */
-  private def t02(spark: SparkSession, dir: String): DataFrame =
-    Corpus.documents(spark, dir)
+  /** Per-doc quality signals — ONE Spark-side definition, mirrored
+    * column-for-column by [[docSignalsSql]] (t02's oracle hash proves the
+    * per-row doubles bit-match): doc_id, lang, text, toks, n_tokens,
+    * stop_hits, stop_ratio, punct_ratio, quality; zero-token docs drop.
+    * Shared by t02 (per-doc), t21 (rollup), and t24 (keep-one) so the
+    * arithmetic cannot drift between them. */
+  private def docSignals(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") > 0)
       .withColumn("stop_hits", stopwordHits(col("toks")))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
       .withColumn("punct_ratio", punctRatio(col("text")))
+      .withColumn("quality",
+        TextFunctions.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")))
+
+  /** Quality scoring: stopword ratio, punctuation density, composite
+    * quality in [0,1]. Identical arithmetic structure on both sides so
+    * doubles match bit-for-bit. */
+  private def t02(spark: SparkSession, dir: String): DataFrame =
+    docSignals(Corpus.documents(spark, dir))
       .select(
         col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("stop_hits").cast("long").as("stop_hits"),
         col("stop_ratio"),
         col("punct_ratio"),
-        TextFunctions.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio"))
-          .as("quality"))
+        col("quality"))
       .orderBy(col("doc_id"))
 
   // SQL mirror of TextFunctions.qualityScore — keep the arithmetic
@@ -569,15 +579,7 @@ object Text {
     * (decimal-detour mean of the bit-identical per-row score), and exact
     * duplicate rates. One scan + one partial+final agg on `lang`. */
   private def t21(spark: SparkSession, dir: String): DataFrame =
-    Corpus.documents(spark, dir)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
-      .filter(col("n_tokens") > 0)
-      .withColumn("stop_ratio",
-        stopwordHits(col("toks")).cast("double") / col("n_tokens"))
-      .withColumn("punct_ratio", punctRatio(col("text")))
-      .withColumn("quality",
-        TextFunctions.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")))
+    docSignals(Corpus.documents(spark, dir))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -669,16 +671,7 @@ object Text {
     val clusters = Dedup
       .dupClusters(Dedup.minhashNearDups(docs, shingleSize = 3, threshold = 0.8))
       .select(col("doc_id"), col("cluster_id"))
-    val scored = docs
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
-      .filter(col("n_tokens") > 0)
-      .withColumn("stop_ratio",
-        stopwordHits(col("toks")).cast("double") / col("n_tokens"))
-      .withColumn("punct_ratio", punctRatio(col("text")))
-      .select(col("doc_id"),
-        TextFunctions.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio"))
-          .as("quality"))
+    val scored = docSignals(docs).select(col("doc_id"), col("quality"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))

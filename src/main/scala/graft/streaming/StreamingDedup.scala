@@ -30,8 +30,10 @@ object StreamingDedup {
   def nearDupAuditSink(docs: DataFrame, indexDir: String, outDir: String,
       threshold: Double = 0.8): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      // sorted=false: the append sink is order-free, so skip the probe's
+      // trailing range-shuffle + sort per epoch
       Dedup.nearDupsAgainstIndex(batch, indexDir, threshold = threshold,
-          cacheIntermediates = false)
+          cacheIntermediates = false, sorted = false)
         .withColumn("_epoch", lit(epochId))
         .write.mode("append").parquet(outDir)
     }
