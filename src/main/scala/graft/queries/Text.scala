@@ -695,6 +695,52 @@ object Text {
        |FROM r2
        |ORDER BY doc_id""".stripMargin
 
+  /** Training-corpus manifest — the end-to-end composition the engine
+    * exists for: every document judged by the full preprocessing gauntlet
+    * in ONE pass — quality score (t02's signals), repetition filter
+    * (t18's dup-token fraction), exact-dedup keep-one (first doc per
+    * content hash), and the deterministic train/val/test split (t14) —
+    * with `selected` marking the rows a training run would actually read.
+    * One scan, one window on the content hash (tiny partitions — dup
+    * groups), zero joins; every per-row signal is scan-computed. */
+  private def t25(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    graft.operators.Sampling
+      .hashSplit(docSignals(Corpus.documents(spark, dir)), "text")
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("dedup_keep", row_number().over(w) === 1)
+      .withColumn("quality_keep",
+        col("quality") >= 0.40 && col("dup_token_frac") <= 0.65)
+      .withColumn("selected", col("dedup_keep") && col("quality_keep"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("dup_token_frac"),
+        col("split"), col("dedup_keep"), col("quality_keep"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t25Sql =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, text, n_tokens,
+       |    $qualitySql AS quality,
+       |    CAST(n_tokens - len(list_distinct($toksSql)) AS DOUBLE) / n_tokens AS dup_token_frac,
+       |    md5(text) AS text_hash,
+       |    ${foldSql("text")} % 100 AS bucket
+       |  FROM ($docSignalsSql)
+       |  WHERE n_tokens > 0),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1 AS dedup_keep,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split
+       |  FROM s)
+       |SELECT doc_id, lang, quality, dup_token_frac, split, dedup_keep,
+       |  quality >= 0.40 AND dup_token_frac <= 0.65 AS quality_keep,
+       |  dedup_keep AND quality >= 0.40 AND dup_token_frac <= 0.65 AS selected
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -719,5 +765,6 @@ object Text {
     QuerySpec("t21_corpus_report", t21, Some(t21Sql)),
     QuerySpec("t22_doc_chunks", t22, Some(t22Sql)),
     QuerySpec("t23_repeated_passages", t23, Some(t23Sql)),
-    QuerySpec("t24_dedup_keep_best", t24, Some(t24Sql)))
+    QuerySpec("t24_dedup_keep_best", t24, Some(t24Sql)),
+    QuerySpec("t25_training_manifest", t25, Some(t25Sql)))
 }
