@@ -103,6 +103,14 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"the datasheet is one scan + one agg, no join:\n$plan")
   }
 
+  test("t25 manifest: one scan, zero joins, window only on the content hash") {
+    val plan = planOf("t25_training_manifest")
+    assert(!plan.contains("Join"),
+      s"every manifest signal is per-row or windowed — a join means a needless shuffle:\n$plan")
+    assert(plan.contains("hashpartitioning(text_hash"),
+      s"dedup keep-one must window on the content hash:\n$plan")
+  }
+
   test("similarity top-k ranks via bounded partial aggregate, not a window sort") {
     // the window form shuffles every scored candidate of a query to one
     // task and sorts it there; the bounded TopK aggregate must show up as
