@@ -64,9 +64,10 @@ object Text {
   /** Per-doc quality signals — ONE Spark-side definition, mirrored
     * column-for-column by [[docSignalsSql]] (t02's oracle hash proves the
     * per-row doubles bit-match): doc_id, lang, text, toks, n_tokens,
-    * stop_hits, stop_ratio, punct_ratio, quality; zero-token docs drop.
-    * Shared by t02 (per-doc), t21 (rollup), and t24 (keep-one) so the
-    * arithmetic cannot drift between them. */
+    * stop_hits, stop_ratio, punct_ratio, quality, n_distinct,
+    * dup_token_frac; zero-token docs drop. Shared by t02 (per-doc), t18
+    * (repetition), t21 (rollup), t24 (keep-one), and t25 (manifest) so
+    * the arithmetic cannot drift between them. */
   private def docSignals(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", tokens(col("text")))
@@ -77,6 +78,9 @@ object Text {
       .withColumn("punct_ratio", punctRatio(col("text")))
       .withColumn("quality",
         TextFunctions.qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
 
   /** Quality scoring: stopword ratio, punctuation density, composite
     * quality in [0,1]. Identical arithmetic structure on both sides so
@@ -97,13 +101,16 @@ object Text {
   private val qualitySql =
     "least(1.0, n_tokens / 200.0) * 0.5 + least(1.0, stop_ratio * 4.0) * 0.3 + (1.0 - punct_ratio) * 0.2"
 
-  // Per-doc signal subquery shared by t02 and the t21 rollup.
+  // Per-doc signal subquery — the SQL mirror of [[docSignals]], shared by
+  // the t02/t18/t21/t24/t25 oracles.
   private val docSignalsSql = {
     val stopList = TextFunctions.StopwordList.map(s => s"'$s'").mkString(", ")
-    s"""SELECT doc_id, lang, text, n_tokens, stop_hits,
+    s"""SELECT doc_id, lang, text, sp, n_tokens, stop_hits,
        |        CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
-       |        CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
-       |      FROM (SELECT doc_id, lang, text, len($toksSql) AS n_tokens,
+       |        CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |        len(list_distinct(sp)) AS n_distinct,
+       |        CAST(n_tokens - len(list_distinct(sp)) AS DOUBLE) / n_tokens AS dup_token_frac
+       |      FROM (SELECT doc_id, lang, text, $toksSql AS sp, len($toksSql) AS n_tokens,
        |              len(list_filter($toksSql, t -> t IN ($stopList))) AS stop_hits
        |            FROM documents)""".stripMargin
   }
@@ -486,40 +493,38 @@ object Text {
     * Entirely per-row (zero shuffle, scan speed): the bigram mode count
     * runs through the codegen'd O(n) `graft_mode_count` expression rather
     * than the O(n·distinct) HOF the oracle mirrors. */
+  // Shared filter thresholds — interpolated into BOTH the Spark bodies
+  // and the SQL mirrors of t18/t25, so a tuning change can't diverge the
+  // repetition filter from the manifest.
+  private val QualityMin = 0.40
+  private val DupFracMax = 0.65
+
   private def t18(spark: SparkSession, dir: String): DataFrame = {
     GraftExpressions.register(spark)
-    Corpus.documents(spark, dir)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    docSignals(Corpus.documents(spark, dir))
       .filter(col("n_tokens") >= 2)
-      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("bg", TextFunctions.ngramsAll(col("toks"), 2))
-      .withColumn("dup_token_frac",
-        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
       .withColumn("top_bigram_count", expr("graft_mode_count(bg)"))
       .withColumn("top_bigram_frac",
         col("top_bigram_count").cast("double") / (col("n_tokens") - 1))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
         col("dup_token_frac"), col("top_bigram_count"), col("top_bigram_frac"),
-        (col("dup_token_frac") <= 0.65 && col("top_bigram_frac") <= 0.06).as("keep"))
+        (col("dup_token_frac") <= DupFracMax && col("top_bigram_frac") <= 0.06).as("keep"))
       .orderBy(col("doc_id"))
   }
 
   private val t18Sql =
-    s"""WITH feat AS (
-       |  SELECT doc_id, len(sp) AS n_tokens, len(list_distinct(sp)) AS n_distinct,
-       |    [sp[i] || ' ' || sp[i+1] for i in range(1, len(sp))] AS bg
-       |  FROM (SELECT doc_id, $toksSql AS sp FROM documents)
-       |  WHERE len(sp) >= 2),
-       |f2 AS (
-       |  SELECT doc_id, n_tokens, n_distinct,
-       |    CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+    s"""WITH f2 AS (
+       |  SELECT doc_id, n_tokens, n_distinct, dup_token_frac,
        |    CAST(list_max(list_transform(list_distinct(bg),
        |      b -> len(list_filter(bg, x -> x = b)))) AS BIGINT) AS top_bigram_count
-       |  FROM feat)
+       |  FROM (SELECT *, [sp[i] || ' ' || sp[i+1] for i in range(1, len(sp))] AS bg
+       |        FROM ($docSignalsSql) WHERE n_tokens >= 2))
        |SELECT doc_id, n_tokens, n_distinct, dup_token_frac, top_bigram_count,
        |  CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
-       |  dup_token_frac <= 0.65
+       |  dup_token_frac <= $DupFracMax
        |    AND CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1) <= 0.06 AS keep
        |FROM f2
        |ORDER BY doc_id""".stripMargin
@@ -700,22 +705,22 @@ object Text {
     * in ONE pass — quality score (t02's signals), repetition filter
     * (t18's dup-token fraction), exact-dedup keep-one (first doc per
     * content hash), and the deterministic train/val/test split (t14) —
-    * with `selected` marking the rows a training run would actually read.
-    * One scan, one window on the content hash (tiny partitions — dup
-    * groups), zero joins; every per-row signal is scan-computed. */
+    * with `selected` marking the rows a TRAINING run would actually read
+    * (keep flags true AND split = train; validation/test rows carry their
+    * flags but are never selected). One scan, one window on the content
+    * hash (tiny partitions — dup groups), zero joins; every per-row
+    * signal is scan-computed. */
   private def t25(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("text_hash")).orderBy(col("doc_id"))
     graft.operators.Sampling
       .hashSplit(docSignals(Corpus.documents(spark, dir)), "text")
-      .withColumn("n_distinct", size(array_distinct(col("toks"))))
-      .withColumn("dup_token_frac",
-        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
       .withColumn("text_hash", md5(col("text")))
       .withColumn("dedup_keep", row_number().over(w) === 1)
       .withColumn("quality_keep",
-        col("quality") >= 0.40 && col("dup_token_frac") <= 0.65)
-      .withColumn("selected", col("dedup_keep") && col("quality_keep"))
+        col("quality") >= QualityMin && col("dup_token_frac") <= DupFracMax)
+      .withColumn("selected",
+        col("dedup_keep") && col("quality_keep") && col("split") === "train")
       .select(col("doc_id"), col("lang"), col("quality"), col("dup_token_frac"),
         col("split"), col("dedup_keep"), col("quality_keep"), col("selected"))
       .orderBy(col("doc_id"))
@@ -723,12 +728,10 @@ object Text {
 
   private val t25Sql =
     s"""WITH s AS (
-       |  SELECT doc_id, lang, text, n_tokens,
-       |    $qualitySql AS quality,
-       |    CAST(n_tokens - len(list_distinct($toksSql)) AS DOUBLE) / n_tokens AS dup_token_frac,
+       |  SELECT doc_id, lang, quality, dup_token_frac,
        |    md5(text) AS text_hash,
        |    ${foldSql("text")} % 100 AS bucket
-       |  FROM ($docSignalsSql)
+       |  FROM (SELECT *, $qualitySql AS quality FROM ($docSignalsSql))
        |  WHERE n_tokens > 0),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1 AS dedup_keep,
@@ -736,8 +739,8 @@ object Text {
        |         WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split
        |  FROM s)
        |SELECT doc_id, lang, quality, dup_token_frac, split, dedup_keep,
-       |  quality >= 0.40 AND dup_token_frac <= 0.65 AS quality_keep,
-       |  dedup_keep AND quality >= 0.40 AND dup_token_frac <= 0.65 AS selected
+       |  quality >= $QualityMin AND dup_token_frac <= $DupFracMax AS quality_keep,
+       |  dedup_keep AND quality_keep AND split = 'train' AS selected
        |FROM r
        |ORDER BY doc_id""".stripMargin
 
