@@ -34,7 +34,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Per-call operator caches (minhash explodes, tf frames, cluster
+      // labels) are never reused across queries — release them so query
+      // N+1 isn't timed under query N's cache memory/GC pressure. The
+      // deliberately-shared Domain.silverFlat frame is NOT released
+      // (p02/p03/p04 sharing one scan is the engine's design).
+      graft.operators.Dedup.releaseCaches()
+      graft.queries.Text.releaseCaches()
+      name -> elapsed
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The harness captures only the last ~2000 chars of output; a
