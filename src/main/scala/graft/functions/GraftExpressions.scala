@@ -256,6 +256,59 @@ object ModeCount {
   }
 }
 
+/** Portable mod-2³¹ polynomial fold over a string's Unicode code points:
+  * h = (h·31 + codepoint) mod 2³¹−1, left to right. The cross-engine
+  * fingerprint CONTRACT behind hash-split/sampling/packing (one SQL
+  * mirror lives in graft.queries.Text.foldSql) — bit-identical to the
+  * HOF form `aggregate(filter(split(s,''), ch -> ch != ''), 0L,
+  * (h, ch) -> pmod(h*31 + ascii(ch), 2147483647))` it replaces, which
+  * allocated an array of single-char strings and dispatched two
+  * interpreted lambdas per character on the hot path of every
+  * split/resample/pack query. Decodes the UTF-8 bytes directly; no
+  * allocation, whole-stage codegen via a static helper. */
+case class Fold31(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fold31"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Fold31.fold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Fold31.fold($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Fold31 =
+    copy(child = newChild)
+}
+
+object Fold31 {
+  /** One pass over the UTF-8 bytes, decoding code points inline.
+    * Continuation-byte masks follow RFC 3629; Spark strings are valid
+    * UTF-8 by construction (UTF8String normalizes on ingest). */
+  def fold(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      var cp = 0
+      if (b < 0x80) { cp = b; i += 1 }
+      else if ((b & 0xe0) == 0xc0) {
+        cp = ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b & 0xf0) == 0xe0) {
+        cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      }
+      h = (h * 31L + cp) % 2147483647L
+    }
+    h
+  }
+}
+
 /** Registers the custom expressions in a session's function registry so
   * they are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftExpressions {
@@ -279,5 +332,7 @@ object GraftExpressions {
       "graft_topk", exprs => TopK(exprs(0), exprs(1), intArg(exprs(2), "k")), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_mode_count", exprs => ModeCount(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fold31", exprs => Fold31(exprs.head), "built-in")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable dataset splitting for training pipelines.
@@ -15,17 +15,21 @@ import org.apache.spark.sql.functions._
   * The hash is the portable mod-2³¹ polynomial fold (h·31 + codepoint,
   * mod 2³¹−1) — the same fingerprint the oracle-checked t10 query uses, so
   * split assignment is reproducible bit-for-bit in DuckDB/SQL for audits.
-  * Evaluated as one codegen'd `aggregate` HOF over the key column: a scan,
-  * no shuffle, no UDF.
+  * Evaluated by the codegen'd [[graft.functions.Fold31]] expression: one
+  * pass over the UTF-8 bytes inside whole-stage codegen — a scan, no
+  * shuffle, no UDF, no per-character allocation.
   */
 object Sampling {
 
   /** Portable fingerprint of a string column: fold (h·31 + codepoint)
-    * mod 2³¹−1 over its characters. Range [0, 2³¹−1). */
-  def portableFingerprint(c: String): Column =
-    expr(s"""aggregate(
-            |  filter(split($c, ''), ch -> ch != ''),
-            |  0L, (h, ch) -> pmod(h * 31 + ascii(ch), 2147483647))""".stripMargin)
+    * mod 2³¹−1 over its code points. Range [0, 2³¹−1). */
+  def portableFingerprint(c: String): Column = {
+    // expr() resolves against the session's function registry at analysis
+    // time, so make sure graft_fold31 is registered on the active session
+    // before the Column is used (idempotent, registry-local).
+    graft.functions.GraftExpressions.register(SparkSession.active)
+    expr(s"graft_fold31($c)")
+  }
 
   /** Adds `bucket` ∈ [0, nBuckets) derived from the key column's content
     * hash. Same key → same bucket, independent of partitioning, engine,

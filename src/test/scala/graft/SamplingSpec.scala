@@ -52,6 +52,29 @@ class SamplingSpec extends SparkTestBase {
       Sampling.hashSplit(corpus(1), "text", Seq("x" -> 60, "y" -> 60)))
   }
 
+  test("portableFingerprint: codegen'd Fold31 is bit-identical to the HOF contract form") {
+    // The portable fold is a cross-engine CONTRACT (t10/t14/t19/t20/t25
+    // oracles + the DuckDB foldSql mirror all gate on it). The codegen'd
+    // expression must reproduce the original HOF definition exactly —
+    // including multi-byte code points, which `split(s,'')`+`ascii` folds
+    // per code point.
+    val hof = expr("""aggregate(
+      filter(split(s, ''), ch -> ch != ''),
+      0L, (h, ch) -> pmod(h * 31 + ascii(ch), 2147483647))""")
+    val edge = Seq("", " ", "a", "plain ascii text 123!?",
+      "héllo wörld", "中文 text €’",
+      "emoji 😀🚀 mix", "tab\tand\nnewline",
+      ("repeat " * 400) + "é中😀").toDF("s")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text").as("s"))
+    Seq(edge, docs).foreach { df =>
+      val bad = df.select(col("s"),
+          Sampling.portableFingerprint("s").as("fast"), hof.as("contract"))
+        .filter(col("fast") =!= col("contract"))
+      assert(bad.isEmpty, s"Fold31 diverged from the HOF contract: ${bad.take(3).toSeq}")
+    }
+  }
+
   private def mixCorpus(n: Int) =
     corpus(n).withColumn("lang",
       when(col("doc_id") % 4 === 0, "fr").otherwise("en"))
