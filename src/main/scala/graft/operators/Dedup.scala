@@ -151,12 +151,58 @@ object Dedup {
     ex.write.mode("overwrite").parquet(s"$dir/shingles")
     // the signing parameters ARE the index format: a probe with different
     // ones finds zero candidates with no error, so persist them and let
-    // the probe fail loudly on a mismatch
+    // the probe fail loudly on a mismatch. Written twice: a parquet table
+    // (queryable, engine-agnostic) and a tiny JSON side file the probe
+    // can re-read on EVERY call without a Spark job — so a concurrent
+    // rebuild with different parameters is seen by long-lived probers
+    // (e.g. the streaming audit sink) instead of silently matching
+    // nothing against a stale in-JVM memo.
     import spark.implicits._
     Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    writeParamsJson(spark, dir, (shingleSize, numHashes, bands))
     memoPut(dir, (shingleSize, numHashes, bands))
+  }
+
+  private def paramsJsonPath(dir: String) = s"$dir/params.json"
+
+  private def writeParamsJson(spark: org.apache.spark.sql.SparkSession,
+      dir: String, p: (Int, Int, Int)): Unit = {
+    val path = new org.apache.hadoop.fs.Path(paramsJsonPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(
+      s"""{"shingle_size":${p._1},"num_hashes":${p._2},"bands":${p._3}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Params as the index DIR currently declares them: the JSON side file
+    * when present (re-read per call — microseconds, no Spark job, never
+    * stale), else the parquet table through the bounded memo (indexes
+    * built by older engine versions). */
+  private def readParams(spark: org.apache.spark.sql.SparkSession, dir: String): (Int, Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(paramsJsonPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val txt = try new String(
+        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      def field(name: String): Int =
+        s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"malformed ${paramsJsonPath(dir)}: $txt"))
+          .group(1).toInt
+      (field("shingle_size"), field("num_hashes"), field("bands"))
+    } else Option(paramsMemo.get(dir)).getOrElse {
+      val r = spark.read.parquet(s"$dir/params")
+        .select("shingle_size", "num_hashes", "bands").head()
+      val p = (r.getInt(0), r.getInt(1), r.getInt(2))
+      memoPut(dir, p)
+      p
+    }
   }
 
   // (shingleSize, numHashes, bands) per index dir — see the probe-side
@@ -186,18 +232,10 @@ object Dedup {
       cacheIntermediates: Boolean = true, sorted: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     // mismatched signing parameters don't error — they find zero
-    // candidates. Check against the params the index was built with.
-    // Memoized per dir: a streaming sink probes every micro-batch and
-    // must not pay a params-read Spark job per epoch (stale only if
-    // ANOTHER JVM rebuilds the same dir with different params mid-run —
-    // rebuilds in this JVM refresh the memo via buildNearDupIndex).
-    val stored = Option(paramsMemo.get(dir)).getOrElse {
-      val r = spark.read.parquet(s"$dir/params")
-        .select("shingle_size", "num_hashes", "bands").head()
-      val p = (r.getInt(0), r.getInt(1), r.getInt(2))
-      memoPut(dir, p)
-      p
-    }
+    // candidates. Check against the params the index was built with,
+    // re-read from the JSON side file per call (see readParams) so even
+    // a rebuild by ANOTHER process mid-run is seen by long-lived probers.
+    val stored = readParams(spark, dir)
     require(stored == ((shingleSize, numHashes, bands)),
       s"index at $dir was built with (shingleSize, numHashes, bands) = $stored " +
         s"but the probe asked for ($shingleSize, $numHashes, $bands) — " +
@@ -250,11 +288,13 @@ object Dedup {
     * big equi-join costs; the iteration COUNT is bounded by the longest
     * min-label path in a component. Near-dup components are stars/cliques
     * around a canonical text (diameter ≤ 2-3), so 3-4 iterations close even
-    * a 100 TB corpus; a convergence check stops early and `maxIter` guards
-    * the pathological chain-of-dups case (where an alternating
-    * large-star/small-star scheme — Kiveris et al., "Connected Components
-    * in MapReduce and Beyond" — would be the upgrade). Throws if not
-    * converged rather than returning a partial clustering. */
+    * a 100 TB corpus; a convergence check stops early. If `maxIter` rounds
+    * pass without convergence (a pathological chain-of-dups graph whose
+    * diameter exceeds the bound), the computation automatically RESTARTS
+    * on [[alternatingComponents]] — the large-star/small-star scheme,
+    * which contracts path length geometrically and closes any graph in
+    * O(log n) rounds — so no input shape returns a partial clustering or
+    * an error. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // symmetrize with ONE explode pass, not a self-union: the union's two
     // branches would each evaluate `pairs` — typically a whole near-dup
@@ -266,9 +306,19 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // seed with the 1-hop min already folded in (label = min(self,
     // neighbors)) — same single shuffle a plain distinct() would cost,
-    // one fewer propagation round
+    // one fewer propagation round.
+    // localCheckpoint (not persist) each iteration: persist() caches DATA
+    // but leaves the LOGICAL plan growing — iteration N's plan nests
+    // iteration N−1's several times, so plan size (and analysis/explain
+    // cost) compounds geometrically and a deep graph OOMs the driver on
+    // plan strings alone. Checkpointing truncates the plan to the
+    // materialized result. Local (block-manager) checkpoints trade
+    // executor-loss tolerance for speed — on a dynamic-allocation
+    // cluster, configure a checkpoint dir and swap in Dataset.checkpoint.
+    // Freed by the ContextCleaner once unreferenced (row footprint is one
+    // (id,label) pair per incident doc).
     var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(col("src"), min(col("dst"))).as("label")).persist()
+      .agg(least(col("src"), min(col("dst"))).as("label")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -276,26 +326,94 @@ object Dedup {
       // a node's next label: min over itself and all neighbors' labels
       val msgs = edges.join(prev, edges("src") === prev("id"))
         .select(col("dst").as("id"), col("label"))
+      // eager checkpoint materializes next; the convergence count then
+      // runs on the two checkpoints only (labels only ever decrease, so
+      // changed ⇔ label < old)
       val next = prev.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
-      // ONE job per iteration: the change count both materializes next's
-      // cache fully (the join scans every partition — so dropping prev
-      // can't trigger the iterative-lineage blowup) and decides
-      // convergence (labels only ever decrease, so changed ⇔ label < old)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).localCheckpoint()
       converged = next
         .join(prev.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).count() == 0L
-      prev.unpersist()
       labels = next
       iter += 1
     }
-    caches.register(labels) // already persisted in the loop; released via releaseCaches
-    require(converged, s"dupClusters did not converge in $maxIter iterations " +
-      "(component diameter exceeds the bound — use large-star/small-star for chain-shaped graphs)")
+    if (!converged) {
+      // component diameter exceeded the propagation bound (chain-shaped
+      // graph) — restart on the O(log n)-round alternating scheme
+      labels = alternatingComponents(edges)
+    }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14): each round rewires every node toward its neighborhood
+    * minimum, halving component diameter, so even a pure path graph
+    * closes in O(log n) rounds — the scale-safe fallback for graphs
+    * where min-label propagation (cost ∝ diameter) doesn't converge.
+    * Input: directed edge frame (src, dst), either orientation, no
+    * self-loops required. Output: (id, label = component min) for every
+    * node incident to an edge. Each round is two groupBy+join pairs on
+    * the node id; convergence (edge set fixed) is checked with an
+    * exact anti-join, not a hash heuristic. Rounds are localCheckpoint'd
+    * for the same plan-blowup reason as the propagation loop in
+    * [[dupClusters]]. */
+  def alternatingComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // large-star: for each u, connect every LARGER neighbor to
+    // m = min({u} ∪ N(u)) — symmetrized view
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+        .select(col("p.src").as("u"), col("p.dst").as("v"))
+      val mins = sym.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: orient each edge large→small; connect every smaller
+    // neighbor (and u itself) to m = min(N(u)) — N(u) all < u here
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e
+        .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("src"), col("m").as("dst")),
+          struct(col("u").as("src"), col("m").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var cur = edges
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var curCount = cur.count()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCount = next.count()
+      // equal counts + empty anti-join ⇔ identical (distinct) edge sets
+      stable = nextCount == curCount &&
+        next.join(cur, Seq("src", "dst"), "left_anti").isEmpty
+      cur = next
+      curCount = nextCount
+      round += 1
+    }
+    require(stable, s"alternatingComponents did not stabilize in $maxRounds rounds")
+    // fixed point is a star forest rooted at component minima:
+    // every non-root appears as src exactly once; roots label themselves
+    val roots = cur.select(col("dst").as("id"), col("dst").as("label")).distinct()
+    cur.select(col("src").as("id"), col("dst").as("label"))
+      .unionByName(roots)
   }
 
   /** Exact pairwise Jaccard restricted to an explicit blocking column —
@@ -336,19 +454,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash per document: tf-weighted sign-sum of token-hash bits.
-    * Output: (doc_id, simhash LONG). */
+  /** Number of hash bits in a SimHash signature. 63, not 64: the token
+    * hash is assembled from two md5 halves as (hi mod 2³¹)·2³² + lo so it
+    * stays non-negative in every engine's signed-64 arithmetic — the
+    * property that makes the whole signature pipeline (bit tests, sign
+    * sums, packing, XOR popcount) expressible in portable SQL and lets
+    * the driver oracle-check t08 in DuckDB. Bit 63 is structurally zero
+    * on both sides. */
+  val SimhashBits = 63
+
+  /** SimHash per document: tf-weighted sign-sum of token-hash bits,
+    * packed into one LONG. Output: (doc_id, simhash).
+    *
+    * The token hash is md5-derived (two 32-bit hex halves), not
+    * xxhash64: cross-engine reproducibility is a design goal of every
+    * dedup signature here (audits re-compute signatures in SQL engines),
+    * and md5 is the one hash every engine computes identically. A
+    * deployment that never audits cross-engine can swap xxhash64 back
+    * for ~30% cheaper signing — the banding and sign-sum are unchanged. */
   def simhashes(docs: DataFrame): DataFrame = {
+    val hi = conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % 2147483648L
+    val lo = conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long")
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("th", hi * 4294967296L + lo)
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(lit(1L)) === 1L, col("tf"))
         .otherwise(-col("tf"))).as(s"b$b")
     }
-    val packed = (0 until 64)
+    val packed = (0 until SimhashBits)
       .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     tf.groupBy(col("doc_id"))

@@ -93,6 +93,36 @@ class DedupSpec extends SparkTestBase {
     assert(clustersOf(Seq.empty).isEmpty)
   }
 
+  test("dupClusters: 100-node chain exceeds the propagation bound and converges via star fallback") {
+    // diameter 99 ≫ maxIter — min-label propagation cannot close this;
+    // the alternating large-star/small-star fallback must take over
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val rows = Dedup.dupClusters(chain.toDF("doc_a", "doc_b"), maxIter = 4)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 100)
+    assert(rows.forall { case (_, c, s) => c == 0L && s == 100L },
+      s"every chain node labels to 0 with size 100: ${rows.take(5).toSeq}")
+  }
+
+  test("alternatingComponents: labels every component to its min; agrees with propagation") {
+    val edges = Seq((1L, 0L), (1L, 2L), (5L, 6L), (30L, 10L), (10L, 20L))
+      .toDF("src", "dst")
+    val labels = Dedup.alternatingComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 20L -> 10L, 30L -> 10L))
+    // both algorithms produce the same clustering on the mixed graph
+    val pairs = Seq((0L, 1L), (0L, 2L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (22L, 23L), (21L, 22L))
+    val viaFallback = Dedup.dupClusters(pairs.toDF("doc_a", "doc_b"), maxIter = 1)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, c, s) => d -> ((c, s)) }.toMap
+    assert(viaFallback === clustersOf(pairs),
+      "fallback path must reproduce the propagation clustering")
+  }
+
   test("incremental dedup: a new batch finds its dups in the index, not in itself") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
     Dedup.buildNearDupIndex(docs, dir) // corpus: docs 0-4 indexed
