@@ -230,11 +230,41 @@ object Text {
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** SimHash near-dups (Hamming ≤ 3, band-blocked) — rows-only (xxhash64
-    * bit arithmetic has no DuckDB equivalent); validated in unit tests
-    * against planted duplicates. */
+  /** SimHash near-dups (Hamming ≤ 3, band-blocked). Oracle: the full
+    * signature pipeline — md5-derived 63-bit token hash, tf-weighted
+    * sign-sums, bit packing, XOR popcount — replayed in DuckDB as a
+    * brute-force O(n²) pair scan. The band blocking needs no mirror: by
+    * pigeonhole (4 bands, ≤3 differing bits) every Hamming≤3 pair shares
+    * a band, so the blocked and brute-force result sets coincide and the
+    * hash gate checks the banding's recall too. */
   private def t08(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Corpus.documents(spark, dir), maxHamming = 3)
+
+  private val t08Sql = {
+    val bits = 0 until Dedup.SimhashBits
+    val bitSums = bits
+      .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN tf ELSE -tf END) AS b$b")
+      .mkString(",\n    ")
+    val packed = bits
+      .map(b => s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+       |    (CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 2147483648) * 4294967296
+       |      + CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS th
+       |  FROM tok GROUP BY doc_id, token),
+       |bits AS (
+       |  SELECT doc_id, $bitSums
+       |  FROM tf GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $packed AS simhash FROM bits)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Blocked pairwise n-gram Jaccard (block = source) at ≥0.3 — the
     * "domain gives you a partition" dedup strategy. */
@@ -411,7 +441,10 @@ object Text {
     // fresh bounded-retention dir per invocation: see RotatingTempDir
     val idx = graft.util.RotatingTempDir.next("graft_dedup_idx_")
     Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+    // materialized (tiny result): the returned frame must stay valid
+    // after RotatingTempDir prunes this invocation's index generation
     Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") % 2 === 1), idx)
+      .localCheckpoint()
   }
 
   private val t15Sql =
@@ -434,9 +467,11 @@ object Text {
     val docs = graft.operators.Sampling.hashSplit(Corpus.documents(spark, dir), "text")
     val idx = graft.util.RotatingTempDir.next("graft_contam_idx_")
     Dedup.buildNearDupIndex(docs.filter(col("split") === "train"), idx)
+    // materialized: survives RotatingTempDir pruning (see t15)
     Dedup.nearDupsAgainstIndex(docs.filter(col("split") =!= "train"), idx)
       .select(col("doc_a").as("train_doc"), col("doc_b").as("eval_doc"), col("jaccard"))
       .orderBy(col("train_doc"), col("eval_doc"))
+      .localCheckpoint()
   }
 
   private val t16Sql = {
@@ -635,23 +670,54 @@ object Text {
   /** Cross-document repeated-passage detection — the 16-token-granular
     * form of exact-substring dedup (the Lee et al. "deduplicating training
     * data" shape): every 16-token window that appears in ≥ 2 documents,
-    * with occurrence counts and the spanning doc-id range. One explode +
-    * one partial+final agg keyed on the gram; at 100 TB the group key
-    * would be an 8-byte gram hash (verify collisions on the survivors)
-    * rather than the string — semantics identical, shuffle 10× narrower. */
-  private def t23(spark: SparkSession, dir: String): DataFrame =
-    Corpus.documents(spark, dir)
+    * with occurrence counts and the spanning doc-id range.
+    *
+    * Aggregates on the 8-byte `xxhash64(gram)` key, NOT the ~100-byte gram
+    * string — the heavy shuffle (every window of the corpus) carries only
+    * (hash, doc_id) pairs. The strings needed for output are recovered in
+    * a second pass restricted to the ≥2-doc survivors (a rare set: 835 of
+    * ~2.9M windows at sf0.01), joined back on the hash; an `assert_true`
+    * guard fails loudly on a 64-bit hash collision (expected at ~2³²
+    * distinct grams; the fallback is the string-keyed form this replaced)
+    * rather than silently merging two passages. Trades one extra corpus
+    * scan+explode for a ~10× narrower shuffle — the right trade at 100 TB
+    * where the shuffle, not the scan, is the bottleneck. */
+  private def t23(spark: SparkSession, dir: String): DataFrame = {
+    def grams = Corpus.documents(spark, dir)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 16)
       .select(col("doc_id"), explode(TextFunctions.ngramsAll(col("toks"), 16)).as("gram"))
-      .groupBy(col("gram"))
+    val agg = grams
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .groupBy(col("gh"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") >= 2)
+    // join BEFORE any distinct: the survivor set is tiny, so AQE turns
+    // this into a broadcast probe and the gram strings never shuffle —
+    // only survivor occurrences reach the final (tiny) aggregation
+    val names = grams
+      .select(xxhash64(col("gram")).as("gh"), col("gram"))
+      .join(agg, "gh")
+      .groupBy(col("gh")).agg(
+        min(col("gram")).as("gram"),
+        countDistinct(col("gram")).as("n_grams"),
+        first(col("n_docs")).as("n_docs"),
+        first(col("n_occurrences")).as("n_occurrences"),
+        first(col("min_doc")).as("min_doc"),
+        first(col("max_doc")).as("max_doc"))
+    names
+      .withColumn("_collision_guard",
+        assert_true(col("n_grams") === 1,
+          lit("xxhash64 gram collision — re-run with string-keyed aggregation")))
+      .filter(col("_collision_guard").isNull)
+      .select(col("gram"), col("n_docs"), col("n_occurrences"),
+        col("min_doc"), col("max_doc"))
       .orderBy(col("gram"))
+  }
 
   private val t23Sql =
     s"""WITH g AS (
@@ -752,7 +818,7 @@ object Text {
     QuerySpec("t05_dedup_exact_stats", t05, Some(t05Sql)),
     QuerySpec("t06_dedup_exact_groups", t06, Some(t06Sql)),
     QuerySpec("t07_dedup_minhash_lsh", t07, Some(t07Sql)),
-    QuerySpec("t08_dedup_simhash", t08, None),
+    QuerySpec("t08_dedup_simhash", t08, Some(t08Sql)),
     QuerySpec("t09_dedup_jaccard_blocked", t09, Some(t09Sql)),
     QuerySpec("t10_fingerprint_mod", t10, Some(t10Sql)),
     QuerySpec("t11_redaction", t11, Some(t11Sql)),

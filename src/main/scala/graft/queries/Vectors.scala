@@ -201,7 +201,10 @@ object Vectors {
     // fresh bounded-retention dir per invocation: see RotatingTempDir
     val idx = graft.util.RotatingTempDir.next("graft_ivf_idx_")
     Similarity.buildIvfIndex(spark, emb, idx)
+    // materialized (tiny result): the returned frame must stay valid
+    // after RotatingTempDir prunes this invocation's index generation
     Similarity.ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), idx, k = 10)
+      .localCheckpoint()
   }
 
   /** Embedding dedup end-to-end: the v02 near-dup pairs fold into

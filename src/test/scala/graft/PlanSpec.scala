@@ -60,7 +60,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("t15 incremental dedup: batch probes the index by equi-join, never n²") {
-    val plan = planOf("t15_dedup_incremental")
+    // the t15 query ENTRY localCheckpoints its (tiny) result so the frame
+    // outlives RotatingTempDir pruning — which truncates the plan to a
+    // Scan ExistingRDD. Assert on the probe operator itself instead.
+    val docs = Corpus.documents(spark, sf0001)
+    val idx = graft.util.RotatingTempDir.next("graft_planspec_idx_")
+    graft.operators.Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+    val plan = graft.operators.Dedup
+      .nearDupsAgainstIndex(docs.filter(col("doc_id") % 2 === 1), idx)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"index probe must equi-join on (band_idx, band_hash) and (doc, shingle):\n$plan")
     assert(plan.contains("partial_min"), s"signature min-agg must have a map-side phase:\n$plan")
@@ -95,6 +103,20 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join") && !plan.contains("HashAggregate") &&
       !plan.contains("Window"),
       s"chunk boundaries are per-row arithmetic — no join/agg/window belongs here:\n$plan")
+  }
+
+  test("t10/t14: the portable fold runs as the codegen'd Fold31 expression") {
+    // The HOF form it replaced (aggregate over split(text,'')) allocated a
+    // single-char-string array + two lambda dispatches per character on
+    // the hot path of five queries — assert the native expression is what
+    // the plan actually evaluates.
+    Seq("t10_fingerprint_mod", "t14_hash_split").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("graft_fold31"),
+        s"$q must fingerprint via the codegen'd Fold31 expression:\n$plan")
+      assert(!plan.contains("aggregate(filter(split"),
+        s"$q still evaluates the interpreted HOF fold:\n$plan")
+    }
   }
 
   test("t21 corpus rollup: single two-phase aggregation on lang") {
