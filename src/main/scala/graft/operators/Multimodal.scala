@@ -185,6 +185,12 @@ object Multimodal {
       val buf = ByteBuffer.wrap(m.media).order(ByteOrder.LITTLE_ENDIAN)
       require(m.media.length >= 54 && buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte,
         s"doc ${m.doc_id}: resize expects a BMP payload")
+      // the row-stride arithmetic below is 24bpp-uncompressed-specific: a
+      // 32bpp or RLE-compressed BMP would resize into silently corrupted
+      // pixels instead of erroring
+      require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
+        s"doc ${m.doc_id}: resize supports uncompressed 24bpp BMP only " +
+          s"(got ${buf.getShort(28)}bpp, compression ${buf.getInt(30)})")
       val w = buf.getInt(18)
       val rawH = buf.getInt(22) // negative = top-down row order
       val h = math.abs(rawH)

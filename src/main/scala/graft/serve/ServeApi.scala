@@ -44,8 +44,13 @@ object ServeApi {
       safely(ex)(trackingRoute(silver, model, config, ex)))
     server.createContext("/predict/country/", (ex: HttpExchange) =>
       safely(ex)(countryRoute(silver, config, ex)))
-    server.createContext("/ui", (ex: HttpExchange) => safely(ex)(
-      respondHtml(ex, 200, uiPage)))
+    // com.sun HttpServer contexts match by path PREFIX, so without the
+    // exact-path check this context would also serve /uix, /ui/anything…
+    server.createContext("/ui", (ex: HttpExchange) => safely(ex) {
+      val p = ex.getRequestURI.getPath
+      if (p == "/ui" || p == "/ui/") respondHtml(ex, 200, uiPage)
+      else respond(ex, 404, jsonObj(Seq("error" -> "not found")))
+    })
     server.createContext("/", (ex: HttpExchange) => safely(ex) {
       if (ex.getRequestURI.getPath == "/")
         respond(ex, 200, jsonObj(Seq(
