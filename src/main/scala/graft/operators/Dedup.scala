@@ -139,7 +139,13 @@ object Dedup {
     * re-mining all pairs daily. On a cluster, bucket both tables by their
     * join keys (band_hash / sh) so the daily probe is a co-located join. */
   def buildNearDupIndex(docs: DataFrame, dir: String, shingleSize: Int = 3,
-      numHashes: Int = 32, bands: Int = 8): Unit = {
+      numHashes: Int = 32, bands: Int = 8): Unit =
+    graft.util.PhaseTimer.time("index_build") {
+      buildNearDupIndexImpl(docs, dir, shingleSize, numHashes, bands)
+    }
+
+  private def buildNearDupIndexImpl(docs: DataFrame, dir: String,
+      shingleSize: Int, numHashes: Int, bands: Int): Unit = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands), " +
         "or trailing signature hashes are silently ignored")

@@ -202,7 +202,7 @@ object Similarity {
     * only its nProbe cells' partitions (partition pruning / DPP on the
     * cell join), the on-disk analog of the inverted-file layout. */
   def buildIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
-      nCells: Int = 16): Unit = {
+      nCells: Int = 16): Unit = graft.util.PhaseTimer.time("index_build") {
     GraftExpressions.register(spark)
     val (assigned, centroidDf) = fitIvf(spark, emb, nCells)
     centroidDf.write.mode("overwrite").parquet(s"$dir/centroids")

@@ -776,19 +776,36 @@ object Text {
     * flags but are never selected). One scan, one window on the content
     * hash (tiny partitions — dup groups), zero joins; every per-row
     * signal is scan-computed. */
-  private def t25(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text_hash")).orderBy(col("doc_id"))
-    graft.operators.Sampling
-      .hashSplit(docSignals(Corpus.documents(spark, dir)), "text")
+  private def t25(spark: SparkSession, dir: String): DataFrame =
+    batchManifest(Corpus.documents(spark, dir))
+
+  /** Per-row half of the manifest — quality/repetition signals, the
+    * deterministic split, and the content hash; everything except the
+    * cross-document `dedup_keep`. Shared with
+    * [[graft.streaming.StreamingManifest]] so the batch and streaming
+    * manifests cannot drift arithmetically. */
+  private[graft] def manifestSignals(docs: DataFrame): DataFrame =
+    graft.operators.Sampling.hashSplit(docSignals(docs), "text")
       .withColumn("text_hash", md5(col("text")))
-      .withColumn("dedup_keep", row_number().over(w) === 1)
       .withColumn("quality_keep",
         col("quality") >= QualityMin && col("dup_token_frac") <= DupFracMax)
-      .withColumn("selected",
+
+  /** Final manifest column set, given a computed `dedup_keep`. */
+  private[graft] def manifestColumns(df: DataFrame): DataFrame =
+    df.withColumn("selected",
         col("dedup_keep") && col("quality_keep") && col("split") === "train")
       .select(col("doc_id"), col("lang"), col("quality"), col("dup_token_frac"),
         col("split"), col("dedup_keep"), col("quality_keep"), col("selected"))
+
+  /** Whole-corpus manifest over an arbitrary documents frame (t25 = this
+    * over the corpus table). The streaming form's epoch union must equal
+    * this on the same rows when epochs arrive in doc_id order — asserted
+    * in StreamingSpec. */
+  private[graft] def batchManifest(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    manifestColumns(
+      manifestSignals(docs).withColumn("dedup_keep", row_number().over(w) === 1))
       .orderBy(col("doc_id"))
   }
 

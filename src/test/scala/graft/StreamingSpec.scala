@@ -286,6 +286,44 @@ class StreamingSpec extends SparkTestBase {
     assert(hits.map(_._3).size === 2, "hits landed across two distinct epochs")
   }
 
+  test("streaming manifest ≡ batch t25 manifest across two epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(i: Int) =
+      s"the quick brown fox number $i jumps over the lazy dog and then " +
+        s"it runs away to find some more interesting text body $i"
+    // epoch 1: 2 and 3 are an in-batch exact-dup pair; epoch 2: 11 dups
+    // epoch-1's doc 1 (cross-epoch — only the persisted hash index can
+    // catch it), 12/13 are a fresh in-batch pair, 10 is unique
+    val e1 = Seq((1L, doc(1), "en"), (2L, doc(2), "en"), (3L, doc(2), "en"),
+      (4L, doc(4), "en"))
+    val e2 = Seq((10L, doc(10), "en"), (11L, doc(1), "en"),
+      (12L, doc(12), "en"), (13L, doc(12), "en"))
+    val hashIdx = Files.createTempDirectory("graft_mh_").toString + "/hashes"
+    val outDir = Files.createTempDirectory("graft_mo_").toString + "/manifest"
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingManifest
+      .manifestSink(input.toDF().toDF("doc_id", "text", "lang"), hashIdx, outDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation", Files.createTempDirectory("graft_mck_").toString)
+      .start()
+    input.addData(e1: _*); q.processAllAvailable()
+    input.addData(e2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+    assert(streamed.select("_epoch").distinct().count() === 2)
+    val batch = graft.queries.Text.batchManifest(
+      (e1 ++ e2).toDF("doc_id", "text", "lang"))
+    // row-identical to the batch manifest on the union (epochs arrive in
+    // doc_id order, so first-seen == min-doc_id)
+    assert(streamed.count() === batch.count())
+    assert(batch.exceptAll(streamed.drop("_epoch")).count() === 0)
+    assert(streamed.drop("_epoch").exceptAll(batch).count() === 0)
+    val kept = streamed.filter(col("dedup_keep"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 4L, 10L, 12L),
+      s"cross-epoch dup 11 and in-batch dups 3/13 must not keep: $kept")
+  }
+
   test("stream-stream join with watermarks joins within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, java.sql.Timestamp)]
