@@ -31,16 +31,23 @@ object Bench {
     graft.util.PhaseTimer.drain() // discard warmup/leftover phases
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Index-backed queries (t15/t16/v05) rebuild their on-disk index
       // inside the query by design; split the amortizable build from the
       // per-batch probe so probe-side regressions are visible. Stderr so
       // the stdout JSON line stays inside the driver's capture budget.
-      graft.util.PhaseTimer.drain().get("index_build").foreach { b =>
+      // Drain unconditionally (a failed query must not leak its phases
+      // into the next one's split), but only report on success — after a
+      // mid-build failure `elapsed - b` is a meaningless near-zero/negative
+      // "probe" that would read as a valid timing next to the failure line.
+      val phases = graft.util.PhaseTimer.drain()
+      if (ok) phases.get("index_build").foreach { b =>
         System.err.println(
           f"[bench] $name build=$b%.2fs probe=${elapsed - b}%.2fs total=$elapsed%.2fs")
       }

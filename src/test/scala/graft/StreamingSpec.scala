@@ -302,9 +302,9 @@ class StreamingSpec extends SparkTestBase {
     val outDir = Files.createTempDirectory("graft_mo_").toString + "/manifest"
     val input = MemoryStream[(Long, String, String)]
     val q = graft.streaming.StreamingManifest
-      .manifestSink(input.toDF().toDF("doc_id", "text", "lang"), hashIdx, outDir)
+      .manifestSink(input.toDF().toDF("doc_id", "text", "lang"), hashIdx, outDir,
+        Files.createTempDirectory("graft_mck_").toString)
       .trigger(Trigger.ProcessingTime(0))
-      .option("checkpointLocation", Files.createTempDirectory("graft_mck_").toString)
       .start()
     input.addData(e1: _*); q.processAllAvailable()
     input.addData(e2: _*); q.processAllAvailable()
@@ -322,6 +322,39 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 4L, 10L, 12L),
       s"cross-epoch dup 11 and in-batch dups 3/13 must not keep: $kept")
+  }
+
+  test("manifest dedup survives a fresh-checkpoint restart (epoch ids reset to 0)") {
+    import graft.streaming.StreamingManifest
+    def doc(i: Int) =
+      s"fresh checkpoint restart fixture document $i with enough body text " +
+        s"to score and split deterministically $i"
+    val hashIdx = Files.createTempDirectory("graft_rck_").toString + "/hashes"
+    val outDir = Files.createTempDirectory("graft_rcm_").toString + "/manifest"
+    // run A registers doc 1 at ITS epoch 0
+    val e0 = Seq((1L, doc(1), "en"), (2L, doc(2), "en")).toDF("doc_id", "text", "lang")
+    StreamingManifest.appendEpoch(e0, hashIdx, outDir, epochId = 0L, run = "run-A")
+    // run B (fresh checkpoint → epoch counter restarts at 0) sees a dup of
+    // doc 1; under the old `_epoch < 0` filter this was silently kept
+    val f0 = Seq((10L, doc(1), "en"), (11L, doc(11), "en")).toDF("doc_id", "text", "lang")
+    StreamingManifest.appendEpoch(f0, hashIdx, outDir, epochId = 0L, run = "run-B")
+    val kept = spark.read.parquet(outDir).filter(col("dedup_keep"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 11L),
+      s"doc 10 dups run-A's doc 1 across the checkpoint boundary: $kept")
+    // replay stability: run B's epoch 0 crashed after registering its
+    // hashes; the retry must exclude exactly those rows and re-decide
+    // identically (doc 11's hash is already in the index under run-B/0)
+    StreamingManifest.appendEpoch(f0, hashIdx, outDir, epochId = 0L, run = "run-B")
+    val replayKeeps = spark.read.parquet(outDir).filter(col("dedup_keep"))
+      .filter(col("doc_id") === 11L).count()
+    assert(replayKeeps === 2L, "retried epoch re-decides keep identically")
+    // run keys are checkpoint-scoped: same dir → same key; fresh dir → fresh key
+    val ck = Files.createTempDirectory("graft_rkk_").toString
+    val k1 = StreamingManifest.runKey(spark, ck)
+    assert(StreamingManifest.runKey(spark, ck) === k1)
+    assert(StreamingManifest.runKey(spark,
+      Files.createTempDirectory("graft_rkk2_").toString) !== k1)
   }
 
   test("stream-stream join with watermarks joins within the time bound") {
