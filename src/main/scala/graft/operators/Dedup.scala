@@ -59,6 +59,42 @@ object Dedup {
       countDistinct(md5(col("text"))).as("n_distinct_texts"),
       (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_rows"))
 
+  /** Exact n-gram decontamination (the GPT-3/PaLM published recipe): for
+    * every eval document, how many of its distinct word n-grams appear
+    * verbatim in ANY training document. This is the stricter sibling of
+    * the Jaccard contamination audit ([[nearDupsAgainstIndex]] over a
+    * split): a single shared 13-gram flags a doc even when whole-document
+    * similarity is negligible — the rule benchmark publishers actually
+    * apply before reporting eval numbers.
+    *
+    * Both frames need (doc_id, text). Output: one row per eval doc with
+    * ≥ n tokens — (doc_id, n_grams, n_overlap, contaminated).
+    *
+    * Scale: grams are reduced to 8-byte xxhash64 keys before anything
+    * shuffles — the train side to a distinct hash set, the eval side to
+    * distinct (doc_id, hash) pairs — so the join and both distincts move
+    * 8–16 bytes per gram instead of ~100-byte strings, and the join is a
+    * plain equi-join (broadcast under AQE while the train gram set fits,
+    * shuffle-join beyond). A 64-bit collision (≈n²/2⁶⁵) can only flag one
+    * extra gram, never unflag one — acceptable for a contamination audit
+    * (same trade the published pipelines make by matching on hashes). */
+  def ngramContamination(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    def grams(docs: DataFrame) = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(ngramsAll(col("toks"), n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val trainSet = grams(train).select(col("gh")).distinct()
+      .withColumn("_hit", lit(true))
+    grams(eval)
+      .join(trainSet, Seq("gh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** MinHash signature columns h0..h{k-1}: min over shingles of
     * xxhash64(shingle, i). One groupBy per doc; partial (map-side) min
     * aggregation means the shuffle carries k longs per doc, not shingles. */

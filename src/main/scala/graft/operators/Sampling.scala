@@ -58,6 +58,84 @@ object Sampling {
     withHashBucket(df, keyCol, 100).withColumn("split", splitCol)
   }
 
+  /** Deterministic global training-order shuffle: every row gets a shard
+    * and a position within it, derived purely from (seed, id) — the
+    * "shuffle the corpus before training" step, reproducible across
+    * engines and re-runs (unlike `orderBy(rand(seed))`, whose output
+    * depends on partition layout). The shard is the unit of parallel
+    * reading: a loader streams shards independently in `pos` order, and
+    * `global_pos` is the round-robin interleave key (`pos·nShards +
+    * shard`) for readers that want one merged order — a dense permutation
+    * when shards are balanced (hash-assigned, so ±√n), and a valid total
+    * order regardless. Changing `seed` produces an unrelated permutation
+    * for the next epoch.
+    *
+    * Scale: one hash-shuffle into `nShards` groups + a per-shard sort —
+    * each task sorts corpus/nShards rows; size nShards so that fits in an
+    * executor (at 100 TB: thousands of shards, which is also what the
+    * training loader wants). No global sort, no single-task window. */
+  def trainingOrder(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val fp = portableFingerprint(s"concat('$seed:', CAST($idCol AS STRING))")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_fp"), col(idCol))
+    df.withColumn("_fp", fp)
+      .withColumn("shard", pmod(col("_fp"), lit(nShards)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("global_pos", col("pos") * nShards + col("shard"))
+      .drop("_fp")
+  }
+
+  /** Deterministic token-budget selection per stratum: rows are ordered
+    * by content hash within their stratum and kept while the running
+    * token total BEFORE them is under the stratum's budget — the
+    * "take N tokens of each language/domain" step of corpus mixing.
+    * Like [[stratifiedKeep]] the decision is a pure function of the data
+    * (hash order), so re-runs and engine changes never flip a row; unlike
+    * it, the cut is an absolute token count, which is how training
+    * mixtures are actually specified.
+    *
+    * Scale: the running sum is two-level, NOT one window per stratum
+    * (which would sort an entire stratum — possibly most of the corpus —
+    * in one task). Rows hash into `nBuckets` buckets per stratum; bucket
+    * subtotals (a strata×nBuckets frame) get prefix-summed and broadcast
+    * back as offsets, and the within-bucket window sorts only
+    * stratum/nBuckets rows per task. The canonical order is
+    * (bucket, hash, id), identical to what a single window over
+    * `ORDER BY bucket, hash, id` would produce — asserted in tests. */
+  def tokenBudgetKeep(df: DataFrame, keyCol: String, idCol: String,
+      stratumCol: String, tokenCol: String, budgets: Map[String, Long],
+      defaultBudget: Long, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      s"budgets must be non-negative: $budgets default $defaultBudget")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("_fp", portableFingerprint(keyCol))
+      .withColumn("_bucket", pmod(col("_fp"), lit(nBuckets)))
+    val offsets = keyed
+      .groupBy(col(stratumCol), col("_bucket"))
+      .agg(sum(col(tokenCol)).as("_bucket_tokens"))
+      .withColumn("_offset", coalesce(
+        sum(col("_bucket_tokens")).over(Window.partitionBy(col(stratumCol))
+          .orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(stratumCol), col("_bucket"), col("_offset"))
+    val withinW = Window.partitionBy(col(stratumCol), col("_bucket"))
+      .orderBy(col("_fp"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget): Column) {
+      case (acc, (stratum, b)) => when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
+    }
+    keyed
+      .join(broadcast(offsets), Seq(stratumCol, "_bucket"))
+      .withColumn("cum_before",
+        (col("_offset") + coalesce(sum(col(tokenCol)).over(withinW), lit(0L))).cast("long"))
+      .withColumn("kept", col("cum_before") < budgetCol)
+      .drop("_fp", "_bucket", "_offset")
+  }
+
   /** Deterministic stratified downsampling toward a target mixture: each
     * stratum keeps `rates(stratum)`% of its rows (strata absent from
     * `rates` keep 100%), chosen by content-hash bucket — the

@@ -827,6 +827,106 @@ object Text {
        |FROM r
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact 13-gram decontamination — the published GPT-3/PaLM recipe,
+    * and the stricter sibling of t16's Jaccard audit: an eval document is
+    * contaminated if ANY of its 13-grams appears verbatim in any training
+    * document, however dissimilar the documents are overall. Split is
+    * t14's deterministic content-hash split; grams shuffle as 8-byte
+    * hashes ([[graft.operators.Dedup.ngramContamination]]). Oracle
+    * replays the split and joins the literal gram strings. */
+  private def t26(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.operators.Sampling.hashSplit(Corpus.documents(spark, dir), "text")
+    Dedup.ngramContamination(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") =!= "train"), n = 13)
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t26Sql =
+    s"""WITH spl AS (SELECT doc_id, $toksSql AS sp,
+       |               ${foldSql("text")} % 100 < 80 AS is_train
+       |             FROM documents),
+       |g AS (SELECT doc_id, is_train,
+       |        unnest([array_to_string(sp[i : i + 12], ' ')
+       |                for i in range(1, len(sp) - 12 + 1)]) AS gram
+       |      FROM spl WHERE len(sp) >= 13),
+       |tg AS (SELECT DISTINCT gram FROM g WHERE is_train),
+       |eg AS (SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_train)
+       |SELECT eg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(COUNT(tg.gram) AS BIGINT) AS n_overlap,
+       |  COUNT(tg.gram) > 0 AS contaminated
+       |FROM eg LEFT JOIN tg ON eg.gram = tg.gram
+       |GROUP BY eg.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic training-order shuffle: shard + in-shard position +
+    * round-robin interleave key for every document, a pure function of
+    * (seed, doc_id) — see [[graft.operators.Sampling.trainingOrder]].
+    * The oracle recomputes the identical permutation from the portable
+    * fold, so the hash gate checks shard assignment AND both orders. */
+  private def t27(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.trainingOrder(
+        Corpus.documents(spark, dir), idCol = "doc_id", seed = "ep0", nShards = 8)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("pos"), col("global_pos"))
+      .orderBy(col("doc_id"))
+
+  private val t27Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${foldSql("'ep0:' || CAST(doc_id AS VARCHAR)")} AS fp
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, fp % 8 AS shard,
+       |    row_number() OVER (PARTITION BY fp % 8 ORDER BY fp, doc_id) - 1 AS pos
+       |  FROM base)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos,
+       |  CAST(pos * 8 + shard AS BIGINT) AS global_pos
+       |FROM w
+       |ORDER BY doc_id""".stripMargin
+
+  // t28's per-language token budgets — interpolated into BOTH sides.
+  private val EnTokenBudget = 6000L
+  private val DefaultTokenBudget = 2500L
+
+  /** Token-budget corpus mixing: keep documents per language, in
+    * content-hash order, until the language's token budget is spent —
+    * how training mixtures are actually specified ("20B tokens of code,
+    * 5B of forums"). Deterministic like t19, but the cut is an absolute
+    * token count, not a rate. The running total is the two-level
+    * bucket-offset form ([[graft.operators.Sampling.tokenBudgetKeep]] —
+    * no single-task per-language sort); the oracle computes the straight
+    * one-window cumulative sum over the same canonical order, so the
+    * hash gate also proves the two-level decomposition exact. */
+  private def t28(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetKeep(
+        Corpus.documents(spark, dir)
+          .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+          .filter(col("n_tokens") > 0),
+        keyCol = "text", idCol = "doc_id", stratumCol = "lang",
+        tokenCol = "n_tokens", budgets = Map("en" -> EnTokenBudget),
+        defaultBudget = DefaultTokenBudget, nBuckets = 256)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"),
+        col("kept"))
+      .orderBy(col("doc_id"))
+
+  private val t28Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    ${foldSql("text")} AS fp, ${foldSql("text")} % 256 AS bucket
+       |  FROM documents WHERE len($toksSql) > 0),
+       |w AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY bucket, fp, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM base)
+       |SELECT doc_id, lang, n_tokens, cum_before,
+       |  cum_before < CASE WHEN lang = 'en' THEN $EnTokenBudget
+       |                    ELSE $DefaultTokenBudget END AS kept
+       |FROM w
+       |ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -852,5 +952,8 @@ object Text {
     QuerySpec("t22_doc_chunks", t22, Some(t22Sql)),
     QuerySpec("t23_repeated_passages", t23, Some(t23Sql)),
     QuerySpec("t24_dedup_keep_best", t24, Some(t24Sql)),
-    QuerySpec("t25_training_manifest", t25, Some(t25Sql)))
+    QuerySpec("t25_training_manifest", t25, Some(t25Sql)),
+    QuerySpec("t26_ngram_decontamination", t26, Some(t26Sql)),
+    QuerySpec("t27_training_order", t27, Some(t27Sql)),
+    QuerySpec("t28_token_budget_mix", t28, Some(t28Sql)))
 }

@@ -159,4 +159,34 @@ class DedupSpec extends SparkTestBase {
     assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L),
       "the exact+near dup trio forms one cluster keyed by doc 0; 3/4 untouched")
   }
+
+  test("ngramContamination flags exactly the eval docs sharing a verbatim n-gram") {
+    // 13 tokens lifted verbatim from the train doc, wrapped in fresh text:
+    // whole-doc similarity is low, but decontamination must still flag it
+    val lifted = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (0L, s"train document starts here $lifted and then keeps going with more words"),
+      (1L, "another train document entirely unrelated to anything in the eval split"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"totally new framing around $lifted closing words differ completely now"),
+      (11L, "an eval document with no overlap whatsoever in any thirteen gram sliding window at all"),
+      (12L, "short doc"))                       // < 13 tokens → no grams, no row
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, eval, n = 13)
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(10L, 11L), "doc 12 has no 13-grams")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L)._3 && byId(10L)._2 >= 1, s"doc 10 lifted a train 13-gram: ${byId(10L)}")
+    assert(!byId(11L)._3 && byId(11L)._2 === 0, s"doc 11 is clean: ${byId(11L)}")
+    // overlap counting is per distinct gram: doc sharing a 14-token run
+    // with train shares exactly two 13-grams
+    val run14 = (1 to 14).map(i => s"w$i").mkString(" ")
+    val t2 = Seq((0L, s"prefix $run14 suffix")).toDF("doc_id", "text")
+    val e2 = Seq((20L, s"other intro $run14 other outro")).toDF("doc_id", "text")
+    val two = Dedup.ngramContamination(t2, e2, n = 13)
+      .select("n_overlap").as[Long].head()
+    assert(two === 2L, s"a shared 14-token run contains exactly 2 distinct 13-grams: $two")
+  }
 }

@@ -146,4 +146,35 @@ class PlanSpec extends SparkTestBase {
       assert(!plan.contains("Window"), s"window-based ranking must be gone:\n$plan")
     }
   }
+
+  test("t26 decontamination: grams equi-join on 8-byte hashes, never n² or strings") {
+    val plan = planOf("t26_ngram_decontamination")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram overlap must be an equi-join:\n$plan")
+    assert(plan.contains("xxhash64"),
+      s"grams must reduce to 8-byte hashes before shuffling:\n$plan")
+    // the shuffles move (doc_id, gh) / (gh) — a partitioning on the raw
+    // gram string means ~100-byte keys cross the wire
+    assert(!plan.contains("hashpartitioning(gram"),
+      s"no shuffle may be keyed on the gram string:\n$plan")
+  }
+
+  test("t27 training order: per-shard window, no global single-task sort") {
+    val plan = planOf("t27_training_order")
+    assert(plan.contains("Window"), s"positions must come from a window:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"window must partition by shard (a global row_number would be one task):\n$plan")
+  }
+
+  test("t28 token budget: per-(lang,bucket) window + broadcast offsets, no per-lang sort") {
+    val plan = planOf("t28_token_budget_mix")
+    // the heavy window must partition by (lang, _bucket); a window keyed
+    // by lang alone sorts an entire language in one task
+    assert(plan.contains("hashpartitioning(lang") && plan.contains("_bucket"),
+      s"running sum must be bucketed within the stratum:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the strata×buckets offset frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"joining offsets by shuffle defeats the two-level design:\n$plan")
+  }
 }

@@ -104,4 +104,69 @@ class SamplingSpec extends SparkTestBase {
     assert(first.forall { case (id, k) => again(id) === k },
       "keep decisions must not depend on partitioning or corpus size")
   }
+
+  test("trainingOrder: a reproducible permutation — dense per-shard positions, seed-keyed") {
+    val n = 700
+    val ord = Sampling.trainingOrder(corpus(n), "doc_id", seed = "e1", nShards = 8)
+      .select("doc_id", "shard", "pos", "global_pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ord.length === n)
+    // positions within each shard are exactly 0..count-1 (a permutation)
+    ord.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions must be dense from 0")
+    }
+    // global_pos is collision-free and consistent with (pos, shard)
+    assert(ord.map(_._4).distinct.length === n)
+    ord.foreach { case (_, shard, pos, g) => assert(g === pos * 8 + shard) }
+    // same seed → identical order, independent of partitioning
+    val again = Sampling.trainingOrder(corpus(n).repartition(11), "doc_id", "e1", 8)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(ord.map(r => r._1 -> r._4).toMap === again)
+    // a different seed is a different permutation (epochs don't repeat order)
+    val e2 = Sampling.trainingOrder(corpus(n), "doc_id", "e2", 8)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(ord.count { case (id, _, _, g) => e2(id) == g } < n / 4,
+      "different seed must reorder most of the corpus")
+  }
+
+  test("tokenBudgetKeep: two-level running sum ≡ one window over the canonical order") {
+    val docs = mixCorpus(900)
+      .withColumn("n_tokens", (pmod(col("doc_id") * 7919, lit(40)) + 1).cast("long"))
+    val twoLevel = Sampling.tokenBudgetKeep(docs, "text", "doc_id", "lang",
+      "n_tokens", Map("en" -> 2000L), defaultBudget = 800L, nBuckets = 16)
+      .select("doc_id", "cum_before", "kept").as[(Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    // naive single-window reference over the same canonical order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(pmod(Sampling.portableFingerprint("text"), lit(16)),
+        Sampling.portableFingerprint("text"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    twoLevel.foreach { case (id, cum, _) =>
+      assert(cum === naive(id), s"doc $id: two-level cum must equal the one-window cum")
+    }
+    // the budget is an actual cap: kept tokens stop within one doc of it
+    val keptTokens = docs.join(
+        twoLevel.toSeq.toDF("doc_id", "cum_before", "kept"), "doc_id")
+      .filter(col("kept")).groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("tok")).as[(String, Long)].collect().toMap
+    assert(keptTokens("en") >= 2000L && keptTokens("en") < 2000L + 40,
+      s"en keeps through the doc that crosses 2000: $keptTokens")
+    assert(keptTokens("fr") >= 800L && keptTokens("fr") < 800L + 40,
+      s"fr keeps through the doc that crosses 800: $keptTokens")
+  }
+
+  test("tokenBudgetKeep: a zero budget keeps nothing; a huge budget keeps everything") {
+    val docs = mixCorpus(200).withColumn("n_tokens", lit(5L))
+    val zero = Sampling.tokenBudgetKeep(docs, "text", "doc_id", "lang",
+      "n_tokens", Map.empty, defaultBudget = 0L, nBuckets = 8)
+    assert(zero.filter(col("kept")).isEmpty)
+    val all = Sampling.tokenBudgetKeep(docs, "text", "doc_id", "lang",
+      "n_tokens", Map.empty, defaultBudget = Long.MaxValue, nBuckets = 8)
+    assert(all.filter(!col("kept")).isEmpty)
+  }
 }
