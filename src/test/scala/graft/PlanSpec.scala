@@ -147,6 +147,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("t23 repeated passages: the heavy aggregation keys on the 8-byte gram hash") {
+    val plan = planOf("t23_repeated_passages")
+    assert(plan.contains("hashpartitioning(gh"),
+      s"the every-window shuffle must key on xxhash64(gram):\n$plan")
+    assert(!plan.contains("hashpartitioning(gram"),
+      s"no exchange may carry the ~100-byte gram string as its key:\n$plan")
+  }
+
   test("t26 decontamination: grams equi-join on 8-byte hashes, never n² or strings") {
     val plan = planOf("t26_ngram_decontamination")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
