@@ -188,9 +188,16 @@ object Dedup {
     val spark = docs.sparkSession
     val ex = tracked(withShingles(docs, shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
+    // both tables are partitioned by a batch label ("__base__" for the
+    // initial build) so later registrations ([[registerInNearDupIndex]])
+    // land as their own partitions: a replayed batch OVERWRITES its own
+    // partition (idempotent) instead of appending duplicates, and a probe
+    // can partition-prune its own batch out (replay stability).
     bandKeys(minhashSignatures(ex, numHashes), bands, numHashes / bands)
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    ex.write.mode("overwrite").parquet(s"$dir/shingles")
+      .withColumn("_batch", lit(BaseBatch))
+      .write.partitionBy("_batch").mode("overwrite").parquet(s"$dir/bands")
+    ex.withColumn("_batch", lit(BaseBatch))
+      .write.partitionBy("_batch").mode("overwrite").parquet(s"$dir/shingles")
     // the signing parameters ARE the index format: a probe with different
     // ones finds zero candidates with no error, so persist them and let
     // the probe fail loudly on a mismatch. Written twice: a parquet table
@@ -205,6 +212,52 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
     writeParamsJson(spark, dir, (shingleSize, numHashes, bands))
     memoPut(dir, (shingleSize, numHashes, bands))
+  }
+
+  /** Partition label of the initial [[buildNearDupIndex]] contents. */
+  val BaseBatch = "__base__"
+
+  /** Registers a new batch of documents INTO a persisted near-dup index —
+    * the write half of the daily incremental-dedup cycle (probe the batch
+    * with [[nearDupsAgainstIndex]], then register it so TOMORROW's batch
+    * dedups against today's). Signs the batch with the index's own
+    * persisted parameters (validated — a silent mismatch would make the
+    * docs unfindable) and writes its band keys and shingles as the
+    * `_batch=batchId` partitions of the two index tables.
+    *
+    * Idempotent per batchId: the write is a dynamic-partition OVERWRITE,
+    * so a replayed batch (at-least-once sinks, retried jobs) replaces its
+    * own partition instead of appending duplicate rows. Shingles commit
+    * BEFORE band keys: a candidate can only form from a band key, so a
+    * crash between the writes leaves unfindable shingles (harmless,
+    * healed by the retry's overwrite), never a candidate that fails
+    * verification. Cost scales with the batch — the existing index is
+    * never read or rewritten. */
+  def registerInNearDupIndex(newDocs: DataFrame, dir: String, batchId: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8): Unit = {
+    require(batchId.nonEmpty && batchId != BaseBatch &&
+        batchId.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId must be a filesystem-safe label, not '$batchId'")
+    val stored = readParams(newDocs.sparkSession, dir)
+    require(stored == ((shingleSize, numHashes, bands)),
+      s"index at $dir was built with (shingleSize, numHashes, bands) = $stored " +
+        s"but registration asked for ($shingleSize, $numHashes, $bands) — " +
+        "the docs would be unfindable")
+    // locally-scoped persist (NOT the tracked registry): the explode
+    // feeds both writes, but long-lived callers (the streaming sink)
+    // register every epoch and a registry entry per epoch would pile up
+    val ex = withShingles(newDocs, shingleSize)
+      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+      .persist()
+    try {
+      def overwriteBatch(df: DataFrame, table: String): Unit =
+        df.withColumn("_batch", lit(batchId))
+          .write.partitionBy("_batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$dir/$table")
+      overwriteBatch(ex, "shingles")
+      overwriteBatch(bandKeys(minhashSignatures(ex, numHashes), bands, numHashes / bands), "bands")
+    } finally ex.unpersist()
   }
 
   private def paramsJsonPath(dir: String) = s"$dir/params.json"
@@ -271,7 +324,8 @@ object Dedup {
     * parquet append. */
   def nearDupsAgainstIndex(newDocs: DataFrame, dir: String, shingleSize: Int = 3,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      cacheIntermediates: Boolean = true, sorted: Boolean = true): DataFrame = {
+      cacheIntermediates: Boolean = true, sorted: Boolean = true,
+      excludeBatch: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
     // mismatched signing parameters don't error — they find zero
     // candidates. Check against the params the index was built with,
@@ -290,7 +344,12 @@ object Dedup {
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
     val exNew = if (cacheIntermediates) tracked(exNewRaw) else exNewRaw
     val newKeys = bandKeys(minhashSignatures(exNew, numHashes), bands, numHashes / bands)
-    val idxKeys = spark.read.parquet(s"$dir/bands")
+    // excludeBatch: replay stability for probe-then-register cycles — a
+    // retried batch must not see its OWN registration from the failed
+    // attempt. A partition filter, so the excluded batch isn't even read.
+    def minusBatch(df: DataFrame): DataFrame =
+      excludeBatch.fold(df)(b => df.filter(col("_batch") =!= b))
+    val idxKeys = minusBatch(spark.read.parquet(s"$dir/bands"))
     val cand = newKeys.as("n")
       .join(idxKeys.as("o"),
         col("n.band_idx") === col("o.band_idx") &&
@@ -300,14 +359,20 @@ object Dedup {
           col("n.doc_id") =!= col("o.doc_id"))
       .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
       .distinct()
-    val idxShingles = spark.read.parquet(s"$dir/shingles")
+    val idxShingles = minusBatch(spark.read.parquet(s"$dir/shingles"))
       .select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("sh"))
     val verified = cand
       .join(idxShingles, "doc_a")
       .join(exNew.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("sh")),
         Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
-      .agg(count(lit(1)).as("inter"))
+      // countDistinct, not count: per-doc shingles are unique by
+      // construction, but a doc REGISTERED under two batch labels (fresh
+      // checkpoint re-run over old drops) would duplicate its index rows
+      // and a plain count would inflate the intersection past the truth
+      // (jaccard > 1). Distinct makes the verify immune to duplicate
+      // registration at the cost of a per-group set on candidates only.
+      .agg(countDistinct(col("sh")).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -37,4 +37,41 @@ object StreamingDedup {
         .withColumn("_epoch", lit(epochId))
         .write.mode("append").parquet(outDir)
     }
+
+  /** The self-maintaining form of [[nearDupAuditSink]]: each micro-batch
+    * first probes the persisted index, then REGISTERS itself into it
+    * ([[Dedup.registerInNearDupIndex]]) — so epoch N+1's documents are
+    * checked against every document the stream has ever seen, not just
+    * the original corpus. This closes the incremental-dedup loop at
+    * micro-batch latency: per-epoch cost is probe (scales with batch) +
+    * register (scales with batch); the index is never rewritten.
+    *
+    * Replay stability: registrations are keyed `run-epoch` (the run id
+    * is checkpoint-scoped, like [[StreamingManifest]]'s), so a replayed
+    * epoch overwrites its own index partition instead of duplicating it,
+    * and the probe excludes exactly that partition — a retry that
+    * crashed after registering re-emits the same hits. In-batch
+    * near-dup pairs are intentionally NOT emitted (same contract as
+    * [[nearDupAuditSink]]: hits pair the batch against PRIOR documents);
+    * run whole-corpus [[Dedup.minhashNearDups]] for intra-batch pairs.
+    * `checkpointDir` is set on the writer here because the run id lives
+    * inside it. */
+  def selfMaintainingDedupSink(docs: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String,
+      threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val run = StreamingManifest.runKey(batch.sparkSession, checkpointDir)
+        val batchLabel = s"$run-$epochId"
+        val b = batch.persist() // probed then signed again for registration
+        try {
+          Dedup.nearDupsAgainstIndex(b, indexDir, threshold = threshold,
+              cacheIntermediates = false, sorted = false,
+              excludeBatch = Some(batchLabel))
+            .withColumn("_epoch", lit(epochId))
+            .write.mode("append").parquet(outDir)
+          Dedup.registerInNearDupIndex(b, indexDir, batchLabel)
+        } finally b.unpersist()
+      }
 }

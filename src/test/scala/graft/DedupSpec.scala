@@ -153,6 +153,54 @@ class DedupSpec extends SparkTestBase {
       Dedup.buildNearDupIndex(docs, dir, numHashes = 32, bands = 7))
   }
 
+  test("registerInNearDupIndex: tomorrow's batch dedups against today's, idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg_").toString
+    Dedup.buildNearDupIndex(docs, dir) // base corpus: docs 0-4
+    // day 1: doc 20 is fresh text, unseen by the base corpus
+    val day1Text = "completely novel sentences appear in the day one drop " * 5
+    val day1 = Seq((20L, day1Text, "d1")).toDF("doc_id", "text", "source")
+    assert(Dedup.nearDupsAgainstIndex(day1, dir, threshold = 0.5).isEmpty,
+      "day-1 doc is unseen by the base index")
+    Dedup.registerInNearDupIndex(day1, dir, batchId = "day1")
+    // day 2: doc 30 exactly dups day-1's doc 20 — only the registration
+    // can catch it (the base index has never seen that text)
+    val day2 = Seq((30L, day1Text, "d2")).toDF("doc_id", "text", "source")
+    val hits = Dedup.nearDupsAgainstIndex(day2, dir, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(hits === Set((20L, 30L, 1.0)),
+      s"day-2 dup must pair with the REGISTERED day-1 doc: $hits")
+    // replaying day-1's registration overwrites its own partition — the
+    // probe result (and the verify arithmetic) is unchanged, not doubled
+    Dedup.registerInNearDupIndex(day1, dir, batchId = "day1")
+    val replay = Dedup.nearDupsAgainstIndex(day2, dir, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(replay === hits, "re-registration must be idempotent")
+    // excludeBatch: a probe-then-register retry must not see its own
+    // partial registration
+    Dedup.registerInNearDupIndex(day2, dir, batchId = "day2")
+    val retried = Dedup.nearDupsAgainstIndex(day2, dir, threshold = 0.5,
+        excludeBatch = Some("day2"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(retried === Set((20L, 30L)),
+      s"retry excludes its own registration, keeps everything else: $retried")
+    // a doc accidentally registered under TWO labels (fresh-checkpoint
+    // re-run) duplicates its index rows; countDistinct in the verify
+    // keeps the intersection — and so the jaccard — truthful
+    Dedup.registerInNearDupIndex(day1, dir, batchId = "day1-again")
+    val doubled = Dedup.nearDupsAgainstIndex(day2, dir, threshold = 0.5,
+        excludeBatch = Some("day2"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(doubled === Set((20L, 30L, 1.0)),
+      s"duplicate registration must not inflate the intersection: $doubled")
+    // guards: the base label, unsafe labels, and mismatched params all fail loudly
+    intercept[IllegalArgumentException](
+      Dedup.registerInNearDupIndex(day1, dir, batchId = Dedup.BaseBatch))
+    intercept[IllegalArgumentException](
+      Dedup.registerInNearDupIndex(day1, dir, batchId = "a/b"))
+    intercept[IllegalArgumentException](
+      Dedup.registerInNearDupIndex(day1, dir, batchId = "ok", numHashes = 64, bands = 16))
+  }
+
   test("dupClusters on minhash pairs keeps one doc per planted dup group") {
     val clusters = Dedup.dupClusters(Dedup.minhashNearDups(docs, threshold = 0.5))
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap

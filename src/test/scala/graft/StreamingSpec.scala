@@ -286,6 +286,37 @@ class StreamingSpec extends SparkTestBase {
     assert(hits.map(_._3).size === 2, "hits landed across two distinct epochs")
   }
 
+  test("self-maintaining dedup sink catches a dup of an EARLIER EPOCH's document") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val corpus = Seq((0L, base, "s1")).toDF("doc_id", "text", "source")
+    val idxDir = Files.createTempDirectory("graft_smd_").toString
+    Dedup.buildNearDupIndex(corpus, idxDir)
+    val outDir = Files.createTempDirectory("graft_smd_out_").toString + "/hits"
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingDedup
+      .selfMaintainingDedupSink(input.toDF().toDF("doc_id", "text", "source"),
+        idxDir, outDir, Files.createTempDirectory("graft_smd_ck_").toString,
+        threshold = 0.5)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // epoch 1: doc 10 is fresh text the base corpus never saw
+    val fresh = "completely novel sentences arrive in the first epoch drop " * 5
+    input.addData((10L, fresh, "s9")); q.processAllAvailable()
+    // epoch 2: doc 20 exactly dups epoch-1's doc 10 — only the per-epoch
+    // registration can catch it; doc 21 dups the BASE corpus's doc 0
+    input.addData((20L, fresh, "s9"), (21L, base, "s9")); q.processAllAvailable()
+    q.stop()
+    val hits = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b", "_epoch").as[(Long, Long, Long)].collect().toSet
+    assert(hits.map(h => (h._1, h._2)) === Set((10L, 20L), (0L, 21L)),
+      s"epoch 2 must pair against BOTH the base index and epoch 1's registration: $hits")
+    assert(hits.map(_._3) === Set(1L),
+      "both hits land in the second epoch (batch ids are 0-based); epoch 0's " +
+        "fresh doc emits nothing — its own registration is probe-excluded")
+  }
+
   test("streaming manifest ≡ batch t25 manifest across two epochs") {
     implicit val sqlCtx = spark.sqlContext
     def doc(i: Int) =
