@@ -226,6 +226,32 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash-derived value in [-1, 1). Seeded — stable across runs/engines. */
+  /** Symmetric per-vector int8 scalar quantization — the 4× memory/IO
+    * shrink that makes billion-vector ANN serving affordable (the "SQ8"
+    * of FAISS/IVF-SQ): `scale = 127 / max|xᵢ|`, `qᵢ = round(xᵢ·scale)`,
+    * dequantize as `qᵢ/scale`. Adds `scale` (double), `q`
+    * (array<tinyint>), and `max_err` (the vector's worst absolute
+    * reconstruction error — bounded by `0.5/scale`). All-zero vectors
+    * quantize to scale 0 / all-zero q, error 0.
+    *
+    * Per-row transform chain (scan speed, zero shuffle); floats widen to
+    * double BEFORE any arithmetic so the quantized codes are bit-stable
+    * across engines (the v07 oracle recomputes them in DuckDB). */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    val maxAbs = array_max(transform(col("_v"), x => abs(x)))
+    df.withColumn("_v", asDouble)
+      .withColumn("scale",
+        when(maxAbs === 0d, lit(0d)).otherwise(lit(127.0) / maxAbs))
+      .withColumn("q",
+        when(col("scale") === 0d, transform(col("_v"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("_v"), x => round(x * col("scale")).cast("byte"))))
+      .withColumn("max_err",
+        when(col("scale") === 0d, lit(0d)).otherwise(array_max(
+          transform(col("_v"), x => abs(x - round(x * col("scale")) / col("scale"))))))
+      .drop("_v")
+  }
+
   private def planeLiteral(numPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new java.util.Random(42L)
     Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)

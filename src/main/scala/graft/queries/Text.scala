@@ -927,6 +927,33 @@ object Text {
        |FROM w
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental-dedup LIFECYCLE — the register half (t15 proves the
+    * probe half): a day-0 corpus is indexed once, the day-1 drop is
+    * registered into the index ([[graft.operators.Dedup.registerInNearDupIndex]]
+    * — batch-partition append, existing index never rewritten), and the
+    * day-2 drop probes the extended index. Half of the expected hits
+    * (8 of 16 at sf0.01) pair day-2 docs with DAY-1 docs — rows that
+    * exist only because registration extended the index past the base
+    * build. Oracle: brute-force cross-set Jaccard of day-2 against
+    * day-0 ∪ day-1. */
+  private def t29(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    val idx = graft.util.RotatingTempDir.next("graft_reg_idx_")
+    Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 3 === 0), idx)
+    Dedup.registerInNearDupIndex(docs.filter(col("doc_id") % 3 === 1), idx, "day1")
+    // materialized: survives RotatingTempDir pruning (see t15)
+    Dedup.nearDupsAgainstIndex(docs.filter(col("doc_id") % 3 === 2), idx)
+      .localCheckpoint()
+  }
+
+  private val t29Sql =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id % 3 < 2 AND b.doc_id % 3 = 2
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -955,5 +982,6 @@ object Text {
     QuerySpec("t25_training_manifest", t25, Some(t25Sql)),
     QuerySpec("t26_ngram_decontamination", t26, Some(t26Sql)),
     QuerySpec("t27_training_order", t27, Some(t27Sql)),
-    QuerySpec("t28_token_budget_mix", t28, Some(t28Sql)))
+    QuerySpec("t28_token_budget_mix", t28, Some(t28Sql)),
+    QuerySpec("t29_dedup_register", t29, Some(t29Sql)))
 }

@@ -221,6 +221,38 @@ object Vectors {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("vec_id"))
 
+  /** Int8 scalar quantization of the embedding table
+    * ([[graft.operators.Similarity.quantizeInt8]]) — per-vector scale,
+    * quantized-code checksum, and worst reconstruction error. The codes
+    * themselves are an array column; the oracle gates on a positionally
+    * WEIGHTED checksum (Σ qᵢ·i) computed by both engines, which any
+    * reordering, off-by-one, or mis-rounded code changes — plus the
+    * bit-exact scale and max_err doubles. */
+  private def v07(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Corpus.embeddings(spark, dir))
+      .select(
+        col("vec_id"),
+        size(col("q")).cast("long").as("n_dims"),
+        col("scale"),
+        aggregate(
+          zip_with(col("q"), sequence(lit(1), size(col("q"))),
+            (qi, i) => qi.cast("long") * i.cast("long")),
+          lit(0L), (acc, e) => acc + e).as("q_checksum"),
+        col("max_err"))
+      .orderBy(col("vec_id"))
+
+  private val v07Sql =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+       |      FROM v)
+       |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, scale,
+       |  CAST(list_sum(list_transform(range(1, len(v) + 1),
+       |    i -> CAST(round(v[i] * scale) AS BIGINT) * i)) AS BIGINT) AS q_checksum,
+       |  list_max(list_transform(v, x -> abs(x - round(x * scale) / scale))) AS max_err
+       |FROM s
+       |ORDER BY vec_id""".stripMargin
+
   private val v06Sql =
     s"""WITH RECURSIVE $plantedPairsCtes,
        |pairs AS (SELECT vec_a, vec_b FROM s WHERE cos_sim >= 0.9),
@@ -243,6 +275,7 @@ object Vectors {
     QuerySpec("v04_ann_ivf_topk", v04, None),
     QuerySpec("v05_ann_ivf_index", v05, None),
     QuerySpec("v06_embedding_dup_clusters", v06, Some(v06Sql)),
+    QuerySpec("v07_embedding_quantize", v07, Some(v07Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -169,4 +169,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(fromIndex === inMemory,
       "deterministic fit + exact double round trip ⇒ identical results")
   }
+
+  test("quantizeInt8: codes bounded, reconstruction within 0.5/scale, zero vector safe") {
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.99f)),
+      (1L, Array(0.001f, -0.002f, 0.0005f, 0.0f)), // tiny magnitudes still span ±127
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))         // all-zero: scale 0, no div-by-zero
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb)
+      .select("vec_id", "embedding", "scale", "q", "max_err")
+      .as[(Long, Array[Float], Double, Seq[Byte], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((id, (_, orig, scale, codes, maxErr)) <- q if id != 2L) {
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id codes out of range")
+      assert(codes.exists(c => math.abs(c) == 127),
+        s"vec $id: the max-magnitude element must map to ±127")
+      val worst = orig.zip(codes)
+        .map { case (x, c) => math.abs(x.toDouble - c / scale) }.max
+      assert(worst === maxErr, s"vec $id: max_err must be the observed worst error")
+      assert(maxErr <= 0.5 / scale + 1e-12, s"vec $id: error exceeds the SQ8 bound")
+    }
+    val (_, _, zScale, zCodes, zErr) = q(2L)
+    assert(zScale === 0.0 && zCodes.forall(_ == 0) && zErr === 0.0)
+  }
 }
