@@ -38,18 +38,22 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // Index-backed queries (t15/t16/v05) rebuild their on-disk index
-      // inside the query by design; split the amortizable build from the
-      // per-batch probe so probe-side regressions are visible. Stderr so
-      // the stdout JSON line stays inside the driver's capture budget.
+      // Index-backed queries (t15/t16/t29/v05) rebuild/extend their
+      // on-disk index inside the query by design; split the amortizable
+      // phases (index_build, index_register) from the remainder — the
+      // per-batch probe — so probe-side regressions are visible. Stderr
+      // so the stdout JSON line stays inside the driver's capture budget.
       // Drain unconditionally (a failed query must not leak its phases
       // into the next one's split), but only report on success — after a
-      // mid-build failure `elapsed - b` is a meaningless near-zero/negative
-      // "probe" that would read as a valid timing next to the failure line.
+      // mid-build failure the probe remainder is a meaningless
+      // near-zero/negative number that would read as a valid timing next
+      // to the failure line.
       val phases = graft.util.PhaseTimer.drain()
-      if (ok) phases.get("index_build").foreach { b =>
+      if (ok && phases.nonEmpty) {
+        val parts = phases.toSeq.sortBy(_._1)
+          .map { case (p, s) => f"$p=$s%.2fs" }.mkString(" ")
         System.err.println(
-          f"[bench] $name build=$b%.2fs probe=${elapsed - b}%.2fs total=$elapsed%.2fs")
+          f"[bench] $name $parts probe=${elapsed - phases.values.sum}%.2fs total=$elapsed%.2fs")
       }
       // Per-call operator caches (minhash explodes, tf frames, cluster
       // labels) are never reused across queries — release them so query

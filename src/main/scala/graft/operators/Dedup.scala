@@ -243,21 +243,23 @@ object Dedup {
       s"index at $dir was built with (shingleSize, numHashes, bands) = $stored " +
         s"but registration asked for ($shingleSize, $numHashes, $bands) — " +
         "the docs would be unfindable")
-    // locally-scoped persist (NOT the tracked registry): the explode
-    // feeds both writes, but long-lived callers (the streaming sink)
-    // register every epoch and a registry entry per epoch would pile up
-    val ex = withShingles(newDocs, shingleSize)
-      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
-      .persist()
-    try {
-      def overwriteBatch(df: DataFrame, table: String): Unit =
-        df.withColumn("_batch", lit(batchId))
-          .write.partitionBy("_batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(s"$dir/$table")
-      overwriteBatch(ex, "shingles")
-      overwriteBatch(bandKeys(minhashSignatures(ex, numHashes), bands, numHashes / bands), "bands")
-    } finally ex.unpersist()
+    graft.util.PhaseTimer.time("index_register") {
+      // locally-scoped persist (NOT the tracked registry): the explode
+      // feeds both writes, but long-lived callers (the streaming sink)
+      // register every epoch and a registry entry per epoch would pile up
+      val ex = withShingles(newDocs, shingleSize)
+        .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+        .persist()
+      try {
+        def overwriteBatch(df: DataFrame, table: String): Unit =
+          df.withColumn("_batch", lit(batchId))
+            .write.partitionBy("_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$dir/$table")
+        overwriteBatch(ex, "shingles")
+        overwriteBatch(bandKeys(minhashSignatures(ex, numHashes), bands, numHashes / bands), "bands")
+      } finally ex.unpersist()
+    }
   }
 
   private def paramsJsonPath(dir: String) = s"$dir/params.json"

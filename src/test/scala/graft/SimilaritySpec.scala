@@ -192,4 +192,24 @@ class SimilaritySpec extends SparkTestBase {
     val (_, _, zScale, zCodes, zErr) = q(2L)
     assert(zScale === 0.0 && zCodes.forall(_ == 0) && zErr === 0.0)
   }
+
+  test("quantizeInt8: top-k over dequantized vectors keeps high recall vs exact") {
+    // the point of SQ8 is serving ANN from 4×-smaller codes — prove the
+    // quality holds: rebuild each embedding from (q, scale) and compare
+    // brute-force top-10 neighbor sets against the float originals
+    val emb = Corpus.embeddings(spark, sf0001)
+    val deq = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"),
+        transform(col("q"), c => c.cast("double") / col("scale")).as("embedding"))
+    val exact = Similarity.cosineTopK(spark, emb, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.cosineTopK(spark, deq, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (qid, truth) =>
+      (truth intersect approx(qid)).size.toDouble / truth.size
+    }.sum / exact.size
+    assert(recall >= 0.9, f"SQ8 recall@10 vs exact must stay high, got $recall%.2f")
+  }
 }
