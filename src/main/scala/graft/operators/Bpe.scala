@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE merge learning — tokenizer induction over a corpus
+  * (Sennrich et al. 2016, the algorithm behind GPT/Llama-family
+  * vocabularies).
+  *
+  * Scale shape: the corpus is scanned ONCE, collapsing to the distinct
+  * WORD frequency table (vocabulary-sized — orders of magnitude smaller
+  * than the corpus; at 100 TB this is the only step that touches the
+  * documents). Every merge iteration then runs on that compact table:
+  * explode adjacent symbol pairs weighted by word count, partial+final
+  * sum per pair, and collect exactly ONE row (the argmax pair,
+  * deterministic tie-break by pair value) to the driver — the sequential
+  * dependence between merges is inherent to BPE, so one tiny driver
+  * round-trip per merge is the correct distributed formulation, not a
+  * shortcut. The merge is applied to the symbol arrays with a built-in
+  * HOF fold (greedy left-to-right, matching the reference algorithm) —
+  * no UDFs anywhere.
+  *
+  * Words carry the classic `</w>` end-of-word marker on their final
+  * character so merges can distinguish word-final units. Pair counts
+  * count overlapping occurrences ("aaa" has two (a,a) pairs) and merges
+  * apply greedily left-to-right ("aaa" → "aa","a"), both matching the
+  * published reference implementation — asserted token-for-token against
+  * a single-node reference BPE in BpeSpec.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based), left and right symbols, the
+    * merged symbol, and the weighted pair frequency that won the rank. */
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, freq: Long)
+
+  /** The distinct-word frequency table with initial symbol arrays:
+    * (word, n, syms) where syms = characters with `</w>` appended to the
+    * last. The single corpus-sized step. */
+  def wordTable(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("syms", segmentWord(col("word"), Nil))
+      .select(col("word"), col("n"), col("syms"))
+
+  /** Adjacent symbol pairs of `syms` as structs — one element per
+    * position, so overlapping pairs count. */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (l, r) => struct(l.as("l"), r.as("r")))
+
+  /** Greedy left-to-right application of merge (a, b) → ab to a symbol
+    * array, as a pure fold: append each symbol unless the accumulator
+    * ends with `a` and the symbol is `b`, in which case replace the tail
+    * with the merged unit. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        // get() is null-safe on the empty accumulator (null === a → null
+        // → otherwise), unlike element_at under ANSI semantics
+        when(get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Learns the top `nMerges` BPE merges. Stops early when no pair
+    * occurs twice (nothing left worth merging). Returns the merges in
+    * rank order; [[applyMergesTo]] re-tokenizes with them. */
+  def learnMerges(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[Merge] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    // localCheckpoint each generation (the dupClusters lesson,
+    // Dedup.scala): persist() caches data but leaves the LOGICAL plan
+    // growing by one fold expression per merge, and analysis/optimization
+    // over the accumulated tree comes to dominate wall-clock within a few
+    // iterations. Checkpointing truncates the plan to the materialized
+    // vocabulary-sized result.
+    var words = wordTable(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = words
+        .select(col("n"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p")).agg(sum(col("n")).as("freq"))
+        .filter(col("freq") >= 2)
+        .orderBy(desc("freq"), asc("p"))
+        .limit(1)
+        .select(col("p.l"), col("p.r"), col("freq"))
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, a, b, a + b, f)
+        words = words.withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Segments `textCol` into BPE units under the learned merges: the
+    * word-level fold replayed per merge in rank order (a per-row
+    * transform chain — scan speed, no shuffle). Adds `bpe_units`
+    * (array<string>). */
+  def applyMergesTo(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("bpe_units",
+      flatten(transform(TextFunctions.tokens(col(textCol)),
+        w => segmentWord(w, merges))))
+
+  /** The per-word segmentation chain: initial character symbols (with the
+    * `</w>` marker), then every merge's fold applied in rank order. */
+  private def segmentWord(w: Column, merges: Seq[Merge]): Column = {
+    val c = split(w, "")
+    val initial =
+      when(size(c) === 1, array(concat(element_at(c, -1), lit("</w>"))))
+        .otherwise(concat(
+          slice(c, lit(1), size(c) - 1),
+          array(concat(element_at(c, -1), lit("</w>")))))
+    merges.foldLeft(initial) { case (syms, m) => applyMerge(syms, m.left, m.right) }
+  }
+}

@@ -7,7 +7,7 @@ import graft.QuerySpec
 import graft.io.Corpus
 import graft.functions.{GraftExpressions, TextFunctions}
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Bpe, Dedup}
 
 /** Text-analysis + deduplication operator surface for training-data
   * pipelines (the BASELINE.json north-star ops), over the `documents`
@@ -954,6 +954,20 @@ object Text {
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Tokenizer induction: the first 16 BPE merges learned over the
+    * corpus ([[graft.operators.Bpe.learnMerges]]). `no_oracle` by design:
+    * each merge's argmax depends on every previous merge's rewrite, so
+    * the algorithm is inherently iterative and has no single-statement
+    * SQL form — correctness is covered by BpeSpec, which asserts the
+    * distributed learner merge-for-merge equal to a single-node
+    * implementation of the published algorithm on both synthetic and
+    * real corpus text. */
+  private def t30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Bpe.learnMerges(Corpus.documents(spark, dir), nMerges = 16)
+      .toDF().orderBy(col("rank"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -983,5 +997,6 @@ object Text {
     QuerySpec("t26_ngram_decontamination", t26, Some(t26Sql)),
     QuerySpec("t27_training_order", t27, Some(t27Sql)),
     QuerySpec("t28_token_budget_mix", t28, Some(t28Sql)),
-    QuerySpec("t29_dedup_register", t29, Some(t29Sql)))
+    QuerySpec("t29_dedup_register", t29, Some(t29Sql)),
+    QuerySpec("t30_bpe_merges", t30, None))
 }

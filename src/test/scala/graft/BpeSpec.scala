@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Corpus
+import graft.operators.Bpe
+
+/** Distributed BPE merge learning vs a single-node reference
+  * implementation of the published algorithm (Sennrich et al. 2016,
+  * Algorithm 1) — same `</w>` marker, same overlapping pair counts, same
+  * greedy left-to-right merge, same (freq desc, pair asc) tie-break. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference single-node BPE: the ground truth. */
+  private def referenceBpe(wordCounts: Map[String, Long],
+      nMerges: Int): Seq[Bpe.Merge] = {
+    def initial(w: String): Vector[String] = {
+      val cs = w.map(_.toString).toVector
+      cs.dropRight(1) :+ (cs.last + "</w>")
+    }
+    def applyM(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var vocab: Vector[(Vector[String], Long)] =
+      wordCounts.toVector.map { case (w, n) => initial(w) -> n }
+    val merges = Seq.newBuilder[Bpe.Merge]
+    var rank = 1
+    var continue = true
+    while (rank <= nMerges && continue) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; i <- 0 until syms.length - 1)
+        stats.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + n))
+      val eligible = stats.filter(_._2 >= 2)
+      if (eligible.isEmpty) continue = false
+      else {
+        val ((a, b), f) = eligible.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += Bpe.Merge(rank, a, b, a + b, f)
+        vocab = vocab.map { case (syms, n) => applyM(syms, a, b) -> n }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def wordCountsOf(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("learnMerges reproduces the reference algorithm on the classic corpus") {
+    // the worked example from the BPE paper: low/lower/newest/widest
+    val texts = Seq(
+      ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).trim)
+    val got = Bpe.learnMerges(texts.toDF("text"), nMerges = 10)
+    val want = referenceBpe(wordCountsOf(texts), nMerges = 10)
+    assert(got === want)
+    // the fused-marker convention (Sennrich's reference code appends
+    // '</w>' to the final CHARACTER) makes the famous first merges
+    // "e"+"s" then "es"+"t</w>" (= "est</w>", the -est suffix unit)
+    assert(got.take(2).map(m => (m.left, m.right)) ===
+      Seq(("e", "s"), ("es", "t</w>")))
+    assert(got(1).merged === "est</w>")
+  }
+
+  test("learnMerges matches the reference on real corpus text") {
+    val docs = Corpus.documents(spark, sf0001)
+      .filter(col("doc_id") < 40).select("text")
+    val texts = docs.as[String].collect().toSeq
+    val got = Bpe.learnMerges(docs, nMerges = 12)
+    val want = referenceBpe(wordCountsOf(texts), nMerges = 12)
+    assert(got === want)
+    assert(got.size === 12, "corpus text has at least 12 merges' worth of pairs")
+  }
+
+  test("learnMerges stops early when no pair repeats") {
+    val got = Bpe.learnMerges(Seq("ab cd ef").toDF("text"), nMerges = 5)
+    assert(got.isEmpty, s"all pairs unique → nothing merges: $got")
+  }
+
+  test("applyMergesTo segments concatenate back to the marked words") {
+    val texts = Seq(("low " * 5 + "lower " * 2 + "newest " * 6).trim, "widest low")
+    val docs = texts.toDF("text")
+    val merges = Bpe.learnMerges(docs, nMerges = 6)
+    val units = Bpe.applyMergesTo(docs, merges)
+      .select(col("text"), col("bpe_units")).as[(String, Seq[String])].collect()
+    for ((text, us) <- units) {
+      val expected = text.split(" ").filter(_.nonEmpty).map(_ + "</w>").mkString
+      assert(us.mkString === expected,
+        s"segmentation must be lossless for '$text': $us")
+    }
+    // learned units actually compress: fewer units than characters
+    val (t0, u0) = units.head
+    assert(u0.length < t0.count(_ != ' '),
+      "merged units must be coarser than characters")
+  }
+}
