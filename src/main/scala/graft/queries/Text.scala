@@ -968,6 +968,81 @@ object Text {
       .toDF().orderBy(col("rank"))
   }
 
+  // BM25 parameters (Robertson k1/b defaults) and the fixed query.
+  // Derived constants are interpolated into BOTH sides from the same
+  // Scala doubles (Double.toString round-trips, so DuckDB parses the
+  // exact same binary values — writing "2.2" by hand would not match
+  // 1.2 + 1 if that sum isn't the nearest double to 2.2).
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = Seq("hash", "join", "window")
+
+  /** BM25 top-20 retrieval — the scoring behind hard-negative mining and
+    * retrieval-based curation in training pipelines. One explode →
+    * per-(doc,term) tf (the scan's heavy lift, filtered to the query's
+    * terms BEFORE the shuffle), document frequencies and corpus stats
+    * broadcast back, per-term contributions summed through the
+    * DECIMAL(30,6) detour ([[Num.dsum]]) so the 3-term sum is
+    * accumulation-order-independent, total order (score desc, doc_id)
+    * before the limit. avgdl is exact-integer total/count, identical
+    * across engines. */
+  private def t31(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    val dl = docs
+      .withColumn("dl", tokenCount(col("text")).cast("long"))
+      .filter(col("dl") > 0)
+      .select(col("doc_id"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = docs
+      // substring prefilter: a strict superset of the token match, so
+      // results are unchanged — but docs that can't contain a query term
+      // are never exploded, and the predicate reaches the parquet scan.
+      // With realistic (rare) query terms this skips most of a 100 TB
+      // corpus before the expensive generator.
+      .filter(Bm25Query.map(t => col("text").contains(t)).reduce(_ || _))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("tf") * lit(Bm25K1 + 1) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", col("idf") * col("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), Num.dsum(col("contrib")).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val t31Sql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+       |            FROM documents WHERE len($toksSql) > 0),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |       WHERE term IN ($terms) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+       |           (tf * ${Bm25K1 + 1} /
+       |            (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl /
+       |                             (CAST(total_dl AS DOUBLE) / n_docs)))) AS contrib
+       |       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |  ${Num.dsumSql("contrib")} AS bm25
+       |FROM sc GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -998,5 +1073,6 @@ object Text {
     QuerySpec("t27_training_order", t27, Some(t27Sql)),
     QuerySpec("t28_token_budget_mix", t28, Some(t28Sql)),
     QuerySpec("t29_dedup_register", t29, Some(t29Sql)),
-    QuerySpec("t30_bpe_merges", t30, None))
+    QuerySpec("t30_bpe_merges", t30, None),
+    QuerySpec("t31_bm25_topk", t31, Some(t31Sql)))
 }

@@ -174,6 +174,14 @@ class PlanSpec extends SparkTestBase {
       s"window must partition by shard (a global row_number would be one task):\n$plan")
   }
 
+  test("t31 BM25: substring prefilter reaches the scan; corpus stats broadcast") {
+    val plan = planOf("t31_bm25_topk")
+    assert(plan.contains("StringContains(text,hash)") || plan.contains("Contains(text, hash)"),
+      s"the superset prefilter must push to the parquet scan:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"df/stats frames must broadcast, not shuffle-join:\n$plan")
+  }
+
   test("t28 token budget: per-(lang,bucket) window + broadcast offsets, no per-lang sort") {
     val plan = planOf("t28_token_budget_mix")
     // the heavy window must partition by (lang, _bucket); a window keyed
