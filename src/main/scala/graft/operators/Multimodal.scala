@@ -253,6 +253,63 @@ object Multimodal {
     }(Encoders.product[MediaRow]).toDF()
   }
 
+  final case class ClipRow(doc_id: Long, clip_idx: Int, n_clips: Int,
+      n_samples: Long, n_bytes: Long, media: Array[Byte], format: String)
+
+  /** Audio clip windowing — the audio-modality pipeline op (the analog of
+    * [[sampleFrames]] for video): each WAV slices into consecutive
+    * `clipSamples`-frame clips, and every clip is re-wrapped as a
+    * standalone VALID RIFF/WAVE (fresh 44-byte header carrying the
+    * source's sample rate/block align/bit depth + the sliced PCM bytes),
+    * so downstream feature extraction treats clips exactly like source
+    * files — the chunk-long-audio-into-model-windows step of a speech
+    * training pipeline. The final clip keeps the remainder (shorter).
+    * `mapPartitions`: blobs stay executor-local, never shuffle. */
+  def clipAudio(audio: DataFrame, clipSamples: Int): DataFrame = {
+    require(clipSamples > 0, s"clipSamples must be positive, got $clipSamples")
+    val ds: Dataset[MediaRow] = audio.as(Encoders.product[MediaRow])
+    ds.mapPartitions(_.flatMap { m =>
+      val buf = ByteBuffer.wrap(m.media).order(ByteOrder.LITTLE_ENDIAN)
+      require(m.media.length >= 44 &&
+        buf.getInt(0) == 0x46464952 && buf.getInt(8) == 0x45564157, // "RIFF", "WAVE"
+        s"doc ${m.doc_id}: not a WAV payload")
+      var pos = 12
+      var sampleRate = 0; var bits = 0; var blockAlign = 0
+      var dataPos = -1; var dataSize = -1
+      while (pos + 8 <= m.media.length && (sampleRate == 0 || dataPos < 0)) {
+        val id = buf.getInt(pos); val size = buf.getInt(pos + 4)
+        require(size >= 0, s"doc ${m.doc_id}: corrupt WAV chunk size $size")
+        if (id == 0x20746d66) { // "fmt "
+          sampleRate = buf.getInt(pos + 12)
+          blockAlign = buf.getShort(pos + 20).toInt
+          bits = buf.getShort(pos + 22).toInt
+        } else if (id == 0x61746164) { dataPos = pos + 8; dataSize = size } // "data"
+        pos += 8 + size + (size & 1)
+      }
+      require(sampleRate > 0 && dataPos >= 0 && blockAlign > 0 &&
+        dataPos + dataSize <= m.media.length,
+        s"doc ${m.doc_id}: WAV missing or truncated fmt/data chunks")
+      val nFrames = dataSize / blockAlign
+      val nClips = (nFrames + clipSamples - 1) / clipSamples
+      (0 until nClips).iterator.map { c =>
+        val startFrame = c * clipSamples
+        val frames = math.min(clipSamples, nFrames - startFrame)
+        val dsz = frames * blockAlign
+        val out = ByteBuffer.allocate(44 + dsz).order(ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dsz)
+          .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+        out.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+          .putShort(1).putShort(1) // PCM, mono
+          .putInt(sampleRate).putInt(sampleRate * blockAlign)
+          .putShort(blockAlign.toShort).putShort(bits.toShort)
+        out.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dsz)
+          .put(m.media, dataPos + startFrame * blockAlign, dsz)
+        ClipRow(m.doc_id, c, nClips, frames.toLong, (44L + dsz),
+          out.array(), "wav")
+      }
+    })(Encoders.product[ClipRow]).toDF()
+  }
+
   /** Frame sampling — the video-modality pipeline op: walks each
     * container (validating the GVID magic and every frame's BMP header),
     * emits every `every`-th frame's metadata. `mapPartitions` like the

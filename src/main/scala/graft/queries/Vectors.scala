@@ -184,6 +184,34 @@ object Vectors {
       |FROM d
       |ORDER BY doc_id""".stripMargin
 
+  /** Audio clip windowing: documents → WAV payloads → 25-sample clips,
+    * each re-wrapped as a standalone valid WAV
+    * ([[graft.operators.Multimodal.clipAudio]]). The oracle predicts the
+    * full clip layout — count, per-clip sample counts (remainder last),
+    * and re-wrapped byte sizes — from the source length rule, so a
+    * slicing that drops samples, miscounts the tail, or mis-sizes the
+    * rewritten header fails the hash; sample-exact payloads are
+    * cross-checked against AudioSystem in MultimodalSpec. */
+  private def m05(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.clipAudio(
+      Multimodal.toAudioTable(Corpus.documents(spark, dir)), clipSamples = 25)
+      .select(col("doc_id"), col("clip_idx"), col("n_clips"),
+        col("n_samples"), col("n_bytes"))
+      .orderBy(col("doc_id"), col("clip_idx"))
+
+  private val m05Sql =
+    """WITH a AS (SELECT doc_id,
+      |    32 + octet_length(CAST(text AS BLOB)) % 256 AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n, (n + 24) // 25 AS n_clips,
+      |    unnest(range(0, (n + 24) // 25)) AS ci
+      |  FROM a)
+      |SELECT doc_id, CAST(ci AS INT) AS clip_idx, CAST(n_clips AS INT) AS n_clips,
+      |  CAST(CASE WHEN ci = n_clips - 1 THEN n - ci * 25 ELSE 25 END AS BIGINT) AS n_samples,
+      |  CAST(44 + 2 * (CASE WHEN ci = n_clips - 1 THEN n - ci * 25 ELSE 25 END) AS BIGINT) AS n_bytes
+      |FROM c
+      |ORDER BY doc_id, clip_idx""".stripMargin
+
   /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
     * cell probes) — rows-only; recall vs brute force asserted in tests. */
   private def v04(spark: SparkSession, dir: String): DataFrame =
@@ -279,5 +307,6 @@ object Vectors {
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),
-    QuerySpec("m04_image_resize", m04, Some(m04Sql)))
+    QuerySpec("m04_image_resize", m04, Some(m04Sql)),
+    QuerySpec("m05_audio_clips", m05, Some(m05Sql)))
 }

@@ -133,4 +133,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(joined.count() === 0, "decoded dimensions must match the per-doc derivation")
     assert(feats.count() === docs.count())
   }
+
+  test("audio clips: every clip is a valid standalone WAV and the PCM concatenates losslessly") {
+    val source = Multimodal.wavBytes(8000, 110, "clip me into pieces".getBytes("UTF-8"))
+    val clips = Multimodal.clipAudio(
+        Seq(MediaRow(7L, source, "wav")).toDF(), clipSamples = 25)
+      .orderBy(col("clip_idx"))
+      .select("clip_idx", "n_clips", "n_samples", "media")
+      .as[(Int, Int, Long, Array[Byte])].collect()
+    assert(clips.map(_._2).toSet === Set(5), "110 samples / 25 → 5 clips")
+    assert(clips.map(_._3).toSeq === Seq(25L, 25L, 25L, 25L, 10L),
+      "full clips then the 10-sample remainder")
+    for ((ci, _, frames, bytes) <- clips) {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(in.getFormat.getSampleRate === 8000f, s"clip $ci keeps the source rate")
+      assert(in.getFormat.getSampleSizeInBits === 16)
+      assert(in.getFrameLength === frames, s"clip $ci frame count per its own header")
+    }
+    // lossless: clip PCM bytes, in order, reassemble the source data chunk
+    val reassembled = clips.flatMap(_._4.drop(44))
+    assert(reassembled.toSeq === source.drop(44).toSeq,
+      "concatenated clip payloads must equal the source PCM exactly")
+    // guards: clip size must be positive; non-WAV payloads fail loudly
+    intercept[IllegalArgumentException](
+      Multimodal.clipAudio(Seq(MediaRow(1L, source, "wav")).toDF(), 0))
+    val bad = Multimodal.clipAudio(
+      Seq(MediaRow(2L, "not a wav".getBytes("UTF-8") ++ new Array[Byte](44), "wav")).toDF(), 25)
+    val e = intercept[org.apache.spark.SparkException](bad.count())
+    assert(e.getMessage != null)
+  }
 }
