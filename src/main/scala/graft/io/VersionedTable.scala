@@ -87,12 +87,21 @@ object VersionedTable {
   }
 
   /** Reads the current committed snapshot. Always sees a complete table:
-    * the marker it resolves points at an immutable, fully-written dir. */
+    * the marker it resolves points at an immutable, fully-written dir.
+    *
+    * A marker whose CONTENT is still empty is a commit in flight — the
+    * writer's create→write→close is not atomic, so a reader listing the
+    * log at exactly the wrong microsecond can observe the marker file
+    * before its dir name lands in it. Such a version is not committed
+    * yet by definition; skip to the newest marker that both has content
+    * and whose snapshot dir exists. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val f = fs(spark, root)
-    val last = markers(f, root).lastOption
+    val dir = markers(f, root).reverseIterator
+      .map { case (_, m) => readMarker(f, m) }
+      .find(d => d.nonEmpty && f.exists(new Path(root, d)))
       .getOrElse(throw new java.io.FileNotFoundException(s"no committed version under $root"))
-    spark.read.parquet(new Path(root, readMarker(f, last._2)).toString)
+    spark.read.parquet(new Path(root, dir).toString)
   }
 
   /** MERGE with the same key semantics as [[Merge.upsertParquet]], but
@@ -126,7 +135,11 @@ object VersionedTable {
     val deleted = doomed.map { case (n, marker) =>
       val dir = readMarker(f, marker)
       f.delete(marker, false)
-      f.delete(new Path(root, dir), true)
+      // empty content = a commit that never finished (writer died between
+      // marker create and write) — there is no dir name to delete, and
+      // Path(root, "") would throw; its orphaned d-* dir falls to the
+      // age-gated sweep below
+      if (dir.nonEmpty) f.delete(new Path(root, dir), true)
       n
     }
     val live = markers(f, root).map { case (_, m) => readMarker(f, m) }.toSet

@@ -1043,6 +1043,53 @@ object Text {
        |LIMIT 20""".stripMargin
   }
 
+  /** Training-corpus EXPORT, end to end: the t25 manifest picks the
+    * rows, t27's ordering shards them, and
+    * [[graft.io.TrainingExport.exportTrainingCorpus]] writes the
+    * partitioned files a training run reads. The query summarizes the
+    * READ-BACK files per shard — doc count, token total, max and
+    * distinct position — so the oracle (which replays selection +
+    * shard hash + dense ordering in SQL) catches a lost row, a
+    * misassigned shard, a token-count drift, or a gap/duplicate in the
+    * written positions. */
+  private def t32(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.RotatingTempDir.next("graft_export_")
+    graft.io.TrainingExport
+      .exportTrainingCorpus(Corpus.documents(spark, dir), out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("pos")).as("max_pos"),
+        countDistinct(col("pos")).as("n_distinct_pos"))
+      .orderBy(col("shard"))
+      .localCheckpoint() // survives RotatingTempDir pruning (see t15)
+  }
+
+  private val t32Sql =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, text,
+       |    md5(text) AS text_hash,
+       |    ${foldSql("text")} % 100 AS bucket,
+       |    CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    $qualitySql AS quality, dup_token_frac
+       |  FROM ($docSignalsSql) WHERE n_tokens > 0),
+       |sel AS (
+       |  SELECT doc_id, n_tokens,
+       |    ${foldSql("'train-v1:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+       |  FROM (SELECT *,
+       |          row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1 AS dedup_keep
+       |        FROM s)
+       |  WHERE dedup_keep AND quality >= $QualityMin AND dup_token_frac <= $DupFracMax
+       |    AND bucket < 80)
+       |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS max_pos,
+       |  COUNT(*) AS n_distinct_pos
+       |FROM sel
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -1074,5 +1121,6 @@ object Text {
     QuerySpec("t28_token_budget_mix", t28, Some(t28Sql)),
     QuerySpec("t29_dedup_register", t29, Some(t29Sql)),
     QuerySpec("t30_bpe_merges", t30, None),
-    QuerySpec("t31_bm25_topk", t31, Some(t31Sql)))
+    QuerySpec("t31_bm25_topk", t31, Some(t31Sql)),
+    QuerySpec("t32_training_export", t32, Some(t32Sql)))
 }

@@ -86,6 +86,32 @@ class LakehouseOpsSpec extends SparkTestBase {
       "every read during the rerun must see a complete committed snapshot")
   }
 
+  test("training export: shard-partitioned, dense positions, idempotent overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_texp_").toString + "/corpus"
+    val docs = graft.io.Corpus.documents(spark, sf0001)
+    val back = graft.io.TrainingExport.exportTrainingCorpus(docs, dir, nShards = 4)
+    // physical layout: one partition dir per shard, prunable by readers
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === 4, s"expected 4 shard partitions: ${shardDirs.mkString(",")}")
+    // every shard's positions are exactly 0..n-1 (a loader can stream in order)
+    val byShard = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), countDistinct("pos").as("d"))
+      .as[(Int, Long, Long, Long)].collect()
+    byShard.foreach { case (s, n, mx, d) =>
+      assert(mx === n - 1 && d === n, s"shard $s positions must be dense 0..${n - 1}")
+    }
+    // the export is the manifest's selection — no duplicate texts survive
+    assert(back.count() === back.select("text").distinct().count(),
+      "exact dups must not reach the training corpus")
+    // re-export overwrites in place with identical content (snapshot the
+    // first run's rows BEFORE overwriting — the lazy read-back frame
+    // points at files the overwrite deletes; see the operator's scaladoc)
+    val first = back.select("doc_id", "global_pos").as[(Long, Long)].collect().toSet
+    val again = graft.io.TrainingExport.exportTrainingCorpus(docs, dir, nShards = 4)
+    val second = again.select("doc_id", "global_pos").as[(Long, Long)].collect().toSet
+    assert(second === first, "re-export is bit-stable")
+  }
+
   test("retryStage: transient failure succeeds on retry, each failure observed") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var exhausted = 0

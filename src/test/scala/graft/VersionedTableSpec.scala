@@ -92,4 +92,24 @@ class VersionedTableSpec extends SparkTestBase {
     assert(dirNames.size === 2)
     assert(VersionedTable.read(spark, root).count() === 2L)
   }
+
+  test("read skips a mid-commit (still empty) marker instead of reading the root") {
+    val root = tmpRoot("midc")
+    VersionedTable.write(spark, root, spark.range(3L).toDF("k"))
+    // simulate the reader's view between the writer's marker create and
+    // its content write: a newer marker file that is still EMPTY (this is
+    // the microsecond window a concurrent reader can list)
+    val empty = new java.io.File(new java.io.File(root, "_log"), "000000002")
+    assert(empty.createNewFile(), s"fixture marker exists already: $empty")
+    // the empty marker is "not committed yet": reads resolve v1, not the
+    // root dir (which is what Path(root, "") used to produce)
+    assert(VersionedTable.read(spark, root).count() === 3L)
+    // a later real commit takes the NEXT number and becomes current
+    VersionedTable.write(spark, root, spark.range(7L).toDF("k"))
+    assert(VersionedTable.read(spark, root).count() === 7L)
+    // vacuum with the dead empty marker in the doomed range must not
+    // throw (no dir name to delete) and must leave the table readable
+    VersionedTable.vacuum(spark, root, keep = 1)
+    assert(VersionedTable.read(spark, root).count() === 7L)
+  }
 }
