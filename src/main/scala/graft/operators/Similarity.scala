@@ -201,13 +201,31 @@ object Similarity {
     * [[ivfTopKAgainstIndex]]. Cell-partitioned layout means a probe reads
     * only its nProbe cells' partitions (partition pruning / DPP on the
     * cell join), the on-disk analog of the inverted-file layout. */
+  /** With `quantized = true` the assigned table stores int8 codes +
+    * per-vector scale ([[quantizeInt8]]) instead of the double vectors —
+    * the FAISS IVF-SQ8 layout, ~8× less vector payload on disk and in
+    * scan. The stored norm is the DEQUANTIZED vector's (so probe-side
+    * cosines are internally consistent); ranking quality vs the
+    * full-precision index is asserted in SimilaritySpec. */
   def buildIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
-      nCells: Int = 16): Unit = graft.util.PhaseTimer.time("index_build") {
-    GraftExpressions.register(spark)
-    val (assigned, centroidDf) = fitIvf(spark, emb, nCells)
-    centroidDf.write.mode("overwrite").parquet(s"$dir/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
-  }
+      nCells: Int = 16, quantized: Boolean = false): Unit =
+    graft.util.PhaseTimer.time("index_build") {
+      GraftExpressions.register(spark)
+      val (assigned, centroidDf) = fitIvf(spark, emb, nCells)
+      centroidDf.write.mode("overwrite").parquet(s"$dir/centroids")
+      val table =
+        if (!quantized) assigned
+        else quantizeInt8(assigned, vecCol = "v")
+          .withColumn("vq", dequantized(col("q"), col("scale")))
+          .withColumn("nrm", sqrt(expr("graft_dot(vq, vq)")))
+          .select(col("vec_id"), col("cell"), col("scale"), col("q"), col("nrm"))
+      table.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    }
+
+  /** q/scale with the all-zero-vector (scale 0) guard. */
+  private def dequantized(q: Column, scale: Column): Column =
+    transform(q, c =>
+      when(scale === 0d, lit(0.0)).otherwise(c.cast("double") / scale))
 
   /** Top-k over the persisted index at `dir` for a batch of query vectors
     * (same (vec_id, embedding) shape as the corpus; a query whose vec_id
@@ -219,9 +237,16 @@ object Similarity {
     GraftExpressions.register(spark)
     val q = normed(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    probeIvf(
-      spark.read.parquet(s"$dir/assigned"),
-      spark.read.parquet(s"$dir/centroids"), q, k, nProbe)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    // quantized (IVF-SQ8) layout self-describes by its schema; codes
+    // dequantize AFTER the probe's cell partition pruning, so only the
+    // probed cells' rows ever expand back to doubles
+    val table =
+      if (!assigned.columns.contains("q")) assigned
+      else assigned
+        .withColumn("v", dequantized(col("q"), col("scale")))
+        .drop("q", "scale")
+    probeIvf(table, spark.read.parquet(s"$dir/centroids"), q, k, nProbe)
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a

@@ -170,6 +170,36 @@ class SimilaritySpec extends SparkTestBase {
       "deterministic fit + exact double round trip ⇒ identical results")
   }
 
+  test("quantized IVF index (IVF-SQ8): smaller vector payload, ranking holds") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val full = java.nio.file.Files.createTempDirectory("graft_ivff_").toString
+    val sq = java.nio.file.Files.createTempDirectory("graft_ivfq_").toString
+    Similarity.buildIvfIndex(spark, emb, full)
+    Similarity.buildIvfIndex(spark, emb, sq, quantized = true)
+    def dirBytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(d, "assigned"))
+    }
+    // at sf0.001 parquet footer/page overhead and list-of-tinyint level
+    // encoding dilute the 8×-per-element win to ~1.6× file size; the
+    // assertion is deliberately conservative (the per-element ratio is
+    // what holds at scale)
+    assert(dirBytes(sq) < (dirBytes(full) * 3) / 4,
+      s"int8 codes must shrink the index materially: sq=${dirBytes(sq)} full=${dirBytes(full)}")
+    val qs = emb.filter(col("vec_id") < 5)
+    val fullTop = Similarity.ivfTopKAgainstIndex(spark, qs, full, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sqTop = Similarity.ivfTopKAgainstIndex(spark, qs, sq, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlap = fullTop.map { case (q, t) =>
+      (t intersect sqTop(q)).size.toDouble / t.size }.sum / fullTop.size
+    assert(overlap >= 0.9,
+      f"SQ8 probe must agree with the full-precision index, got $overlap%.2f")
+  }
+
   test("quantizeInt8: codes bounded, reconstruction within 0.5/scale, zero vector safe") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f, 0.99f)),
