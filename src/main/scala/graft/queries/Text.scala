@@ -173,19 +173,58 @@ object Text {
   }
 
   /** Document fingerprinting via the codegen'd rolling-hash Catalyst
-    * expression (graft_rolling_hash) — rows-only check (64-bit wrapping
-    * arithmetic is not expressible in DuckDB SQL). */
+    * expression (graft_rolling_hash): raw-text and bag-of-words (sorted
+    * token) 64-bit fingerprints. Oracle-checked since round 8: the
+    * wrapping 64-bit fold IS expressible in DuckDB through HUGEINT
+    * arithmetic — fold bytes (recovered from the hex of the UTF-8 blob)
+    * as (h·31 + b) mod 2⁶⁴, then two's-complement back to a signed
+    * BIGINT (the t08 SimHash flip's precedent). Engine-native xxhash64
+    * is demonstrated inside other oracle-passing queries (t23/t26 key
+    * their shuffles on it), so it no longer needs a column here. */
   private def t04(spark: SparkSession, dir: String): DataFrame = {
     GraftExpressions.register(spark)
     Corpus.documents(spark, dir)
       .select(
         col("doc_id"),
         expr("graft_rolling_hash(text)").as("fingerprint64"),
-        xxhash64(col("text")).as("xxh64"),
         expr("graft_rolling_hash(array_join(array_sort(filter(split(text, ' '), t -> t != '')), ' '))")
           .as("bow_fingerprint64"))
       .orderBy(col("doc_id"))
   }
+
+  // The wrapping-64-bit rolling hash of a VARCHAR expression, in DuckDB:
+  // UTF-8 bytes recovered from hex(encode(...)) nibble pairs, folded as
+  // (h·31 + b) mod 2⁶⁴ in HUGEINT; [[signed64Sql]] two's-complements the
+  // unsigned result back to the BIGINT the JVM fold produces.
+  private def foldU64Sql(e: String): String = {
+    val hx = s"hex(encode($e))"
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS HUGEINT),
+       |    list_transform(range(1, octet_length(encode($e)) + 1),
+       |      i -> CAST(16 * (strpos('0123456789ABCDEF', substring($hx, 2*i-1, 1)) - 1)
+       |           + (strpos('0123456789ABCDEF', substring($hx, 2*i, 1)) - 1) AS HUGEINT))),
+       |  (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT)""".stripMargin
+  }
+
+  private def signed64Sql(c: String): String =
+    s"""CAST(CASE WHEN $c >= 9223372036854775808::HUGEINT
+       |     THEN $c - 18446744073709551616::HUGEINT ELSE $c END AS BIGINT)""".stripMargin
+
+  private val t04Sql =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    array_to_string(list_sort(list_filter(str_split(text, ' '), t -> t <> '')), ' ') AS bow
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    ${foldU64Sql("text")} AS r1,
+       |    ${foldU64Sql("bow")} AS r2
+       |  FROM b)
+       |SELECT doc_id,
+       |  ${signed64Sql("r1")} AS fingerprint64,
+       |  ${signed64Sql("r2")} AS bow_fingerprint64
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
 
   /** Exact-dedup corpus summary (count/distinct/drop counts). */
   private def t05(spark: SparkSession, dir: String): DataFrame =
@@ -1094,7 +1133,7 @@ object Text {
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
     QuerySpec("t03_langid", t03, Some(t03Sql)),
-    QuerySpec("t04_fingerprint", t04, None),
+    QuerySpec("t04_fingerprint", t04, Some(t04Sql)),
     QuerySpec("t05_dedup_exact_stats", t05, Some(t05Sql)),
     QuerySpec("t06_dedup_exact_groups", t06, Some(t06Sql)),
     QuerySpec("t07_dedup_minhash_lsh", t07, Some(t07Sql)),
