@@ -319,20 +319,21 @@ object GraftExpressions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_lsh_bands", exprs => BandedSignature(exprs(0),
-        intArg(exprs(1), "numPlanes"), intArg(exprs(2), "bandBits")), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_topk", exprs => TopK(exprs(0), exprs(1), intArg(exprs(2), "k")), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_mode_count", exprs => ModeCount(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_fold31", exprs => Fold31(exprs.head), "built-in")
+    // register-if-absent: every operator entry point calls register (the
+    // registry is session-scoped, callers can't know), and
+    // createOrReplaceTempFunction logs a replacement WARN per function per
+    // call — seven lines of noise in every bench/verify artifact. A lost
+    // race just means one harmless replace of an identical builder.
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("graft_rolling_hash")(exprs => RollingHash(exprs.head))
+    ensure("graft_dot")(exprs => DotProduct(exprs(0), exprs(1)))
+    ensure("graft_jaccard_sorted")(exprs => JaccardSorted(exprs(0), exprs(1)))
+    ensure("graft_lsh_bands")(exprs => BandedSignature(exprs(0),
+      intArg(exprs(1), "numPlanes"), intArg(exprs(2), "bandBits")))
+    ensure("graft_topk")(exprs => TopK(exprs(0), exprs(1), intArg(exprs(2), "k")))
+    ensure("graft_mode_count")(exprs => ModeCount(exprs.head))
+    ensure("graft_fold31")(exprs => Fold31(exprs.head))
   }
 }

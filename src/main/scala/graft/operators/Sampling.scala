@@ -22,14 +22,20 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Portable fingerprint of a string column: fold (h·31 + codepoint)
-    * mod 2³¹−1 over its code points. Range [0, 2³¹−1). */
-  def portableFingerprint(c: String): Column = {
-    // expr() resolves against the session's function registry at analysis
-    // time, so make sure graft_fold31 is registered on the active session
-    // before the Column is used (idempotent, registry-local).
+    * mod 2³¹−1 over its code points. Range [0, 2³¹−1). Takes a Column —
+    * never a SQL fragment — so caller-supplied values (seeds, composite
+    * keys) stay DATA: there is no string to break out of. */
+  def portableFingerprint(c: Column): Column = {
+    // call_function resolves against the session's function registry at
+    // analysis time, so make sure graft_fold31 is registered on the
+    // active session before the Column is used (idempotent,
+    // registry-local).
     graft.functions.GraftExpressions.register(SparkSession.active)
-    expr(s"graft_fold31($c)")
+    call_function("graft_fold31", c)
   }
+
+  /** Column-name convenience overload. */
+  def portableFingerprint(name: String): Column = portableFingerprint(col(name))
 
   /** Adds `bucket` ∈ [0, nBuckets) derived from the key column's content
     * hash. Same key → same bucket, independent of partitioning, engine,
@@ -77,7 +83,10 @@ object Sampling {
   def trainingOrder(df: DataFrame, idCol: String, seed: String,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val fp = portableFingerprint(s"concat('$seed:', CAST($idCol AS STRING))")
+    // seed is passed as a literal Column, not spliced into SQL text — a
+    // seed containing quotes (or anything else) is just bytes in the key
+    val fp = portableFingerprint(
+      concat(lit(s"$seed:"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("_fp"), col(idCol))
     df.withColumn("_fp", fp)

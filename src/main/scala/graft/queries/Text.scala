@@ -327,9 +327,9 @@ object Text {
     Corpus.documents(spark, dir)
       .select(
         col("doc_id"),
-        graft.operators.Sampling.portableFingerprint("text").as("fp31"),
+        graft.operators.Sampling.portableFingerprint(col("text")).as("fp31"),
         graft.operators.Sampling.portableFingerprint(
-          "array_join(array_sort(filter(split(text, ' '), t -> t != '')), ' ')")
+          array_join(array_sort(filter(split(col("text"), " "), t => t =!= "")), " "))
           .as("bow_fp31"))
       .orderBy(col("doc_id"))
 

@@ -201,6 +201,28 @@ class DedupSpec extends SparkTestBase {
       Dedup.registerInNearDupIndex(day1, dir, batchId = "ok", numHashes = 64, bands = 16))
   }
 
+  test("index verify uses plain count on single-label indexes, distinct past one label") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_agg_").toString
+    Dedup.buildNearDupIndex(docs, dir)
+    val batch = Seq((10L, base, "s9")).toDF("doc_id", "text", "source")
+    def verifyUsesDistinct(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.toLowerCase.contains("count(distinct")
+    // fresh __base__-only index: duplicate registration is impossible, so
+    // the cheap exact count must be planned (this is the contamination
+    // audit's shape — the expand-based distinct tripled its verify stage)
+    assert(!verifyUsesDistinct(Dedup.nearDupsAgainstIndex(batch, dir, threshold = 0.5)),
+      "single-label index must not pay the expand-based distinct")
+    Dedup.registerInNearDupIndex(batch, dir, batchId = "day1")
+    // two labels: a doc could be registered under both, so the verify
+    // must be duplicate-immune
+    assert(verifyUsesDistinct(Dedup.nearDupsAgainstIndex(batch, dir, threshold = 0.5)),
+      "multi-label index keeps the duplicate-immune countDistinct")
+    // excludeBatch prunes day1 back out — single surviving label again
+    assert(!verifyUsesDistinct(Dedup.nearDupsAgainstIndex(batch, dir, threshold = 0.5,
+        excludeBatch = Some("day1"))),
+      "excludeBatch shrinking the inventory to one label restores plain count")
+  }
+
   test("dupClusters on minhash pairs keeps one doc per planted dup group") {
     val clusters = Dedup.dupClusters(Dedup.minhashNearDups(docs, threshold = 0.5))
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap

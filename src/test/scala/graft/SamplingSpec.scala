@@ -130,6 +130,22 @@ class SamplingSpec extends SparkTestBase {
       "different seed must reorder most of the corpus")
   }
 
+  test("trainingOrder: seed is data — quotes and SQL metacharacters are legal") {
+    val n = 200
+    // would have broken analysis (or silently changed the key) when the
+    // seed was spliced into an expr() string
+    val hostile = Sampling.trainingOrder(corpus(n), "doc_id",
+        seed = "ep'1; --)", nShards = 4)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(hostile.size === n && hostile.values.toSeq.distinct.length === n)
+    // the fingerprint key is exactly seed + ":" + id — proved by
+    // recomputing one row's shard with the same public fingerprint
+    val fp = Sampling.portableFingerprint(lit("ep'1; --):0")).cast("long")
+    val expectShard = spark.range(1).select(pmod(fp, lit(4L))).head().getLong(0)
+    val gotShard = hostile(0L) % 4
+    assert(gotShard === expectShard, "seed must reach the hash verbatim")
+  }
+
   test("tokenBudgetKeep: two-level running sum ≡ one window over the canonical order") {
     val docs = mixCorpus(900)
       .withColumn("n_tokens", (pmod(col("doc_id") * 7919, lit(40)) + 1).cast("long"))
