@@ -130,20 +130,40 @@ object VersionedTable {
       orphanAgeMs: Long = 3600000L): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
     val f = fs(spark, root)
-    val all = markers(f, root)
-    val doomed = all.dropRight(keep)
-    val deleted = doomed.map { case (n, marker) =>
-      val dir = readMarker(f, marker)
-      f.delete(marker, false)
-      // empty content = a commit that never finished (writer died between
-      // marker create and write) — there is no dir name to delete, and
-      // Path(root, "") would throw; its orphaned d-* dir falls to the
-      // age-gated sweep below
-      if (dir.nonEmpty) f.delete(new Path(root, dir), true)
-      n
-    }
-    val live = markers(f, root).map { case (_, m) => readMarker(f, m) }.toSet
     val cutoff = System.currentTimeMillis() - orphanAgeMs
+    val all = markers(f, root).map { case (n, m) => (n, m, readMarker(f, m)) }
+    // Only COMMITTED versions — non-empty marker content naming an
+    // existing snapshot dir — count toward `keep`. read() can resolve
+    // only those, so letting anything else occupy a keep slot would be a
+    // data-loss bug: a dead writer's permanently-empty marker sitting at
+    // the top of the log would push the newest READABLE version into the
+    // doomed list and vacuum would delete the current snapshot.
+    val committedKeep = all
+      .filter { case (_, _, d) => d.nonEmpty && f.exists(new Path(root, d)) }
+      .takeRight(keep).map(_._1).toSet
+    val deleted = all
+      .filterNot { case (n, _, _) => committedKeep.contains(n) }
+      .flatMap { case (n, marker, dir) =>
+        if (dir.isEmpty) {
+          // empty content = a commit that never finished. Almost always a
+          // dead writer, but a LIVE writer is in this state for the
+          // microseconds between marker create and content write —
+          // age-gate the delete (same bound as the orphan sweep) so
+          // vacuum never clobbers a commit in flight. There is no dir
+          // name to delete; a dead writer's orphaned d-* dir falls to
+          // the sweep below.
+          val st = f.getFileStatus(marker)
+          if (st.getModificationTime > 0 && st.getModificationTime < cutoff) {
+            f.delete(marker, false)
+            Some(n)
+          } else None
+        } else {
+          f.delete(marker, false)
+          f.delete(new Path(root, dir), true)
+          Some(n)
+        }
+      }
+    val live = markers(f, root).map { case (_, m) => readMarker(f, m) }.toSet
     f.listStatus(new Path(root)).foreach { st =>
       val name = st.getPath.getName
       // mtime 0 means the store doesn't report directory times (object

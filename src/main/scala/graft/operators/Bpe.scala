@@ -90,6 +90,13 @@ object Bpe {
         .select(col("n"), explode(adjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p")).agg(sum(col("n")).as("freq"))
         .filter(col("freq") >= 2)
+        // deterministic argmax: frequency desc, then the pair struct
+        // ascending. Spark compares strings as UTF-8 bytes, i.e. Unicode
+        // CODEPOINT order — the collation contract of this tie-break.
+        // (Java's String ordering compares UTF-16 code units instead,
+        // which ranks supplementary-plane symbols differently; the
+        // single-node reference in BpeSpec matches this codepoint order
+        // explicitly.)
         .orderBy(desc("freq"), asc("p"))
         .limit(1)
         .select(col("p.l"), col("p.r"), col("freq"))

@@ -275,11 +275,14 @@ object Multimodal {
         s"doc ${m.doc_id}: not a WAV payload")
       var pos = 12
       var sampleRate = 0; var bits = 0; var blockAlign = 0
+      var audioFormat = 0; var channels = 0
       var dataPos = -1; var dataSize = -1
       while (pos + 8 <= m.media.length && (sampleRate == 0 || dataPos < 0)) {
         val id = buf.getInt(pos); val size = buf.getInt(pos + 4)
         require(size >= 0, s"doc ${m.doc_id}: corrupt WAV chunk size $size")
         if (id == 0x20746d66) { // "fmt "
+          audioFormat = buf.getShort(pos + 8).toInt
+          channels = buf.getShort(pos + 10).toInt
           sampleRate = buf.getInt(pos + 12)
           blockAlign = buf.getShort(pos + 20).toInt
           bits = buf.getShort(pos + 22).toInt
@@ -289,6 +292,15 @@ object Multimodal {
       require(sampleRate > 0 && dataPos >= 0 && blockAlign > 0 &&
         dataPos + dataSize <= m.media.length,
         s"doc ${m.doc_id}: WAV missing or truncated fmt/data chunks")
+      // re-wrapping slices assumes fixed-size PCM frames; a compressed
+      // format would make frame = blockAlign false and the clip headers
+      // lies. Copy the SOURCE's channel count (a stereo input re-labeled
+      // mono would carry a self-inconsistent channels/blockAlign pair).
+      require(audioFormat == 1, s"doc ${m.doc_id}: WAV audioFormat " +
+        s"$audioFormat is not PCM — clips can only slice uncompressed frames")
+      require(channels > 0 && blockAlign == channels * ((bits + 7) / 8),
+        s"doc ${m.doc_id}: inconsistent fmt chunk (channels=$channels, " +
+          s"bits=$bits, blockAlign=$blockAlign)")
       val nFrames = dataSize / blockAlign
       val nClips = (nFrames + clipSamples - 1) / clipSamples
       (0 until nClips).iterator.map { c =>
@@ -299,7 +311,7 @@ object Multimodal {
         out.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dsz)
           .put("WAVE".getBytes(StandardCharsets.US_ASCII))
         out.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
-          .putShort(1).putShort(1) // PCM, mono
+          .putShort(1).putShort(channels.toShort) // PCM, source channel count
           .putInt(sampleRate).putInt(sampleRate * blockAlign)
           .putShort(blockAlign.toShort).putShort(bits.toShort)
         out.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dsz)

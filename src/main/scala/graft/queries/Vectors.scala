@@ -269,15 +269,22 @@ object Vectors {
         col("max_err"))
       .orderBy(col("vec_id"))
 
+  // the CASE arms mirror quantizeInt8's all-zero-vector guard (scale 0,
+  // all-zero codes, zero error) — without them a zero embedding would
+  // divide by list_max(...) = 0 and diverge from the Spark side
   private val v07Sql =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+       |s AS (SELECT vec_id, v,
+       |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 0.0
+       |             ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
        |      FROM v)
        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, scale,
-       |  CAST(list_sum(list_transform(range(1, len(v) + 1),
-       |    i -> CAST(round(v[i] * scale) AS BIGINT) * i)) AS BIGINT) AS q_checksum,
-       |  list_max(list_transform(v, x -> abs(x - round(x * scale) / scale))) AS max_err
+       |  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(list_sum(list_transform(range(1, len(v) + 1),
+       |         i -> CAST(round(v[i] * scale) AS BIGINT) * i)) AS BIGINT) END AS q_checksum,
+       |  CASE WHEN scale = 0 THEN 0.0
+       |       ELSE list_max(list_transform(v, x -> abs(x - round(x * scale) / scale))) END AS max_err
        |FROM s
        |ORDER BY vec_id""".stripMargin
 

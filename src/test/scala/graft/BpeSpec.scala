@@ -41,6 +41,14 @@ class BpeSpec extends SparkTestBase {
       val eligible = stats.filter(_._2 >= 2)
       if (eligible.isEmpty) continue = false
       else {
+        // frequency-tie-break in Unicode CODEPOINT order (= UTF-8 byte
+        // order), matching the distributed learner's asc("p") — plain
+        // Scala string Ordering would compare UTF-16 code units, which
+        // diverges for supplementary-plane symbols
+        implicit val cpOrder: Ordering[String] = (x: String, y: String) =>
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val ((a, b), f) = eligible.minBy { case ((l, r), n) => (-n, l, r) }
         merges += Bpe.Merge(rank, a, b, a + b, f)
         vocab = vocab.map { case (syms, n) => applyM(syms, a, b) -> n }

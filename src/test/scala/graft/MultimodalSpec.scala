@@ -163,4 +163,38 @@ class MultimodalSpec extends SparkTestBase {
     val e = intercept[org.apache.spark.SparkException](bad.count())
     assert(e.getMessage != null)
   }
+
+  test("audio clips: stereo sources keep their channel count; non-PCM fails loudly") {
+    // hand-build a stereo 16-bit PCM WAV (blockAlign 4) — wavBytes is mono
+    def wav(format: Short, channels: Short, frames: Int): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataSize = frames * blockAlign
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(format).putShort(channels)
+        .putInt(8000).putInt(8000 * blockAlign)
+        .putShort(blockAlign.toShort).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      (0 until dataSize).foreach(i => buf.put((i % 251).toByte))
+      buf.array()
+    }
+    val clips = Multimodal.clipAudio(
+        Seq(MediaRow(9L, wav(1, 2, 60), "wav")).toDF(), clipSamples = 25)
+      .orderBy(col("clip_idx"))
+      .select("n_samples", "media").as[(Long, Array[Byte])].collect()
+    assert(clips.map(_._1).toSeq === Seq(25L, 25L, 10L))
+    for ((frames, bytes) <- clips) {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(in.getFormat.getChannels === 2, "clips must carry the SOURCE channel count")
+      assert(in.getFrameLength === frames, "frame count under stereo blockAlign")
+    }
+    // non-PCM (e.g. IEEE float, format 3): slicing assumptions don't hold
+    val nonPcm = Multimodal.clipAudio(Seq(MediaRow(10L, wav(3, 1, 60), "wav")).toDF(), 25)
+    val e2 = intercept[org.apache.spark.SparkException](nonPcm.count())
+    assert(e2.getMessage.contains("not PCM"), e2.getMessage)
+  }
 }

@@ -93,6 +93,30 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, root).count() === 2L)
   }
 
+  test("vacuum: a dead empty marker atop the log never evicts the newest committed version") {
+    val root = tmpRoot("dead")
+    (1 to 2).foreach(n => VersionedTable.write(spark, root, spark.range(n.toLong).toDF("k")))
+    // dead writer: the NEWEST marker is permanently empty. Counting it
+    // toward `keep` would push the newest committed version (v2) into
+    // the doomed list and vacuum(keep=1) would delete the current
+    // snapshot — the table would become unreadable (data loss).
+    val log = new java.io.File(root, "_log")
+    assert(new java.io.File(log, "000000003").createNewFile())
+    val dropped = VersionedTable.vacuum(spark, root, keep = 1, orphanAgeMs = 0L)
+    assert(VersionedTable.read(spark, root).count() === 2L,
+      "the newest committed version must survive")
+    assert(dropped.contains(1L), "the older committed version is vacuumed")
+    assert(dropped.contains(3L), "an AGED dead marker is swept")
+    assert(!dropped.contains(2L), dropped.toString)
+    // a YOUNG empty marker (possible commit in flight) is spared entirely
+    assert(new java.io.File(log, "000000004").createNewFile())
+    assert(VersionedTable.vacuum(spark, root, keep = 1) === Seq.empty)
+    assert(VersionedTable.read(spark, root).count() === 2L)
+    // and writers keep committing above the junk
+    VersionedTable.write(spark, root, spark.range(9L).toDF("k"))
+    assert(VersionedTable.read(spark, root).count() === 9L)
+  }
+
   test("read skips a mid-commit (still empty) marker instead of reading the root") {
     val root = tmpRoot("midc")
     VersionedTable.write(spark, root, spark.range(3L).toDF("k"))
