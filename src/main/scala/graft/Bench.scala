@@ -29,6 +29,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     graft.util.PhaseTimer.drain() // discard warmup/leftover phases
+    // phase splits of the index-backed queries, keyed by query name —
+    // carried into the JSON line so probe-side regressions are
+    // machine-visible without the stderr tail
+    val phaseResults = scala.collection.mutable.Map.empty[String, Map[String, Double]]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -50,10 +54,11 @@ object Bench {
       // to the failure line.
       val phases = graft.util.PhaseTimer.drain()
       if (ok && phases.nonEmpty) {
-        val parts = phases.toSeq.sortBy(_._1)
+        val withProbe = phases + ("probe" -> (elapsed - phases.values.sum))
+        phaseResults(name) = withProbe
+        val parts = withProbe.toSeq.sortBy(_._1)
           .map { case (p, s) => f"$p=$s%.2fs" }.mkString(" ")
-        System.err.println(
-          f"[bench] $name $parts probe=${elapsed - phases.values.sum}%.2fs total=$elapsed%.2fs")
+        System.err.println(f"[bench] $name $parts total=$elapsed%.2fs")
       }
       // Per-call operator caches (minhash explodes, tf frames, cluster
       // labels) are never reused across queries — release them so query
@@ -74,7 +79,17 @@ object Bench {
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + keyOf(k) + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // phase splits (index_build / index_register / probe) for the
+      // index-backed queries, same key scheme as "queries"
+      val ph = phaseResults.toSeq.sortBy(_._1)
+        .map { case (k, m) =>
+          "\"" + keyOf(k) + "\":" + m.toSeq.sortBy(_._1)
+            .map { case (p, s) => "\"" + p + "\":" + f"$s%.2f" }
+            .mkString("{", ",", "}")
+        }
+        .mkString("{", ",", "}")
+      val phasesField = if (phaseResults.isEmpty) "" else s""","phases":$ph"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$phasesField,"sf":"$sfDir"}"""
     }
     val full = line(identity)
     println(if (full.length <= 1700) full else line(_.takeWhile(_ != '_')))

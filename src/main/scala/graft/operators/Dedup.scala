@@ -262,6 +262,64 @@ object Dedup {
     }
   }
 
+  /** Rebases every registered batch of a persisted near-dup index into
+    * the `__base__` partition — the maintenance half of the daily
+    * incremental-dedup cycle. Registrations ([[registerInNearDupIndex]])
+    * and streaming epochs ([[graft.streaming.StreamingDedup]]) append one
+    * small `_batch` partition each, forever: compaction folds them so the
+    * partition inventory, file count, and listing cost stay bounded, and
+    * the probe's verify drops back to the cheap single-label plain-count
+    * aggregate.
+    *
+    * Probe results are IDENTICAL before and after (asserted in
+    * MaintenanceSpec): rows are `distinct`-folded per table, so a doc that
+    * was registered under two labels collapses to one row set — exactly
+    * the state the single-label verify assumes. Crash-safe at every
+    * window: the fold lands in `__base__` via dynamic-partition overwrite
+    * BEFORE the source batch partitions are dropped, and any mid-crash
+    * state (one table folded, the other not; `__base__` folded, batch
+    * partitions still present) is still multi-label wherever duplicates
+    * are possible, so the inventory-driven verify stays duplicate-immune;
+    * re-running compaction heals the layout. Run it between probe/register
+    * cycles (a maintenance window, like any OPTIMIZE): folding a batch
+    * out from under a STILL-RETRYING epoch's `excludeBatch` would let a
+    * retried batch see its own prior registration's non-identity rows.
+    * Returns the number of batch labels folded. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    readParams(spark, dir) // fail loudly on a dir that is not an index
+    graft.util.PhaseTimer.time("index_compact") {
+      val folded = Seq(("bands", Seq("doc_id", "band_idx", "band_hash")),
+          ("shingles", Seq("doc_id", "sz", "sh"))).map { case (table, cols) =>
+        val labels = batchInventory(spark, dir, table).filter(_ != BaseBatch)
+        if (labels.isEmpty) 0
+        else {
+          val path = s"$dir/$table"
+          // can't overwrite what's being read: spill the fold to a tmp
+          // generation (scan → write → scan → write; compaction is a
+          // maintenance op, the 2× IO is the price of never holding the
+          // fold in memory — this must work on a 100 TB index)
+          val tmp = s"$dir/_compacting_$table"
+          spark.read.parquet(path)
+            .select(cols.map(col): _*).distinct()
+            .write.mode("overwrite").parquet(tmp)
+          spark.read.parquet(tmp)
+            .withColumn("_batch", lit(BaseBatch))
+            .write.partitionBy("_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(path)
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          labels.foreach(b => // batchIds are fs-safe by construction
+            fs.delete(new org.apache.hadoop.fs.Path(path, s"_batch=$b"), true))
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          labels.size
+        }
+      }
+      folded.max
+    }
+  }
+
   private def paramsJsonPath(dir: String) = s"$dir/params.json"
 
   private def writeParamsJson(spark: org.apache.spark.sql.SparkSession,

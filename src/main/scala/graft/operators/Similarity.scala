@@ -298,6 +298,26 @@ object Similarity {
       element_at(expr(s"graft_lsh_bands(v, $numPlanes, $numPlanes)"), 1).cast("long"))
   }
 
+  /** Appends a measured `recall_at_k` column to an approximate top-k
+    * result: per query, the fraction of the EXACT top-k neighbors the
+    * approximate search recovered. Both frames carry the (query_id,
+    * rank, neighbor_id, cos_sim) top-k shape. This turns the recall
+    * quality gate from a unit-test-only assertion into DATA the
+    * correctness artifacts carry — a rows-only ANN query's output now
+    * quantifies its own approximation. Cost: both sides are
+    * queries×k rows; everything below the approximate search itself is
+    * broadcast-joined, no extra shuffle of the corpus. */
+  def withMeasuredRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val found = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("_found", lit(1))
+    val recall = exact.select(col("query_id"), col("neighbor_id"))
+      .join(found, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg((count(col("_found")).cast("double") / count(lit(1))).as("recall_at_k"))
+    approx.join(broadcast(recall), Seq("query_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Approximate top-k: score only candidates whose LSH signature is
     * within `maxHamming` of the query's (multi-probe). For a pair at
     * angle θ each plane flips with probability θ/π, so Hamming ~

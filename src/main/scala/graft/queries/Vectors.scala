@@ -88,10 +88,17 @@ object Vectors {
        |WHERE cos_sim >= 0.9
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** LSH-bucketed approximate top-k (scale path for v01) — rows-only;
-    * recall vs the brute-force baseline is asserted in unit tests. */
-  private def v03(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5, k = 10)
+  /** LSH-bucketed approximate top-k (scale path for v01) — rows-only by
+    * design, but NOT unmeasured: each row carries `recall_at_k`, the
+    * fraction of the exact top-k its query recovered, so the rows-only
+    * correctness artifact quantifies the approximation (the unit-test
+    * threshold made visible as data). */
+  private def v03(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Corpus.embeddings(spark, dir)
+    Similarity.withMeasuredRecall(
+      Similarity.lshTopK(spark, emb, nQueries = 5, k = 10),
+      Similarity.cosineTopK(spark, emb, nQueries = 5, k = 10))
+  }
 
   /** Multimodal decode: documents → genuine BMP payloads in a binary
     * column → partition-wise header parse → typed feature table. The
@@ -213,9 +220,14 @@ object Vectors {
       |ORDER BY doc_id, clip_idx""".stripMargin
 
   /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
-    * cell probes) — rows-only; recall vs brute force asserted in tests. */
-  private def v04(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5, k = 10)
+    * cell probes) — rows-only by design, with the same measured
+    * `recall_at_k` column as v03 quantifying the approximation. */
+  private def v04(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Corpus.embeddings(spark, dir)
+    Similarity.withMeasuredRecall(
+      Similarity.ivfTopK(spark, emb, nQueries = 5, k = 10),
+      Similarity.cosineTopK(spark, emb, nQueries = 5, k = 10))
+  }
 
   /** IVF index round trip — the serve-path shape: the corpus is signed
     * ONCE into a persisted centroids+assignments index (cell-partitioned

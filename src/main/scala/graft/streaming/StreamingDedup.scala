@@ -55,7 +55,14 @@ object StreamingDedup {
     * [[nearDupAuditSink]]: hits pair the batch against PRIOR documents);
     * run whole-corpus [[Dedup.minhashNearDups]] for intra-batch pairs.
     * `checkpointDir` is set on the writer here because the run id lives
-    * inside it. */
+    * inside it.
+    *
+    * Maintenance: each epoch adds one small `_batch` partition to the
+    * index, forever. Long-lived deployments should periodically run
+    * [[Dedup.compactNearDupIndex]] while the stream is stopped (or
+    * between epochs) — it folds the accumulated epoch partitions into
+    * `__base__` with probe results provably unchanged, keeping the
+    * partition inventory and file count bounded. */
   def selfMaintainingDedupSink(docs: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String,
       threshold: Double = 0.8): DataStreamWriter[Row] =

@@ -63,7 +63,9 @@ object StreamingManifest {
     * plus `_epoch`) under `outDir`, maintaining the text-hash index under
     * `hashIndexDir`. `docs` is a streaming frame with doc_id/text/lang.
     * `checkpointDir` is set on the writer here (not by the caller) because
-    * the dedup run id lives inside it — see the object doc. */
+    * the dedup run id lives inside it — see the object doc. Long-lived
+    * deployments should periodically run [[compactHashIndex]] between
+    * epochs to bound the index's file count. */
   def manifestSink(docs: DataFrame, hashIndexDir: String, outDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
     docs.writeStream
@@ -114,6 +116,42 @@ object StreamingManifest {
           spark.sparkContext.emptyRDD[Row], indexSchema)
           .select(col("text_hash"))
     prior.withColumn("_seen", lit(true))
+  }
+
+  /** Folds the hash index's per-epoch appends into one compact
+    * distinct-hash generation — the maintenance op bounding a long-lived
+    * manifest stream's file count (every epoch appends a few small files
+    * forever; at 100 TB of corpus the index is still just one 16-byte
+    * digest per unique document, but millions of tiny files would
+    * dominate probe cost). Folded rows carry `_epoch = -1`,
+    * `_run = "__compacted__"` — no live run/epoch ever matches that key,
+    * so [[appendEpoch]]'s probe always counts them as previously seen.
+    *
+    * Crash-safe by append-then-delete: the fold is APPENDED before the
+    * superseded files are dropped, so every window leaves at worst
+    * duplicate hashes, which the probe's `distinct()` already absorbs —
+    * rows are never lost. Run it between epochs (a maintenance window):
+    * folding a still-retrying epoch's own hashes would flip its
+    * replay-stable `dedup_keep` decisions. Returns (filesBefore,
+    * filesAfter). */
+  def compactHashIndex(spark: SparkSession, dir: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0, 0)
+    def dataFiles() = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    if (before.size <= 1) return (before.size, before.size)
+    val tmp = dir.stripSuffix("/") + "_compacting"
+    spark.read.schema(indexSchema).parquet(dir)
+      .select(col("text_hash")).distinct()
+      .withColumn("_epoch", lit(-1L))
+      .withColumn("_run", lit("__compacted__"))
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("append").parquet(dir)
+    before.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    (before.size, dataFiles().size)
   }
 
   /** The run id marker under `checkpointDir`: created exclusively on

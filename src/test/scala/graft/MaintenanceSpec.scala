@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.io.Maintenance
+import graft.operators.Dedup
 
 class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("compaction collapses many small files and preserves every row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
@@ -32,5 +34,83 @@ class MaintenanceSpec extends SparkTestBase {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("day"),
       s"partition layout must survive compaction:\n$plan")
+  }
+
+  test("compactNearDupIndex folds batches into __base__ with probe results identical") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val corpus = Seq(
+      (0L, base, "s1"),
+      (1L, base, "s1"), // exact dup — deterministic banding, see below
+      (2L, "one two three four five six seven eight nine ten", "s2"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_compact_").toString
+    Dedup.buildNearDupIndex(corpus, dir)
+    // exact copies: identical shingle sets match every band, so LSH
+    // detection is deterministic (edited variants sit near the banding's
+    // p≈0.5 regime and could legitimately miss)
+    val day1 = Seq((10L, base, "d1")).toDF("doc_id", "text", "source")
+    Dedup.registerInNearDupIndex(day1, dir, "day1")
+    // the hard case: doc 10 registered under TWO labels (fresh-checkpoint
+    // re-run) — compaction must fold the duplicate rows, not concatenate
+    Dedup.registerInNearDupIndex(day1, dir, "day1-again")
+    val day2 = Seq((20L, base, "d2")).toDF("doc_id", "text", "source")
+    def probe() = Dedup.nearDupsAgainstIndex(day2, dir, threshold = 0.5)
+    val before = probe().as[(Long, Long, Double)].collect().toSet
+    assert(before.map(_._1) === Set(0L, 1L, 10L), s"fixture sanity: $before")
+
+    assert(Dedup.compactNearDupIndex(spark, dir) === 2, "two labels folded")
+    val afterDf = probe()
+    assert(afterDf.as[(Long, Long, Double)].collect().toSet === before,
+      "probe results (including jaccard against the double-registered doc) " +
+        "must be identical after compaction")
+    // the fold restores the single-label layout: cheap plain-count verify,
+    // only __base__ on disk
+    assert(!afterDf.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("count(distinct"),
+      "compacted index must plan the plain-count verify")
+    for (t <- Seq("bands", "shingles")) {
+      val parts = new java.io.File(s"$dir/$t").listFiles()
+        .filter(_.getName.startsWith("_batch=")).map(_.getName).toSet
+      assert(parts === Set("_batch=__base__"), s"$t: $parts")
+    }
+    // idempotent: a second run is a no-op
+    assert(Dedup.compactNearDupIndex(spark, dir) === 0)
+    assert(probe().as[(Long, Long, Double)].collect().toSet === before)
+    // and registration keeps working on the compacted index
+    Dedup.registerInNearDupIndex(day2, dir, "day3")
+    val day4 = Seq((30L, base, "d4")).toDF("doc_id", "text", "source")
+    val laterHits = Dedup.nearDupsAgainstIndex(day4, dir, threshold = 0.9)
+      .select("doc_a").as[Long].collect().toSet
+    assert(laterHits.contains(20L), s"post-compaction registration findable: $laterHits")
+  }
+
+  test("compactHashIndex folds epoch appends; dedup decisions identical") {
+    import graft.streaming.StreamingManifest
+    def doc(i: Int) =
+      s"hash index compaction fixture document $i with enough body text " +
+        s"to score and split deterministically $i"
+    val idx = java.nio.file.Files.createTempDirectory("graft_hc_").toString + "/hashes"
+    val out1 = java.nio.file.Files.createTempDirectory("graft_hm1_").toString + "/m"
+    StreamingManifest.appendEpoch(
+      Seq((1L, doc(1), "en"), (2L, doc(2), "en")).toDF("doc_id", "text", "lang"),
+      idx, out1, epochId = 0L, run = "run-A")
+    StreamingManifest.appendEpoch(
+      Seq((3L, doc(3), "en"), (4L, doc(1), "en")).toDF("doc_id", "text", "lang"),
+      idx, out1, epochId = 1L, run = "run-A")
+    val (fBefore, fAfter) = StreamingManifest.compactHashIndex(spark, idx)
+    assert(fBefore > fAfter && fAfter >= 1, s"($fBefore, $fAfter)")
+    // a post-compaction epoch still sees every previously registered hash:
+    // docs 10/11 dup epochs 0/1's content, 12 is fresh
+    val e2 = Seq((10L, doc(1), "en"), (11L, doc(3), "en"), (12L, doc(12), "en"))
+      .toDF("doc_id", "text", "lang")
+    StreamingManifest.appendEpoch(e2, idx, out1, epochId = 2L, run = "run-A")
+    val kept = spark.read.parquet(out1)
+      .filter(col("_epoch") === 2L && col("dedup_keep"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L), s"compacted hashes must still block dups: $kept")
+    // compacting again (single fold present + epoch-2 files) stays correct
+    StreamingManifest.compactHashIndex(spark, idx)
+    val hashes = spark.read.parquet(idx).select("text_hash").distinct().count()
+    assert(hashes === 4L, "1,2,3,12 — one digest per unique document")
   }
 }

@@ -157,6 +157,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.15, s"recall $recall")
   }
 
+  test("withMeasuredRecall reports the per-query set-intersection recall as a column") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val exact = Similarity.cosineTopK(spark, emb, 5, 10)
+    // exact vs itself: recall is exactly 1.0 for every query, shape kept
+    val self = Similarity.withMeasuredRecall(exact, exact)
+    assert(self.columns.toSeq ===
+      Seq("query_id", "rank", "neighbor_id", "cos_sim", "recall_at_k"))
+    assert(self.count() === 50)
+    assert(self.select("recall_at_k").distinct().as[Double].collect().toSeq === Seq(1.0))
+    // approximate vs exact: the column equals the hand-computed
+    // per-query intersection fraction
+    val approx = Similarity.ivfTopK(spark, emb, 5, 10)
+    val got = Similarity.withMeasuredRecall(approx, exact)
+      .select("query_id", "recall_at_k").distinct()
+      .as[(Long, Double)].collect().toMap
+    val bruteSets = exact.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approxSets = approx.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((q, b) <- bruteSets)
+      assert(got(q) === (b & approxSets(q)).size.toDouble / b.size, s"query $q")
+  }
+
   test("persisted IVF index probe is bit-identical to the in-memory ivfTopK") {
     val emb = Corpus.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
