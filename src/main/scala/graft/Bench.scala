@@ -66,6 +66,7 @@ object Bench {
       // deliberately-shared Domain.silverFlat frame is NOT released
       // (p02/p03/p04 sharing one scan is the engine's design).
       graft.operators.Dedup.releaseCaches()
+      graft.operators.Sampling.releaseCaches()
       graft.queries.Text.releaseCaches()
       name -> elapsed
     }.toMap

@@ -163,4 +163,84 @@ object Sampling {
     }
     withHashBucket(df, keyCol, 100).withColumn("kept", col("bucket") < rateCol)
   }
+
+  // Frames shared by several aggregation branches of dsirResample persist
+  // here; Bench releases them between queries (same lifecycle as the
+  // Dedup/Text registries).
+  private val caches = new graft.util.CacheRegistry
+  private def tracked(df: DataFrame): DataFrame = caches.track(df)
+
+  /** Unpersists every cache created by the sampling operators. */
+  def releaseCaches(): Unit = caches.releaseAll()
+
+  /** DSIR — data selection via importance resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): pick raw-corpus documents that look like a TARGET
+    * domain, by importance weights computed on hashed n-gram features.
+    *
+    *  1. features: whitespace unigrams + bigrams, hashed into `buckets`
+    *     buckets with the portable fold (the paper's hashed n-gram
+    *     generative model — collisions are part of the model, not noise);
+    *  2. two bucket LMs with add-one smoothing: the target slice
+    *     (`isTarget` rows) and the full raw corpus;
+    *  3. per-doc importance weight = Σ_grams [ln p_target(b) −
+    *     ln p_raw(b)], summed through the DECIMAL(30,6) detour (the
+    *     [[graft.queries.Num]] cross-engine contract: per-row doubles are
+    *     IEEE-identical, only the accumulation order needs fixing);
+    *  4. Gumbel-perturbed selection: key = weight − ln(−ln(u)) with u a
+    *     hash-derived uniform in (0, 1] — the Gumbel-max trick that makes
+    *     "sample ∝ softmax(weight)" a deterministic, replayable per-row
+    *     decision. A FIXED threshold `tau` (Poisson-style sampling) keeps
+    *     the decision embarrassingly parallel: no global top-k sort, no
+    *     single-task window, so the plan is scan + two broadcast-LM joins
+    *     at any corpus size; P(select) rises monotonically with weight,
+    *     which is the resampling semantics the paper's Gumbel top-k
+    *     targets.
+    *
+    * Output: (doc_id, n_grams, weight, gumbel_key, selected) for every
+    * doc with ≥ 1 token, ascending doc_id. Deterministic in
+    * (corpus, seed, tau); replayable bit-for-bit in SQL. */
+  def dsirResample(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int, seed: String, tau: Double): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val sp = tokens(col(textCol))
+    val bigrams = when(size(col("sp")) > 1,
+        zip_with(slice(col("sp"), lit(1), size(col("sp")) - 1),
+          slice(col("sp"), lit(2), size(col("sp")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val grams = tracked(docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_target"), sp.as("sp"))
+      .filter(size(col("sp")) > 0)
+      .select(col("doc_id"), col("is_target"),
+        explode(concat(col("sp"), bigrams)).as("gram"))
+      .withColumn("b", pmod(portableFingerprint(col("gram")), lit(buckets))))
+    val tc = grams.filter(col("is_target")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rc = grams.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nt = grams.filter(col("is_target")).select(count(lit(1)).as("n_t"))
+    val nr = grams.select(count(lit(1)).as("n_r"))
+    // add-one smoothing keeps target-absent buckets finite; raw counts
+    // are never zero for grams that exist (the raw LM saw every gram)
+    val weights = grams
+      .join(broadcast(tc), Seq("b"), "left")
+      .join(broadcast(rc), Seq("b"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .withColumn("logratio",
+        log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) / (col("n_t") + lit(buckets)))
+          - log((col("cr").cast("double") + lit(1.0)) / (col("n_r") + lit(buckets))))
+      .groupBy(col("doc_id"))
+      // DECIMAL(30,6) detour inline (operator layer can't depend on the
+      // query layer's Num; the mirror contract is Num.dsumSql)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("logratio").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("weight"))
+    val u = (portableFingerprint(
+        concat(lit(seed + ":"), col("doc_id").cast("string"))) + lit(1))
+      .cast("double") / lit(2147483647.0)
+    weights
+      .withColumn("gumbel_key", col("weight") + (-log(-log(u))))
+      .withColumn("selected", col("gumbel_key") >= lit(tau))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -121,6 +121,65 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embedding space, then within each cluster drop every
+    * vector that has a smaller-id member at cosine ≥ `threshold` — the
+    * keep-one-per-ε-ball rule that removes semantically redundant
+    * training examples exact dedup can't see. Clustering is what makes
+    * it feasible at web scale: the pairwise compare runs per cluster, so
+    * cost is Σ_clusters c² (bounded by sizing k to the corpus) instead
+    * of n².
+    *
+    * Centroids are the k vectors whose ids have the smallest portable
+    * content fingerprint — a deterministic pseudo-random sample using
+    * the same cross-engine mod-2³¹ fold the split/sampling oracles gate
+    * on, so the full pipeline (selection, assignment, dedup verdicts) is
+    * replayable bit-for-bit in the DuckDB oracle. The paper's k-means
+    * refinement of the centroids would tighten clusters but adds
+    * nondeterministic iteration; the dedup semantics downstream of
+    * assignment are identical, and [[ivfTopK]] already covers trained
+    * coarse quantizers.
+    *
+    * Plan shape at scale: centroid pick is a global top-k (TakeOrdered,
+    * k rows to the driver's successor stage, never the corpus);
+    * assignment is one scan × broadcast(k); the ε-ball check is an
+    * equi-join on centroid_id (cluster-bounded, no n² pair
+    * enumeration).
+    *
+    * Output: (vec_id, centroid_id, centroid_cos, keep) for every input
+    * vector, ascending vec_id. */
+  def semDedup(spark: SparkSession, emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+    GraftExpressions.register(spark)
+    require(k > 0, s"k must be positive, got $k")
+    val n = normed(emb)
+    val cent = n
+      .withColumn("fp", Sampling.portableFingerprint(col("vec_id").cast("string")))
+      .orderBy(col("fp"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // nearest centroid per vector; ties (bit-equal cosines) break on
+    // centroid_id so assignment is total-order deterministic
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("centroid_cos").desc, col("centroid_id"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"),
+        (expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm"))).as("centroid_cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val members = assigned.select(col("centroid_id"), col("vec_id"), col("v"), col("nrm"))
+    val dropped = members.as("i").join(members.as("j"),
+        col("i.centroid_id") === col("j.centroid_id") &&
+          col("j.vec_id") < col("i.vec_id") &&
+          (expr("graft_dot(i.v, j.v)") / (col("i.nrm") * col("j.nrm"))) >= threshold,
+        "left_semi")
+      .select(col("vec_id"), lit(false).as("keep"))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("centroid_cos"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-band sign-bit values over `v`, via the codegen'd
     * [[graft.functions.BandedSignature]] expression (the planes live
     * inside the expression as one flat primitive array — no nested-array

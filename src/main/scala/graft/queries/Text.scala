@@ -23,8 +23,8 @@ object Text {
   // DuckDB mirror of Sampling.portableFingerprint — the portable mod-2³¹
   // fold is a cross-engine CONTRACT (split/sampling/packing oracles all
   // gate on it), so it has exactly one Spark definition and this one SQL
-  // definition.
-  private def foldSql(e: String): String =
+  // definition (package-visible: the v08 centroid-pick oracle reuses it).
+  private[queries] def foldSql(e: String): String =
     s"""list_reduce(
        |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
        |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
@@ -1007,6 +1007,137 @@ object Text {
       .toDF().orderBy(col("rank"))
   }
 
+  // t33's FIXED merge list — the apply side of BPE is deterministic and
+  // non-iterative once the merges are given, so unlike t30 (learning,
+  // inherently iterative) it CAN be oracle-checked. The list is a
+  // constant so the DuckDB mirror can replay the identical rewrite; it
+  // exercises the interesting shapes: three-deep cascades that assemble
+  // whole corpus words ("hash", "scan", "join", "row"), a mid-word-only
+  // merge ("er" never fires on word-final r</w>), and the greedy
+  // left-to-right non-overlap rule ("hashhash" → has,h,hash</w>).
+  private val t33Merges = Seq(
+    ("h", "a"), ("ha", "s"), ("has", "h</w>"), ("r", "o"), ("ro", "w</w>"),
+    ("s", "c"), ("a", "n</w>"), ("sc", "an</w>"), ("j", "o"), ("i", "n</w>"),
+    ("jo", "in</w>"), ("e", "r"))
+    .zipWithIndex.map { case ((l, r), i) => Bpe.Merge(i + 1, l, r, l + r, 0L) }
+
+  /** BPE ENCODING under a fixed merge list — the tokenize step every
+    * training pipeline runs after induction ([[t30]] learns, this
+    * applies). Pure per-row transform chain (scan speed, zero shuffle):
+    * [[graft.operators.Bpe.applyMergesTo]] replays each merge as a
+    * greedy left-to-right fold over the word's symbol array. Unlike t30
+    * this IS oracle-checked: the DuckDB mirror replays the same folds
+    * over a `§`-separated encoding of the symbol list (the corpus is
+    * ASCII-only and `§`-free at every SF, so the separator is
+    * unambiguous), proving the distributed apply merge-for-merge,
+    * word-for-word. Output: per doc, the unit count and the full
+    * space-joined unit stream (units never contain spaces — they come
+    * from whitespace tokens). */
+  private def t33(spark: SparkSession, dir: String): DataFrame =
+    Bpe.applyMergesTo(Corpus.documents(spark, dir), t33Merges)
+      .select(col("doc_id"),
+        size(col("bpe_units")).cast("long").as("n_units"),
+        concat_ws(" ", col("bpe_units")).as("units"))
+      .orderBy(col("doc_id"))
+
+  private val t33Sql = {
+    // the same fold as Bpe.applyMerge, over a §-separated symbol string:
+    // a merged symbol is recognized only as the WHOLE trailing symbol
+    // (the leading § anchors it), exactly like the Spark side's
+    // full-symbol equality on the accumulator's last element.
+    def mergeStep(a: String, b: String) =
+      s"""(acc, x) -> CASE WHEN x = '$b' AND ends_with(acc, '§$a§')
+         |      THEN substring(acc, 1, length(acc) - 1) || '$b' || '§'
+         |      ELSE acc || x || '§' END""".stripMargin
+    def applyMergeSql(prev: String, a: String, b: String) =
+      s"list_filter(str_split(list_reduce(list_prepend('§', $prev), " +
+        s"${mergeStep(a, b)}), '§'), s -> s <> '')"
+    val cs = "str_split(w, '')"
+    val initial = s"list_append($cs[1:len($cs)-1], $cs[len($cs)] || '</w>')"
+    val seg = t33Merges.foldLeft(initial)((e, m) => applyMergeSql(e, m.left, m.right))
+    s"""SELECT doc_id, CAST(len(units) AS BIGINT) AS n_units,
+       |  array_to_string(units, ' ') AS units
+       |FROM (SELECT doc_id,
+       |        flatten(list_transform($toksSql, w -> $seg)) AS units
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Planted-chain connected components — the bench-scale exercise of the
+    * O(log n) alternating large-star/small-star fallback that real dup
+    * graphs (stars around a canonical text) never trigger. Edges chain
+    * each language's docs in doc_id order, so the longest component's
+    * diameter (en: ~218 docs per 0.01 SF unit) far exceeds any sane
+    * propagation bound; [[graft.operators.Dedup.dupClusters]] is given a
+    * deliberately tight `maxIter` so it detects non-convergence quickly
+    * and restarts on [[graft.operators.Dedup.alternatingComponents]],
+    * which closes the chains in ~log2(len) rounds. The oracle is exact
+    * and closed-form: a full chain's component is its language, so the
+    * label is the language's min doc_id and the size its doc count —
+    * the hash gate checks the fallback's complete labeling, and the
+    * bench timing gives the scheme the measured cost profile it lacked
+    * (it was previously unit-tested only at 100 nodes). */
+  private def t34(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    val chain = Corpus.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("doc_a", lag(col("doc_id"), 1).over(w))
+      .filter(col("doc_a").isNotNull)
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    Dedup.dupClusters(chain, maxIter = 3)
+  }
+
+  private val t34Sql =
+    """SELECT doc_id, cluster_id, cluster_size FROM (
+      |  SELECT doc_id,
+      |    min(doc_id) OVER (PARTITION BY lang) AS cluster_id,
+      |    count(*) OVER (PARTITION BY lang) AS cluster_size
+      |  FROM documents)
+      |WHERE cluster_size > 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** DSIR importance resampling toward a target domain
+    * ([[graft.operators.Sampling.dsirResample]]; Xie et al., NeurIPS'23):
+    * hashed uni+bigram bucket LMs (8192 buckets) for the English slice
+    * (target) vs the whole corpus (raw), per-doc log-ratio importance
+    * weight through the decimal detour, hash-derived Gumbel-threshold
+    * selection at a fixed τ. At sf0.01 it keeps ~25% of the corpus with
+    * English docs at ~2× the keep rate of the others — the
+    * "look-like-the-target" tilt the method exists for, with the Gumbel
+    * noise preserving diversity. The oracle replays the ENTIRE pipeline:
+    * hashed buckets (portable fold), both smoothed LMs, each gram's ln
+    * ratio, the decimal-detour sum, and the Gumbel perturbation — so the
+    * hash gates every weight and every selection verdict. */
+  private def t35(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.dsirResample(Corpus.documents(spark, dir),
+      "text", "doc_id", col("lang") === "en", buckets = 8192,
+      seed = "dsir-r9", tau = -10.5)
+
+  private val t35Sql = {
+    val b = 8192
+    def u = s"((${foldSql(s"'dsir-r9:' || CAST(doc_id AS VARCHAR)")}) + 1) / 2147483647.0"
+    s"""WITH d AS (SELECT doc_id, lang, $toksSql AS sp FROM documents WHERE len($toksSql) > 0),
+       |g AS (SELECT doc_id, lang,
+       |        unnest(sp || list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])) AS gram
+       |      FROM d),
+       |gb AS (SELECT doc_id, lang, ${foldSql("gram")} % $b AS b FROM g),
+       |t AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+       |r AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+       |nt AS (SELECT count(*) AS n FROM gb WHERE lang = 'en'),
+       |nr AS (SELECT count(*) AS n FROM gb),
+       |lr AS (SELECT gb.doc_id,
+       |         ln((COALESCE(t.ct, 0) + 1.0) / (nt.n + $b)) - ln((r.cr + 1.0) / (nr.n + $b)) AS logratio
+       |       FROM gb LEFT JOIN t ON gb.b = t.b JOIN r ON gb.b = r.b, nt, nr),
+       |w AS (SELECT doc_id, count(*) AS n_grams, ${graft.queries.Num.dsumSql("logratio")} AS weight
+       |      FROM lr GROUP BY doc_id),
+       |k AS (SELECT doc_id, n_grams, weight,
+       |        weight + (- ln(- ln($u))) AS gumbel_key
+       |      FROM w)
+       |SELECT doc_id, n_grams, weight, gumbel_key, gumbel_key >= -10.5 AS selected
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   // BM25 parameters (Robertson k1/b defaults) and the fixed query.
   // Derived constants are interpolated into BOTH sides from the same
   // Scala doubles (Double.toString round-trips, so DuckDB parses the
@@ -1161,5 +1292,8 @@ object Text {
     QuerySpec("t29_dedup_register", t29, Some(t29Sql)),
     QuerySpec("t30_bpe_merges", t30, None),
     QuerySpec("t31_bm25_topk", t31, Some(t31Sql)),
-    QuerySpec("t32_training_export", t32, Some(t32Sql)))
+    QuerySpec("t32_training_export", t32, Some(t32Sql)),
+    QuerySpec("t33_bpe_encode", t33, Some(t33Sql)),
+    QuerySpec("t34_chain_components", t34, Some(t34Sql)),
+    QuerySpec("t35_dsir_resample", t35, Some(t35Sql)))
 }

@@ -315,6 +315,38 @@ object Vectors {
        |FROM clusters c JOIN sizes z ON c.cluster_id = z.cluster_id
        |ORDER BY c.vec_id""".stripMargin
 
+  /** SemDeDup ([[graft.operators.Similarity.semDedup]]) over the planted
+    * corpus: deterministic fingerprint-picked centroids (k=8),
+    * nearest-centroid assignment, keep-one-per-ε-ball verdict at
+    * cos ≥ 0.9. The planted near-dups (cos ≈ 0.97) are what gives the
+    * dedup real drops; the DuckDB oracle replays the ENTIRE pipeline —
+    * centroid pick (same portable fold the split oracles gate on),
+    * assignment argmax, within-cluster ε-ball check — so the hash gates
+    * every verdict, keeps included. */
+  private def v08(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(spark, plantedEmbeddings(spark, dir), k = 8, threshold = 0.9)
+
+  private val v08Sql = {
+    val fold = Text.foldSql("CAST(vec_id AS VARCHAR)")
+    s"""WITH $plantedPairsCtes,
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n
+       |         ORDER BY $fold, vec_id LIMIT 8),
+       |sc AS (SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+       |         list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]))
+       |           / (n.nrm * c.cnrm) AS centroid_cos
+       |       FROM n, cent c),
+       |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY centroid_cos DESC, centroid_id) AS rn FROM sc),
+       |a AS (SELECT vec_id, v, nrm, centroid_id, centroid_cos FROM asg WHERE rn = 1),
+       |dup AS (SELECT DISTINCT i.vec_id FROM a i JOIN a j
+       |        ON i.centroid_id = j.centroid_id AND j.vec_id < i.vec_id
+       |        WHERE list_sum(list_transform(range(1, len(i.v) + 1), x -> i.v[x] * j.v[x]))
+       |            / (i.nrm * j.nrm) >= 0.9)
+       |SELECT vec_id, centroid_id, centroid_cos,
+       |  vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+       |FROM a ORDER BY vec_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -323,6 +355,7 @@ object Vectors {
     QuerySpec("v05_ann_ivf_index", v05, None),
     QuerySpec("v06_embedding_dup_clusters", v06, Some(v06Sql)),
     QuerySpec("v07_embedding_quantize", v07, Some(v07Sql)),
+    QuerySpec("v08_semdedup", v08, Some(v08Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -108,4 +108,22 @@ class BpeSpec extends SparkTestBase {
     assert(u0.length < t0.count(_ != ' '),
       "merged units must be coarser than characters")
   }
+
+  test("applyMergesTo under a fixed list is greedy, non-overlapping, and cascade-aware") {
+    // the t33 shapes the corpus oracle can't exercise: repeated material
+    // inside ONE word (greedy left-to-right non-overlap) and a merged
+    // symbol that must NOT re-fire as the left of an earlier-rank merge
+    val merges = Seq(("h", "a"), ("ha", "s"), ("has", "h</w>"))
+      .zipWithIndex.map { case ((l, r), i) => Bpe.Merge(i + 1, l, r, l + r, 0L) }
+    val got = Bpe.applyMergesTo(
+        Seq("hashhash hash ha h a", "aha").toDF("text"), merges)
+      .select(col("bpe_units")).as[Seq[String]].collect().toSeq
+    // hashhash: merge1 → [ha,s,h,ha,s,h</w>], merge2 → [has,h,has,h</w>],
+    // merge3 fires only on the FINAL (has,h</w>) — the earlier 'has' is
+    // followed by plain 'h', proving non-overlap. "ha"/"aha": word-final
+    // a carries the marker, so (h,a) never fires there.
+    assert(got === Seq(
+      Seq("has", "h", "hash</w>", "hash</w>", "h", "a</w>", "h</w>", "a</w>"),
+      Seq("a", "h", "a</w>")))
+  }
 }

@@ -193,4 +193,22 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"joining offsets by shuffle defeats the two-level design:\n$plan")
   }
+
+  test("v08 semDedup: centroids broadcast; the ε-ball check is an equi-join, never n²") {
+    val plan = planOf("v08_semdedup")
+    // the only cartesian allowed is corpus × broadcast(k centroids);
+    // the within-cluster pair check must equi-join on centroid_id
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast the k centroids:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairwise compare must stay cluster-bounded:\n$plan")
+  }
+
+  test("t35 DSIR: both bucket LMs broadcast; no shuffle join on the gram stream") {
+    val plan = planOf("t35_dsir_resample")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤buckets-row LM frames must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shuffle-joining the gram stream against the LMs defeats the design:\n$plan")
+  }
 }

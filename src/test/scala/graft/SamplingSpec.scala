@@ -185,4 +185,33 @@ class SamplingSpec extends SparkTestBase {
       "n_tokens", Map.empty, defaultBudget = Long.MaxValue, nBuckets = 8)
     assert(all.filter(!col("kept")).isEmpty)
   }
+
+  test("dsirResample: target-domain docs outweigh off-target docs; partitioning-invariant") {
+    // two disjoint vocabularies: every A-doc gram is frequent in the
+    // target LM, every B-doc gram target-absent (add-one smoothed) —
+    // so every A weight must strictly exceed every B weight
+    val docs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma delta alpha beta", "A")
+      else (i, "omega psi chi phi omega psi", "B")
+    }.toDF("doc_id", "text", "dom")
+    val out = Sampling.dsirResample(docs, "text", "doc_id",
+      col("dom") === "A", buckets = 1024, seed = "s", tau = 0.0)
+    val w = out.select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w.size === 20)
+    val aMin = (0L until 20L by 2).map(w).min
+    val bMax = (1L until 20L by 2).map(w).max
+    assert(aMin > bMax, s"target-domain min weight $aMin must exceed off-target max $bMax")
+    val again = Sampling.dsirResample(docs.repartition(7), "text", "doc_id",
+      col("dom") === "A", buckets = 1024, seed = "s", tau = 0.0)
+    assert(out.collect().toSeq === again.collect().toSeq)
+    // the Gumbel perturbation is seed-keyed: a different seed must move
+    // at least one gumbel_key (weights stay identical)
+    val reseeded = Sampling.dsirResample(docs, "text", "doc_id",
+      col("dom") === "A", buckets = 1024, seed = "s2", tau = 0.0)
+    val k1 = out.select("gumbel_key").as[Double].collect().toSeq
+    val k2 = reseeded.select("gumbel_key").as[Double].collect().toSeq
+    assert(k1 !== k2)
+    assert(out.select("weight").as[Double].collect().toSeq ===
+      reseeded.select("weight").as[Double].collect().toSeq)
+  }
 }

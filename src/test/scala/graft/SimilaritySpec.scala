@@ -265,4 +265,34 @@ class SimilaritySpec extends SparkTestBase {
     }.sum / exact.size
     assert(recall >= 0.9, f"SQ8 recall@10 vs exact must stay high, got $recall%.2f")
   }
+
+  test("semDedup drops every non-minimal member of an identical group, keeps the rest") {
+    // three exact-duplicate groups + two singletons: identical vectors
+    // always share a nearest centroid (assignment is a function of the
+    // vector value with deterministic tie-break), so within each group
+    // exactly the min vec_id must keep; singletons keep regardless of
+    // cluster placement
+    val dup1 = Array(1.0f, 0.0f, 0.0f)
+    val dup2 = Array(0.0f, 1.0f, 0.0f)
+    val dup3 = Array(0.5f, 0.5f, 0.0f)
+    val vecs = Seq(
+      (0L, dup1, 0), (7L, dup1, 0), (3L, dup1, 0),
+      (1L, dup2, 0), (9L, dup2, 0),
+      (4L, dup3, 0), (5L, dup3, 0),
+      (2L, Array(0.0f, 0.0f, 1.0f), 1),
+      (8L, Array(-1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(spark, vecs, k = 3, threshold = 0.999)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.size === 9, "every input vector must be judged")
+    assert(out.filter(_._2).keySet === Set(0L, 1L, 4L, 2L, 8L),
+      s"group minima and singletons keep, got $out")
+  }
+
+  test("semDedup verdicts are invariant to input partitioning") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val a = Similarity.semDedup(spark, emb, k = 4, threshold = 0.8).collect()
+    val b = Similarity.semDedup(spark, emb.repartition(7), k = 4, threshold = 0.8).collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }
