@@ -164,6 +164,48 @@ object Sampling {
     withHashBucket(df, keyCol, 100).withColumn("kept", col("bucket") < rateCol)
   }
 
+  /** Temperature-based mixture sampling (the multilingual rebalancing
+    * rule of mBERT / XLM-R — Conneau et al., "Unsupervised Cross-lingual
+    * Representation Learning at Scale", ACL'20): sample strata with
+    * probability ∝ share^α, α < 1 flattening the distribution so
+    * low-resource strata are up-weighted relative to their raw share.
+    * Realized as deterministic per-stratum keep RATES with an expected
+    * total of `targetRows`: rate_s = min(1, targetRows·q_s/n_s) with
+    * q_s ∝ (n_s/N)^α, and each row kept iff its content-hash uniform
+    * u = fold(key)/2³¹−1 < rate_s — so the decision is a pure function
+    * of (corpus stats, key), replayable in SQL, stable under
+    * partitioning, and keep/drop never flips for an existing row when
+    * the same stats are passed again.
+    *
+    * Plan shape: one partial+final count per stratum (broadcast back —
+    * strata counts are tiny), then a scan-speed per-row hash compare.
+    * No shuffle of the data itself, at any corpus size.
+    *
+    * Output: input columns + `rate` (the stratum's keep rate) +
+    * `kept`. */
+  def temperatureKeep(df: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows >= 0, s"targetRows must be non-negative, got $targetRows")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val stats = counts
+      .crossJoin(broadcast(counts.select(sum(col("_n")).as("_total"))))
+      .withColumn("_q", pow(col("_n").cast("double") / col("_total"), lit(alpha)))
+    // _z sums doubles: route through the DECIMAL(30,6) detour so the
+    // normalizer (hence every rate) is accumulation-order independent
+    // and bit-identical cross-engine (the Num contract)
+    val rates = stats
+      .crossJoin(broadcast(stats.select(
+        sum(col("_q").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("_z"))))
+      .select(col(stratumCol),
+        least(lit(1.0),
+          lit(targetRows.toDouble) * (col("_q") / col("_z")) / col("_n")).as("rate"))
+    val u = portableFingerprint(col(keyCol)).cast("double") / lit(2147483647.0)
+    df.join(broadcast(rates), stratumCol)
+      .withColumn("kept", u < col("rate"))
+  }
+
   // Frames shared by several aggregation branches of dsirResample persist
   // here; Bench releases them between queries (same lifecycle as the
   // Dedup/Text registries).

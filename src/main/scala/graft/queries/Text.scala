@@ -1138,6 +1138,31 @@ object Text {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-based mixture sampling
+    * ([[graft.operators.Sampling.temperatureKeep]]; the mBERT/XLM-R
+    * share^α rule, α = 0.3): per-language keep rates from the corpus
+    * shares flattened by the temperature — low-resource languages keep a
+    * LARGER fraction than their raw share — realized as deterministic
+    * content-hash keeps with an expected total of 200 docs. The oracle
+    * recomputes shares, the α-power weights, the decimal-detour
+    * normalizer, every rate, and every hash-keep verdict. */
+  private def t36(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureKeep(Corpus.documents(spark, dir),
+      "text", "lang", alpha = 0.3, targetRows = 200L)
+      .select(col("doc_id"), col("lang"), col("rate"), col("kept"))
+      .orderBy(col("doc_id"))
+
+  private val t36Sql =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(n) AS total FROM c),
+       |q AS (SELECT lang, n, pow(CAST(n AS DOUBLE) / total, 0.3) AS q FROM c, tot),
+       |z AS (SELECT CAST(SUM(CAST(q AS DECIMAL(30,6))) AS DOUBLE) AS z FROM q),
+       |r AS (SELECT lang, least(1.0, 200.0 * (q / z) / n) AS rate FROM q, z)
+       |SELECT d.doc_id, d.lang, r.rate,
+       |  (CAST(${foldSql("text")} AS DOUBLE) / 2147483647.0) < r.rate AS kept
+       |FROM documents d JOIN r USING (lang)
+       |ORDER BY d.doc_id""".stripMargin
+
   // BM25 parameters (Robertson k1/b defaults) and the fixed query.
   // Derived constants are interpolated into BOTH sides from the same
   // Scala doubles (Double.toString round-trips, so DuckDB parses the
@@ -1295,5 +1320,6 @@ object Text {
     QuerySpec("t32_training_export", t32, Some(t32Sql)),
     QuerySpec("t33_bpe_encode", t33, Some(t33Sql)),
     QuerySpec("t34_chain_components", t34, Some(t34Sql)),
-    QuerySpec("t35_dsir_resample", t35, Some(t35Sql)))
+    QuerySpec("t35_dsir_resample", t35, Some(t35Sql)),
+    QuerySpec("t36_temperature_mix", t36, Some(t36Sql)))
 }

@@ -204,6 +204,14 @@ class PlanSpec extends SparkTestBase {
       s"pairwise compare must stay cluster-bounded:\n$plan")
   }
 
+  test("t36 temperature mix: rates broadcast back; the data itself never shuffle-joins") {
+    val plan = planOf("t36_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-stratum rate frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shuffle-joining the corpus against five rate rows defeats the design:\n$plan")
+  }
+
   test("t35 DSIR: both bucket LMs broadcast; no shuffle join on the gram stream") {
     val plan = planOf("t35_dsir_resample")
     assert(plan.contains("BroadcastHashJoin"),

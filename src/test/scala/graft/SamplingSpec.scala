@@ -214,4 +214,44 @@ class SamplingSpec extends SparkTestBase {
     assert(out.select("weight").as[Double].collect().toSeq ===
       reseeded.select("weight").as[Double].collect().toSeq)
   }
+
+  test("temperatureKeep: α-flattening boosts the low-resource stratum; total tracks target") {
+    // 900 A-docs vs 100 B-docs, α=0.5: q ∝ {0.9^0.5, 0.1^0.5} → shares
+    // 0.75/0.25 of a 500-doc target → rate_A ≈ 0.4167, rate_B caps at 1
+    val docs = (0L until 1000L).map(i =>
+      (i, s"doc body $i unique", if (i < 900) "A" else "B")).toDF("doc_id", "text", "lang")
+    val out = Sampling.temperatureKeep(docs, "text", "lang", alpha = 0.5, targetRows = 500L)
+    val rates = out.select("lang", "rate").distinct().as[(String, Double)].collect().toMap
+    assert(rates("B") === 1.0, s"low-resource stratum must cap at rate 1, got $rates")
+    // the normalizer goes through the DECIMAL(30,6) detour, so rates
+    // carry its ~1e-7 relative rounding — that rounding IS the contract
+    assert(math.abs(rates("A") - 500.0 * 0.75 / 900.0) < 1e-6, s"got $rates")
+    val kept = out.filter(col("kept")).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("B") === 100L, "rate-1 stratum keeps everything")
+    assert(math.abs(kept("A") - 375L) < 60, s"A keeps ≈ rate·n, got $kept")
+    // pure function of (stats, key): partitioning can't move a verdict
+    val again = Sampling.temperatureKeep(docs.repartition(7), "text", "lang",
+      alpha = 0.5, targetRows = 500L)
+    assert(out.orderBy("doc_id").collect().toSeq ===
+      again.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("the round-9 sampling/similarity operators validate parameters loudly") {
+    val docs = Seq((1L, "a b", "x")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureKeep(docs, "text", "lang", alpha = 1.5, targetRows = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureKeep(docs, "text", "lang", alpha = 0.5, targetRows = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.dsirResample(docs, "text", "doc_id", col("lang") === "x",
+        buckets = 1, seed = "s", tau = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.semDedup(spark,
+        Seq((1L, Array(1.0f), 0)).toDF("vec_id", "embedding", "label"), k = 0, threshold = 0.9)
+    }
+  }
 }
