@@ -67,4 +67,39 @@ object Packing {
         transform(starts, s => concat_ws(" ", slice(col(toksCol), s, lit(ctxLen)))))
         .as(Seq("chunk_idx", "chunk_text")))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al., "Efficient
+    * Training of Language Models to Fill in the Middle", 2022): a
+    * `ratePct`% subset of documents is rewritten into the PSM layout
+    * `<PRE> prefix <SUF> suffix <MID> middle` — teaching an
+    * autoregressive model to infill — while the rest pass through
+    * untouched (the paper's joint FIM+AR recipe). The gate and both cut
+    * points derive from the portable content fingerprint, so which docs
+    * transform and WHERE they split is a pure function of (seed, id,
+    * length): reproducible across runs, partitionings, and engines — the
+    * oracle replays every byte. Character-level splits (the paper's
+    * context-level char variant); cut1 ≤ cut2 are the ordered pair of
+    * two hash uniforms scaled to [0, len]. Per-row `substring`/`concat`
+    * only — scan speed, zero shuffle, at any corpus size.
+    *
+    * Adds `fim` (did this doc transform) and `fim_text` (PSM layout, or
+    * the original text). Sentinels are plain tokens here; a real
+    * tokenizer maps them to reserved ids downstream. */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+      seed: String, ratePct: Int): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct must be in 0..100, got $ratePct")
+    def fp(tag: String) = Sampling.portableFingerprint(
+      concat(lit(seed + ":" + tag + ":"), col(idCol).cast("string")))
+    def uniform(tag: String) = fp(tag).cast("double") / lit(2147483647.0)
+    val len = length(col(textCol))
+    val c1 = floor(uniform("c1") * (len + lit(1)).cast("double")).cast("int")
+    val c2 = floor(uniform("c2") * (len + lit(1)).cast("double")).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val psm = concat(lit("<PRE> "), col(textCol).substr(lit(1), lo),
+      lit(" <SUF> "), col(textCol).substr(hi + lit(1), len - hi),
+      lit(" <MID> "), col(textCol).substr(lo + lit(1), hi - lo))
+    df.withColumn("fim", pmod(fp("gate"), lit(100)) < lit(ratePct))
+      .withColumn("fim_text", when(col("fim"), psm).otherwise(col(textCol)))
+  }
 }

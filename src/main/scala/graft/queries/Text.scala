@@ -1163,6 +1163,37 @@ object Text {
        |FROM documents d JOIN r USING (lang)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Fill-in-the-middle training transform
+    * ([[graft.operators.Packing.fimTransform]]; Bavarian et al. 2022):
+    * half the corpus rewritten to the PSM `<PRE>/<SUF>/<MID>` layout with
+    * hash-derived gate and cut points, half passing through — the joint
+    * FIM+AR data recipe of code models. Scan-speed per-row rewrite, zero
+    * shuffle. The oracle recomputes the gate, both cut points, and the
+    * full rewritten text byte-for-byte. */
+  private def t37(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.fimTransform(Corpus.documents(spark, dir),
+      "text", "doc_id", seed = "fim-r9", ratePct = 50)
+      .select(col("doc_id"), col("fim"), col("fim_text"))
+      .orderBy(col("doc_id"))
+
+  private val t37Sql = {
+    def fp(tag: String) = foldSql(s"'fim-r9:$tag:' || CAST(doc_id AS VARCHAR)")
+    def cut(tag: String) =
+      s"CAST(floor(CAST(${fp(tag)} AS DOUBLE) / 2147483647.0 * (length(text) + 1)) AS INT)"
+    s"""WITH u AS (SELECT doc_id, text, length(text) AS len,
+       |    ${fp("gate")} % 100 < 50 AS fim,
+       |    ${cut("c1")} AS c1, ${cut("c2")} AS c2
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, len, fim,
+       |        least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM u)
+       |SELECT doc_id, fim,
+       |  CASE WHEN fim THEN '<PRE> ' || substr(text, 1, lo)
+       |       || ' <SUF> ' || substr(text, hi + 1, len - hi)
+       |       || ' <MID> ' || substr(text, lo + 1, hi - lo)
+       |       ELSE text END AS fim_text
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // BM25 parameters (Robertson k1/b defaults) and the fixed query.
   // Derived constants are interpolated into BOTH sides from the same
   // Scala doubles (Double.toString round-trips, so DuckDB parses the
@@ -1321,5 +1352,6 @@ object Text {
     QuerySpec("t33_bpe_encode", t33, Some(t33Sql)),
     QuerySpec("t34_chain_components", t34, Some(t34Sql)),
     QuerySpec("t35_dsir_resample", t35, Some(t35Sql)),
-    QuerySpec("t36_temperature_mix", t36, Some(t36Sql)))
+    QuerySpec("t36_temperature_mix", t36, Some(t36Sql)),
+    QuerySpec("t37_fim_transform", t37, Some(t37Sql)))
 }

@@ -81,4 +81,32 @@ class PackingSpec extends SparkTestBase {
       .withColumn("n_tokens", when(col("doc_id") % 5 === 0, 0L).otherwise(col("n_tokens")))
     assert(pack(withEmpty).length === 200, "0-token rows occupy no sequence")
   }
+
+  test("fimTransform: PSM pieces reassemble the original; gate honors the rate; deterministic") {
+    val docs = (0L until 40L).map(i => (i, s"the quick brown fox $i jumps over dogs"))
+      .toDF("doc_id", "text")
+    val out = Packing.fimTransform(docs, "text", "doc_id", seed = "s", ratePct = 100)
+      .select("doc_id", "fim_text").as[(Long, String)].collect().toMap
+    val orig = docs.as[(Long, String)].collect().toMap
+    out.foreach { case (id, psm) =>
+      // <PRE> prefix <SUF> suffix <MID> middle  →  prefix+middle+suffix
+      val m = """(?s)^<PRE> (.*) <SUF> (.*) <MID> (.*)$""".r
+      psm match {
+        case m(pre, suf, mid) =>
+          assert(pre + mid + suf === orig(id), s"doc $id must reassemble losslessly")
+        case _ => fail(s"doc $id not in PSM layout: $psm")
+      }
+    }
+    // rate 0: everything passes through untouched
+    val ar = Packing.fimTransform(docs, "text", "doc_id", seed = "s", ratePct = 0)
+    assert(ar.filter(col("fim")).isEmpty)
+    assert(ar.select("doc_id", "fim_text").as[(Long, String)].collect().toMap === orig)
+    // gate + cuts are (seed, id)-keyed: same seed reproduces, partitioning irrelevant
+    val a = Packing.fimTransform(docs, "text", "doc_id", "s", 50).orderBy("doc_id").collect()
+    val b = Packing.fimTransform(docs.repartition(7), "text", "doc_id", "s", 50)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(Packing.fimTransform(docs, "text", "doc_id", "s", 50)
+      .filter(col("fim")).count() > 0, "a 50% gate must transform some docs")
+  }
 }
