@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,5 +101,74 @@ object Packing {
       lit(" <MID> "), col(textCol).substr(lo + lit(1), hi - lo))
     df.withColumn("fim", pmod(fp("gate"), lit(100)) < lit(ratePct))
       .withColumn("fim_text", when(col("fim"), psm).otherwise(col(textCol)))
+  }
+
+  /** T5-style span corruption (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", JMLR'20):
+    * ~`ratePct`% of each document's tokens are masked in spans of mean
+    * `meanSpan`, each span replaced by a numbered sentinel `<Xi>` in the
+    * input while the target lists each sentinel followed by the tokens
+    * it hid — the denoising-objective example constructor.
+    *
+    * Deterministic layout (the spirit of the paper's random spans, made
+    * replayable): span count k = round-down of corrupted-token budget /
+    * meanSpan; the token range is cut into k equal segments and span i
+    * sits inside segment i at an offset drawn from a hash uniform — so
+    * spans can't overlap BY CONSTRUCTION, every position's fate is a
+    * pure function of (seed, id, n), and the oracle replays each byte.
+    * All counts are integer arithmetic (`DIV`/`%`); the only double is
+    * the offset uniform. Docs under `minTokens` pass through untouched
+    * (nothing to corrupt), flagged `corrupted = false`.
+    *
+    * Per-row array transforms only — scan speed, zero shuffle, any
+    * corpus size. Adds `corrupted`, `n_spans`, `input_text`,
+    * `target_text`. */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String, seed: String,
+      ratePct: Int = 15, meanSpan: Int = 3, minTokens: Int = 8): DataFrame = {
+    require(ratePct > 0 && ratePct <= 50, s"ratePct must be in 1..50, got $ratePct")
+    require(meanSpan > 0, s"meanSpan must be positive, got $meanSpan")
+    require(minTokens > 2 * meanSpan,
+      s"minTokens must exceed 2*meanSpan, got $minTokens vs $meanSpan")
+    val sent = (i: Column) => concat(lit("<X"), i.cast("string"), lit(">"))
+    val base = df
+      .withColumn("_sp", graft.functions.TextFunctions.tokens(col(textCol)))
+      .withColumn("_n", size(col("_sp")))
+      .withColumn("_c", greatest(lit(1), expr(s"(_n * $ratePct) DIV 100")))
+      .withColumn("_k", greatest(lit(1), expr(s"_c DIV $meanSpan")))
+      .withColumn("_seg", expr("_n DIV _k"))
+    // span i: length = c DIV k (+1 for the first c % k spans, ≤ seg);
+    // offset inside segment i from the portable-fingerprint uniform
+    val spans = transform(sequence(lit(0), col("_k") - 1), i => {
+      val len = least(
+        expr("_c DIV _k") + when(i < expr("_c % _k"), lit(1)).otherwise(lit(0)),
+        col("_seg"))
+      val u = Sampling.portableFingerprint(
+          concat(lit(seed + ":"), i.cast("string"), lit(":"), col(idCol).cast("string")))
+        .cast("double") / lit(2147483647.0)
+      val off = floor(u * (col("_seg") - len + lit(1)).cast("double")).cast("int")
+      struct(i.as("i"), len.as("len"), off.as("off"))
+    })
+    val segStart = (s: Column) => s("i") * col("_seg")
+    val inputArr = concat(
+      flatten(transform(col("_spans"), s => concat(
+        slice(col("_sp"), segStart(s) + lit(1), s("off")),
+        array(sent(s("i"))),
+        slice(col("_sp"), segStart(s) + s("off") + s("len") + lit(1),
+          col("_seg") - s("off") - s("len"))))),
+      slice(col("_sp"), col("_k") * col("_seg") + lit(1),
+        col("_n") - col("_k") * col("_seg")))
+    val targetArr = flatten(transform(col("_spans"), s => concat(
+      array(sent(s("i"))),
+      slice(col("_sp"), segStart(s) + s("off") + lit(1), s("len")))))
+    base
+      .withColumn("_spans", spans)
+      .withColumn("corrupted", col("_n") >= lit(minTokens))
+      .withColumn("n_spans",
+        when(col("corrupted"), col("_k")).otherwise(lit(0)).cast("long"))
+      .withColumn("input_text",
+        when(col("corrupted"), concat_ws(" ", inputArr)).otherwise(col(textCol)))
+      .withColumn("target_text",
+        when(col("corrupted"), concat_ws(" ", targetArr)).otherwise(lit("")))
+      .drop("_sp", "_n", "_c", "_k", "_seg", "_spans")
   }
 }

@@ -1194,6 +1194,51 @@ object Text {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** T5 span corruption ([[graft.operators.Packing.spanCorrupt]]; Raffel
+    * et al. JMLR'20): ~15% of each doc's tokens masked in mean-3-token
+    * spans, inputs carrying numbered sentinels, targets the hidden
+    * tokens — the denoising-objective example constructor, deterministic
+    * via segment-confined hash-placed spans. The oracle rebuilds every
+    * span boundary and both output strings byte-for-byte. */
+  private def t38(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.spanCorrupt(Corpus.documents(spark, dir),
+      "text", "doc_id", seed = "span-r9")
+      .select(col("doc_id"), col("corrupted"), col("n_spans"),
+        col("input_text"), col("target_text"))
+      .orderBy(col("doc_id"))
+
+  private val t38Sql = {
+    val lenE = "least(c // k + CASE WHEN s.i < c % k THEN 1 ELSE 0 END, seg)"
+    val foldI = foldSql("'span-r9:' || s.i || ':' || doc_id")
+    s"""WITH d AS (SELECT doc_id, text, $toksSql AS sp, len($toksSql) AS n FROM documents),
+       |p AS (SELECT *, greatest(1, (n * 15) // 100) AS c FROM d),
+       |p2 AS (SELECT *, greatest(1, c // 3) AS k FROM p),
+       |p3 AS (SELECT *, n // k AS seg FROM p2),
+       |s0 AS (SELECT doc_id, text, sp, n, c, k, seg,
+       |        list_transform(range(0, k), i -> struct_pack(i := i)) AS spans0
+       |      FROM p3),
+       |s1 AS (SELECT doc_id, text, sp, n, c, k, seg,
+       |        list_transform(spans0, s -> struct_pack(
+       |          i := s.i,
+       |          len := $lenE,
+       |          off := CAST(floor(CAST($foldI AS DOUBLE) / 2147483647.0 * (seg - $lenE + 1)) AS INT))) AS spans
+       |      FROM s0)
+       |SELECT doc_id, n >= 8 AS corrupted,
+       |  CAST(CASE WHEN n >= 8 THEN k ELSE 0 END AS BIGINT) AS n_spans,
+       |  CASE WHEN n >= 8 THEN array_to_string(
+       |    flatten(list_transform(spans, s ->
+       |      list_slice(sp, s.i * seg + 1, s.i * seg + s.off)
+       |      || ['<X' || s.i || '>']
+       |      || list_slice(sp, s.i * seg + s.off + s.len + 1, (s.i + 1) * seg)))
+       |    || list_slice(sp, k * seg + 1, n), ' ')
+       |  ELSE text END AS input_text,
+       |  CASE WHEN n >= 8 THEN array_to_string(
+       |    flatten(list_transform(spans, s ->
+       |      ['<X' || s.i || '>'] || list_slice(sp, s.i * seg + s.off + 1, s.i * seg + s.off + s.len))), ' ')
+       |  ELSE '' END AS target_text
+       |FROM s1 ORDER BY doc_id""".stripMargin
+  }
+
   // BM25 parameters (Robertson k1/b defaults) and the fixed query.
   // Derived constants are interpolated into BOTH sides from the same
   // Scala doubles (Double.toString round-trips, so DuckDB parses the
@@ -1353,5 +1398,6 @@ object Text {
     QuerySpec("t34_chain_components", t34, Some(t34Sql)),
     QuerySpec("t35_dsir_resample", t35, Some(t35Sql)),
     QuerySpec("t36_temperature_mix", t36, Some(t36Sql)),
-    QuerySpec("t37_fim_transform", t37, Some(t37Sql)))
+    QuerySpec("t37_fim_transform", t37, Some(t37Sql)),
+    QuerySpec("t38_span_corruption", t38, Some(t38Sql)))
 }

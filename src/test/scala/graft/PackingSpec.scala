@@ -109,4 +109,41 @@ class PackingSpec extends SparkTestBase {
     assert(Packing.fimTransform(docs, "text", "doc_id", "s", 50)
       .filter(col("fim")).count() > 0, "a 50% gate must transform some docs")
   }
+
+  test("spanCorrupt: sentinels substitute losslessly; budget and span count honored") {
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until 40).map(t => s"w$t").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.spanCorrupt(docs, "text", "doc_id", seed = "s")
+      .select("doc_id", "corrupted", "n_spans", "input_text", "target_text")
+      .as[(Long, Boolean, Long, String, String)].collect()
+    assert(out.length === 30 && out.forall(_._2), "40-token docs all corrupt")
+    out.foreach { case (id, _, k, input, target) =>
+      // 40 tokens → c=6, k=2 spans of 3
+      assert(k === 2L, s"doc $id span count")
+      // substitute each <Xi> in the input by its target tokens → original
+      val tgt = target.split(" ")
+      val spans = (0 until k.toInt).map { i =>
+        val at = tgt.indexOf(s"<X$i>")
+        val end = if (i + 1 < k) tgt.indexOf(s"<X${i + 1}>") else tgt.length
+        s"<X$i>" -> tgt.slice(at + 1, end).mkString(" ")
+      }.toMap
+      val rebuilt = input.split(" ").flatMap(t =>
+        if (spans.contains(t)) spans(t).split(" ") else Array(t)).mkString(" ")
+      assert(rebuilt === (0 until 40).map(t => s"w$t").mkString(" "),
+        s"doc $id must reassemble: $input / $target")
+      assert(tgt.count(_.startsWith("<X")) === 2 && tgt.length === 2 + 6,
+        s"doc $id target must carry exactly the 6-token budget: $target")
+    }
+    // short docs pass through
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val t = Packing.spanCorrupt(tiny, "text", "doc_id", "s")
+      .select("corrupted", "n_spans", "input_text", "target_text")
+      .as[(Boolean, Long, String, String)].head()
+    assert(t === ((false, 0L, "a b c", "")))
+    // deterministic under partitioning
+    val a = Packing.spanCorrupt(docs, "text", "doc_id", "s").orderBy("doc_id").collect()
+    val b = Packing.spanCorrupt(docs.repartition(7), "text", "doc_id", "s")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }
