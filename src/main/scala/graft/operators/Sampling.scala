@@ -187,7 +187,11 @@ object Sampling {
       alpha: Double, targetRows: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(targetRows >= 0, s"targetRows must be non-negative, got $targetRows")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    // tracked: the counts (and the stats derived from them) are
+    // referenced several times below — without the cache each reference
+    // re-aggregates, i.e. re-SCANS the corpus (4 scans for 5 numbers at
+    // 100 TB); cached, the corpus is scanned once for stats
+    val counts = tracked(df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n")))
     val stats = counts
       .crossJoin(broadcast(counts.select(sum(col("_n")).as("_total"))))
       .withColumn("_q", pow(col("_n").cast("double") / col("_total"), lit(alpha)))

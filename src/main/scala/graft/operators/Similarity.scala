@@ -157,15 +157,21 @@ object Similarity {
       .withColumn("fp", Sampling.portableFingerprint(col("vec_id").cast("string")))
       .orderBy(col("fp"), col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // nearest centroid per vector; ties (bit-equal cosines) break on
-    // centroid_id so assignment is total-order deterministic
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("centroid_cos").desc, col("centroid_id"))
+    // nearest centroid per vector as a two-phase aggregate — max of
+    // struct(cos, -centroid_id) is the lexicographic argmax with the
+    // (cos desc, centroid_id asc) tie-break, and unlike a Window over
+    // vec_id it partial-aggregates map-side: the shuffle carries one row
+    // per vector, not one per (vector × centroid). v/nrm are constant
+    // within a group (same vector), so min() just carries them through.
     val assigned = n.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"),
-        (expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm"))).as("centroid_cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct(
+          (expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm"))).as("cos"),
+          (-col("centroid_id")).as("negcid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("v")).as("v"), min(col("nrm")).as("nrm"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.negcid")).as("centroid_id"), col("best.cos").as("centroid_cos"))
     val members = assigned.select(col("centroid_id"), col("vec_id"), col("v"), col("nrm"))
     val dropped = members.as("i").join(members.as("j"),
         col("i.centroid_id") === col("j.centroid_id") &&

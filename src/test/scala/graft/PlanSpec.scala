@@ -202,6 +202,11 @@ class PlanSpec extends SparkTestBase {
       s"centroid assignment must broadcast the k centroids:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"pairwise compare must stay cluster-bounded:\n$plan")
+    // the nearest-centroid argmax must partial-aggregate map-side (one
+    // row per vector crosses the shuffle), not rank via a Window over
+    // all n×k scored rows
+    assert(plan.contains("partial_max"),
+      s"assignment argmax must be a two-phase aggregate:\n$plan")
   }
 
   test("t36 temperature mix: rates broadcast back; the data itself never shuffle-joins") {
