@@ -68,6 +68,28 @@ object Packing {
         .as(Seq("chunk_idx", "chunk_text")))
   }
 
+  /** Per-sequence document-boundary table for a [[packSequences]] layout:
+    * one row per (shard, sequence, document) with the token span
+    * `[start_in_seq, end_in_seq)` the document occupies inside that
+    * sequence — the metadata a training loader needs to reset position
+    * ids and build block-diagonal attention masks at document boundaries
+    * inside packed sequences (cross-document attention is what packing
+    * naively breaks). Derived arithmetically from the pack layout: a
+    * per-row explode over each doc's `[seq_first, seq_last]` range —
+    * adds NO shuffle beyond what packing already did, and spans tile
+    * each sequence gaplessly by construction (asserted in PackingSpec).
+    * `ctxLen` must be the value the layout was packed with. */
+  def sequenceBoundaries(packed: DataFrame, ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    packed
+      .select(col("shard"), col("doc_id"), col("cum_before"), col("n_tokens"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .select(col("shard"), col("seq"), col("doc_id"),
+        greatest(lit(0L), col("cum_before") - col("seq") * ctxLen).as("start_in_seq"),
+        least(lit(ctxLen.toLong),
+          col("cum_before") + col("n_tokens") - col("seq") * ctxLen).as("end_in_seq"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al., "Efficient
     * Training of Language Models to Fill in the Middle", 2022): a
     * `ratePct`% subset of documents is rewritten into the PSM layout

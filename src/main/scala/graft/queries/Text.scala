@@ -653,6 +653,41 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sequence-boundary metadata for the t20 pack layout
+    * ([[graft.operators.Packing.sequenceBoundaries]]): per (shard,
+    * sequence, doc) token spans — what a loader needs to reset position
+    * ids / build block-diagonal attention masks at document boundaries
+    * inside packed sequences. Pure arithmetic explode over t20's layout;
+    * the oracle extends the t20 replay with the same range unnest. */
+  private def t39(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.sequenceBoundaries(
+      graft.operators.Packing.packSequences(
+        Corpus.documents(spark, dir)
+          .withColumn("n_tokens", tokenCount(col("text")).cast("long")),
+        keyCol = "text", idCol = "doc_id", tokenCol = "n_tokens",
+        ctxLen = 512, nShards = 8),
+      ctxLen = 512)
+      .orderBy(col("shard"), col("seq"), col("start_in_seq"), col("doc_id"))
+
+  private val t39Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${foldSql("text")} AS fp, ${foldSql("text")} % 8 AS shard,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE len($toksSql) > 0),
+       |w AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY fp, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM base),
+       |sp AS (SELECT doc_id, shard, n_tokens, cum_before,
+       |    cum_before // 512 AS seq_first,
+       |    (cum_before + n_tokens - 1) // 512 AS seq_last FROM w)
+       |SELECT shard, s AS seq, doc_id,
+       |  greatest(0, cum_before - s * 512) AS start_in_seq,
+       |  least(512, cum_before + n_tokens - s * 512) AS end_in_seq
+       |FROM (SELECT *, unnest(range(seq_first, seq_last + 1)) AS s FROM sp)
+       |ORDER BY shard, seq, start_in_seq, doc_id""".stripMargin
+
   /** Corpus datasheet: the per-language rollup a training-data pipeline
     * publishes with a dataset release — doc/token volumes, mean quality
     * (decimal-detour mean of the bit-identical per-row score), and exact
@@ -1399,5 +1434,6 @@ object Text {
     QuerySpec("t35_dsir_resample", t35, Some(t35Sql)),
     QuerySpec("t36_temperature_mix", t36, Some(t36Sql)),
     QuerySpec("t37_fim_transform", t37, Some(t37Sql)),
-    QuerySpec("t38_span_corruption", t38, Some(t38Sql)))
+    QuerySpec("t38_span_corruption", t38, Some(t38Sql)),
+    QuerySpec("t39_pack_boundaries", t39, Some(t39Sql)))
 }

@@ -146,4 +146,30 @@ class PackingSpec extends SparkTestBase {
       .orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("sequenceBoundaries: spans tile every sequence gaplessly and cover each doc exactly") {
+    val ctx = 64
+    val packed = Packing.packSequences(corpus(250), "text", "doc_id", "n_tokens", ctx, 4)
+    val bounds = Packing.sequenceBoundaries(packed, ctx)
+      .select("shard", "seq", "doc_id", "start_in_seq", "end_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val shardTotals = pack(corpus(250), ctx, 4)
+      .groupBy(_.shard).view.mapValues(_.map(_.nTokens).sum).toMap
+    bounds.groupBy(b => (b._1, b._2)).foreach { case ((shard, seq), spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"seq ($shard,$seq) must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._5 === y._4, s"gap in seq ($shard,$seq)")
+        case _ =>
+      }
+      val expectedEnd = math.min(ctx.toLong, shardTotals(shard) - seq * ctx)
+      assert(sorted.last._5 === expectedEnd, s"seq ($shard,$seq) must end at $expectedEnd")
+    }
+    // every doc's spans across its sequences sum to exactly its tokens
+    val perDoc = bounds.groupBy(_._3).view
+      .mapValues(_.map(s => s._5 - s._4).sum).toMap
+    pack(corpus(250), ctx, 4).foreach { p =>
+      assert(perDoc(p.docId) === p.nTokens, s"doc ${p.docId} span coverage")
+    }
+  }
 }
