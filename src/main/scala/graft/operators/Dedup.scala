@@ -706,4 +706,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): hash every `k`-token gram, slide a `w`-hash window, and
+    * keep each window's minimum (rightmost on ties) — the selected
+    * (position, hash) pairs are the document's fingerprints. The paper's
+    * guarantee: any match of at least `w + k − 1` tokens between two
+    * documents shares at least one fingerprint, while only ~2/(w+1) of
+    * positions are kept — the sub-linear representative set MOSS-style
+    * local-similarity detection joins on, complementing the global
+    * MinHash/SimHash sketches with position-aware local matching.
+    *
+    * Gram hashes use the portable fold, so selection is replayable in
+    * SQL. Entirely per-row array HOFs (gram hash, window argmin,
+    * distinct) — scan speed, zero shuffle, any corpus size. The window
+    * argmin seeds with the window's FIRST position and folds over the
+    * rest, so a short tail window (m < w grams) degrades to min-of-all
+    * exactly like the paper's prefix handling.
+    *
+    * Output: (doc_id, pos, fp) per selected fingerprint, 1-based gram
+    * position; docs with fewer than `k` tokens have no grams and emit
+    * nothing. */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(w > 1, s"w must exceed 1, got $w")
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_sp"))
+      .withColumn("_m", size(col("_sp")) - lit(k) + lit(1))
+      .filter(col("_m") >= 1)
+      .withColumn("_hs", transform(sequence(lit(1), col("_m")), j =>
+        Sampling.portableFingerprint(concat_ws(" ", slice(col("_sp"), j, lit(k))))))
+    // window at i spans grams [i, min(i+w-1, m)]; rightmost-min via <=
+    val sel = array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), col("_m") - lit(w) + lit(1))), i =>
+        aggregate(
+          sequence(i, least(i + lit(w) - lit(1), col("_m"))), i,
+          (acc, j) => when(
+            element_at(col("_hs"), j) <= element_at(col("_hs"), acc), j).otherwise(acc))))
+    base
+      .withColumn("pos", explode(sel))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        element_at(col("_hs"), col("pos")).cast("long").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
 }

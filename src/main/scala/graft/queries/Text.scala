@@ -688,6 +688,31 @@ object Text {
        |FROM (SELECT *, unnest(range(seq_first, seq_last + 1)) AS s FROM sp)
        |ORDER BY shard, seq, start_in_seq, doc_id""".stripMargin
 
+  /** Winnowing fingerprints ([[graft.operators.Dedup.winnowFingerprints]];
+    * Schleimer et al. SIGMOD'03, k=3, w=4): each doc's selected
+    * (position, gram-hash) pairs — the position-aware local-similarity
+    * representation (MOSS) complementing the global MinHash/SimHash
+    * sketches. The oracle replays gram hashing, every window's
+    * rightmost-min selection, and the distinct fold. */
+  private def t40(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Corpus.documents(spark, dir), "text", "doc_id")
+
+  private val t40Sql = {
+    val gramFold = foldSql("array_to_string(list_slice(sp, j, j + 2), ' ')")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS sp FROM documents),
+       |g AS (SELECT doc_id, sp, len(sp) - 2 AS m FROM d),
+       |h AS (SELECT doc_id, m,
+       |        list_transform(range(1, m + 1), j -> $gramFold) AS hs
+       |      FROM g WHERE m >= 1),
+       |w AS (SELECT doc_id, hs, list_distinct(
+       |        list_transform(range(1, greatest(1, m - 3) + 1), i ->
+       |          list_reduce(list_prepend(i, range(i + 1, least(i + 3, m) + 1)),
+       |            (acc, j) -> CASE WHEN hs[j] <= hs[acc] THEN j ELSE acc END))) AS sel
+       |      FROM h)
+       |SELECT doc_id, CAST(unnest(sel) AS BIGINT) AS pos, hs[unnest(sel)] AS fp FROM w
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   /** Corpus datasheet: the per-language rollup a training-data pipeline
     * publishes with a dataset release — doc/token volumes, mean quality
     * (decimal-detour mean of the bit-identical per-row score), and exact
@@ -1435,5 +1460,6 @@ object Text {
     QuerySpec("t36_temperature_mix", t36, Some(t36Sql)),
     QuerySpec("t37_fim_transform", t37, Some(t37Sql)),
     QuerySpec("t38_span_corruption", t38, Some(t38Sql)),
-    QuerySpec("t39_pack_boundaries", t39, Some(t39Sql)))
+    QuerySpec("t39_pack_boundaries", t39, Some(t39Sql)),
+    QuerySpec("t40_winnow_fingerprints", t40, Some(t40Sql)))
 }

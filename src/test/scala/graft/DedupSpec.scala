@@ -259,4 +259,30 @@ class DedupSpec extends SparkTestBase {
       .select("n_overlap").as[Long].head()
     assert(two === 2L, s"a shared 14-token run contains exactly 2 distinct 13-grams: $two")
   }
+
+  test("winnowFingerprints: the w+k-1 guarantee holds; density and edge docs behave") {
+    // k=3, w=4: any shared run of >= 6 tokens must share >= 1 fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared seven eight nine ten"),
+      (2L, s"red blue green yellow $shared purple orange")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .select("doc_id", "pos", "fp").as[(Long, Long, Long)].collect()
+    val s1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val s2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert((s1 intersect s2).nonEmpty,
+      "a shared w+k-1 token run must share a fingerprint (the winnowing guarantee)")
+    // one selection per window at most; positions within gram range
+    val d1 = fp.filter(_._1 == 1L)
+    val m1 = s"one two three $shared seven eight nine ten".split(" ").length - 3 + 1
+    assert(d1.length <= m1 - 4 + 1 && d1.forall(r => r._2 >= 1 && r._2 <= m1))
+    // docs shorter than k emit nothing; k-token docs emit their one gram
+    val tiny = Dedup.winnowFingerprints(
+      Seq((3L, "a b"), (4L, "a b c")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    assert(tiny.toSeq === Seq((4L, 1L)))
+    // deterministic under partitioning
+    val again = Dedup.winnowFingerprints(docs.repartition(5), "text", "doc_id").collect()
+    assert(Dedup.winnowFingerprints(docs, "text", "doc_id").collect().toSeq === again.toSeq)
+  }
 }
