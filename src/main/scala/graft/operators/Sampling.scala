@@ -219,6 +219,38 @@ object Sampling {
   /** Unpersists every cache created by the sampling operators. */
   def releaseCaches(): Unit = caches.releaseAll()
 
+  /** Deterministic K-sample per stratum — the "carve a fixed eval/debug
+    * set per domain" operation: the `k` rows of each stratum whose keys
+    * have the smallest portable fingerprint, i.e. a content-determined
+    * pseudo-random sample that is stable under re-runs, partitioning,
+    * engine choice, and corpus growth (a new doc displaces at most one
+    * pick, it never reshuffles the set — unlike `ORDER BY rand() LIMIT`).
+    *
+    * Scale shape: the per-stratum selection runs through the bounded
+    * k-heap aggregate ([[graft.functions.TopK]]) — each input partition
+    * reduces to ≤ k candidates per stratum map-side and only k-element
+    * buffers cross the shuffle. A `row_number() OVER (PARTITION BY
+    * stratum ORDER BY fp)` window would instead sort every stratum in
+    * one task; at 100 TB a single language is the whole corpus.
+    *
+    * Output: (stratum, rank 1..k, id, fp), rank by (fp asc, id asc). */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.GraftExpressions.register(SparkSession.active)
+    // TopK keeps the k best by (score desc, id asc); negating the
+    // fingerprint turns that into (fp asc, id asc)
+    df.withColumn("_fp", portableFingerprint(keyCol))
+      .withColumn("_score", (-col("_fp")).cast("double"))
+      .groupBy(col(stratumCol))
+      .agg(expr(s"graft_topk($idCol, _score, $k)").as("tk"))
+      .select(col(stratumCol), posexplode(col("tk")).as(Seq("i", "s")))
+      .select(col(stratumCol), (col("i") + 1).cast("long").as("rank"),
+        col("s.neighbor_id").as(idCol),
+        (-col("s.cos_sim")).cast("long").as("fp"))
+      .orderBy(col(stratumCol), col("rank"))
+  }
+
   /** DSIR — data selection via importance resampling (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS 2023): pick raw-corpus documents that look like a TARGET

@@ -713,6 +713,25 @@ object Text {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** Deterministic per-language K-sample
+    * ([[graft.operators.Sampling.stratifiedSample]], k=5): the fixed
+    * eval/debug carve-out per domain, selected by smallest content
+    * fingerprint through the bounded k-heap aggregate — map-side partial,
+    * k-element buffers on the shuffle, no per-stratum sort (the PlanSpec
+    * pattern v01 established, reused for sampling). Oracle replays the
+    * selection with a per-language ranking window. */
+  private def t41(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(Corpus.documents(spark, dir),
+      keyCol = "text", stratumCol = "lang", idCol = "doc_id", k = 5)
+
+  private val t41Sql =
+    s"""SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, fp FROM (
+       |  SELECT lang, doc_id, f AS fp,
+       |    row_number() OVER (PARTITION BY lang ORDER BY f, doc_id) AS rank
+       |  FROM (SELECT lang, doc_id, ${foldSql("text")} AS f FROM documents))
+       |WHERE rank <= 5
+       |ORDER BY lang, rank""".stripMargin
+
   /** Corpus datasheet: the per-language rollup a training-data pipeline
     * publishes with a dataset release — doc/token volumes, mean quality
     * (decimal-detour mean of the bit-identical per-row score), and exact
@@ -1461,5 +1480,6 @@ object Text {
     QuerySpec("t37_fim_transform", t37, Some(t37Sql)),
     QuerySpec("t38_span_corruption", t38, Some(t38Sql)),
     QuerySpec("t39_pack_boundaries", t39, Some(t39Sql)),
-    QuerySpec("t40_winnow_fingerprints", t40, Some(t40Sql)))
+    QuerySpec("t40_winnow_fingerprints", t40, Some(t40Sql)),
+    QuerySpec("t41_stratified_sample", t41, Some(t41Sql)))
 }

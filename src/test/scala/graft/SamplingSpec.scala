@@ -237,6 +237,33 @@ class SamplingSpec extends SparkTestBase {
       again.orderBy("doc_id").collect().toSeq)
   }
 
+  test("stratifiedSample: k smallest fingerprints per stratum; growth displaces at most one") {
+    val docs = (0L until 120L).map(i =>
+      (i, s"body of document number $i", if (i % 3 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.stratifiedSample(docs, "text", "lang", "doc_id", k = 5)
+      .select("lang", "rank", "doc_id", "fp").as[(String, Long, Long, Long)].collect()
+    assert(out.count(_._1 == "en") === 5 && out.count(_._1 == "fr") === 5)
+    // brute force: the k smallest (fp, id) per stratum, rank order intact
+    val brute = docs
+      .withColumn("fp", Sampling.portableFingerprint("text"))
+      .select("lang", "doc_id", "fp").as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2)).take(5).map(_._2).toSeq)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.sortBy(_._2).map(_._3).toSeq === brute(lang), s"$lang selection")
+    }
+    // heap path ≡ window path on growth, and one new doc displaces ≤ 1 pick
+    val grown = docs.unionByName(Seq((999L, "zz", "en")).toDF("doc_id", "text", "lang"))
+    val after = Sampling.stratifiedSample(grown, "text", "lang", "doc_id", k = 5)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val before = out.filter(_._1 == "en").map(_._3).toSet
+    assert((before diff after).size <= 1, "growth reshuffles at most one pick")
+    // partitioning invariance
+    val again = Sampling.stratifiedSample(docs.repartition(11), "text", "lang", "doc_id", 5)
+      .select("lang", "rank", "doc_id", "fp").as[(String, Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("the round-9 sampling/similarity operators validate parameters loudly") {
     val docs = Seq((1L, "a b", "x")).toDF("doc_id", "text", "lang")
     intercept[IllegalArgumentException] {
