@@ -138,9 +138,15 @@ object VersionedTable {
     // data-loss bug: a dead writer's permanently-empty marker sitting at
     // the top of the log would push the newest READABLE version into the
     // doomed list and vacuum would delete the current snapshot.
-    val committedKeep = all
+    val committedKeepMarkers = all
       .filter { case (_, _, d) => d.nonEmpty && f.exists(new Path(root, d)) }
-      .takeRight(keep).map(_._1).toSet
+      .takeRight(keep)
+    val committedKeep = committedKeepMarkers.map(_._1).toSet
+    // Two markers can name the SAME snapshot dir (tryCommit retries at
+    // n+1 with its already-materialized dir after a marker-write
+    // IOException). A doomed marker must never take a kept version's
+    // dir down with it.
+    val keptDirs = committedKeepMarkers.map(_._3).toSet
     val deleted = all
       .filterNot { case (n, _, _) => committedKeep.contains(n) }
       .flatMap { case (n, marker, dir) =>
@@ -159,7 +165,7 @@ object VersionedTable {
           } else None
         } else {
           f.delete(marker, false)
-          f.delete(new Path(root, dir), true)
+          if (!keptDirs.contains(dir)) f.delete(new Path(root, dir), true)
           Some(n)
         }
       }

@@ -276,11 +276,14 @@ object Dedup {
     * was registered under two labels collapses to one row set — exactly
     * the state the single-label verify assumes. Crash-safe at every
     * window: the fold lands in `__base__` via dynamic-partition overwrite
-    * BEFORE the source batch partitions are dropped, and any mid-crash
-    * state (one table folded, the other not; `__base__` folded, batch
-    * partitions still present) is still multi-label wherever duplicates
-    * are possible, so the inventory-driven verify stays duplicate-immune;
-    * re-running compaction heals the layout. Run it between probe/register
+    * BEFORE the source batch partitions are dropped; a crash inside that
+    * overwrite itself (the one state where the table alone is
+    * incomplete) is healed on re-run by unioning the surviving COMPLETE
+    * tmp generation back in; and any other mid-crash state (one table
+    * folded, the other not; `__base__` folded, batch partitions still
+    * present) is still multi-label wherever duplicates are possible, so
+    * the inventory-driven verify stays duplicate-immune. Re-running
+    * compaction always converges to the clean layout. Run it between probe/register
     * cycles (a maintenance window, like any OPTIMIZE): folding a batch
     * out from under a STILL-RETRYING epoch's `excludeBatch` would let a
     * retried batch see its own prior registration's non-identity rows.
@@ -299,20 +302,38 @@ object Dedup {
           // generation (scan → write → scan → write; compaction is a
           // maintenance op, the 2× IO is the price of never holding the
           // fold in memory — this must work on a 100 TB index)
-          val tmp = s"$dir/_compacting_$table"
-          spark.read.parquet(path)
-            .select(cols.map(col): _*).distinct()
-            .write.mode("overwrite").parquet(tmp)
-          spark.read.parquet(tmp)
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // Heal-on-rerun: the one window where the table alone is NOT
+          // the full row set is a crash inside the `__base__` dynamic
+          // overwrite (its partition dir is dropped before the staged
+          // files land). The fold that overwrite was drawing from
+          // survives as a COMPLETE tmp generation (_SUCCESS present), so
+          // a re-run unions any such tmp back in instead of re-deriving
+          // from the damaged table. Stale complete tmps are harmless —
+          // their rows were folded into `__base__` already and index
+          // rows are append-only, so union+distinct is a no-op for them.
+          // Two alternating tmp names keep the write target disjoint
+          // from any tmp being read.
+          val tmps = Seq(s"$dir/_compacting_$table", s"$dir/_compacting2_$table")
+          def complete(t: String) =
+            fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS"))
+          val target = if (complete(tmps.head)) tmps(1) else tmps.head
+          val priors = tmps.filter(t => t != target && complete(t))
+          val cur = spark.read.parquet(path).select(cols.map(col): _*)
+          priors.foldLeft(cur) { (acc, t) =>
+              acc.unionByName(spark.read.parquet(t).select(cols.map(col): _*))
+            }
+            .distinct()
+            .write.mode("overwrite").parquet(target)
+          spark.read.parquet(target)
             .withColumn("_batch", lit(BaseBatch))
             .write.partitionBy("_batch")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(path)
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           labels.foreach(b => // batchIds are fs-safe by construction
             fs.delete(new org.apache.hadoop.fs.Path(path, s"_batch=$b"), true))
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          tmps.foreach(t => fs.delete(new org.apache.hadoop.fs.Path(t), true))
           labels.size
         }
       }
@@ -414,7 +435,12 @@ object Dedup {
     // JVM (a streaming micro-batch sink): the batch-side explode is cheap
     // to recompute and per-epoch persists would accumulate in the
     // registry until releaseCaches
-    val exNewRaw = withShingles(newDocs, shingleSize)
+    // dropDuplicates: an at-least-once source can replay a record INTO
+    // one batch (same doc_id twice); per-doc shingles are unique by
+    // construction, but a duplicated probe row would double every
+    // intersection count under the single-label plain-count verify and
+    // inflate jaccard past 1. Same id ⇒ same document, one verdict.
+    val exNewRaw = withShingles(newDocs.dropDuplicates("doc_id"), shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
     val exNew = if (cacheIntermediates) tracked(exNewRaw) else exNewRaw
     val newKeys = bandKeys(minhashSignatures(exNew, numHashes), bands, numHashes / bands)

@@ -78,16 +78,18 @@ object Packing {
     * per-row explode over each doc's `[seq_first, seq_last]` range —
     * adds NO shuffle beyond what packing already did, and spans tile
     * each sequence gaplessly by construction (asserted in PackingSpec).
-    * `ctxLen` must be the value the layout was packed with. */
-  def sequenceBoundaries(packed: DataFrame, ctxLen: Int): DataFrame = {
+    * `ctxLen` and `tokenCol` must be the values the layout was packed
+    * with. */
+  def sequenceBoundaries(packed: DataFrame, ctxLen: Int,
+      tokenCol: String = "n_tokens"): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
     packed
-      .select(col("shard"), col("doc_id"), col("cum_before"), col("n_tokens"),
+      .select(col("shard"), col("doc_id"), col("cum_before"), col(tokenCol).as("_nt"),
         explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
       .select(col("shard"), col("seq"), col("doc_id"),
         greatest(lit(0L), col("cum_before") - col("seq") * ctxLen).as("start_in_seq"),
         least(lit(ctxLen.toLong),
-          col("cum_before") + col("n_tokens") - col("seq") * ctxLen).as("end_in_seq"))
+          col("cum_before") + col("_nt") - col("seq") * ctxLen).as("end_in_seq"))
   }
 
   /** Fill-in-the-middle transformation (Bavarian et al., "Efficient

@@ -206,7 +206,12 @@ object Sampling {
         least(lit(1.0),
           lit(targetRows.toDouble) * (col("_q") / col("_z")) / col("_n")).as("rate"))
     val u = portableFingerprint(col(keyCol)).cast("double") / lit(2147483647.0)
-    df.join(broadcast(rates), stratumCol)
+    // null-safe join: a NULL stratum forms its own count group above, so
+    // it must also receive its rate here — a plain equi-join would
+    // silently drop those rows from the output
+    val r = rates.withColumnRenamed(stratumCol, "_stratum")
+    df.join(broadcast(r), col(stratumCol) <=> col("_stratum"), "left")
+      .drop("_stratum")
       .withColumn("kept", u < col("rate"))
   }
 

@@ -379,7 +379,15 @@ object Similarity {
       .join(found, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))
       .agg((count(col("_found")).cast("double") / count(lit(1))).as("recall_at_k"))
-    approx.join(broadcast(recall), Seq("query_id"))
+    // LEFT join from the recall side (keyed by the EXACT result's
+    // queries): a query whose approximate search returned zero rows is
+    // precisely the recall-0 failure this column exists to expose — it
+    // must surface as a row (null rank/neighbor, recall 0), not vanish.
+    val joined = recall.join(broadcast(approx), Seq("query_id"), "left_outer")
+    joined
+      .select((col("query_id") +:
+        approx.columns.filterNot(_ == "query_id").map(col).toSeq :+
+        col("recall_at_k")): _*)
       .orderBy(col("query_id"), col("rank"))
   }
 

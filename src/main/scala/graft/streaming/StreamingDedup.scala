@@ -59,10 +59,15 @@ object StreamingDedup {
     *
     * Maintenance: each epoch adds one small `_batch` partition to the
     * index, forever. Long-lived deployments should periodically run
-    * [[Dedup.compactNearDupIndex]] while the stream is stopped (or
-    * between epochs) — it folds the accumulated epoch partitions into
-    * `__base__` with probe results provably unchanged, keeping the
-    * partition inventory and file count bounded. */
+    * [[Dedup.compactNearDupIndex]] — it folds the accumulated epoch
+    * partitions into `__base__` with probe results provably unchanged,
+    * keeping the partition inventory and file count bounded. Run it only
+    * at a FULLY-COMMITTED epoch boundary: a stream stopped mid-epoch
+    * replays its final epoch on restart, and folding that epoch's label
+    * away breaks the replay's `excludeBatch` self-exclusion (see the
+    * caveat on [[Dedup.compactNearDupIndex]]) — so compact after a clean
+    * stop whose last epoch is known committed, or between epochs from
+    * the foreachBatch hook itself. */
   def selfMaintainingDedupSink(docs: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String,
       threshold: Double = 0.8): DataStreamWriter[Row] =

@@ -123,17 +123,20 @@ object StreamingManifest {
     * manifest stream's file count (every epoch appends a few small files
     * forever; at 100 TB of corpus the index is still just one 16-byte
     * digest per unique document, but millions of tiny files would
-    * dominate probe cost). Folded rows carry `_epoch = -1`,
-    * `_run = "__compacted__"` — no live run/epoch ever matches that key,
-    * so [[appendEpoch]]'s probe always counts them as previously seen.
+    * dominate probe cost). The fold DISTINCTs whole rows — `(text_hash,
+    * _epoch, _run)` — never collapsing the run/epoch key:
+    * [[appendEpoch]]'s replay exclusion (ignore hashes from my own
+    * (run, epoch)) must keep working after compaction, because a stream
+    * stopped mid-epoch replays its final epoch on restart and that
+    * replay is indistinguishable from a maintenance window to the
+    * operator. Row count stays bounded regardless: one row per
+    * registration event, and a hash registers at most once per run.
     *
     * Crash-safe by append-then-delete: the fold is APPENDED before the
     * superseded files are dropped, so every window leaves at worst
-    * duplicate hashes, which the probe's `distinct()` already absorbs —
-    * rows are never lost. Run it between epochs (a maintenance window):
-    * folding a still-retrying epoch's own hashes would flip its
-    * replay-stable `dedup_keep` decisions. Returns (filesBefore,
-    * filesAfter). */
+    * duplicate rows, which the probe's `distinct()` already absorbs —
+    * rows are never lost, and decisions are replay-stable across a
+    * compaction at ANY boundary. Returns (filesBefore, filesAfter). */
   def compactHashIndex(spark: SparkSession, dir: String): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -144,9 +147,7 @@ object StreamingManifest {
     if (before.size <= 1) return (before.size, before.size)
     val tmp = dir.stripSuffix("/") + "_compacting"
     spark.read.schema(indexSchema).parquet(dir)
-      .select(col("text_hash")).distinct()
-      .withColumn("_epoch", lit(-1L))
-      .withColumn("_run", lit("__compacted__"))
+      .distinct()
       .write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("append").parquet(dir)
     before.foreach(f => fs.delete(f.getPath, false))

@@ -260,6 +260,21 @@ class DedupSpec extends SparkTestBase {
     assert(two === 2L, s"a shared 14-token run contains exactly 2 distinct 13-grams: $two")
   }
 
+  test("a probe batch carrying the same doc_id twice yields one verdict, jaccard ≤ 1") {
+    // at-least-once sources can replay a record into one micro-batch;
+    // under the single-label plain-count verify a duplicated probe row
+    // would double the intersection and push jaccard past 1
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_dup_").toString
+    Dedup.buildNearDupIndex(Seq((0L, base, "s1")).toDF("doc_id", "text", "source"), dir)
+    val replayed = Seq((10L, base, "d1"), (10L, base, "d1"))
+      .toDF("doc_id", "text", "source")
+    val hits = Dedup.nearDupsAgainstIndex(replayed, dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.toSeq === Seq((0L, 10L, 1.0)),
+      s"one verdict per doc, exact jaccard: ${hits.toSeq}")
+  }
+
   test("winnowFingerprints: the w+k-1 guarantee holds; density and edge docs behave") {
     // k=3, w=4: any shared run of >= 6 tokens must share >= 1 fingerprint
     val shared = "alpha beta gamma delta epsilon zeta"

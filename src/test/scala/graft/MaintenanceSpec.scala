@@ -84,6 +84,42 @@ class MaintenanceSpec extends SparkTestBase {
     assert(laterHits.contains(20L), s"post-compaction registration findable: $laterHits")
   }
 
+  test("compactNearDupIndex heals a crash inside the __base__ overwrite") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val corpus = Seq(
+      (0L, base, "s1"),
+      (2L, "one two three four five six seven eight nine ten", "s2"))
+      .toDF("doc_id", "text", "source")
+    def mkIndex() = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_nd_heal_").toString
+      Dedup.buildNearDupIndex(corpus, dir)
+      Dedup.registerInNearDupIndex(
+        Seq((10L, base, "d1")).toDF("doc_id", "text", "source"), dir, "day1")
+      dir
+    }
+    val ref = mkIndex()
+    val damaged = mkIndex()
+    val day2 = Seq((20L, base, "d2")).toDF("doc_id", "text", "source")
+    Dedup.compactNearDupIndex(spark, ref)
+    val expected = Dedup.nearDupsAgainstIndex(day2, ref, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.map(_._1) === Set(0L, 10L), s"fixture sanity: $expected")
+    // simulate the crash: the fold completed to the tmp generation, then
+    // the __base__ dynamic overwrite died after dropping the partition
+    // dir — doc 0 now exists ONLY in the surviving tmp
+    spark.read.parquet(s"$damaged/shingles").select("doc_id", "sz", "sh").distinct()
+      .write.parquet(s"$damaged/_compacting_shingles")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$damaged/shingles/_batch=__base__"))
+    Dedup.compactNearDupIndex(spark, damaged)
+    val healed = Dedup.nearDupsAgainstIndex(day2, damaged, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(healed === expected,
+      "re-run must union the surviving tmp fold back in, not re-derive from the damaged table")
+  }
+
   test("compactHashIndex folds epoch appends; dedup decisions identical") {
     import graft.streaming.StreamingManifest
     def doc(i: Int) =
@@ -112,5 +148,16 @@ class MaintenanceSpec extends SparkTestBase {
     StreamingManifest.compactHashIndex(spark, idx)
     val hashes = spark.read.parquet(idx).select("text_hash").distinct().count()
     assert(hashes === 4L, "1,2,3,12 — one digest per unique document")
+    // the replay-exclusion key survives compaction: a stream stopped
+    // mid-epoch replays its final epoch after maintenance ran — it must
+    // re-decide identically, not see its own prior registration
+    StreamingManifest.appendEpoch(
+      Seq((3L, doc(3), "en"), (4L, doc(1), "en")).toDF("doc_id", "text", "lang"),
+      idx, out1, epochId = 1L, run = "run-A")
+    val replayed = spark.read.parquet(out1).filter(col("_epoch") === 1L)
+      .select("doc_id", "dedup_keep").as[(Long, Boolean)].collect()
+    assert(replayed.filter(_._1 == 3L).forall(_._2) &&
+      replayed.filter(_._1 == 4L).forall(!_._2),
+      s"replayed epoch decisions must be unchanged: ${replayed.toSeq}")
   }
 }

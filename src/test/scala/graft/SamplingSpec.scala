@@ -235,6 +235,13 @@ class SamplingSpec extends SparkTestBase {
       alpha = 0.5, targetRows = 500L)
     assert(out.orderBy("doc_id").collect().toSeq ===
       again.orderBy("doc_id").collect().toSeq)
+    // a NULL stratum forms its own group and still receives a verdict —
+    // a sampling op must never silently drop data rows
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") < 10, lit(null: String)).otherwise(col("lang")))
+    val judged = Sampling.temperatureKeep(withNull, "text", "lang", 0.5, 500L)
+    assert(judged.count() === 1000L, "every row judged, including null-stratum rows")
+    assert(judged.filter(col("lang").isNull).count() === 10L)
   }
 
   test("stratifiedSample: k smallest fingerprints per stratum; growth displaces at most one") {

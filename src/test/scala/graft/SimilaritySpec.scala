@@ -266,6 +266,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, f"SQ8 recall@10 vs exact must stay high, got $recall%.2f")
   }
 
+  test("withMeasuredRecall surfaces a query the approximate search returned NOTHING for") {
+    val exact = Seq((0L, 1L, 10L, 0.9), (0L, 2L, 11L, 0.8),
+        (1L, 1L, 12L, 0.7), (1L, 2L, 13L, 0.6))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    // approx found query 0's neighbors but nothing at all for query 1 —
+    // the recall-0 case must appear as a row, not vanish from the output
+    val approx = Seq((0L, 1L, 10L, 0.9), (0L, 2L, 11L, 0.8))
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+    val out = Similarity.withMeasuredRecall(approx, exact)
+      .select("query_id", "recall_at_k").distinct()
+      .as[(Long, Double)].collect().toMap
+    assert(out === Map(0L -> 1.0, 1L -> 0.0),
+      s"total recall failure must be visible as data: $out")
+  }
+
   test("semDedup drops every non-minimal member of an identical group, keeps the rest") {
     // three exact-duplicate groups + two singletons: identical vectors
     // always share a nearest centroid (assignment is a function of the

@@ -136,4 +136,22 @@ class VersionedTableSpec extends SparkTestBase {
     VersionedTable.vacuum(spark, root, keep = 1)
     assert(VersionedTable.read(spark, root).count() === 7L)
   }
+
+  test("vacuum: two markers naming the same dir never cost the kept version its data") {
+    // tryCommit can retry at n+1 with the SAME materialized dir after an
+    // IOException on marker write left marker n in place — the doomed
+    // older marker must not delete the dir the kept marker points at
+    val root = tmpRoot("shared")
+    VersionedTable.write(spark, root, spark.range(3L).toDF("k"))
+    VersionedTable.write(spark, root, spark.range(5L).toDF("k"))
+    val logDir = new java.io.File(root, "_log")
+    val m2 = new java.io.File(logDir, "000000002")
+    val dir2 = new String(java.nio.file.Files.readAllBytes(m2.toPath), "UTF-8")
+    java.nio.file.Files.write(new java.io.File(logDir, "000000003").toPath,
+      dir2.getBytes("UTF-8"))
+    assert(VersionedTable.read(spark, root).count() === 5L)
+    VersionedTable.vacuum(spark, root, keep = 1)
+    assert(VersionedTable.read(spark, root).count() === 5L,
+      "the kept version's shared dir must survive the doomed duplicate marker")
+  }
 }
