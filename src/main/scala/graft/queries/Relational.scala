@@ -476,7 +476,17 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        // measured relative error vs the exact counts, computed in the
+        // SAME aggregation pass — the rows-only artifact quantifies the
+        // sketch's approximation the way v03/v04 carry recall_at_k (the
+        // HLL values themselves stay engine-specific, hence no oracle)
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .withColumn("rel_err_parts",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
+      .withColumn("rel_err_orders",
+        abs(col("approx_orders") - col("exact_orders")).cast("double") / col("exact_orders"))
       .orderBy(col("l_returnflag"))
 
   /** Batch windowed aggregation via window() — identical semantics to the

@@ -21,4 +21,15 @@ class QuerySmokeSpec extends SparkTestBase {
     val q = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(q))
   }
+
+  test("q23's measured HLL relative error stays inside the sketch's rsd envelope") {
+    import org.apache.spark.sql.functions.col
+    val errs = graft.queries.Registry.specs.find(_.name == "q23_approx_distinct").get
+      .run(spark, sf0001)
+      .select(col("rel_err_parts"), col("rel_err_orders"))
+      .collect().flatMap(r => Seq(r.getDouble(0), r.getDouble(1)))
+    // default approx_count_distinct rsd is 5%; 3×rsd is a generous but
+    // real gate — a broken sketch (or a broken error column) blows it
+    assert(errs.forall(e => e >= 0.0 && e < 0.15), s"errors: ${errs.toSeq}")
+  }
 }
