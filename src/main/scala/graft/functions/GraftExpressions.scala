@@ -309,12 +309,163 @@ object Fold31 {
   }
 }
 
+/** Full BPE segmentation of one word under a fixed merge list, in a
+  * single expression call: initial code-point symbols (with the `</w>`
+  * marker fused onto the last) followed by every merge replayed in rank
+  * order as a greedy left-to-right pass. Replaces the per-merge chain of
+  * interpreted `aggregate` HOF folds ([[graft.operators.Bpe]]'s original
+  * formulation), which dispatched two boxed lambdas per symbol per merge
+  * and allocated one intermediate array per merge per word — with 12
+  * merges that chain was the single most expensive query in the bench
+  * suite (t33, VERDICT r9). Here the merge replay is an in-place loop
+  * over one symbol buffer; the greedy tail-vs-merge-left comparison is
+  * equivalent to the published skip-two scan (a fired merge's output
+  * `ab` can never re-fire as the left symbol `a` of the same rank, since
+  * `b` is non-empty) — asserted merge-for-merge against the single-node
+  * reference in BpeSpec. */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  @transient private lazy val lefts = merges.map(_._1).toArray
+  @transient private lazy val rights = merges.map(_._2).toArray
+  @transient private lazy val joined = merges.map(p => p._1 + p._2).toArray
+
+  def segment(w: UTF8String): ArrayData = {
+    val s = w.toString
+    // initial symbols: one per CODE POINT (split(w, '') contract — Java's
+    // zero-width regex split never lands inside a surrogate pair), with
+    // `</w>` on the last; the empty word degenerates to a lone marker,
+    // matching split('', '') = [''].
+    val nCp = s.codePointCount(0, s.length)
+    var n = math.max(nCp, 1)
+    // merges only ever shrink the buffer, so one allocation serves every
+    // pass (out <= i invariant keeps the rewrite in-place-safe)
+    val buf = new Array[String](n)
+    if (nCp == 0) buf(0) = "</w>"
+    else {
+      var i = 0
+      var k = 0
+      while (k < nCp) {
+        val len = Character.charCount(s.codePointAt(i))
+        buf(k) =
+          if (k == nCp - 1) s.substring(i, i + len) + "</w>"
+          else s.substring(i, i + len)
+        i += len
+        k += 1
+      }
+    }
+    val nM = lefts.length
+    var m = 0
+    while (m < nM) {
+      val a = lefts(m); val b = rights(m); val ab = joined(m)
+      var out = 0
+      var i = 0
+      while (i < n) {
+        val cur = buf(i)
+        if (out > 0 && cur == b && buf(out - 1) == a) buf(out - 1) = ab
+        else { buf(out) = cur; out += 1 }
+        i += 1
+      }
+      n = out
+      m += 1
+    }
+    val arr = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { arr(i) = UTF8String.fromString(buf(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApply", this, classOf[BpeApply].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segment($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
+/** One greedy merge pass (a, b) → ab over an existing symbol array — the
+  * learn-side kernel: [[graft.operators.Bpe.learnMerges]] rewrites the
+  * vocabulary-sized word table once per learned rank, and this replaces
+  * that round's interpreted `aggregate` HOF fold with a single in-place
+  * codegen'd pass. Same greedy tail-comparison semantics as [[BpeApply]]
+  * (BpeSpec's reference is the arbiter). */
+case class BpeMergeStep(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_step"
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  @transient private lazy val uab = UTF8String.fromString(a + b)
+
+  def mergeOnce(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    // element UTF8Strings are references into the input row, valid for
+    // the duration of this row's projection — the same borrow Spark's
+    // own collection expressions rely on (the consumer copies on write)
+    val buf = new Array[AnyRef](math.max(n, 1))
+    var out = 0
+    var i = 0
+    while (i < n) {
+      val cur = in.getUTF8String(i)
+      if (out > 0 && ub == cur && ua == buf(out - 1)) buf(out - 1) = uab
+      else { buf(out) = cur; out += 1 }
+      i += 1
+    }
+    val arr = if (out == buf.length) buf else java.util.Arrays.copyOf(buf, out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    mergeOnce(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeStep", this, classOf[BpeMergeStep].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mergeOnce($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeStep =
+    copy(child = newChild)
+}
+
 /** Registers the custom expressions in a session's function registry so
   * they are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftExpressions {
+
+  /** Wire encoding of a merge list for the `graft_bpe_apply` SQL surface:
+    * TAB between left/right, NEWLINE between ranks. Merge symbols come
+    * from whitespace tokens so they can never contain either separator —
+    * enforced here rather than assumed. */
+  def encodeMerges(pairs: Seq[(String, String)]): String = {
+    pairs.foreach { case (l, r) =>
+      require(!(l + r).exists(c => c == '\t' || c == '\n'),
+        s"merge symbols must not contain tab/newline: ($l, $r)")
+      require(l.nonEmpty && r.nonEmpty, s"merge symbols must be non-empty: ($l, $r)")
+    }
+    pairs.map { case (l, r) => s"$l\t$r" }.mkString("\n")
+  }
+
+  def decodeMerges(spec: String): Seq[(String, String)] =
+    spec.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0 && i < line.length - 1, s"bad merge spec line: '$line'")
+      (line.substring(0, i), line.substring(i + 1))
+    }
+
   private def intArg(e: Expression, name: String): Int = e.eval() match {
     case i: Int => i
     case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  }
+
+  private def strArg(e: Expression, name: String): String = e.eval() match {
+    case s: UTF8String => s.toString
+    case other => throw new IllegalArgumentException(s"$name must be a string literal, got $other")
   }
 
   def register(spark: SparkSession): Unit = {
@@ -335,5 +486,9 @@ object GraftExpressions {
     ensure("graft_topk")(exprs => TopK(exprs(0), exprs(1), intArg(exprs(2), "k")))
     ensure("graft_mode_count")(exprs => ModeCount(exprs.head))
     ensure("graft_fold31")(exprs => Fold31(exprs.head))
+    ensure("graft_bpe_apply")(exprs =>
+      BpeApply(exprs(0), decodeMerges(strArg(exprs(1), "merges"))))
+    ensure("graft_bpe_step")(exprs =>
+      BpeMergeStep(exprs(0), strArg(exprs(1), "left"), strArg(exprs(2), "right")))
   }
 }

@@ -186,7 +186,12 @@ object Dedup {
       s"numHashes ($numHashes) must divide evenly into bands ($bands), " +
         "or trailing signature hashes are silently ignored")
     val spark = docs.sparkSession
-    val ex = tracked(withShingles(docs, shingleSize)
+    // dropDuplicates mirrors the probe side: the single-label plain-count
+    // verify assumes index rows are unique per (doc_id, sh) — an
+    // at-least-once source replaying a record into the build input would
+    // otherwise write duplicate rows and double intersection counts.
+    // Enforce the uniqueness invariant at WRITE time, not just at probe.
+    val ex = tracked(withShingles(docs.dropDuplicates("doc_id"), shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
     // both tables are partitioned by a batch label ("__base__" for the
     // initial build) so later registrations ([[registerInNearDupIndex]])
@@ -247,7 +252,11 @@ object Dedup {
       // locally-scoped persist (NOT the tracked registry): the explode
       // feeds both writes, but long-lived callers (the streaming sink)
       // register every epoch and a registry entry per epoch would pile up
-      val ex = withShingles(newDocs, shingleSize)
+      // dropDuplicates: a replayed record inside ONE batch would write
+      // duplicate (doc_id, sz, sh) rows under a single label — the state
+      // the probe's single-label plain-count verify cannot absorb (it
+      // would double intersections and inflate jaccard past 1)
+      val ex = withShingles(newDocs.dropDuplicates("doc_id"), shingleSize)
         .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
         .persist()
       try {
@@ -390,9 +399,13 @@ object Dedup {
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch="))
-      .map(s => java.net.URLDecoder.decode(
-        s.getPath.getName.stripPrefix("_batch="),
-        java.nio.charset.StandardCharsets.UTF_8))
+      // Spark escapes partition values with escapePathName (percent-hex
+      // of reserved chars), NOT URL encoding: URLDecoder would map '+'
+      // to space and throw on a stray '%'. Harmless for today's
+      // fs-safe-restricted batchIds, but the inventory→compare→delete
+      // chain must survive any future relaxation of that restriction.
+      .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s.getPath.getName.stripPrefix("_batch=")))
   }
 
   // (shingleSize, numHashes, bands) per index dir — see the probe-side
@@ -431,6 +444,28 @@ object Dedup {
       s"index at $dir was built with (shingleSize, numHashes, bands) = $stored " +
         s"but the probe asked for ($shingleSize, $numHashes, $bands) — " +
         "results would be silently empty")
+    // A COMPLETE `_compacting*` generation under the index dir means a
+    // compaction run never reached its cleanup: either the `__base__`
+    // overwrite itself crashed (the table is silently MISSING ROWS — the
+    // one damaged state, which under-reports near-dups with no error) or
+    // the crash fell between the overwrite and the tmp delete (table
+    // fine). Indistinguishable from here, so refuse to probe and point
+    // at the heal — one compactNearDupIndex call converges either state
+    // to the clean layout.
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = for {
+        table <- Seq("bands", "shingles")
+        tmp <- Seq(s"$dir/_compacting_$table", s"$dir/_compacting2_$table")
+        if fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      } yield tmp
+      if (pending.nonEmpty) throw new IllegalStateException(
+        s"index at $dir has a pending compaction generation " +
+          s"(${pending.mkString(", ")}) — a prior compactNearDupIndex run " +
+          "crashed before cleanup and the index table may be missing rows; " +
+          "run Dedup.compactNearDupIndex to heal before probing")
+    }
     // cacheIntermediates=false for callers that probe repeatedly in one
     // JVM (a streaming micro-batch sink): the batch-side explode is cheap
     // to recompute and per-epoch persists would accumulate in the

@@ -52,10 +52,20 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries
     * selects the query set). Output: (query_id, rank, neighbor_id,
     * cos_sim), rank 1..k per query. */
-  def cosineTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def cosineTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    cosineTopKForQueries(spark, emb, col("vec_id") < nQueries, k)
+
+  /** Exact top-k for an arbitrary query predicate — the sampled-baseline
+    * building block: at corpus scale a FULL exact baseline per run
+    * conflates recall measurement with serving cost, so the recall gate
+    * can instead cover a deterministic hash-sample of the queries
+    * (unsampled queries carry null `recall_at_k` through
+    * [[withMeasuredRecall]]'s full-outer join — see the v03/v04 queries). */
+  def cosineTopKForQueries(spark: SparkSession, emb: DataFrame,
+      queryPred: Column, k: Int): DataFrame = {
     GraftExpressions.register(spark)
     val n = normed(emb)
-    val q = n.filter(col("vec_id") < nQueries)
+    val q = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     topKRank(
       n.crossJoin(broadcast(q))
@@ -373,20 +383,29 @@ object Similarity {
     * queries×k rows; everything below the approximate search itself is
     * broadcast-joined, no extra shuffle of the corpus. */
   def withMeasuredRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val found = approx.select(col("query_id"), col("neighbor_id"))
+    // materialize the approximate result ONCE: it is queries×k rows, but
+    // its PLAN embeds the whole approximate search (for IVF, a KMeans
+    // fit) — the result frame is referenced twice below, and without the
+    // checkpoint Spark re-runs the search per reference (v03 6.8s /
+    // v04 15.7s in the r9 bench collapse to the single-search cost)
+    val a = approx.localCheckpoint()
+    val found = a.select(col("query_id"), col("neighbor_id"))
       .withColumn("_found", lit(1))
     val recall = exact.select(col("query_id"), col("neighbor_id"))
       .join(found, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))
       .agg((count(col("_found")).cast("double") / count(lit(1))).as("recall_at_k"))
-    // LEFT join from the recall side (keyed by the EXACT result's
-    // queries): a query whose approximate search returned zero rows is
-    // precisely the recall-0 failure this column exists to expose — it
-    // must surface as a row (null rank/neighbor, recall 0), not vanish.
-    val joined = recall.join(broadcast(approx), Seq("query_id"), "left_outer")
-    joined
+    // FULL OUTER on the tiny per-query recall frame:
+    //  - a query the exact baseline covers but the approximate search
+    //    returned ZERO rows for is precisely the recall-0 failure this
+    //    column exists to expose — it surfaces as a row (null
+    //    rank/neighbor, recall 0), not vanishing;
+    //  - a query the baseline does NOT cover (sampled-baseline mode —
+    //    `exact` restricted to a query sample) keeps its approximate
+    //    rows with null recall_at_k, so sampling never drops results.
+    a.join(broadcast(recall), Seq("query_id"), "full_outer")
       .select((col("query_id") +:
-        approx.columns.filterNot(_ == "query_id").map(col).toSeq :+
+        a.columns.filterNot(_ == "query_id").map(col).toSeq :+
         col("recall_at_k")): _*)
       .orderBy(col("query_id"), col("rank"))
   }

@@ -88,16 +88,28 @@ object Vectors {
        |WHERE cos_sim >= 0.9
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Deterministic hash-sample of the recall-baseline queries: the exact
+    * brute-force side runs only for queries whose id hashes into the
+    * sample, so the bench number measures the approximate search plus a
+    * BOUNDED measurement overhead instead of a full exact pass per run
+    * (the r9 verdict's v03/v04 finding). Unsampled queries keep their
+    * approximate rows with null `recall_at_k` (withMeasuredRecall's
+    * full-outer contract). Full-baseline mode stays one call away:
+    * pass `lit(true)` (SimilaritySpec exercises it). */
+  private def recallSample(nQueries: Int) =
+    col("vec_id") < nQueries && pmod(xxhash64(col("vec_id")), lit(2)) === 0
+
   /** LSH-bucketed approximate top-k (scale path for v01) — rows-only by
     * design, but NOT unmeasured: each row carries `recall_at_k`, the
     * fraction of the exact top-k its query recovered, so the rows-only
     * correctness artifact quantifies the approximation (the unit-test
-    * threshold made visible as data). */
+    * threshold made visible as data). The exact side covers a hash-sample
+    * of the queries — see [[recallSample]]. */
   private def v03(spark: SparkSession, dir: String): DataFrame = {
     val emb = Corpus.embeddings(spark, dir)
     Similarity.withMeasuredRecall(
       Similarity.lshTopK(spark, emb, nQueries = 5, k = 10),
-      Similarity.cosineTopK(spark, emb, nQueries = 5, k = 10))
+      Similarity.cosineTopKForQueries(spark, emb, recallSample(5), k = 10))
   }
 
   /** Multimodal decode: documents → genuine BMP payloads in a binary
@@ -221,12 +233,13 @@ object Vectors {
 
   /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
     * cell probes) — rows-only by design, with the same measured
-    * `recall_at_k` column as v03 quantifying the approximation. */
+    * `recall_at_k` column as v03 quantifying the approximation (exact
+    * side hash-sampled, see [[recallSample]]). */
   private def v04(spark: SparkSession, dir: String): DataFrame = {
     val emb = Corpus.embeddings(spark, dir)
     Similarity.withMeasuredRecall(
       Similarity.ivfTopK(spark, emb, nQueries = 5, k = 10),
-      Similarity.cosineTopK(spark, emb, nQueries = 5, k = 10))
+      Similarity.cosineTopKForQueries(spark, emb, recallSample(5), k = 10))
   }
 
   /** IVF index round trip — the serve-path shape: the corpus is signed

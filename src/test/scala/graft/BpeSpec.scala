@@ -126,4 +126,31 @@ class BpeSpec extends SparkTestBase {
       Seq("has", "h", "hash</w>", "hash</w>", "h", "a</w>", "h</w>", "a</w>"),
       Seq("a", "h", "a</w>")))
   }
+
+  test("graft_bpe_apply handles single-char, repeated-merge, and supplementary-plane words") {
+    // single-pass kernel edge shapes: a one-char word (marker fuses onto
+    // the only symbol), a same-symbol merge (greedy non-overlap: aaa →
+    // aa,a), and a supplementary-plane code point (𝕏 is two UTF-16 code
+    // units — the initial split must not cut the surrogate pair)
+    val merges = Seq(("a", "a"))
+      .zipWithIndex.map { case ((l, r), i) => Bpe.Merge(i + 1, l, r, l + r, 0L) }
+    val got = Bpe.applyMergesTo(
+        Seq("a aaa aaaa", "𝕏a x𝕏").toDF("text"), merges)
+      .select(col("bpe_units")).as[Seq[String]].collect().toSeq
+    // aaaa: the final 'a' carries the marker (a</w> ≠ a), so greedy
+    // non-overlap leaves [aa, a, a</w>] — same as the reference scan
+    assert(got === Seq(
+      Seq("a</w>", "aa", "a</w>", "aa", "a", "a</w>"),
+      Seq("𝕏", "a</w>", "x", "𝕏</w>")))
+  }
+
+  test("merge-spec wire encoding round-trips and rejects separator symbols") {
+    import graft.functions.GraftExpressions
+    val pairs = Seq(("e", "s"), ("es", "t</w>"))
+    assert(GraftExpressions.decodeMerges(GraftExpressions.encodeMerges(pairs)) === pairs)
+    assert(GraftExpressions.decodeMerges(GraftExpressions.encodeMerges(Nil)) === Nil)
+    intercept[IllegalArgumentException] {
+      GraftExpressions.encodeMerges(Seq(("a\tb", "c")))
+    }
+  }
 }

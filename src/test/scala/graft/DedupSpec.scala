@@ -275,6 +275,31 @@ class DedupSpec extends SparkTestBase {
       s"one verdict per doc, exact jaccard: ${hits.toSeq}")
   }
 
+  test("an index BUILT or REGISTERED from replayed doc_ids stays unique per label") {
+    // the write-side mirror of the probe test above: the single-label
+    // plain-count verify also assumes INDEX rows are unique per
+    // (doc_id, sh) — a record replayed into the build (or one registered
+    // batch) must not land twice under a single label
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_wdup_").toString
+    Dedup.buildNearDupIndex(
+      Seq((0L, base, "s1"), (0L, base, "s1")).toDF("doc_id", "text", "source"), dir)
+    val hits = Dedup.nearDupsAgainstIndex(
+        Seq((10L, base, "d1")).toDF("doc_id", "text", "source"), dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.toSeq === Seq((0L, 10L, 1.0)),
+      s"duplicated build input must not inflate jaccard: ${hits.toSeq}")
+    // register side: replay into one batch, then probe that single batch
+    // as the whole surviving inventory (excludeBatch leaves only day1)
+    Dedup.registerInNearDupIndex(
+      Seq((20L, base, "d2"), (20L, base, "d2")).toDF("doc_id", "text", "source"),
+      dir, "day1")
+    val shingleRows = spark.read.parquet(s"$dir/shingles")
+      .filter(col("_batch") === "day1").groupBy("doc_id", "sh").count()
+      .filter(col("count") > 1).count()
+    assert(shingleRows === 0L, "replayed registration must write unique rows per label")
+  }
+
   test("winnowFingerprints: the w+k-1 guarantee holds; density and edge docs behave") {
     // k=3, w=4: any shared run of >= 6 tokens must share >= 1 fingerprint
     val shared = "alpha beta gamma delta epsilon zeta"

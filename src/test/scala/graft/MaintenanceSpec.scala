@@ -113,6 +113,13 @@ class MaintenanceSpec extends SparkTestBase {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
     }
     rm(new java.io.File(s"$damaged/shingles/_batch=__base__"))
+    // a probe against the half-overwritten table must refuse, not
+    // silently under-report (the damaged window has no other signal)
+    val refused = intercept[IllegalStateException] {
+      Dedup.nearDupsAgainstIndex(day2, damaged, threshold = 0.5).collect()
+    }
+    assert(refused.getMessage.contains("pending compaction"),
+      s"probe must name the pending generation: ${refused.getMessage}")
     Dedup.compactNearDupIndex(spark, damaged)
     val healed = Dedup.nearDupsAgainstIndex(day2, damaged, threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSet

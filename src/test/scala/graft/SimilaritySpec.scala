@@ -180,6 +180,29 @@ class SimilaritySpec extends SparkTestBase {
       assert(got(q) === (b & approxSets(q)).size.toDouble / b.size, s"query $q")
   }
 
+  test("sampled recall baseline: sampled queries match full mode, unsampled go null") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val approx = Similarity.ivfTopK(spark, emb, 5, 10)
+    val fullMode = Similarity.withMeasuredRecall(
+        approx, Similarity.cosineTopK(spark, emb, 5, 10))
+      .select("query_id", "recall_at_k").distinct()
+      .as[(Long, Double)].collect().toMap
+    // baseline restricted to queries {0, 2}: their recall must equal the
+    // full-mode value; queries outside the sample keep their approximate
+    // rows with a null recall column (never dropped)
+    val sampled = Similarity.withMeasuredRecall(
+      approx,
+      Similarity.cosineTopKForQueries(spark, emb, col("vec_id").isin(0L, 2L), 10))
+    assert(sampled.count() === approx.count(),
+      "sampling the baseline must not drop approximate rows")
+    val byQuery = sampled.select("query_id", "recall_at_k").distinct()
+      .as[(Long, Option[Double])].collect().toMap
+    assert(byQuery(0L) === Some(fullMode(0L)))
+    assert(byQuery(2L) === Some(fullMode(2L)))
+    for (q <- Seq(1L, 3L, 4L))
+      assert(byQuery(q).isEmpty, s"unsampled query $q must carry null recall")
+  }
+
   test("persisted IVF index probe is bit-identical to the in-memory ivfTopK") {
     val emb = Corpus.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
