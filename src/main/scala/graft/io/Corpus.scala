@@ -74,12 +74,22 @@ object Corpus {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(table(s, d, "events"))
 
-  /** Applies the nanos→micros ts normalization to any events-shaped frame
-    * (batch or streaming). */
+  /** Applies the ts normalization to any events-shaped frame (batch or
+    * streaming), so every downstream operator sees one type: TIMESTAMP.
+    * TIMESTAMP(NANOS) parquet arrives as long (the nanosAsLong session
+    * flag) and is truncated to micros; un-adjusted TIMESTAMP(MICROS)
+    * arrives as TIMESTAMP_NTZ (breaking unix_micros and friends) and is
+    * cast — value-identical under the session's pinned UTC timezone,
+    * matching DuckDB's naive read of the same file. */
   def normalizeEventTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -295,15 +295,20 @@ object Dedup {
     * compaction always converges to the clean layout. Run it between probe/register
     * cycles (a maintenance window, like any OPTIMIZE): folding a batch
     * out from under a STILL-RETRYING epoch's `excludeBatch` would let a
-    * retried batch see its own prior registration's non-identity rows.
-    * Returns the number of batch labels folded. */
+    * retried batch see its own prior registration's non-identity rows —
+    * when compacting from WITHIN a stream, pass that epoch's label in
+    * `keepBatches` (its partitions are left live, everything committed
+    * folds) — that is exactly what
+    * [[graft.streaming.StreamingDedup.selfMaintainingDedupSink]]'s
+    * epoch-start trigger does. Returns the number of batch labels folded. */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Int = {
+      dir: String, keepBatches: Set[String] = Set.empty): Int = {
     readParams(spark, dir) // fail loudly on a dir that is not an index
     graft.util.PhaseTimer.time("index_compact") {
       val folded = Seq(("bands", Seq("doc_id", "band_idx", "band_hash")),
           ("shingles", Seq("doc_id", "sz", "sh"))).map { case (table, cols) =>
-        val labels = batchInventory(spark, dir, table).filter(_ != BaseBatch)
+        val labels = batchInventory(spark, dir, table)
+          .filter(b => b != BaseBatch && !keepBatches.contains(b))
         if (labels.isEmpty) 0
         else {
           val path = s"$dir/$table"
@@ -329,7 +334,15 @@ object Dedup {
             fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS"))
           val target = if (complete(tmps.head)) tmps(1) else tmps.head
           val priors = tmps.filter(t => t != target && complete(t))
-          val cur = spark.read.parquet(path).select(cols.map(col): _*)
+          // Kept labels stay OUT of the fold (partition-pruned, not just
+          // undeleted): folding a kept batch's rows into `__base__` while
+          // its partition stays live would put them beyond the probe's
+          // `excludeBatch` filter — the exact self-exclusion the keep
+          // exists to preserve.
+          val whole = spark.read.parquet(path)
+          val cur = (if (keepBatches.isEmpty) whole
+            else whole.filter(!col("_batch").isin(keepBatches.toSeq: _*)))
+            .select(cols.map(col): _*)
           priors.foldLeft(cur) { (acc, t) =>
               acc.unionByName(spark.read.parquet(t).select(cols.map(col): _*))
             }
@@ -389,6 +402,14 @@ object Dedup {
       p
     }
   }
+
+  /** Number of non-base batch labels currently registered in the index —
+    * the inventory size a maintenance trigger thresholds on
+    * ([[graft.streaming.StreamingDedup.selfMaintainingDedupSink]]). A
+    * filesystem listing, no Spark job. */
+  private[graft] def registeredBatchCount(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int =
+    batchInventory(spark, dir, "bands").count(_ != BaseBatch)
 
   /** Batch labels currently present in the index `table`'s `_batch=`
     * partitioning — a filesystem listing, no Spark job. */

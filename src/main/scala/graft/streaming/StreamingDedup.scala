@@ -58,24 +58,33 @@ object StreamingDedup {
     * inside it.
     *
     * Maintenance: each epoch adds one small `_batch` partition to the
-    * index, forever. Long-lived deployments should periodically run
-    * [[Dedup.compactNearDupIndex]] — it folds the accumulated epoch
-    * partitions into `__base__` with probe results provably unchanged,
-    * keeping the partition inventory and file count bounded. Run it only
-    * at a FULLY-COMMITTED epoch boundary: a stream stopped mid-epoch
-    * replays its final epoch on restart, and folding that epoch's label
-    * away breaks the replay's `excludeBatch` self-exclusion (see the
-    * caveat on [[Dedup.compactNearDupIndex]]) — so compact after a clean
-    * stop whose last epoch is known committed, or between epochs from
-    * the foreachBatch hook itself. */
+    * index, forever — so the sink bounds its OWN inventory. When
+    * `compactEvery > 0` and an epoch starts with at least that many
+    * registered batch partitions, the sink first runs
+    * [[Dedup.compactNearDupIndex]] (probe results provably unchanged —
+    * MaintenanceSpec), keeping partition inventory, file count, and
+    * listing cost bounded for an unbounded stream. The epoch START is
+    * the one point where the fold is always safe: Structured Streaming
+    * commits epoch N before constructing N+1, so every label in the
+    * inventory except the CURRENT epoch's belongs to a committed epoch
+    * (or a prior run). The current label — present only when this epoch
+    * is a replay whose register already ran — is passed as a
+    * `keepBatches` so the replay's `excludeBatch` self-exclusion keeps
+    * working. Manual [[Dedup.compactNearDupIndex]] runs between clean
+    * stops remain valid (`compactEvery = 0` disables the trigger). */
   def selfMaintainingDedupSink(docs: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String,
-      threshold: Double = 0.8): DataStreamWriter[Row] =
+      threshold: Double = 0.8, compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val run = StreamingManifest.runKey(batch.sparkSession, checkpointDir)
+        val spark = batch.sparkSession
+        val run = StreamingManifest.runKey(spark, checkpointDir)
         val batchLabel = s"$run-$epochId"
+        if (compactEvery > 0 &&
+            Dedup.registeredBatchCount(spark, indexDir) >= compactEvery)
+          Dedup.compactNearDupIndex(spark, indexDir,
+            keepBatches = Set(batchLabel))
         val b = batch.persist() // probed then signed again for registration
         try {
           Dedup.nearDupsAgainstIndex(b, indexDir, threshold = threshold,

@@ -63,16 +63,28 @@ object StreamingManifest {
     * plus `_epoch`) under `outDir`, maintaining the text-hash index under
     * `hashIndexDir`. `docs` is a streaming frame with doc_id/text/lang.
     * `checkpointDir` is set on the writer here (not by the caller) because
-    * the dedup run id lives inside it — see the object doc. Long-lived
-    * deployments should periodically run [[compactHashIndex]] between
-    * epochs to bound the index's file count. */
+    * the dedup run id lives inside it — see the object doc.
+    *
+    * When `compactEveryFiles > 0`, the sink bounds its own index: any
+    * epoch that finds at least that many data files under `hashIndexDir`
+    * runs [[compactHashIndex]] before appending. Unlike the near-dup
+    * index's fold, this compaction is crash-safe at ANY boundary
+    * (append-then-delete; the probe's `distinct()` absorbs duplicate
+    * rows and the `(text_hash, _epoch, _run)` key is never collapsed),
+    * so no epoch needs to be excluded from it — dedup decisions are
+    * provably unchanged mid-stream. `0` disables the trigger for manual
+    * between-stop maintenance. */
   def manifestSink(docs: DataFrame, hashIndexDir: String, outDir: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String, compactEveryFiles: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        if (compactEveryFiles > 0 &&
+            parquetFileCount(spark, hashIndexDir) >= compactEveryFiles)
+          compactHashIndex(spark, hashIndexDir)
         appendEpoch(batch, hashIndexDir, outDir, epochId,
-          runKey(batch.sparkSession, checkpointDir))
+          runKey(spark, checkpointDir))
       }
 
   /** One epoch: flag the batch against previously committed hashes,
@@ -141,8 +153,7 @@ object StreamingManifest {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (0, 0)
-    def dataFiles() = fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    def dataFiles() = listDataFiles(fs, p)
     val before = dataFiles()
     if (before.size <= 1) return (before.size, before.size)
     val tmp = dir.stripSuffix("/") + "_compacting"
@@ -153,6 +164,18 @@ object StreamingManifest {
     before.foreach(f => fs.delete(f.getPath, false))
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     (before.size, dataFiles().size)
+  }
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path) = fs.listStatus(p).toSeq
+    .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  /** Data-file count under the hash index — the maintenance trigger's
+    * threshold input ([[manifestSink]]). One fs listing, no Spark job. */
+  private def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) listDataFiles(fs, p).size else 0
   }
 
   /** The run id marker under `checkpointDir`: created exclusively on

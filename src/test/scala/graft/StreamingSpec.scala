@@ -317,6 +317,38 @@ class StreamingSpec extends SparkTestBase {
         "fresh doc emits nothing — its own registration is probe-excluded")
   }
 
+  test("self-maintaining sink compacts its index mid-stream; verdicts unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val idxDir = Files.createTempDirectory("graft_cmp_").toString
+    Dedup.buildNearDupIndex(Seq((0L, base, "s1")).toDF("doc_id", "text", "source"), idxDir)
+    val outDir = Files.createTempDirectory("graft_cmp_out_").toString + "/hits"
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingDedup
+      .selfMaintainingDedupSink(input.toDF().toDF("doc_id", "text", "source"),
+        idxDir, outDir, Files.createTempDirectory("graft_cmp_ck_").toString,
+        threshold = 0.5, compactEvery = 2)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val fresh = "completely novel sentences arrive in the first epoch drop " * 5
+    val other = "unrelated vocabulary fills the second micro batch entirely here " * 5
+    // epochs 0/1 register two labels; epoch 2 starts at the compactEvery=2
+    // threshold, so the sink folds 0/1 into __base__ BEFORE probing — and
+    // must still catch 20 duping epoch-0's doc 10 (now only in the fold)
+    // and 21 duping the original base corpus
+    input.addData((10L, fresh, "s9")); q.processAllAvailable()
+    input.addData((11L, other, "s9")); q.processAllAvailable()
+    input.addData((20L, fresh, "s9"), (21L, base, "s9")); q.processAllAvailable()
+    q.stop()
+    val hits = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(hits === Set((10L, 20L), (0L, 21L)),
+      s"hits across the mid-stream compaction must match the uncompacted run: $hits")
+    assert(Dedup.registeredBatchCount(spark, idxDir) === 1,
+      "epochs 0/1 folded into __base__; only epoch 2's own label survives")
+  }
+
   test("streaming manifest ≡ batch t25 manifest across two epochs") {
     implicit val sqlCtx = spark.sqlContext
     def doc(i: Int) =
@@ -353,6 +385,41 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 4L, 10L, 12L),
       s"cross-epoch dup 11 and in-batch dups 3/13 must not keep: $kept")
+  }
+
+  test("manifest sink compacts its hash index mid-stream; decisions unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingManifest
+    def doc(i: Int) =
+      s"manifest compaction fixture document $i carries enough body text " +
+        s"to score and split deterministically $i"
+    val hashIdx = Files.createTempDirectory("graft_mc_").toString + "/hashes"
+    val outDir = Files.createTempDirectory("graft_mc_out_").toString + "/manifest"
+    val input = MemoryStream[(Long, String, String)]
+    // threshold 1: every epoch after the first compacts before appending —
+    // the maximally adversarial cadence for decision stability
+    val q = StreamingManifest
+      .manifestSink(input.toDF().toDF("doc_id", "text", "lang"), hashIdx, outDir,
+        Files.createTempDirectory("graft_mc_ck_").toString, compactEveryFiles = 1)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val epochs = Seq(
+      Seq((1L, doc(1), "en"), (2L, doc(2), "en")),
+      Seq((10L, doc(10), "en"), (11L, doc(1), "en")), // 11 dups epoch-0's 1
+      Seq((20L, doc(2), "en"), (21L, doc(21), "en")), // 20 dups epoch-0's 2
+      Seq((30L, doc(10), "en"), (31L, doc(31), "en"))) // 30 dups epoch-1's 10
+    epochs.foreach { e => input.addData(e: _*); q.processAllAvailable() }
+    q.stop()
+    val kept = spark.read.parquet(outDir).filter(col("dedup_keep"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 10L, 21L, 31L),
+      s"every cross-epoch dup must be caught across three compactions: $kept")
+    // the index stayed bounded: one folded generation plus the LAST
+    // epoch's appends (each epoch here writes ≤2 files), not the
+    // ever-growing per-epoch accumulation a compaction-free run leaves
+    val files = new java.io.File(hashIdx).listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files <= 4, s"index files not bounded by compaction: $files")
   }
 
   test("manifest dedup survives a fresh-checkpoint restart (epoch ids reset to 0)") {
