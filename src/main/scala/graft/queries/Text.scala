@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
@@ -731,6 +731,97 @@ object Text {
        |  FROM (SELECT lang, doc_id, ${foldSql("text")} AS f FROM documents))
        |WHERE rank <= 5
        |ORDER BY lang, rank""".stripMargin
+
+  /** Synthetic `'\n'`/punctuation-bearing corpus for the C4 cleaning
+    * family (the flat fixture text has neither): 6-word chunks become
+    * lines, each drawing deterministic terminal punctuation from the
+    * portable fold of its content (fold%10 ∈ 0–5 → `.`, 6 → `!`, 7 →
+    * `?`, 8–9 → none) — so line structure replays cross-engine, ~20% of
+    * lines fail the punctuation rule, short tail chunks fail the
+    * word-count rule, and repeated 6-grams exercise the corpus-wide
+    * line-dedup (261 duplicate occurrences at sf0.01). */
+  private def c4SynthPages(spark: SparkSession, dir: String): DataFrame = {
+    val sp = filter(split(col("text"), " "), t => t =!= lit(""))
+    val nChunks = ceil(size(sp).cast("double") / lit(6.0)).cast("int")
+    val lineOf = (i: Column) => {
+      val base = array_join(slice(sp, i * lit(6) + 1, lit(6)), " ")
+      val e = pmod(graft.operators.Sampling.portableFingerprint(base), lit(10))
+      concat(base,
+        when(e <= 5, lit(".")).when(e === 6, lit("!"))
+          .when(e === 7, lit("?")).otherwise(lit("")))
+    }
+    Corpus.documents(spark, dir).select(col("doc_id"),
+      array_join(
+        when(size(sp) > 0, transform(sequence(lit(0), nChunks - 1), lineOf))
+          .otherwise(array().cast("array<string>")), "\n").as("text"))
+  }
+
+  // Oracle mirror of the synthesis: one CTE chain shared by t42/t43.
+  private val c4SynthSql = {
+    val punct = s"CASE WHEN ${foldSql("base")} % 10 <= 5 THEN '.' " +
+      s"WHEN ${foldSql("base")} % 10 = 6 THEN '!' " +
+      s"WHEN ${foldSql("base")} % 10 = 7 THEN '?' ELSE '' END"
+    s"""toks AS (SELECT doc_id, $toksSql AS sp FROM documents),
+       |raw AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+       |    array_to_string(sp[i*6+1 : i*6+6], ' ') AS base,
+       |    CAST(len(sp[i*6+1 : i*6+6]) AS BIGINT) AS n_words
+       |  FROM toks,
+       |    LATERAL (SELECT unnest(range(0, CAST(ceil(len(sp)/6.0) AS BIGINT))) AS i) r),
+       |lines AS (
+       |  SELECT doc_id, line_idx, n_words, base || $punct AS line,
+       |    ${foldSql("base")} % 10 <= 7 AS ends_terminal
+       |  FROM raw),
+       |flagged AS (
+       |  SELECT *, n_words >= 5 AS enough_words,
+       |    (ends_terminal AND n_words >= 5) AS line_pass
+       |  FROM lines),
+       |ranked AS (
+       |  SELECT *, CASE WHEN line_pass THEN row_number()
+       |      OVER (PARTITION BY line_pass, line ORDER BY doc_id, line_idx) = 1
+       |    ELSE FALSE END AS is_first
+       |  FROM flagged),
+       |kept AS (SELECT *, line_pass AND is_first AS line_kept FROM ranked),
+       |pages AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN line_kept THEN 1 ELSE 0 END) >= 3 AS page_kept
+       |  FROM kept GROUP BY doc_id)""".stripMargin
+  }
+
+  /** C4-style line-level cleaning verdicts
+    * ([[graft.operators.Cleaning.lineVerdicts]]; Raffel et al. JMLR'20
+    * §2.2): terminal-punctuation line filter, ≥5-word line filter,
+    * corpus-wide line-dedup keeping first occurrence, ≥3-kept-line page
+    * filter — each rule's flag oracle-gated per line. The dedup rank is
+    * the one shuffle, keyed on the line digest. */
+  private def t42(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cleaning.lineVerdicts(c4SynthPages(spark, dir),
+      minWords = 5, minKeptLines = 3)
+      .withColumn("line_idx", col("line_idx").cast("long"))
+
+  private val t42Sql =
+    s"""WITH $c4SynthSql
+       |SELECT k.doc_id, k.line_idx, k.line, k.n_words, k.ends_terminal,
+       |  k.enough_words, k.line_pass, k.line_kept, p.page_kept
+       |FROM kept k JOIN pages p ON k.doc_id = p.doc_id
+       |ORDER BY k.doc_id, k.line_idx""".stripMargin
+
+  /** The cleaned corpus itself ([[graft.operators.Cleaning.cleanPages]]):
+    * kept pages reassembled from their kept lines in original order —
+    * the byte-exact output a downstream tokenizer consumes, gated
+    * end-to-end. */
+  private def t43(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cleaning.cleanPages(c4SynthPages(spark, dir),
+      minWords = 5, minKeptLines = 3)
+
+  private val t43Sql =
+    s"""WITH $c4SynthSql
+       |SELECT k.doc_id, COUNT(*) AS n_kept_lines,
+       |  string_agg(k.line, chr(10) ORDER BY k.line_idx) AS clean_text
+       |FROM kept k JOIN pages p ON k.doc_id = p.doc_id
+       |WHERE k.line_kept AND p.page_kept
+       |GROUP BY k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
 
   /** Corpus datasheet: the per-language rollup a training-data pipeline
     * publishes with a dataset release — doc/token volumes, mean quality
@@ -1481,5 +1572,7 @@ object Text {
     QuerySpec("t38_span_corruption", t38, Some(t38Sql)),
     QuerySpec("t39_pack_boundaries", t39, Some(t39Sql)),
     QuerySpec("t40_winnow_fingerprints", t40, Some(t40Sql)),
-    QuerySpec("t41_stratified_sample", t41, Some(t41Sql)))
+    QuerySpec("t41_stratified_sample", t41, Some(t41Sql)),
+    QuerySpec("t42_c4_line_cleaning", t42, Some(t42Sql)),
+    QuerySpec("t43_c4_clean_pages", t43, Some(t43Sql)))
 }
