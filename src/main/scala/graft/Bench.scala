@@ -29,6 +29,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     graft.util.PhaseTimer.drain() // discard warmup/leftover phases
+    graft.util.PhaseTimer.drainCounts()
     // phase splits of the index-backed queries, keyed by query name —
     // carried into the JSON line so probe-side regressions are
     // machine-visible without the stderr tail
@@ -53,11 +54,20 @@ object Bench {
       // near-zero/negative number that would read as a valid timing next
       // to the failure line.
       val phases = graft.util.PhaseTimer.drain()
-      if (ok && phases.nonEmpty) {
-        val withProbe = phases + ("probe" -> (elapsed - phases.values.sum))
+      // counts (cc_*_rounds) are a separate channel: they join the
+      // reported split but must stay OUT of the probe-remainder
+      // subtraction, which is seconds arithmetic
+      val counts = graft.util.PhaseTimer.drainCounts()
+      if (ok && (phases.nonEmpty || counts.nonEmpty)) {
+        val withProbe =
+          (if (phases.nonEmpty)
+            phases + ("probe" -> (elapsed - phases.values.sum))
+          else phases) ++ counts.map { case (k, v) => k -> v.toDouble }
         phaseResults(name) = withProbe
         val parts = withProbe.toSeq.sortBy(_._1)
-          .map { case (p, s) => f"$p=$s%.2fs" }.mkString(" ")
+          .map { case (p, s) =>
+            if (counts.contains(p)) s"$p=${s.toLong}" else f"$p=$s%.2fs" }
+          .mkString(" ")
         System.err.println(f"[bench] $name $parts total=$elapsed%.2fs")
       }
       // Per-call operator caches (minhash explodes, tf frames, cluster

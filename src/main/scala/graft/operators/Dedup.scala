@@ -610,6 +610,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // rounds-as-data: the scale argument for this operator is its round
+    // count (∝ diameter here, log n in the fallback), so emit it where
+    // the bench JSON picks it up instead of leaving it in logs
+    graft.util.PhaseTimer.count("cc_prop_rounds", iter.toLong)
     if (!converged) {
       // component diameter exceeded the propagation bound (chain-shaped
       // graph) — restart on the O(log n)-round alternating scheme
@@ -682,6 +686,7 @@ object Dedup {
       round += 1
     }
     require(stable, s"alternatingComponents did not stabilize in $maxRounds rounds")
+    graft.util.PhaseTimer.count("cc_alt_rounds", round.toLong)
     // fixed point is a star forest rooted at component minima:
     // every non-root appears as src exactly once; roots label themselves
     val roots = cur.select(col("dst").as("id"), col("dst").as("label")).distinct()

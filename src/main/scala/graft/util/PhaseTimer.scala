@@ -29,4 +29,25 @@ object PhaseTimer {
     acc.clear()
     snap
   }
+
+  // Integer metrics (iteration-round counts) ride a SEPARATE channel from
+  // time: Bench derives the probe remainder by subtracting the time-phase
+  // sum from the query's elapsed seconds, and a count mixed into that sum
+  // would corrupt it.
+  private val cnt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Accumulates an integer metric — e.g. the connected-components round
+    * count, whose log-n growth is the scale argument the bench makes
+    * checkable per run. */
+  def count(metric: String, n: Long): Unit =
+    cnt.merge(metric, java.lang.Long.valueOf(n),
+      (a, b) => java.lang.Long.valueOf(a + b))
+
+  /** Returns all counts accumulated since the last drain and resets. */
+  def drainCounts(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val snap = cnt.asScala.map { case (k, v) => k -> v.longValue }.toMap
+    cnt.clear()
+    snap
+  }
 }
