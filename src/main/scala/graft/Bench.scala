@@ -77,6 +77,7 @@ object Bench {
       // (p02/p03/p04 sharing one scan is the engine's design).
       graft.operators.Dedup.releaseCaches()
       graft.operators.Sampling.releaseCaches()
+      graft.operators.Quality.releaseCaches()
       graft.queries.Text.releaseCaches()
       name -> elapsed
     }.toMap

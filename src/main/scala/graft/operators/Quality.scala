@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based corpus quality scoring — the two published selection
+  * recipes built on hashed n-gram language models:
+  *
+  *   - [[perplexityBuckets]]: CCNet's per-language perplexity
+  *     head/middle/tail split (Wenzek et al., "CCNet: Extracting High
+  *     Quality Monolingual Datasets from Web Crawl Data", LREC 2020);
+  *   - [[classifierPareto]]: the GPT-3 quality-classifier Pareto rule
+  *     (Brown et al., "Language Models are Few-Shot Learners", 2020,
+  *     Appendix A — also The Pile's and PaLM's selection step), the
+  *     classifier-based baseline DSIR ([[Sampling.dsirResample]]) was
+  *     published against: same hashed uni+bigram features, different
+  *     decision rule.
+  *
+  * Both are deterministic end to end — LM counts are exact integers,
+  * per-doc accumulation goes through the DECIMAL(30,6) detour (the
+  * cross-engine [[graft.queries.Num]] contract), and every random draw
+  * is a portable-fold hash uniform — so every score, threshold, and
+  * keep/drop verdict replays bit-for-bit in SQL.
+  *
+  * Scale shape (both): one explode + one bucket-sized LM aggregation
+  * (broadcast back), then per-doc partial+final aggs — no global sort,
+  * no per-stratum window over the full corpus. The perplexity tercile
+  * thresholds come from a bounded-k fingerprint sample per language
+  * (the bounded k-heap aggregate: k-element buffers cross the shuffle),
+  * which is also how CCNet itself computes them (on a sample, then a
+  * per-row compare) — an exact per-language rank would sort a whole
+  * language in one task, which at 100 TB is the whole corpus.
+  */
+object Quality {
+
+  private val caches = new graft.util.CacheRegistry
+  private def tracked(df: DataFrame): DataFrame = caches.track(df)
+
+  /** Unpersists every cache created by the quality operators. */
+  def releaseCaches(): Unit = caches.releaseAll()
+
+  /** Whitespace unigrams ++ adjacent bigrams of a token-array column —
+    * the hashed n-gram feature set of DSIR/CCNet-style bucket LMs (the
+    * fixture corpus carries its language signal in token TRANSITIONS,
+    * which is also why CCNet uses a 5-gram KenLM, not unigram counts). */
+  private def uniBigrams(sp: Column): Column =
+    concat(sp, when(size(sp) > 1,
+        zip_with(slice(sp, lit(1), size(sp) - 1), slice(sp, lit(2), size(sp) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>")))
+
+  /** Exploded hashed-gram frame shared by both operators:
+    * (doc_id, label, b) — one row per uni/bigram, bucketed by the
+    * portable fold. Docs with zero tokens are excluded (no features →
+    * no score), matching the DSIR convention. */
+  private def hashedGrams(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, labelName: String, buckets: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    tracked(docs
+      .select(col(idCol).as("doc_id"), label.as(labelName),
+        tokens(col(textCol)).as("sp"))
+      .filter(size(col("sp")) > 0)
+      .select(col("doc_id"), col(labelName),
+        explode(uniBigrams(col("sp"))).as("gram"))
+      .withColumn("b",
+        pmod(Sampling.portableFingerprint(col("gram")), lit(buckets))))
+  }
+
+  /** CCNet perplexity bucketing (Wenzek et al., LREC 2020): score every
+    * document against a per-language target-domain LM (CCNet: Wikipedia;
+    * here: the `isTarget` slice), then split each language into
+    * head/middle/tail terciles by perplexity — downstream pipelines keep
+    * the head, or sample the middle/tail at reduced rates.
+    *
+    *  1. per-language bucket LM with add-one smoothing over the hashed
+    *     uni+bigram features of the TARGET slice;
+    *  2. `logpp` = −mean ln p(gram) per doc (monotone in perplexity;
+    *     exp(logpp) IS the per-gram perplexity), mean through the
+    *     DECIMAL(30,6) detour so it is accumulation-order independent;
+    *  3. tercile thresholds per language from the `sampleK` docs with
+    *     the smallest `fold(seed:doc_id)` fingerprint — a deterministic
+    *     content sample selected by the bounded k-heap aggregate, never
+    *     a full per-language sort;
+    *  4. per-row bucket: head (logpp ≤ t1), middle (≤ t2), tail.
+    *
+    * Thresholds are values the sample attains, and every `logpp` is
+    * bit-identical cross-engine (decimal detour + IEEE division), so the
+    * ≤-comparisons replay exactly in SQL. Languages with no target docs
+    * still score finitely (add-one smoothing over zero counts).
+    *
+    * Output: (doc_id, lang, n_grams, logpp, bucket), ascending doc_id. */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, isTarget: Column, buckets: Int, sampleK: Int,
+      seed: String): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    require(sampleK > 0, s"sampleK must be positive, got $sampleK")
+    graft.functions.GraftExpressions.register(SparkSession.active)
+    import graft.functions.TextFunctions.tokens
+    val g = tracked(docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        isTarget.as("is_target"), tokens(col(textCol)).as("sp"))
+      .filter(size(col("sp")) > 0)
+      .select(col("doc_id"), col("lang"), col("is_target"),
+        explode(uniBigrams(col("sp"))).as("gram"))
+      .withColumn("b",
+        pmod(Sampling.portableFingerprint(col("gram")), lit(buckets))))
+    val tc = g.filter(col("is_target"))
+      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("ct"))
+    val nt = g.filter(col("is_target"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("nt"))
+    // add-one smoothing: ln((ct+1)/(nt+buckets)); a language absent from
+    // the target slice degrades to the uniform LM rather than diverging
+    val logp = log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0))
+      / (coalesce(col("nt"), lit(0L)) + lit(buckets)))
+    val scored = tracked(g
+      .join(broadcast(tc), Seq("lang", "b"), "left")
+      .join(broadcast(nt), Seq("lang"), "left")
+      .withColumn("_lp", logp)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        (lit(0.0) - sum(col("_lp").cast(DecimalType(30, 6))).cast("double")
+          / count(col("_lp"))).as("logpp")))
+    // threshold sample: k smallest fold(seed:doc_id) per language via the
+    // bounded k-heap (k-element buffers cross the shuffle; a ranking
+    // window would sort an entire language in one task)
+    val sampled = scored
+      .withColumn("_fp", Sampling.portableFingerprint(
+        concat(lit(s"$seed:"), col("doc_id").cast("string"))))
+      .withColumn("_score", (-col("_fp")).cast("double"))
+      .groupBy(col("lang"))
+      .agg(expr(s"graft_topk(doc_id, _score, $sampleK)").as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .select(col("s.neighbor_id").as("doc_id"))
+    val th = sampled.join(scored, "doc_id")
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("logpp"))).as("lst"))
+      .select(col("lang").as("_lang"),
+        element_at(col("lst"),
+          ceil(size(col("lst")) / lit(3.0)).cast("int")).as("t1"),
+        element_at(col("lst"),
+          ceil(size(col("lst")) * lit(2) / lit(3.0)).cast("int")).as("t2"))
+    // null-safe join (t36 discipline): a NULL language groups above, so
+    // it must receive its thresholds here too
+    scored.join(broadcast(th), col("lang") <=> col("_lang"), "left")
+      .withColumn("bucket",
+        when(col("logpp") <= col("t1"), "head")
+          .when(col("logpp") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("logpp"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** GPT-3 quality-classifier selection (Brown et al. 2020, Appendix A):
+    * score documents with a classifier trained to recognize a curated
+    * slice, keep a document iff
+    *
+    *   `pareto_x > 1 − score`, with `pareto_x = u^(−1/α) − 1`
+    *
+    * (the paper's `np.random.pareto(α) > 1 − document_score` rule,
+    * α = 9) — high-scoring docs are kept outright, low-scoring docs
+    * survive with the Pareto tail probability, preserving diversity.
+    *
+    * The classifier is naive Bayes over the hashed uni+bigram buckets —
+    * the add-one-smoothed positive/negative LMs and the document
+    * posterior z = ln(n_pos/n_neg) + Σ ln[p_pos(b)/p_neg(b)],
+    * score = σ(z) — i.e. the same feature family as
+    * [[Sampling.dsirResample]] with a different decision rule, which is
+    * exactly the comparison the DSIR paper draws. Σ goes through the
+    * DECIMAL(30,6) detour; `u = (fold(seed:doc_id)+1)/2³¹−1 ∈ (0,1]` is
+    * the portable hash uniform, so every verdict replays in SQL.
+    *
+    * Output: (doc_id, n_grams, log_odds, score, pareto_x, kept),
+    * ascending doc_id. Both label classes must be non-empty (a one-class
+    * corpus has no classifier; the prior would be ±∞). */
+  def classifierPareto(docs: DataFrame, textCol: String, idCol: String,
+      isPositive: Column, buckets: Int, alpha: Double, seed: String)
+      : DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val g = hashedGrams(docs, textCol, idCol, isPositive, "pos", buckets)
+    val cp = g.filter(col("pos")).groupBy(col("b")).agg(count(lit(1)).as("cp"))
+    val cn = g.filter(!col("pos")).groupBy(col("b")).agg(count(lit(1)).as("cn"))
+    val np = g.filter(col("pos")).select(count(lit(1)).as("np"))
+    val nn = g.filter(!col("pos")).select(count(lit(1)).as("nn"))
+    // class prior over DOCS (one row per doc pre-explode = distinct ids)
+    val prior = g.select(col("doc_id"), col("pos")).distinct()
+      .agg(log(sum(col("pos").cast("long")).cast("double")
+        / sum((!col("pos")).cast("long"))).as("prior"))
+    // parenthesized as ONE expression: a leading `- log(...)` line after
+    // a closed call is a separate (discarded) statement under semicolon
+    // inference — the negative-class term would silently vanish
+    val lodds = (log((coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0))
+        / (col("np") + lit(buckets)))
+      - log((coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0))
+        / (col("nn") + lit(buckets))))
+    val z = tracked(g
+      .join(broadcast(cp), Seq("b"), "left")
+      .join(broadcast(cn), Seq("b"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nn))
+      .withColumn("_lo", lodds)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_lo").cast(DecimalType(30, 6))).cast("double").as("_s"))
+      .crossJoin(broadcast(prior))
+      .withColumn("log_odds", col("prior") + col("_s")))
+    val u = (Sampling.portableFingerprint(
+        concat(lit(s"$seed:"), col("doc_id").cast("string"))) + lit(1))
+      .cast("double") / lit(2147483647.0)
+    z.withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("log_odds"))))
+      .withColumn("pareto_x", pow(u, lit(-1.0 / alpha)) - lit(1.0))
+      .withColumn("kept", col("pareto_x") > lit(1.0) - col("score"))
+      .select(col("doc_id"), col("n_grams"), col("log_odds"), col("score"),
+        col("pareto_x"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -352,6 +352,99 @@ object Similarity {
       .drop("_v")
   }
 
+  /** Product-quantization ADC top-k (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011) — the
+    * code-compression tier of the ANN family: vectors are split into
+    * `nSub` subspaces, each encoded as its nearest codebook centroid, and
+    * queries rank the corpus by ASYMMETRIC DISTANCE (ADC): exact query
+    * subvector vs quantized data subvector, summed over subspaces. The
+    * point at 100 TB is memory: a 64-dim float vector is 256 bytes, its
+    * PQ code is `nSub` bytes (32× here) — the corpus-resident footprint
+    * that makes billion-vector serving fit RAM, with [[quantizeInt8]]'s
+    * SQ8 as the lighter 4× sibling.
+    *
+    * Determinism (the oracle replays every step): the codebook is the
+    * `codebookK` vectors with the smallest `fold(vec_id)` fingerprint
+    * (the v08 centroid-pick rule — k-means refinement would change
+    * fixture quality, not the encode/ADC algebra under test), subspace
+    * distances are sequential double folds over the widened floats,
+    * argmin ties break on the smaller codebook index, and ADC ranks
+    * break ties on the smaller vec_id.
+    *
+    * Plan shape: codebook = global bounded top-k (codebookK rows);
+    * encode = one scan × broadcast(codebook), the per-subspace argmins
+    * partial-aggregated map-side (one row per vector crosses the
+    * shuffle — the v08 assignment discipline); ADC = one scan of the
+    * CODES × broadcast(per-query distance tables — the raw query
+    * vectors never meet the corpus), ranked by the bounded k-heap.
+    * No stage touches more than codes + a broadcast at any corpus
+    * size. */
+  def pqTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      dim: Int = 64, nSub: Int = 8, codebookK: Int = 16): DataFrame = {
+    GraftExpressions.register(spark)
+    require(nSub > 0 && dim % nSub == 0, s"dim $dim not a multiple of nSub $nSub")
+    require(codebookK > 0 && k > 0 && nQueries > 0,
+      s"codebookK/k/nQueries must be positive")
+    val subDim = dim / nSub
+    val n = normed(emb)
+      // fail loudly on a vector that doesn't match the declared dim —
+      // silent slice-out-of-range would encode garbage codes
+      .withColumn("_dim_guard", assert_true(size(col("v")) === lit(dim),
+        lit(s"pq: expected $dim-dim vectors")))
+      .filter(col("_dim_guard").isNull).drop("_dim_guard")
+    // codebook: smallest-fingerprint sample with DENSE index j (0-based —
+    // the byte code); the rank window runs over codebookK rows, one task
+    val cent = n
+      .withColumn("fp", Sampling.portableFingerprint(col("vec_id").cast("string")))
+      .orderBy(col("fp"), col("vec_id")).limit(codebookK)
+      .withColumn("j",
+        (row_number().over(Window.orderBy(col("fp"), col("vec_id"))) - 1).cast("int"))
+      .select(col("j"), col("v").as("cv"))
+    def subVec(vec: Column, s: Int): Column = slice(vec, lit(s * subDim + 1), lit(subDim))
+    // L2² between subvectors as a sequential fold (bit-stable mirror:
+    // list_sum over the same per-element squares)
+    def subDist(a: Column, b: Column, s: Int): Column =
+      aggregate(zip_with(subVec(a, s), subVec(b, s), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+    // encode: per-subspace argmin over the broadcast codebook, all nSub
+    // argmins in ONE partial+final aggregate — min(struct(dist, j)) is
+    // the lexicographic argmin with the smaller-j tie-break
+    val mins = (0 until nSub).map(s =>
+      min(struct(subDist(col("v"), col("cv"), s).as("d"), col("j"))).as(s"m$s"))
+    val codes = n.crossJoin(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("vec_id"),
+        array((0 until nSub).map(s => col(s"m$s.j")): _*).as("codes"))
+    // per-query ADC tables: (query × codebook × subspace) distances,
+    // flattened to one lookup array per query in (s, j) order
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // j-major flat layout: dflat[j*nSub + s + 1] = d(q_s, centroid j, s);
+    // collect_list order is nondeterministic, array_sort on (j, ...)
+    // canonicalizes it (j is unique within a query)
+    val dflat = q.crossJoin(broadcast(cent))
+      .select(col("query_id") +: col("j") +:
+        (0 until nSub).map(s => subDist(col("qv"), col("cv"), s).as(s"d$s")): _*)
+      .groupBy(col("query_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j") +: (0 until nSub).map(s => col(s"d$s")): _*))),
+        row => array((0 until nSub).map(s => row.getField(s"d$s")): _*))).as("dflat"))
+    // ADC: the scan touches only (vec_id, codes) — sequential fold over
+    // subspaces keeps the sum order fixed for the oracle
+    val adist = codes
+      .crossJoin(broadcast(dflat))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("dflat"),
+            element_at(col("codes"), s + 1) * nSub + s + 1)))
+    topKRank(adist.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-col("adist")).as("cos_sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("cos_sim")).as("adist"))
+  }
+
   private def planeLiteral(numPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new java.util.Random(42L)
     Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)

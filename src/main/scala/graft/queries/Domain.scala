@@ -54,6 +54,8 @@ object Domain {
     flatCache.clear()
     Corpus.clearCache()
     graft.operators.Dedup.releaseCaches()
+    graft.operators.Sampling.releaseCaches()
+    graft.operators.Quality.releaseCaches()
     Text.releaseCaches()
   }
 

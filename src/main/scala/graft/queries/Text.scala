@@ -823,6 +823,101 @@ object Text {
        |GROUP BY k.doc_id
        |ORDER BY k.doc_id""".stripMargin
 
+  /** CCNet perplexity bucketing
+    * ([[graft.operators.Quality.perplexityBuckets]]; Wenzek et al., LREC
+    * 2020): per-language target-domain LM (uni+bigram hashed buckets,
+    * target = the curated src0–src2 slice standing in for CCNet's
+    * Wikipedia), per-doc `logpp` through the decimal detour, and
+    * head/middle/tail terciles per language with thresholds from a
+    * 64-doc fingerprint sample (the bounded k-heap — CCNet itself
+    * thresholds on a sample). The oracle replays the hashed LM, every
+    * logpp, the sample selection, both thresholds, and every bucket
+    * verdict. */
+  private def t44(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.perplexityBuckets(Corpus.documents(spark, dir),
+      "text", "doc_id", "lang", col("source").isin("src0", "src1", "src2"),
+      buckets = 4096, sampleK = 64, seed = "ppb-r10")
+
+  private val t44Sql = {
+    val b = 4096
+    def fp = foldSql("'ppb-r10:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, lang, source IN ('src0','src1','src2') AS tgt,
+       |    $toksSql AS sp FROM documents WHERE len($toksSql) > 0),
+       |g AS (SELECT doc_id, lang, tgt,
+       |        unnest(sp || list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])) AS gram
+       |      FROM d),
+       |gb AS (SELECT doc_id, lang, tgt, ${foldSql("gram")} % $b AS b FROM g),
+       |tc AS (SELECT lang, b, count(*) AS ct FROM gb WHERE tgt GROUP BY lang, b),
+       |nt AS (SELECT lang, count(*) AS n FROM gb WHERE tgt GROUP BY lang),
+       |sc AS (SELECT gb.doc_id, gb.lang, count(*) AS n_grams,
+       |        (0.0 - ${Num.davgSql(s"ln((COALESCE(tc.ct, 0) + 1.0) / (COALESCE(nt.n, 0) + $b))")}) AS logpp
+       |       FROM gb LEFT JOIN tc ON gb.lang = tc.lang AND gb.b = tc.b
+       |         LEFT JOIN nt ON gb.lang = nt.lang
+       |       GROUP BY gb.doc_id, gb.lang),
+       |smp AS (SELECT lang, logpp, row_number() OVER (PARTITION BY lang
+       |          ORDER BY $fp, doc_id) AS rn
+       |        FROM sc),
+       |th AS (SELECT lang,
+       |         lst[CAST(ceil(len(lst) / 3.0) AS INT)] AS t1,
+       |         lst[CAST(ceil(len(lst) * 2 / 3.0) AS INT)] AS t2
+       |       FROM (SELECT lang, list_sort(list(logpp)) AS lst
+       |             FROM smp WHERE rn <= 64 GROUP BY lang)),
+       |fin AS (SELECT sc.doc_id, sc.lang, sc.n_grams, sc.logpp,
+       |          CASE WHEN sc.logpp <= th.t1 THEN 'head'
+       |               WHEN sc.logpp <= th.t2 THEN 'middle'
+       |               ELSE 'tail' END AS bucket
+       |        FROM sc JOIN th ON sc.lang = th.lang)
+       |SELECT doc_id, lang, n_grams, logpp, bucket FROM fin
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** GPT-3 quality-classifier Pareto selection
+    * ([[graft.operators.Quality.classifierPareto]]; Brown et al. 2020,
+    * Appendix A): naive-Bayes posterior over the hashed uni+bigram
+    * buckets with the curated slice (here: the English corpus) as the
+    * positive class, `score = σ(z)`, and the published
+    * `pareto_x > 1 − score` acceptance (α = 9) — the classifier-based
+    * selection rule DSIR (t35) was published against, on the same
+    * feature family. At sf0.01 it keeps ~9% of the corpus: the
+    * classifier's favorites outright plus a Pareto tail of low scorers.
+    * The oracle replays both LMs, the prior, every posterior, every
+    * Pareto draw, and every verdict. */
+  private def t45(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.classifierPareto(Corpus.documents(spark, dir),
+      "text", "doc_id", col("lang") === "en", buckets = 4096, alpha = 9.0,
+      seed = "qc-r10")
+
+  private val t45Sql = {
+    val b = 4096
+    def u = s"((${foldSql("'qc-r10:' || CAST(doc_id AS VARCHAR)")}) + 1) / 2147483647.0"
+    s"""WITH d AS (SELECT doc_id, lang = 'en' AS pos, $toksSql AS sp
+       |      FROM documents WHERE len($toksSql) > 0),
+       |g AS (SELECT doc_id, pos,
+       |        unnest(sp || list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])) AS gram
+       |      FROM d),
+       |gb AS (SELECT doc_id, pos, ${foldSql("gram")} % $b AS b FROM g),
+       |cp AS (SELECT b, count(*) AS c FROM gb WHERE pos GROUP BY b),
+       |cn AS (SELECT b, count(*) AS c FROM gb WHERE NOT pos GROUP BY b),
+       |np AS (SELECT count(*) AS n FROM gb WHERE pos),
+       |nn AS (SELECT count(*) AS n FROM gb WHERE NOT pos),
+       |pr AS (SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / sum(CASE WHEN pos THEN 0 ELSE 1 END)) AS prior FROM d),
+       |lo AS (SELECT gb.doc_id,
+       |         ln((COALESCE(cp.c, 0) + 1.0) / (np.n + $b))
+       |           - ln((COALESCE(cn.c, 0) + 1.0) / (nn.n + $b)) AS lodds
+       |       FROM gb LEFT JOIN cp ON gb.b = cp.b LEFT JOIN cn ON gb.b = cn.b, np, nn),
+       |z AS (SELECT doc_id, count(*) AS n_grams,
+       |        pr.prior + ${Num.dsumSql("lodds")} AS log_odds
+       |      FROM lo, pr GROUP BY doc_id, pr.prior),
+       |k AS (SELECT doc_id, n_grams, log_odds,
+       |        1.0 / (1.0 + exp(-log_odds)) AS score,
+       |        pow($u, -1.0 / 9.0) - 1.0 AS pareto_x
+       |      FROM z)
+       |SELECT doc_id, n_grams, log_odds, score, pareto_x,
+       |  pareto_x > 1.0 - score AS kept
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus datasheet: the per-language rollup a training-data pipeline
     * publishes with a dataset release — doc/token volumes, mean quality
     * (decimal-detour mean of the bit-identical per-row score), and exact
@@ -1574,5 +1669,7 @@ object Text {
     QuerySpec("t40_winnow_fingerprints", t40, Some(t40Sql)),
     QuerySpec("t41_stratified_sample", t41, Some(t41Sql)),
     QuerySpec("t42_c4_line_cleaning", t42, Some(t42Sql)),
-    QuerySpec("t43_c4_clean_pages", t43, Some(t43Sql)))
+    QuerySpec("t43_c4_clean_pages", t43, Some(t43Sql)),
+    QuerySpec("t44_perplexity_buckets", t44, Some(t44Sql)),
+    QuerySpec("t45_classifier_pareto", t45, Some(t45Sql)))
 }

@@ -360,6 +360,50 @@ object Vectors {
        |FROM a ORDER BY vec_id""".stripMargin
   }
 
+  /** Product-quantization ADC top-k
+    * ([[graft.operators.Similarity.pqTopK]]; Jégou et al., TPAMI 2011):
+    * 64-dim vectors → 8 subspaces × 16-centroid codebook (fingerprint-
+    * picked, the v08 rule) → 8-byte codes (32× smaller than the floats —
+    * the memory tier that makes billion-vector ANN fit RAM), queries
+    * ranked by asymmetric distance over the codes alone. The oracle
+    * replays the codebook pick, every subspace argmin (smaller-j
+    * tie-break), each query's distance table, the ADC fold, and the
+    * (adist asc, vec_id asc) ranking — hash-gating codes and distances
+    * end to end. */
+  private def v09(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5,
+      k = 10, dim = 64, nSub = 8, codebookK = 16)
+
+  private val v09Sql = {
+    val fold = Text.foldSql("CAST(vec_id AS VARCHAR)")
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 9), i -> ($a[s*8+i] - $b[s*8+i]) * ($a[s*8+i] - $b[s*8+i])))"
+    s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |cent AS (SELECT j, cv FROM (
+       |    SELECT v AS cv, row_number() OVER (ORDER BY $fold, vec_id) - 1 AS j FROM n)
+       |  WHERE j < 16),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |ed AS (SELECT n.vec_id, c.j, sub.s, ${l2("n.v", "c.cv")} AS d
+       |       FROM n, cent c, sub),
+       |codes AS (SELECT vec_id, list(j ORDER BY s) AS codes FROM (
+       |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+       |    FROM ed) WHERE rn = 1
+       |  GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id < 5),
+       |qd AS (SELECT q.query_id, c.j, sub.s, ${l2("q.qv", "c.cv")} AS d
+       |       FROM q, cent c, sub),
+       |dflat AS (SELECT query_id, list(d ORDER BY j, s) AS dflat FROM qd GROUP BY query_id),
+       |ad AS (SELECT c.vec_id AS neighbor_id, f.query_id,
+       |        list_sum(list_transform(range(0, 8), s -> f.dflat[c.codes[s+1] * 8 + s + 1])) AS adist
+       |       FROM codes c, dflat f WHERE c.vec_id <> f.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |      FROM ad)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -369,6 +413,7 @@ object Vectors {
     QuerySpec("v06_embedding_dup_clusters", v06, Some(v06Sql)),
     QuerySpec("v07_embedding_quantize", v07, Some(v07Sql)),
     QuerySpec("v08_semdedup", v08, Some(v08Sql)),
+    QuerySpec("v09_pq_topk", v09, Some(v09Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+
+/** Model-based quality scoring: CCNet perplexity buckets (Wenzek et al.
+  * LREC'20) and the GPT-3 classifier-Pareto rule (Brown et al. 2020,
+  * Appendix A), each exercised on planted corpora where the right
+  * verdicts are computable by hand. */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Two "languages": xx docs drawn from an "alpha beta" vocabulary with
+  // the curated (target/positive) slice, yy docs from "gamma delta".
+  // Doc 104 is an xx-language OUTLIER written in yy vocabulary — it must
+  // score as the most surprising xx doc under xx's target LM, and the
+  // classifier must score it like the yy docs.
+  private def corpus = Seq(
+    (101L, "xx", "cur", "alpha beta alpha beta alpha beta alpha beta"),
+    (102L, "xx", "cur", "beta alpha beta alpha beta alpha beta alpha"),
+    (103L, "xx", "web", "alpha beta alpha beta gamma beta alpha beta"),
+    (104L, "xx", "web", "gamma delta gamma delta gamma delta gamma delta"),
+    (105L, "yy", "cur", "gamma delta gamma delta gamma delta gamma delta"),
+    (106L, "yy", "web", "delta gamma delta gamma delta gamma delta gamma"),
+    (107L, "yy", "web", "gamma delta gamma delta alpha delta gamma delta"),
+    (108L, "zz", "web", "alpha gamma alpha gamma alpha gamma alpha gamma"),
+    (109L, "xx", "web", ""))
+    .toDF("doc_id", "lang", "source", "text")
+
+  test("perplexityBuckets: per-language terciles, outlier lands in tail") {
+    val out = Quality.perplexityBuckets(corpus, "text", "doc_id", "lang",
+        col("source") === "cur", buckets = 64, sampleK = 10, seed = "s")
+      .select("doc_id", "lang", "logpp", "bucket")
+      .as[(Long, String, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+
+    assert(!out.contains(109L), "zero-token doc carries no score")
+    assert(out.size === 8)
+    // the in-vocabulary xx docs beat the yy-vocabulary outlier under xx's LM
+    assert(out(104L)._3 > out(101L)._3 && out(104L)._3 > out(103L)._3,
+      "outlier is the most surprising xx doc")
+    assert(out(104L)._4 === "tail", "outlier lands in xx's tail tercile")
+    assert(out(101L)._4 === "head")
+    // zz has no target docs: smoothing degrades to the uniform LM, the
+    // single doc still buckets (sample of 1 → its own threshold → head)
+    assert(out(108L)._4 === "head")
+    // every language covers its own tercile range: head ≤ middle ≤ tail
+    val byLang = out.values.groupBy(_._2)
+    for ((_, docs) <- byLang; h <- docs.filter(_._4 == "head");
+         t <- docs.filter(_._4 == "tail"))
+      assert(h._3 < t._3, "head logpp below tail logpp within a language")
+  }
+
+  test("perplexityBuckets: thresholds come from the fingerprint sample") {
+    // sampleK = 1: the single sampled doc's logpp is BOTH thresholds, so
+    // buckets are decided entirely by comparison against that one value —
+    // head iff logpp <= sample's, else tail (middle empty by construction)
+    val out = Quality.perplexityBuckets(corpus, "text", "doc_id", "lang",
+        col("source") === "cur", buckets = 64, sampleK = 1, seed = "s")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(!out.values.exists(_ == "middle"),
+      "k=1 sample collapses t1 = t2 — no middle bucket")
+  }
+
+  test("classifierPareto: posterior separates classes, rule is the verdict") {
+    val out = Quality.classifierPareto(corpus, "text", "doc_id",
+        col("lang") === "xx", buckets = 64, alpha = 9.0, seed = "s")
+      .select("doc_id", "log_odds", "score", "pareto_x", "kept")
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+    assert(!out.contains(109L), "zero-token doc carries no score")
+    // in-vocabulary positives score above the negatives
+    assert(out(101L)._3 > out(105L)._3)
+    assert(out(102L)._3 > out(106L)._3)
+    // the yy-vocabulary xx doc is scored by CONTENT, not by its label:
+    // the classifier puts it with the negatives
+    assert(out(104L)._3 < out(101L)._3)
+    // the published acceptance rule, recomputed per row
+    for ((_, (_, _, score, px, kept)) <- out)
+      assert(kept === (px > 1.0 - score), "kept ≡ pareto_x > 1 − score")
+    // sigmoid sanity: score strictly monotone in log_odds
+    val sorted = out.values.toSeq.sortBy(_._2)
+    assert(sorted.map(_._3) === sorted.map(_._3).sorted,
+      "score monotone in log_odds")
+  }
+
+  test("classifierPareto: label inversion exactly negates the data term") {
+    // z = prior + Σ[ln p_pos − ln p_neg]: flipping the label swaps the
+    // two LMs, so (z − prior) must negate EXACTLY. This pins both LM
+    // terms into the posterior — a regression that drops one term (e.g.
+    // the semicolon-inference hazard of a leading `- log(...)` line)
+    // breaks the symmetry even though orderings survive.
+    def run(positive: org.apache.spark.sql.Column) =
+      Quality.classifierPareto(corpus, "text", "doc_id", positive,
+          buckets = 64, alpha = 9.0, seed = "s")
+        .select("doc_id", "log_odds").as[(Long, Double)].collect().toMap
+    val fwd = run(col("lang") === "xx")
+    val rev = run(col("lang") =!= "xx")
+    val priorFwd = math.log(5.0 / 3.0) // 5 xx docs vs 3 non-xx (109 empty)
+    val priorRev = math.log(3.0 / 5.0)
+    for ((id, z) <- fwd)
+      assert(math.abs((z - priorFwd) + (rev(id) - priorRev)) < 1e-9,
+        s"doc $id: data terms must negate under label inversion")
+  }
+
+  test("classifierPareto: requires valid alpha and buckets") {
+    intercept[IllegalArgumentException] {
+      Quality.classifierPareto(corpus, "text", "doc_id",
+        col("lang") === "xx", buckets = 1, alpha = 9.0, seed = "s")
+    }
+    intercept[IllegalArgumentException] {
+      Quality.classifierPareto(corpus, "text", "doc_id",
+        col("lang") === "xx", buckets = 64, alpha = 0.0, seed = "s")
+    }
+    intercept[IllegalArgumentException] {
+      Quality.perplexityBuckets(corpus, "text", "doc_id", "lang",
+        col("source") === "cur", buckets = 64, sampleK = 0, seed = "s")
+    }
+  }
+}

@@ -333,4 +333,51 @@ class SimilaritySpec extends SparkTestBase {
     val b = Similarity.semDedup(spark, emb.repartition(7), k = 4, threshold = 0.8).collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("pqTopK: ADC ranks same-pole vectors first on a planted 2-subspace corpus") {
+    // 4-dim vectors, 2 subspaces of 2 dims, at two "poles" per subspace:
+    // ids 0/1 are the queries AND (smallest fingerprints aside) corpus
+    // members; the pole structure makes the right ADC ranking obvious —
+    // a vector sharing both subspace poles with the query quantizes to
+    // the query's own codes, so its ADC distance is minimal
+    val pA = Array(1.0f, 0.0f); val pB = Array(0.0f, 1.0f)
+    def v(a: Array[Float], b: Array[Float]) = a ++ b
+    val vecs = Seq(
+      (0L, v(pA, pA), 0), (1L, v(pB, pB), 1),
+      (2L, v(pA, pA), 0), (3L, v(pB, pB), 1),
+      (4L, v(pA, pB), 0), (5L, v(pB, pA), 1),
+      (6L, v(pA, pA), 0), (7L, v(pB, pB), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqTopK(spark, vecs, nQueries = 2, k = 7,
+        dim = 4, nSub = 2, codebookK = 4)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .as[(Long, Long, Long, Double)].collect()
+    val q0 = out.filter(_._1 == 0L).sortBy(_._2)
+    // exact same-pole-both-subspaces vectors (2, 6) rank above the mixed
+    // (4, 5) and opposite (1, 3, 7) ones; their ADC distance equals the
+    // query's own quantization distance (identical codes)
+    assert(q0.take(2).map(_._3).toSet === Set(2L, 6L), s"got ${q0.toSeq}")
+    assert(q0.take(2).forall(_._4 < q0(2)._4),
+      "same-pole ADC strictly below the next tier")
+    // self is excluded from its own neighbor list
+    assert(!out.exists(r => r._1 == r._3))
+    // every query ranks all 7 other vectors
+    assert(out.groupBy(_._1).forall(_._2.length === 7))
+  }
+
+  test("pqTopK fails loudly on a vector that contradicts the declared dim") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 1)) // 2-dim intruder
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Similarity.pqTopK(spark, vecs, nQueries = 1, k = 2,
+        dim = 4, nSub = 2, codebookK = 2).collect()
+    }
+    assert(ex.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(spark, vecs, nQueries = 1, k = 2,
+        dim = 4, nSub = 3, codebookK = 2)
+    }
+  }
 }
