@@ -224,4 +224,37 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"shuffle-joining the gram stream against the LMs defeats the design:\n$plan")
   }
+
+  test("t44 perplexity buckets: LM and thresholds broadcast; gram stream never shuffle-joins") {
+    val plan = planOf("t44_perplexity_buckets")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (lang,bucket) LM and per-language threshold frames must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shuffle-joining the gram stream against tiny frames defeats the design:\n$plan")
+    // the k-heap sample must partial-aggregate map-side, not rank every
+    // doc of a language in one window task
+    assert(plan.contains("partial_graft_topk") || plan.contains("ObjectHashAggregate"),
+      s"threshold sampling must use the bounded k-heap aggregate:\n$plan")
+  }
+
+  test("t45 classifier-Pareto: both class LMs broadcast; no shuffle join on grams") {
+    val plan = planOf("t45_classifier_pareto")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤buckets-row class LMs must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shuffle-joining the gram stream against the LMs defeats the design:\n$plan")
+  }
+
+  test("v09 PQ: codebook broadcasts; encode argmins partial-aggregate map-side") {
+    val plan = planOf("v09_pq_topk")
+    // corpus × broadcast(16-row codebook) is the only allowed cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"codebook and per-query distance tables must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"a shuffled cartesian in the encode path kills the scan shape:\n$plan")
+    // per-subspace argmins reduce map-side: one row per vector crosses
+    // the shuffle, not one per (vector × centroid)
+    assert(plan.contains("partial_min"),
+      s"subspace argmin encoding must be a two-phase aggregate:\n$plan")
+  }
 }
