@@ -32,6 +32,18 @@ object Dedup {
   /** Unpersists every cache created by the near-dup operators. */
   def releaseCaches(): Unit = caches.releaseAll()
 
+  /** One row per doc_id with a DETERMINISTIC text pick (min). Replaces
+    * `dropDuplicates("doc_id")` in the index write/probe paths:
+    * dropDuplicates keeps an arbitrary row, so when a persisted frame is
+    * partially evicted and recomputed between the shingles and bands
+    * writes, a doc_id replayed with differing text could register band
+    * keys from one version and shingles from the other — candidates
+    * generated from text A verified against text B. min(text) makes
+    * recomputation reproduce the identical pick. */
+  private def uniqueById(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+
   /** Adds `toks` + `shingles` (word n-grams, distinct, SORTED — the
     * contract the merge-based [[graft.functions.JaccardSorted]] needs) to
     * a documents frame. Docs with fewer than n words keep an empty shingle
@@ -186,12 +198,12 @@ object Dedup {
       s"numHashes ($numHashes) must divide evenly into bands ($bands), " +
         "or trailing signature hashes are silently ignored")
     val spark = docs.sparkSession
-    // dropDuplicates mirrors the probe side: the single-label plain-count
+    // uniqueById mirrors the probe side: the single-label plain-count
     // verify assumes index rows are unique per (doc_id, sh) — an
     // at-least-once source replaying a record into the build input would
     // otherwise write duplicate rows and double intersection counts.
     // Enforce the uniqueness invariant at WRITE time, not just at probe.
-    val ex = tracked(withShingles(docs.dropDuplicates("doc_id"), shingleSize)
+    val ex = tracked(withShingles(uniqueById(docs), shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh")))
     // both tables are partitioned by a batch label ("__base__" for the
     // initial build) so later registrations ([[registerInNearDupIndex]])
@@ -252,11 +264,11 @@ object Dedup {
       // locally-scoped persist (NOT the tracked registry): the explode
       // feeds both writes, but long-lived callers (the streaming sink)
       // register every epoch and a registry entry per epoch would pile up
-      // dropDuplicates: a replayed record inside ONE batch would write
+      // uniqueById: a replayed record inside ONE batch would write
       // duplicate (doc_id, sz, sh) rows under a single label — the state
       // the probe's single-label plain-count verify cannot absorb (it
       // would double intersections and inflate jaccard past 1)
-      val ex = withShingles(newDocs.dropDuplicates("doc_id"), shingleSize)
+      val ex = withShingles(uniqueById(newDocs), shingleSize)
         .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
         .persist()
       try {
@@ -309,31 +321,37 @@ object Dedup {
           ("shingles", Seq("doc_id", "sz", "sh"))).map { case (table, cols) =>
         val labels = batchInventory(spark, dir, table)
           .filter(b => b != BaseBatch && !keepBatches.contains(b))
-        if (labels.isEmpty) 0
+        val path = s"$dir/$table"
+        // can't overwrite what's being read: spill the fold to a tmp
+        // generation (scan → write → scan → write; compaction is a
+        // maintenance op, the 2× IO is the price of never holding the
+        // fold in memory — this must work on a 100 TB index)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Heal-on-rerun: the one window where the table alone is NOT
+        // the full row set is a crash inside the `__base__` dynamic
+        // overwrite (its partition dir is dropped before the staged
+        // files land). The fold that overwrite was drawing from
+        // survives as a COMPLETE tmp generation (_SUCCESS present), so
+        // a re-run unions any such tmp back in instead of re-deriving
+        // from the damaged table. Stale complete tmps are harmless —
+        // their rows were folded into `__base__` already and index
+        // rows are append-only, so union+distinct is a no-op for them.
+        // Two alternating tmp names keep the write target disjoint
+        // from any tmp being read.
+        val tmps = Seq(s"$dir/_compacting_$table", s"$dir/_compacting2_$table")
+        def complete(t: String) =
+          fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS"))
+        val target = if (complete(tmps.head)) tmps(1) else tmps.head
+        val priors = tmps.filter(t => t != target && complete(t))
+        // The fold must ALSO run when labels is empty but a complete tmp
+        // survives: a crash AFTER the partition deletes but BEFORE the
+        // tmp cleanup leaves exactly that state, and skipping it would
+        // strand the tmp forever — probes refuse while a complete tmp
+        // exists, so an early return here would be a permanent wedge no
+        // re-run could clear.
+        if (labels.isEmpty && priors.isEmpty) 0
         else {
-          val path = s"$dir/$table"
-          // can't overwrite what's being read: spill the fold to a tmp
-          // generation (scan → write → scan → write; compaction is a
-          // maintenance op, the 2× IO is the price of never holding the
-          // fold in memory — this must work on a 100 TB index)
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // Heal-on-rerun: the one window where the table alone is NOT
-          // the full row set is a crash inside the `__base__` dynamic
-          // overwrite (its partition dir is dropped before the staged
-          // files land). The fold that overwrite was drawing from
-          // survives as a COMPLETE tmp generation (_SUCCESS present), so
-          // a re-run unions any such tmp back in instead of re-deriving
-          // from the damaged table. Stale complete tmps are harmless —
-          // their rows were folded into `__base__` already and index
-          // rows are append-only, so union+distinct is a no-op for them.
-          // Two alternating tmp names keep the write target disjoint
-          // from any tmp being read.
-          val tmps = Seq(s"$dir/_compacting_$table", s"$dir/_compacting2_$table")
-          def complete(t: String) =
-            fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS"))
-          val target = if (complete(tmps.head)) tmps(1) else tmps.head
-          val priors = tmps.filter(t => t != target && complete(t))
           // Kept labels stay OUT of the fold (partition-pruned, not just
           // undeleted): folding a kept batch's rows into `__base__` while
           // its partition stays live would put them beyond the probe's
@@ -411,6 +429,26 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, dir: String): Int =
     batchInventory(spark, dir, "bands").count(_ != BaseBatch)
 
+  /** Complete (`_SUCCESS`-marked) `_compacting*` tmp generations under
+    * the index dir — evidence that a compaction crashed before its
+    * cleanup. Probes refuse to run in this state (the table may be
+    * missing rows); the self-maintaining streaming sink uses the same
+    * check to trigger a healing compaction at epoch start, since its
+    * count-based trigger alone can never re-fire after the crash
+    * deleted the batch partitions (the count is back under the
+    * threshold, but the guard would fail every epoch — a permanent
+    * wedge). A filesystem listing, no Spark job. */
+  private[graft] def pendingCompactionGenerations(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for {
+      table <- Seq("bands", "shingles")
+      tmp <- Seq(s"$dir/_compacting_$table", s"$dir/_compacting2_$table")
+      if fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    } yield tmp
+  }
+
   /** Batch labels currently present in the index `table`'s `_batch=`
     * partitioning — a filesystem listing, no Spark job. */
   private def batchInventory(spark: org.apache.spark.sql.SparkSession,
@@ -474,13 +512,7 @@ object Dedup {
     // at the heal — one compactNearDupIndex call converges either state
     // to the clean layout.
     locally {
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val pending = for {
-        table <- Seq("bands", "shingles")
-        tmp <- Seq(s"$dir/_compacting_$table", s"$dir/_compacting2_$table")
-        if fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
-      } yield tmp
+      val pending = pendingCompactionGenerations(spark, dir)
       if (pending.nonEmpty) throw new IllegalStateException(
         s"index at $dir has a pending compaction generation " +
           s"(${pending.mkString(", ")}) — a prior compactNearDupIndex run " +
@@ -491,12 +523,12 @@ object Dedup {
     // JVM (a streaming micro-batch sink): the batch-side explode is cheap
     // to recompute and per-epoch persists would accumulate in the
     // registry until releaseCaches
-    // dropDuplicates: an at-least-once source can replay a record INTO
+    // uniqueById: an at-least-once source can replay a record INTO
     // one batch (same doc_id twice); per-doc shingles are unique by
     // construction, but a duplicated probe row would double every
     // intersection count under the single-label plain-count verify and
     // inflate jaccard past 1. Same id ⇒ same document, one verdict.
-    val exNewRaw = withShingles(newDocs.dropDuplicates("doc_id"), shingleSize)
+    val exNewRaw = withShingles(uniqueById(newDocs), shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
     val exNew = if (cacheIntermediates) tracked(exNewRaw) else exNewRaw
     val newKeys = bandKeys(minhashSignatures(exNew, numHashes), bands, numHashes / bands)

@@ -51,18 +51,21 @@ object Quality {
       .otherwise(array().cast("array<string>")))
 
   /** Exploded hashed-gram frame shared by both operators:
-    * (doc_id, label, b) — one row per uni/bigram, bucketed by the
-    * portable fold. Docs with zero tokens are excluded (no features →
-    * no score), matching the DSIR convention. */
+    * (doc_id, carried columns..., gram, b) — one row per uni/bigram,
+    * bucketed by the portable fold. Docs with zero tokens are excluded
+    * (no features → no score), matching the DSIR convention. The gram →
+    * bucket encoding is a gated cross-engine contract (the t44/t45
+    * oracles replay it), so it lives in exactly one place. */
   private def hashedGrams(docs: DataFrame, textCol: String, idCol: String,
-      label: Column, labelName: String, buckets: Int): DataFrame = {
+      carry: Seq[(String, Column)], buckets: Int): DataFrame = {
     import graft.functions.TextFunctions.tokens
     tracked(docs
-      .select(col(idCol).as("doc_id"), label.as(labelName),
-        tokens(col(textCol)).as("sp"))
+      .select(col(idCol).as("doc_id") +:
+        carry.map { case (n, c) => c.as(n) } :+
+        tokens(col(textCol)).as("sp"): _*)
       .filter(size(col("sp")) > 0)
-      .select(col("doc_id"), col(labelName),
-        explode(uniBigrams(col("sp"))).as("gram"))
+      .select(col("doc_id") +: carry.map { case (n, _) => col(n) } :+
+        explode(uniBigrams(col("sp"))).as("gram"): _*)
       .withColumn("b",
         pmod(Sampling.portableFingerprint(col("gram")), lit(buckets))))
   }
@@ -96,15 +99,8 @@ object Quality {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     require(sampleK > 0, s"sampleK must be positive, got $sampleK")
     graft.functions.GraftExpressions.register(SparkSession.active)
-    import graft.functions.TextFunctions.tokens
-    val g = tracked(docs
-      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-        isTarget.as("is_target"), tokens(col(textCol)).as("sp"))
-      .filter(size(col("sp")) > 0)
-      .select(col("doc_id"), col("lang"), col("is_target"),
-        explode(uniBigrams(col("sp"))).as("gram"))
-      .withColumn("b",
-        pmod(Sampling.portableFingerprint(col("gram")), lit(buckets))))
+    val g = hashedGrams(docs, textCol, idCol,
+      Seq("lang" -> col(langCol), "is_target" -> isTarget), buckets)
     val tc = g.filter(col("is_target"))
       .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("ct"))
     val nt = g.filter(col("is_target"))
@@ -179,7 +175,7 @@ object Quality {
       : DataFrame = {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val g = hashedGrams(docs, textCol, idCol, isPositive, "pos", buckets)
+    val g = hashedGrams(docs, textCol, idCol, Seq("pos" -> isPositive), buckets)
     val cp = g.filter(col("pos")).groupBy(col("b")).agg(count(lit(1)).as("cp"))
     val cn = g.filter(!col("pos")).groupBy(col("b")).agg(count(lit(1)).as("cn"))
     val np = g.filter(col("pos")).select(count(lit(1)).as("np"))

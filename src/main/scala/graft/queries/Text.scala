@@ -750,10 +750,15 @@ object Text {
         when(e <= 5, lit(".")).when(e === 6, lit("!"))
           .when(e === 7, lit("?")).otherwise(lit("")))
     }
-    Corpus.documents(spark, dir).select(col("doc_id"),
-      array_join(
-        when(size(sp) > 0, transform(sequence(lit(0), nChunks - 1), lineOf))
-          .otherwise(array().cast("array<string>")), "\n").as("text"))
+    // zero-token docs are excluded, not synthesized as an empty page:
+    // split("", "\n") yields [""], so an empty page would emit one
+    // empty-line verdict row on the Spark side while the oracle's
+    // range(0, 0) CTE emits none — a latent gate divergence (the t35/
+    // t44/t45 oracles make the same exclusion)
+    Corpus.documents(spark, dir)
+      .filter(size(sp) > 0)
+      .select(col("doc_id"),
+        array_join(transform(sequence(lit(0), nChunks - 1), lineOf), "\n").as("text"))
   }
 
   // Oracle mirror of the synthesis: one CTE chain shared by t42/t43.
@@ -832,7 +837,9 @@ object Text {
     * 64-doc fingerprint sample (the bounded k-heap — CCNet itself
     * thresholds on a sample). The oracle replays the hashed LM, every
     * logpp, the sample selection, both thresholds, and every bucket
-    * verdict. */
+    * verdict. (Like t36, the operator is null-safe on the stratum —
+    * a NULL language still receives its thresholds — while the oracle
+    * mirrors the fixture, whose `lang` is never null.) */
   private def t44(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Quality.perplexityBuckets(Corpus.documents(spark, dir),
       "text", "doc_id", "lang", col("source").isin("src0", "src1", "src2"),

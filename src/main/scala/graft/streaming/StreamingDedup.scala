@@ -81,8 +81,15 @@ object StreamingDedup {
         val spark = batch.sparkSession
         val run = StreamingManifest.runKey(spark, checkpointDir)
         val batchLabel = s"$run-$epochId"
+        // Pending-generation check: a compaction that crashed between
+        // its partition deletes and tmp cleanup leaves the batch count
+        // UNDER the threshold (the partitions are gone) while the probe
+        // guard refuses every epoch — the count-based trigger alone
+        // would wedge the stream permanently. A complete tmp generation
+        // therefore also triggers the (healing) compaction.
         if (compactEvery > 0 &&
-            Dedup.registeredBatchCount(spark, indexDir) >= compactEvery)
+            (Dedup.registeredBatchCount(spark, indexDir) >= compactEvery ||
+              Dedup.pendingCompactionGenerations(spark, indexDir).nonEmpty))
           Dedup.compactNearDupIndex(spark, indexDir,
             keepBatches = Set(batchLabel))
         val b = batch.persist() // probed then signed again for registration

@@ -127,6 +127,35 @@ class MaintenanceSpec extends SparkTestBase {
       "re-run must union the surviving tmp fold back in, not re-derive from the damaged table")
   }
 
+  test("compactNearDupIndex clears a complete tmp even with no batch partitions left") {
+    // the OTHER crash window: fold done, __base__ overwritten, batch
+    // partitions deleted — only the tmp cleanup never ran. The batch
+    // inventory is empty, so a labels-only short-circuit would skip the
+    // fold, strand the tmp, and leave probes refusing forever (no re-run
+    // could converge the state).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val corpus = Seq((0L, base, "s1")).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_tmp_").toString
+    Dedup.buildNearDupIndex(corpus, dir)
+    val day2 = Seq((20L, base, "d2")).toDF("doc_id", "text", "source")
+    val expected = Dedup.nearDupsAgainstIndex(day2, dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.map(_._1) === Set(0L), s"fixture sanity: $expected")
+    // recreate the post-delete state: a complete tmp whose rows are
+    // already folded into __base__ (stale-but-complete)
+    spark.read.parquet(s"$dir/shingles").select("doc_id", "sz", "sh").distinct()
+      .write.parquet(s"$dir/_compacting_shingles")
+    intercept[IllegalStateException] {
+      Dedup.nearDupsAgainstIndex(day2, dir, threshold = 0.5).collect()
+    }
+    Dedup.compactNearDupIndex(spark, dir)
+    assert(Dedup.pendingCompactionGenerations(spark, dir).isEmpty,
+      "the heal run must clear the stranded tmp generation")
+    val healed = Dedup.nearDupsAgainstIndex(day2, dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(healed === expected, "probe results unchanged after the heal")
+  }
+
   test("compactHashIndex folds epoch appends; dedup decisions identical") {
     import graft.streaming.StreamingManifest
     def doc(i: Int) =

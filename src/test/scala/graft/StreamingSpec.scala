@@ -349,6 +349,42 @@ class StreamingSpec extends SparkTestBase {
       "epochs 0/1 folded into __base__; only epoch 2's own label survives")
   }
 
+  test("self-maintaining sink heals a crashed compaction instead of wedging") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val idxDir = Files.createTempDirectory("graft_wdg_").toString
+    Dedup.buildNearDupIndex(
+      Seq((0L, base, "s1")).toDF("doc_id", "text", "source"), idxDir)
+    // crash remnant: the fold reached a complete tmp but cleanup never
+    // ran, and the batch partitions are already gone — the registered
+    // count is back under ANY compactEvery threshold, so the count-based
+    // trigger alone can never fire again while the probe guard fails
+    // every epoch: a permanent wedge without the pending-generation check
+    spark.read.parquet(s"$idxDir/shingles").select("doc_id", "sz", "sh").distinct()
+      .write.parquet(s"$idxDir/_compacting_shingles")
+    intercept[IllegalStateException] {
+      Dedup.nearDupsAgainstIndex(
+        Seq((5L, base, "s")).toDF("doc_id", "text", "source"),
+        idxDir, threshold = 0.5).collect()
+    }
+    val outDir = Files.createTempDirectory("graft_wdg_out_").toString + "/hits"
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingDedup
+      .selfMaintainingDedupSink(input.toDF().toDF("doc_id", "text", "source"),
+        idxDir, outDir, Files.createTempDirectory("graft_wdg_ck_").toString,
+        threshold = 0.5, compactEvery = 5)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData((30L, base, "s9")); q.processAllAvailable(); q.stop()
+    assert(Dedup.pendingCompactionGenerations(spark, idxDir).isEmpty,
+      "epoch start must heal the stranded compaction generation")
+    val hits = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(hits === Set((0L, 30L)),
+      s"the healed epoch still probes the full corpus: $hits")
+  }
+
   test("streaming manifest ≡ batch t25 manifest across two epochs") {
     implicit val sqlCtx = spark.sqlContext
     def doc(i: Int) =
