@@ -7,7 +7,7 @@ import graft.QuerySpec
 import graft.io.Corpus
 import graft.functions.{GraftExpressions, TextFunctions}
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Dedup}
+import graft.operators.{Bpe, Dedup, Retrieval, Similarity}
 
 /** Text-analysis + deduplication operator surface for training-data
   * pipelines (the BASELINE.json north-star ops), over the `documents`
@@ -1529,7 +1529,9 @@ object Text {
     * accumulation-order-independent, total order (score desc, doc_id)
     * before the limit. avgdl is exact-integer total/count, identical
     * across engines. */
-  private def t31(spark: SparkSession, dir: String): DataFrame = {
+  // BM25 scores for every matching doc — t31 takes the top 20, the
+  // hybrid t46 rank-fuses the top 50 with a vector ranking.
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Corpus.documents(spark, dir)
     val dl = docs
       .withColumn("dl", tokenCount(col("text")).cast("long"))
@@ -1560,9 +1562,12 @@ object Text {
       .withColumn("contrib", col("idf") * col("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), Num.dsum(col("contrib")).as("bm25"))
+  }
+
+  private def t31(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(20)
-  }
 
   private val t31Sql = {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
@@ -1584,6 +1589,80 @@ object Text {
        |FROM sc GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id
        |LIMIT 20""".stripMargin
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[graft.operators.Retrieval.rrfFuse]]; Cormack, Clarke & Büttcher,
+    * SIGIR 2009): the t31 BM25 lexical ranking (top 50) fused with an
+    * exact cosine ranking against a query embedding (vec 0, top 50) by
+    * `Σ 1/(60 + rank)` — the standard hybrid-search combination that
+    * never compares scores across systems, only ranks. Docs ranked by
+    * one system alone survive with a single contribution (no
+    * imputation). Both rank lists, every fusion sum (decimal detour),
+    * and the final (rrf desc, doc_id) order are oracle-replayed. */
+  private def t46(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rank windows run over the already-limited 50-row frames: one task,
+    // by construction bounded
+    val bmTop = bm25Scores(spark, dir)
+      .orderBy(desc("bm25"), col("doc_id")).limit(50)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(desc("bm25"), col("doc_id")))
+          .cast("long").as("bm25_rank"))
+    val vecTop = Similarity.cosineTopKForQueries(spark,
+        Corpus.embeddings(spark, dir), col("vec_id") === 0, k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+    val fused = Retrieval.rrfFuse(
+      Seq(bmTop.withColumnRenamed("bm25_rank", "rank"),
+        vecTop.withColumnRenamed("vec_rank", "rank")),
+      "doc_id", "rank", kRrf = 60, topK = 20)
+    fused
+      .join(bmTop, Seq("doc_id"), "left")
+      .join(vecTop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bm25_rank"), col("vec_rank"),
+        col("n_systems"), col("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
+  private val t46Sql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+       |            FROM documents WHERE len($toksSql) > 0),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |       WHERE term IN ($terms) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+       |           (tf * ${Bm25K1 + 1} /
+       |            (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl /
+       |                             (CAST(total_dl AS DOUBLE) / n_docs)))) AS contrib
+       |       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |bm AS (SELECT doc_id, ${Num.dsumSql("contrib")} AS bm25 FROM sc GROUP BY doc_id),
+       |br AS (SELECT doc_id, bm25_rank FROM (
+       |         SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS bm25_rank
+       |         FROM bm) WHERE bm25_rank <= 50),
+       |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |       FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |             FROM embeddings)),
+       |qv AS (SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = 0),
+       |vs AS (SELECT a.vec_id AS doc_id,
+       |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * qv.qv[i]))
+       |           / (a.nrm * qv.qnrm) AS cos
+       |       FROM nn a, qv WHERE a.vec_id <> 0),
+       |vr AS (SELECT doc_id, vec_rank FROM (
+       |         SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+       |         FROM vs) WHERE vec_rank <= 50),
+       |u AS (SELECT doc_id, 1.0 / (60 + bm25_rank) AS c FROM br
+       |      UNION ALL SELECT doc_id, 1.0 / (60 + vec_rank) FROM vr),
+       |f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+       |        ${Num.dsumSql("c")} AS rrf
+       |      FROM u GROUP BY doc_id
+       |      ORDER BY rrf DESC, doc_id LIMIT 20)
+       |SELECT f.doc_id, br.bm25_rank, vr.vec_rank, f.n_systems, f.rrf
+       |FROM f LEFT JOIN br USING (doc_id) LEFT JOIN vr USING (doc_id)
+       |ORDER BY f.rrf DESC, f.doc_id""".stripMargin
   }
 
   /** Training-corpus EXPORT, end to end: the t25 manifest picks the
@@ -1678,5 +1757,6 @@ object Text {
     QuerySpec("t42_c4_line_cleaning", t42, Some(t42Sql)),
     QuerySpec("t43_c4_clean_pages", t43, Some(t43Sql)),
     QuerySpec("t44_perplexity_buckets", t44, Some(t44Sql)),
-    QuerySpec("t45_classifier_pareto", t45, Some(t45Sql)))
+    QuerySpec("t45_classifier_pareto", t45, Some(t45Sql)),
+    QuerySpec("t46_hybrid_rrf", t46, Some(t46Sql)))
 }
