@@ -352,6 +352,22 @@ object Similarity {
       .drop("_v")
   }
 
+  /** Subvector `s` (0-based) of a `subDim`-striped vector column. */
+  private def subVecAt(vec: Column, s: Int, subDim: Int): Column =
+    slice(vec, lit(s * subDim + 1), lit(subDim))
+
+  /** L2² between subvectors as a sequential fold — bit-stable mirror of
+    * the oracle's `list_sum` over the same per-element squares. */
+  private def subL2(a: Column, b: Column, s: Int, subDim: Int): Column =
+    aggregate(zip_with(subVecAt(a, s, subDim), subVecAt(b, s, subDim),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Full-dimension L2², same sequential-fold contract. */
+  private def fullL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
   /** Product-quantization ADC top-k (Jégou, Douze, Schmid, "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011) — the
     * code-compression tier of the ANN family: vectors are split into
@@ -400,12 +416,7 @@ object Similarity {
       .withColumn("j",
         (row_number().over(Window.orderBy(col("fp"), col("vec_id"))) - 1).cast("int"))
       .select(col("j"), col("v").as("cv"))
-    def subVec(vec: Column, s: Int): Column = slice(vec, lit(s * subDim + 1), lit(subDim))
-    // L2² between subvectors as a sequential fold (bit-stable mirror:
-    // list_sum over the same per-element squares)
-    def subDist(a: Column, b: Column, s: Int): Column =
-      aggregate(zip_with(subVec(a, s), subVec(b, s), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
+    def subDist(a: Column, b: Column, s: Int): Column = subL2(a, b, s, subDim)
     // encode: per-subspace argmin over the broadcast codebook, all nSub
     // argmins in ONE partial+final aggregate — min(struct(dist, j)) is
     // the lexicographic argmin with the smaller-j tie-break
@@ -434,6 +445,110 @@ object Similarity {
     // subspaces keeps the sum order fixed for the oracle
     val adist = codes
       .crossJoin(broadcast(dflat))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("dflat"),
+            element_at(col("codes"), s + 1) * nSub + s + 1)))
+    topKRank(adist.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-col("adist")).as("cos_sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("cos_sim")).as("adist"))
+  }
+
+  /** IVF-PQ top-k — the production-standard composition (FAISS's
+    * `IndexIVFPQ`; Jégou et al. TPAMI 2011 §V): a coarse quantizer
+    * partitions the corpus into `nCells` cells, vectors are
+    * PQ-encoded as RESIDUALS against their cell centroid (residuals
+    * cluster near the origin, so the same codebook budget spends its
+    * resolution where the data is), and a query probes only its
+    * `nProbe` nearest cells, ranking their members by asymmetric
+    * distance over the codes. Pruning × compression: the scan touches
+    * `nProbe/nCells` of the corpus AND only its 8-byte codes — the
+    * combination that serves billion-vector indexes from RAM.
+    *
+    * Determinism (fully oracle-replayed, unlike the KMeans-fitted
+    * v04/v05 family): coarse centroids and the residual codebook are
+    * fingerprint-picked (the v08/v09 rule), every argmin ties to the
+    * smaller cell/codebook index, ADC ranks tie to the smaller vec_id,
+    * and all distance sums are sequential folds.
+    *
+    * Plan shape: both centroid sets are bounded top-k picks; cell
+    * assignment and residual encoding partial-aggregate map-side (one
+    * row per vector crosses each shuffle); the probe is an EQUI-JOIN of
+    * the code table against the broadcast (query, probed-cell) distance
+    * tables on the cell id — members of unprobed cells are never
+    * touched, which is the IVF contract. */
+  def ivfPqTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      dim: Int = 64, nSub: Int = 8, codebookK: Int = 16,
+      nCells: Int = 8, nProbe: Int = 3): DataFrame = {
+    GraftExpressions.register(spark)
+    require(nSub > 0 && dim % nSub == 0, s"dim $dim not a multiple of nSub $nSub")
+    require(nProbe > 0 && nProbe <= nCells,
+      s"nProbe $nProbe must be in 1..$nCells")
+    require(codebookK > 0 && k > 0 && nQueries > 0,
+      s"codebookK/k/nQueries must be positive")
+    val subDim = dim / nSub
+    val n = normed(emb)
+      .withColumn("_dim_guard", assert_true(size(col("v")) === lit(dim),
+        lit(s"ivfpq: expected $dim-dim vectors")))
+      .filter(col("_dim_guard").isNull).drop("_dim_guard")
+    val fp = Sampling.portableFingerprint(col("vec_id").cast("string"))
+    // coarse centroids, keyed by their source vec_id (no dense index
+    // needed — the cell id is a join key, never an array offset)
+    val coarse = n.withColumn("fp", fp)
+      .orderBy(col("fp"), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("v").as("ccv"))
+    // cell assignment: argmin over the broadcast centroids,
+    // partial-aggregated map-side (min(struct) — smaller cell on ties)
+    val assigned = n.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("v"),
+        struct(fullL2(col("v"), col("ccv")).as("d"), col("cell")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("v")).as("v"), min(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cell").as("cell"))
+    // residuals r = v − centroid(cell): PQ spends its resolution near
+    // the origin, where residuals concentrate
+    val resid = assigned.join(broadcast(coarse), Seq("cell"))
+      .withColumn("r", zip_with(col("v"), col("ccv"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("r"))
+    // residual codebook: the codebookK smallest-fingerprint RESIDUALS,
+    // with dense index j (array offset in the ADC tables)
+    val cb = resid.withColumn("fp", fp)
+      .orderBy(col("fp"), col("vec_id")).limit(codebookK)
+      .withColumn("j",
+        (row_number().over(Window.orderBy(col("fp"), col("vec_id"))) - 1).cast("int"))
+      .select(col("j"), col("r").as("cbv"))
+    val mins = (0 until nSub).map(s =>
+      min(struct(subL2(col("r"), col("cbv"), s, subDim).as("d"), col("j"))).as(s"m$s"))
+    val codes = resid.crossJoin(broadcast(cb))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cell")).as("cell"), mins: _*)
+      .select(col("vec_id"), col("cell"),
+        array((0 until nSub).map(s => col(s"m$s.j")): _*).as("codes"))
+    // probed cells per query: rank the nCells centroids (tiny frame,
+    // per-query window over ≤ nCells rows)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qcells = q.crossJoin(broadcast(coarse))
+      .withColumn("qcd", fullL2(col("qv"), col("ccv")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qcd"), col("cell"))))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("qr"))
+    // per-(query, cell) ADC tables over the QUERY RESIDUAL — j-major
+    // flat layout as in pqTopK
+    val dflat = qcells.crossJoin(broadcast(cb))
+      .select(col("query_id") +: col("cell") +: col("j") +:
+        (0 until nSub).map(s => subL2(col("qr"), col("cbv"), s, subDim).as(s"d$s")): _*)
+      .groupBy(col("query_id"), col("cell"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j") +: (0 until nSub).map(s => col(s"d$s")): _*))),
+        row => array((0 until nSub).map(s => row.getField(s"d$s")): _*))).as("dflat"))
+    // the probe: codes equi-join the broadcast tables on the cell id —
+    // only probed cells' members are scanned (the IVF pruning)
+    val adist = codes.join(broadcast(dflat), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist",
         aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),

@@ -404,6 +404,72 @@ object Vectors {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ top-k ([[graft.operators.Similarity.ivfPqTopK]]; Jégou et
+    * al. TPAMI 2011 §V — FAISS's `IndexIVFPQ`): 8 fingerprint-picked
+    * coarse cells, vectors PQ-encoded as residuals against their cell
+    * centroid, queries probing their 3 nearest cells and ranking
+    * members by asymmetric distance over the 8-byte codes — pruning ×
+    * compression, the composition that serves billion-vector indexes
+    * from RAM. The oracle replays the coarse pick, every cell
+    * assignment, the residuals, the residual codebook, every subspace
+    * argmin, the per-(query, cell) distance tables, the ADC fold, and
+    * the final ranking — end-to-end hash-gated, which the KMeans-based
+    * v04/v05 family cannot be. */
+  private def v10(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(spark, Corpus.embeddings(spark, dir), nQueries = 5,
+      k = 10, dim = 64, nSub = 8, codebookK = 16, nCells = 8, nProbe = 3)
+
+  private val v10Sql = {
+    val fold = Text.foldSql("CAST(vec_id AS VARCHAR)")
+    def l2sub(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 9), i -> ($a[s*8+i] - $b[s*8+i]) * ($a[s*8+i] - $b[s*8+i])))"
+    def l2full(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |co AS (SELECT cell, ccv FROM (
+       |    SELECT vec_id AS cell, v AS ccv, row_number() OVER (ORDER BY $fold, vec_id) AS rn FROM n)
+       |  WHERE rn <= 8),
+       |ad0 AS (SELECT n.vec_id, n.v, co.cell, co.ccv, ${l2full("n.v", "co.ccv")} AS d
+       |        FROM n, co),
+       |asg AS (SELECT vec_id, v, cell, ccv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ad0)
+       |  WHERE rn = 1),
+       |res AS (SELECT vec_id, cell,
+       |          list_transform(range(1, 65), i -> v[i] - ccv[i]) AS r
+       |        FROM asg),
+       |cb AS (SELECT j, cbv FROM (
+       |    SELECT r AS cbv, row_number() OVER (ORDER BY $fold, vec_id) - 1 AS j FROM res)
+       |  WHERE j < 16),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |ed AS (SELECT res.vec_id, cb.j, sub.s, ${l2sub("res.r", "cb.cbv")} AS d
+       |       FROM res, cb, sub),
+       |codes AS (SELECT vec_id, list(j ORDER BY s) AS codes FROM (
+       |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+       |    FROM ed) WHERE rn = 1
+       |  GROUP BY vec_id),
+       |cwc AS (SELECT c.vec_id, a.cell, c.codes FROM codes c JOIN asg a USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id < 5),
+       |qc0 AS (SELECT q.query_id, q.qv, co.cell, co.ccv, ${l2full("q.qv", "co.ccv")} AS d
+       |        FROM q, co),
+       |qc AS (SELECT query_id, cell,
+       |         list_transform(range(1, 65), i -> qv[i] - ccv[i]) AS qr
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+       |             FROM qc0) WHERE rn <= 3),
+       |qd AS (SELECT qc.query_id, qc.cell, cb.j, sub.s, ${l2sub("qc.qr", "cb.cbv")} AS d
+       |       FROM qc, cb, sub),
+       |df AS (SELECT query_id, cell, list(d ORDER BY j, s) AS dflat
+       |       FROM qd GROUP BY query_id, cell),
+       |ad AS (SELECT c.vec_id AS neighbor_id, f.query_id,
+       |        list_sum(list_transform(range(0, 8), s -> f.dflat[c.codes[s+1] * 8 + s + 1])) AS adist
+       |       FROM cwc c JOIN df f ON c.cell = f.cell WHERE c.vec_id <> f.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |      FROM ad)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -414,6 +480,7 @@ object Vectors {
     QuerySpec("v07_embedding_quantize", v07, Some(v07Sql)),
     QuerySpec("v08_semdedup", v08, Some(v08Sql)),
     QuerySpec("v09_pq_topk", v09, Some(v09Sql)),
+    QuerySpec("v10_ivfpq_topk", v10, Some(v10Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -245,6 +245,18 @@ class PlanSpec extends SparkTestBase {
       s"shuffle-joining the gram stream against the LMs defeats the design:\n$plan")
   }
 
+  test("v10 IVF-PQ: probe equi-joins codes on the cell id; assignments partial-aggregate") {
+    val plan = planOf("v10_ivfpq_topk")
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast cartesians (corpus × centroids) are allowed:\n$plan")
+    // the probe must be an equi-join against the broadcast distance
+    // tables — a shuffled join would defeat the cell pruning
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (query, probed-cell) tables must broadcast-join on cell:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"cell assignment and subspace argmins must be two-phase aggregates:\n$plan")
+  }
+
   test("v09 PQ: codebook broadcasts; encode argmins partial-aggregate map-side") {
     val plan = planOf("v09_pq_topk")
     // corpus × broadcast(16-row codebook) is the only allowed cartesian

@@ -365,6 +365,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.groupBy(_._1).forall(_._2.length === 7))
   }
 
+  test("ivfPqTopK: an exact duplicate of the query attains the minimal ADC distance") {
+    // assignment and encoding are pure functions of the vector value, so
+    // a duplicate of query 0 shares its cell (always probed — it's the
+    // query's nearest) and its codes: ADC(q, dup) = ADC(q, q), the
+    // minimum any member can attain. It need not be ALONE at that
+    // minimum — ADC is over codes, and other vectors may quantize to the
+    // query's codes too (observed: they do) — but nothing may beat it.
+    val rnd = new java.util.Random(7)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val q0 = vec()
+    val vecs = ((0L, q0, 0) +: (1L to 30L).map(i => (i, vec(), 0)) :+ (99L, q0, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfPqTopK(spark, vecs, nQueries = 1, k = 5,
+        dim = 8, nSub = 4, codebookK = 4, nCells = 3, nProbe = 2)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._1 == 0L))
+    val dup = out.find(_._3 == 99L)
+    assert(dup.nonEmpty, s"the exact duplicate must reach the top-k: ${out.toSeq}")
+    assert(dup.get._4 === out.head._4,
+      s"nothing may beat the duplicate's ADC distance: ${out.toSeq}")
+    assert(!out.exists(r => r._3 == 0L), "self excluded")
+    assert(out.map(_._2).toSeq === (1L to out.length).toSeq, "dense ranks")
+  }
+
+  test("ivfPqTopK results are invariant to input partitioning") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val a = Similarity.ivfPqTopK(spark, emb, nQueries = 3, k = 5).collect()
+    val b = Similarity.ivfPqTopK(spark, emb.repartition(7), nQueries = 3, k = 5).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("pqTopK fails loudly on a vector that contradicts the declared dim") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
