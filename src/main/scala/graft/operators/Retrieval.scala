@@ -43,6 +43,9 @@ object Retrieval {
         (lit(1.0) / (lit(kRrf) + col(rankCol))).as("_c")))
       .reduce(_ unionByName _)
     contribs.groupBy(col(idCol))
+      // DECIMAL(30,6) detour inline (operator layer can't depend on the
+      // query layer's Num; the mirror contract is Num.dsumSql — the
+      // Sampling/Quality operators carry the same inlined copy)
       .agg(count(lit(1)).as("n_systems"),
         sum(col("_c").cast(DecimalType(30, 6))).cast("double").as("rrf"))
       .orderBy(desc("rrf"), col(idCol))

@@ -512,9 +512,16 @@ object Similarity {
     val resid = assigned.join(broadcast(coarse), Seq("cell"))
       .withColumn("r", zip_with(col("v"), col("ccv"), (a, b) => a - b))
       .select(col("vec_id"), col("cell"), col("r"))
-    // residual codebook: the codebookK smallest-fingerprint RESIDUALS,
-    // with dense index j (array offset in the ADC tables)
-    val cb = resid.withColumn("fp", fp)
+    // residual codebook: the codebookK smallest-fingerprint RESIDUALS
+    // with dense index j (array offset in the ADC tables) — EXCLUDING
+    // the coarse picks themselves: a coarse vector's residual is the
+    // zero vector, so the same fingerprint prefix would fill the first
+    // nCells codebook slots with identical zeros (the smaller-j
+    // tie-break leaves all but one unreachable — half the codebook
+    // budget silently wasted, and with nCells ≥ codebookK ALL codes
+    // would collapse to 0)
+    val cb = resid.filter(col("vec_id") =!= col("cell"))
+      .withColumn("fp", fp)
       .orderBy(col("fp"), col("vec_id")).limit(codebookK)
       .withColumn("j",
         (row_number().over(Window.orderBy(col("fp"), col("vec_id"))) - 1).cast("int"))

@@ -1569,9 +1569,13 @@ object Text {
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(20)
 
-  private val t31Sql = {
+  // Shared BM25 CTE chain (dl/stats/tf/dfreq/sc) — ONE definition used
+  // by both the t31 and t46 mirrors, matching the Scala side's shared
+  // bm25Scores: an oracle fix applied to one query can't silently
+  // diverge the other.
+  private val bm25CoreSql = {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""WITH dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+    s"""dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
        |            FROM documents WHERE len($toksSql) > 0),
        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
@@ -1583,13 +1587,16 @@ object Text {
        |           (tf * ${Bm25K1 + 1} /
        |            (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl /
        |                             (CAST(total_dl AS DOUBLE) / n_docs)))) AS contrib
-       |       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)""".stripMargin
+  }
+
+  private val t31Sql =
+    s"""WITH $bm25CoreSql
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
        |  ${Num.dsumSql("contrib")} AS bm25
        |FROM sc GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id
        |LIMIT 20""".stripMargin
-  }
 
   /** Hybrid retrieval via reciprocal-rank fusion
     * ([[graft.operators.Retrieval.rrfFuse]]; Cormack, Clarke & Büttcher,
@@ -1603,15 +1610,17 @@ object Text {
   private def t46(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // rank windows run over the already-limited 50-row frames: one task,
-    // by construction bounded
-    val bmTop = bm25Scores(spark, dir)
+    // by construction bounded. Both rank lists feed TWO plan branches
+    // (the fusion and the rank join-back) — tracked, or each system's
+    // full corpus scan would execute twice.
+    val bmTop = tracked(bm25Scores(spark, dir)
       .orderBy(desc("bm25"), col("doc_id")).limit(50)
       .select(col("doc_id"),
         row_number().over(Window.orderBy(desc("bm25"), col("doc_id")))
-          .cast("long").as("bm25_rank"))
-    val vecTop = Similarity.cosineTopKForQueries(spark,
+          .cast("long").as("bm25_rank")))
+    val vecTop = tracked(Similarity.cosineTopKForQueries(spark,
         Corpus.embeddings(spark, dir), col("vec_id") === 0, k = 50)
-      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank")))
     val fused = Retrieval.rrfFuse(
       Seq(bmTop.withColumnRenamed("bm25_rank", "rank"),
         vecTop.withColumnRenamed("vec_rank", "rank")),
@@ -1624,21 +1633,8 @@ object Text {
       .orderBy(desc("rrf"), col("doc_id"))
   }
 
-  private val t46Sql = {
-    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""WITH dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
-       |            FROM documents WHERE len($toksSql) > 0),
-       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
-       |tf AS (SELECT doc_id, term, COUNT(*) AS tf
-       |       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
-       |       WHERE term IN ($terms) GROUP BY doc_id, term),
-       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-       |sc AS (SELECT tf.doc_id,
-       |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-       |           (tf * ${Bm25K1 + 1} /
-       |            (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl /
-       |                             (CAST(total_dl AS DOUBLE) / n_docs)))) AS contrib
-       |       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+  private val t46Sql =
+    s"""WITH $bm25CoreSql,
        |bm AS (SELECT doc_id, ${Num.dsumSql("contrib")} AS bm25 FROM sc GROUP BY doc_id),
        |br AS (SELECT doc_id, bm25_rank FROM (
        |         SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS bm25_rank
@@ -1663,7 +1659,6 @@ object Text {
        |SELECT f.doc_id, br.bm25_rank, vr.vec_rank, f.n_systems, f.rrf
        |FROM f LEFT JOIN br USING (doc_id) LEFT JOIN vr USING (doc_id)
        |ORDER BY f.rrf DESC, f.doc_id""".stripMargin
-  }
 
   /** Training-corpus EXPORT, end to end: the t25 manifest picks the
     * rows, t27's ordering shards them, and

@@ -439,7 +439,8 @@ object Vectors {
        |          list_transform(range(1, 65), i -> v[i] - ccv[i]) AS r
        |        FROM asg),
        |cb AS (SELECT j, cbv FROM (
-       |    SELECT r AS cbv, row_number() OVER (ORDER BY $fold, vec_id) - 1 AS j FROM res)
+       |    SELECT r AS cbv, row_number() OVER (ORDER BY $fold, vec_id) - 1 AS j
+       |    FROM res WHERE vec_id <> cell)
        |  WHERE j < 16),
        |sub AS (SELECT unnest(range(0, 8)) AS s),
        |ed AS (SELECT res.vec_id, cb.j, sub.s, ${l2sub("res.r", "cb.cbv")} AS d

@@ -366,19 +366,22 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("ivfPqTopK: an exact duplicate of the query attains the minimal ADC distance") {
-    // assignment and encoding are pure functions of the vector value, so
-    // a duplicate of query 0 shares its cell (always probed — it's the
-    // query's nearest) and its codes: ADC(q, dup) = ADC(q, q), the
-    // minimum any member can attain. It need not be ALONE at that
-    // minimum — ADC is over codes, and other vectors may quantize to the
-    // query's codes too (observed: they do) — but nothing may beat it.
+    // single cell (nCells = 1, nProbe = 1) so every member is scored
+    // against the SAME query residual — there the invariant is exact:
+    // the duplicate shares the query's codes, so ADC(q, dup) =
+    // Σ_s d(qr[s], cb[code_q[s]]) is the minimum any member can attain.
+    // (Across cells the bound does NOT hold — members of other cells
+    // score against different query residuals — so a cross-cell version
+    // of this assertion would be seed-dependent, not algebra.) The
+    // duplicate need not be ALONE at the minimum: other vectors may
+    // quantize to the query's codes too.
     val rnd = new java.util.Random(7)
     def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
     val q0 = vec()
     val vecs = ((0L, q0, 0) +: (1L to 30L).map(i => (i, vec(), 0)) :+ (99L, q0, 0))
       .toDF("vec_id", "embedding", "label")
     val out = Similarity.ivfPqTopK(spark, vecs, nQueries = 1, k = 5,
-        dim = 8, nSub = 4, codebookK = 4, nCells = 3, nProbe = 2)
+        dim = 8, nSub = 4, codebookK = 4, nCells = 1, nProbe = 1)
       .select("query_id", "rank", "neighbor_id", "adist")
       .as[(Long, Long, Long, Double)].collect()
     assert(out.nonEmpty && out.forall(_._1 == 0L))
