@@ -402,47 +402,65 @@ object Similarity {
     require(codebookK > 0 && k > 0 && nQueries > 0,
       s"codebookK/k/nQueries must be positive")
     val subDim = dim / nSub
-    val n = normed(emb)
-      // fail loudly on a vector that doesn't match the declared dim —
-      // silent slice-out-of-range would encode garbage codes
-      .withColumn("_dim_guard", assert_true(size(col("v")) === lit(dim),
-        lit(s"pq: expected $dim-dim vectors")))
+    val n = pqDimGuard(normed(emb), dim, "pq")
+    val cent = pqCodebook(n, codebookK)
+    val codes = pqEncode(n, cent, nSub, subDim)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    pqAdcRank(codes, pqAdcTables(q, cent, nSub, subDim), nSub, k)
+  }
+
+  /** Fail loudly on a vector that doesn't match the declared dim —
+    * silent slice-out-of-range would encode garbage codes. */
+  private def pqDimGuard(n: DataFrame, dim: Int, tag: String): DataFrame =
+    n.withColumn("_dim_guard", assert_true(size(col("v")) === lit(dim),
+        lit(s"$tag: expected $dim-dim vectors")))
       .filter(col("_dim_guard").isNull).drop("_dim_guard")
-    // codebook: smallest-fingerprint sample with DENSE index j (0-based —
-    // the byte code); the rank window runs over codebookK rows, one task
-    val cent = n
-      .withColumn("fp", Sampling.portableFingerprint(col("vec_id").cast("string")))
+
+  /** PQ codebook: smallest-fingerprint sample with DENSE index j
+    * (0-based — the byte code); the rank window runs over codebookK
+    * rows, one task. */
+  private def pqCodebook(n: DataFrame, codebookK: Int): DataFrame =
+    n.withColumn("fp", Sampling.portableFingerprint(col("vec_id").cast("string")))
       .orderBy(col("fp"), col("vec_id")).limit(codebookK)
       .withColumn("j",
         (row_number().over(Window.orderBy(col("fp"), col("vec_id"))) - 1).cast("int"))
       .select(col("j"), col("v").as("cv"))
-    def subDist(a: Column, b: Column, s: Int): Column = subL2(a, b, s, subDim)
-    // encode: per-subspace argmin over the broadcast codebook, all nSub
-    // argmins in ONE partial+final aggregate — min(struct(dist, j)) is
-    // the lexicographic argmin with the smaller-j tie-break
+
+  /** Encode: per-subspace argmin over the broadcast codebook, all nSub
+    * argmins in ONE partial+final aggregate — min(struct(dist, j)) is
+    * the lexicographic argmin with the smaller-j tie-break. One
+    * (vec_id, codes) row per vector. */
+  private def pqEncode(n: DataFrame, cent: DataFrame, nSub: Int,
+      subDim: Int): DataFrame = {
     val mins = (0 until nSub).map(s =>
-      min(struct(subDist(col("v"), col("cv"), s).as("d"), col("j"))).as(s"m$s"))
-    val codes = n.crossJoin(broadcast(cent))
+      min(struct(subL2(col("v"), col("cv"), s, subDim).as("d"), col("j"))).as(s"m$s"))
+    n.crossJoin(broadcast(cent))
       .groupBy(col("vec_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("vec_id"),
         array((0 until nSub).map(s => col(s"m$s.j")): _*).as("codes"))
-    // per-query ADC tables: (query × codebook × subspace) distances,
-    // flattened to one lookup array per query in (s, j) order
-    val q = n.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // j-major flat layout: dflat[j*nSub + s + 1] = d(q_s, centroid j, s);
-    // collect_list order is nondeterministic, array_sort on (j, ...)
-    // canonicalizes it (j is unique within a query)
-    val dflat = q.crossJoin(broadcast(cent))
+  }
+
+  /** Per-query ADC tables: (query × codebook × subspace) distances,
+    * flattened to one lookup array per query. j-major flat layout:
+    * dflat[j*nSub + s + 1] = d(q_s, centroid j, s); collect_list order
+    * is nondeterministic, array_sort on (j, ...) canonicalizes it (j is
+    * unique within a query). */
+  private def pqAdcTables(q: DataFrame, cent: DataFrame, nSub: Int,
+      subDim: Int): DataFrame =
+    q.crossJoin(broadcast(cent))
       .select(col("query_id") +: col("j") +:
-        (0 until nSub).map(s => subDist(col("qv"), col("cv"), s).as(s"d$s")): _*)
+        (0 until nSub).map(s => subL2(col("qv"), col("cv"), s, subDim).as(s"d$s")): _*)
       .groupBy(col("query_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("j") +: (0 until nSub).map(s => col(s"d$s")): _*))),
         row => array((0 until nSub).map(s => row.getField(s"d$s")): _*))).as("dflat"))
-    // ADC: the scan touches only (vec_id, codes) — sequential fold over
-    // subspaces keeps the sum order fixed for the oracle
+
+  /** ADC ranking: the scan touches only (vec_id, codes) — sequential
+    * fold over subspaces keeps the sum order fixed for the oracle. */
+  private def pqAdcRank(codes: DataFrame, dflat: DataFrame, nSub: Int,
+      k: Int): DataFrame = {
     val adist = codes
       .crossJoin(broadcast(dflat))
       .filter(col("vec_id") =!= col("query_id"))
@@ -454,6 +472,81 @@ object Similarity {
         (-col("adist")).as("cos_sim")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (-col("cos_sim")).as("adist"))
+  }
+
+  /** Persist a PQ index: the codebook, the 8-byte-per-vector code
+    * table, and a params side file. THIS is where PQ's 32× compression
+    * pays — the serving path ([[pqTopKAgainstIndex]]) reads codes and
+    * codebook only; the float vectors never leave the build. Encode
+    * once, probe many — the [[buildIvfIndex]] lifecycle for the code
+    * tier, but deterministic, so the persisted probe is oracle-gateable
+    * (v11 reuses v09's oracle verbatim: the index path must reproduce
+    * the in-memory result bit for bit). */
+  def buildPqIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      dim: Int = 64, nSub: Int = 8, codebookK: Int = 16): Unit =
+    graft.util.PhaseTimer.time("index_build") {
+      GraftExpressions.register(spark)
+      require(nSub > 0 && dim % nSub == 0, s"dim $dim not a multiple of nSub $nSub")
+      require(codebookK > 0, s"codebookK must be positive")
+      val subDim = dim / nSub
+      val n = pqDimGuard(normed(emb), dim, "pq-index")
+      val cent = pqCodebook(n, codebookK)
+      cent.write.mode("overwrite").parquet(s"$dir/codebook")
+      // read the codebook BACK for encoding so the codes are derived
+      // from exactly what probes will read (doubles round-trip parquet
+      // bit-exactly; this pins the invariant structurally)
+      pqEncode(n, spark.read.parquet(s"$dir/codebook"), nSub, subDim)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      writePqParams(spark, dir, dim, nSub, codebookK)
+    }
+
+  /** Top-k over the persisted PQ index for a batch of query vectors
+    * (same (vec_id, embedding) shape as the corpus; a query whose
+    * vec_id exists in the index never matches itself). Reads ONLY the
+    * codebook (tiny, broadcast) and the code table — bit-identical to
+    * [[pqTopK]] over the same corpus and parameters (asserted in
+    * SimilaritySpec AND by the v11 oracle, which is v09's). */
+  def pqTopKAgainstIndex(spark: SparkSession, queries: DataFrame,
+      dir: String, k: Int): DataFrame = {
+    GraftExpressions.register(spark)
+    require(k > 0, s"k must be positive, got $k")
+    val (dim, nSub, codebookK) = readPqParams(spark, dir)
+    val _ = codebookK // layout-descriptive; probing needs dim/nSub only
+    val q = pqDimGuard(normed(queries), dim, "pq-probe")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cent = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    pqAdcRank(codes, pqAdcTables(q, cent, nSub, dim / nSub), nSub, k)
+  }
+
+  private def writePqParams(spark: SparkSession, dir: String,
+      dim: Int, nSub: Int, codebookK: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/params.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(
+      s"""{"dim":$dim,"n_sub":$nSub,"codebook_k":$codebookK}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Params as the index dir declares them — a probe against an index
+    * built with different parameters must fail loudly, not return
+    * garbage distances (the Dedup.readParams discipline). */
+  private def readPqParams(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/params.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"$dir is not a PQ index (no params.json)")
+    val in = fs.open(path)
+    val txt = try new String(
+      in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    def field(name: String): Int =
+      s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed $dir/params.json: $txt"))
+        .group(1).toInt
+    (field("dim"), field("n_sub"), field("codebook_k"))
   }
 
   /** IVF-PQ top-k — the production-standard composition (FAISS's

@@ -471,6 +471,27 @@ object Vectors {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Persisted PQ index lifecycle
+    * ([[graft.operators.Similarity.buildPqIndex]] /
+    * [[Similarity.pqTopKAgainstIndex]]): encode once — codebook + the
+    * 8-byte-per-vector code table + params side file — probe many,
+    * reading codes and codebook ONLY (where PQ's 32× compression
+    * actually pays: the serving path never touches a float vector).
+    * The oracle is v09's VERBATIM: the persisted probe must reproduce
+    * the in-memory ADC ranking bit for bit, which gates the parquet
+    * round-trip, the params plumbing, and the read-back encode in one
+    * stroke — the oracle-gateable analogue of the KMeans-based v05. */
+  private def v11(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Corpus.embeddings(spark, dir)
+    // fresh bounded-retention dir per invocation: see RotatingTempDir
+    val idx = graft.util.RotatingTempDir.next("graft_pq_idx_")
+    Similarity.buildPqIndex(spark, emb, idx)
+    // materialized (tiny result): the returned frame must stay valid
+    // after RotatingTempDir prunes this invocation's index generation
+    Similarity.pqTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), idx, k = 10)
+      .localCheckpoint()
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -482,6 +503,7 @@ object Vectors {
     QuerySpec("v08_semdedup", v08, Some(v08Sql)),
     QuerySpec("v09_pq_topk", v09, Some(v09Sql)),
     QuerySpec("v10_ivfpq_topk", v10, Some(v10Sql)),
+    QuerySpec("v11_pq_index", v11, Some(v09Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -400,6 +400,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("persisted PQ index probe is bit-identical to the in-memory pqTopK") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    Similarity.buildPqIndex(spark, emb, idx, dim = 64, nSub = 8, codebookK = 16)
+    val persisted = Similarity.pqTopKAgainstIndex(spark,
+      emb.filter(col("vec_id") < 3), idx, k = 8).collect()
+    val inMemory = Similarity.pqTopK(spark, emb, nQueries = 3, k = 8).collect()
+    assert(persisted.toSeq === inMemory.toSeq,
+      "the code-table probe must reproduce the in-memory ADC ranking exactly")
+    // the serving payload is codes + codebook only — no float vector table
+    val files = new java.io.File(idx).listFiles.map(_.getName).toSet
+    assert(files.contains("codebook") && files.contains("codes")
+      && files.contains("params.json"), s"index layout: $files")
+  }
+
+  test("PQ index probe fails loudly on a non-index dir and on a dim mismatch") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val notIdx = java.nio.file.Files.createTempDirectory("graft_pq_no_").toString
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKAgainstIndex(spark, emb.limit(1), notIdx, k = 5)
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_dim_").toString
+    Similarity.buildPqIndex(spark, emb, idx, dim = 64, nSub = 8, codebookK = 4)
+    import spark.implicits._
+    val badQ = Seq((0L, Array(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Similarity.pqTopKAgainstIndex(spark, badQ, idx, k = 5).collect()
+    }
+    assert(ex.getMessage != null, "a 2-dim query against a 64-dim index must fail")
+  }
+
   test("pqTopK fails loudly on a vector that contradicts the declared dim") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
