@@ -112,7 +112,10 @@ object Packing {
   def fimTransform(df: DataFrame, textCol: String, idCol: String,
       seed: String, ratePct: Int): DataFrame = {
     require(ratePct >= 0 && ratePct <= 100, s"ratePct must be in 0..100, got $ratePct")
-    def fp(tag: String) = Sampling.portableFingerprint(
+    // remixed: gate and cut points are per-id uniforms — the raw fold's
+    // prefix-dominated high bits would cut every same-length id at the
+    // same relative position
+    def fp(tag: String) = Sampling.portableUniformFingerprint(
       concat(lit(seed + ":" + tag + ":"), col(idCol).cast("string")))
     def uniform(tag: String) = fp(tag).cast("double") / lit(2147483647.0)
     val len = length(col(textCol))
@@ -166,7 +169,7 @@ object Packing {
       val len = least(
         expr("_c DIV _k") + when(i < expr("_c % _k"), lit(1)).otherwise(lit(0)),
         col("_seg"))
-      val u = Sampling.portableFingerprint(
+      val u = Sampling.portableUniformFingerprint(
           concat(lit(seed + ":"), i.cast("string"), lit(":"), col(idCol).cast("string")))
         .cast("double") / lit(2147483647.0)
       val off = floor(u * (col("_seg") - len + lit(1)).cast("double")).cast("int")

@@ -121,7 +121,7 @@ object Quality {
     // bounded k-heap (k-element buffers cross the shuffle; a ranking
     // window would sort an entire language in one task)
     val sampled = scored
-      .withColumn("_fp", Sampling.portableFingerprint(
+      .withColumn("_fp", Sampling.portableUniformFingerprint(
         concat(lit(s"$seed:"), col("doc_id").cast("string"))))
       .withColumn("_score", (-col("_fp")).cast("double"))
       .groupBy(col("lang"))
@@ -201,7 +201,7 @@ object Quality {
         sum(col("_lo").cast(DecimalType(30, 6))).cast("double").as("_s"))
       .crossJoin(broadcast(prior))
       .withColumn("log_odds", col("prior") + col("_s")))
-    val u = (Sampling.portableFingerprint(
+    val u = (Sampling.portableUniformFingerprint(
         concat(lit(s"$seed:"), col("doc_id").cast("string"))) + lit(1))
       .cast("double") / lit(2147483647.0)
     z.withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("log_odds"))))

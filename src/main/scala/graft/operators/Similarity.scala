@@ -164,7 +164,7 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     val n = normed(emb)
     val cent = n
-      .withColumn("fp", Sampling.portableFingerprint(col("vec_id").cast("string")))
+      .withColumn("fp", Sampling.portableUniformFingerprint(col("vec_id").cast("string")))
       .orderBy(col("fp"), col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     // nearest centroid per vector as a two-phase aggregate — max of
@@ -421,7 +421,7 @@ object Similarity {
     * (0-based — the byte code); the rank window runs over codebookK
     * rows, one task. */
   private def pqCodebook(n: DataFrame, codebookK: Int): DataFrame =
-    n.withColumn("fp", Sampling.portableFingerprint(col("vec_id").cast("string")))
+    n.withColumn("fp", Sampling.portableUniformFingerprint(col("vec_id").cast("string")))
       .orderBy(col("fp"), col("vec_id")).limit(codebookK)
       .withColumn("j",
         (row_number().over(Window.orderBy(col("fp"), col("vec_id"))) - 1).cast("int"))
@@ -586,7 +586,7 @@ object Similarity {
       .withColumn("_dim_guard", assert_true(size(col("v")) === lit(dim),
         lit(s"ivfpq: expected $dim-dim vectors")))
       .filter(col("_dim_guard").isNull).drop("_dim_guard")
-    val fp = Sampling.portableFingerprint(col("vec_id").cast("string"))
+    val fp = Sampling.portableUniformFingerprint(col("vec_id").cast("string"))
     // coarse centroids, keyed by their source vec_id (no dense index
     // needed — the cell id is a join key, never an array offset)
     val coarse = n.withColumn("fp", fp)

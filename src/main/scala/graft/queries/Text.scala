@@ -29,6 +29,13 @@ object Text {
        |  list_prepend(CAST(0 AS BIGINT), list_transform(str_split($e, ''), c -> CAST(ord(c) AS BIGINT))),
        |  (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
 
+  // DuckDB mirror of Sampling.portableUniformFingerprint — the avalanche
+  // remix used wherever the fold is consumed as a uniform or an ordering
+  // (seeded per-id draws, fingerprint-picked samples). Raw-fold bucket
+  // and identity uses keep foldSql.
+  private[queries] def mixSql(e: String): String =
+    s"((${foldSql(e)}) * 2654435761) % 2147483647"
+
   // Frames shared by multiple plan branches persist here and are freed by
   // [[releaseCaches]] (wired into Domain.clearCache for long-lived
   // drivers); see graft.util.CacheRegistry for the lifecycle.
@@ -847,7 +854,7 @@ object Text {
 
   private val t44Sql = {
     val b = 4096
-    def fp = foldSql("'ppb-r10:' || CAST(doc_id AS VARCHAR)")
+    def fp = mixSql("'ppb-r10:' || CAST(doc_id AS VARCHAR)")
     s"""WITH d AS (SELECT doc_id, lang, source IN ('src0','src1','src2') AS tgt,
        |    $toksSql AS sp FROM documents WHERE len($toksSql) > 0),
        |g AS (SELECT doc_id, lang, tgt,
@@ -896,7 +903,7 @@ object Text {
 
   private val t45Sql = {
     val b = 4096
-    def u = s"((${foldSql("'qc-r10:' || CAST(doc_id AS VARCHAR)")}) + 1) / 2147483647.0"
+    def u = s"((${mixSql("'qc-r10:' || CAST(doc_id AS VARCHAR)")}) + 1) / 2147483647.0"
     s"""WITH d AS (SELECT doc_id, lang = 'en' AS pos, $toksSql AS sp
        |      FROM documents WHERE len($toksSql) > 0),
        |g AS (SELECT doc_id, pos,
@@ -923,6 +930,51 @@ object Text {
        |SELECT doc_id, n_grams, log_odds, score, pareto_x,
        |  pareto_x > 1.0 - score AS kept
        |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  /** UniMax language sampling ([[graft.operators.Sampling.unimaxKeep]];
+    * Chung et al. ICLR 2023): a 40k-token budget split across languages
+    * with a 2-epoch cap, via the water-filling closed form of the
+    * paper's greedy — at sf0.01 the four low-resource languages cap at
+    * exactly 2 epochs and English shares the leftover (rate ≈ 0.78).
+    * The capped test is pure integer arithmetic; per-doc copy counts are
+    * deterministic stochastic rounding on the content-hash uniform. The
+    * oracle replays the token totals, the capacity-ordered water-fill,
+    * every rate, and every copy count. */
+  private def t47(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.unimaxKeep(
+      Corpus.documents(spark, dir)
+        .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+        .filter(col("n_tokens") > 0),
+      idCol = "doc_id", stratumCol = "lang", tokenCol = "n_tokens",
+      budget = 40000L, maxEpochs = 2, seed = "umx-r10")
+      .select(col("doc_id"), col("lang"), col("capped"), col("rate"),
+        col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  private val t47Sql = {
+    val u = s"(CAST(${mixSql("'umx-r10:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 2147483647.0)"
+    s"""WITH d AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS tok
+       |      FROM documents WHERE len($toksSql) > 0),
+       |c AS (SELECT lang, sum(tok) AS tk, sum(tok) * 2 AS cap FROM d GROUP BY lang),
+       |w AS (SELECT lang, tk, cap,
+       |        CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS idx,
+       |        COALESCE(sum(cap) OVER (ORDER BY cap, lang
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+       |        count(*) OVER () AS L
+       |      FROM c),
+       |f AS (SELECT *, cap * (L - idx + 1) <= 40000 - pre AS capped FROM w),
+       |g AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0 END) AS capsum,
+       |             sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nunc FROM f),
+       |r AS (SELECT lang, capped,
+       |        CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |             ELSE CAST(40000 - capsum AS DOUBLE) / nunc END
+       |          / CAST(tk AS DOUBLE) AS rate
+       |      FROM f, g)
+       |SELECT d.doc_id, d.lang, r.capped, r.rate,
+       |  CAST(floor(r.rate) AS BIGINT) +
+       |    CASE WHEN $u < r.rate - floor(r.rate) THEN 1 ELSE 0 END AS n_copies
+       |FROM d JOIN r USING (lang) ORDER BY d.doc_id""".stripMargin
   }
 
   /** Corpus datasheet: the per-language rollup a training-data pipeline
@@ -1185,7 +1237,7 @@ object Text {
 
   private val t27Sql =
     s"""WITH base AS (
-       |  SELECT doc_id, ${foldSql("'ep0:' || CAST(doc_id AS VARCHAR)")} AS fp
+       |  SELECT doc_id, ${mixSql("'ep0:' || CAST(doc_id AS VARCHAR)")} AS fp
        |  FROM documents),
        |w AS (
        |  SELECT doc_id, fp % 8 AS shard,
@@ -1388,7 +1440,7 @@ object Text {
 
   private val t35Sql = {
     val b = 8192
-    def u = s"((${foldSql(s"'dsir-r9:' || CAST(doc_id AS VARCHAR)")}) + 1) / 2147483647.0"
+    def u = s"((${mixSql(s"'dsir-r9:' || CAST(doc_id AS VARCHAR)")}) + 1) / 2147483647.0"
     s"""WITH d AS (SELECT doc_id, lang, $toksSql AS sp FROM documents WHERE len($toksSql) > 0),
        |g AS (SELECT doc_id, lang,
        |        unnest(sp || list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])) AS gram
@@ -1449,7 +1501,7 @@ object Text {
       .orderBy(col("doc_id"))
 
   private val t37Sql = {
-    def fp(tag: String) = foldSql(s"'fim-r9:$tag:' || CAST(doc_id AS VARCHAR)")
+    def fp(tag: String) = mixSql(s"'fim-r9:$tag:' || CAST(doc_id AS VARCHAR)")
     def cut(tag: String) =
       s"CAST(floor(CAST(${fp(tag)} AS DOUBLE) / 2147483647.0 * (length(text) + 1)) AS INT)"
     s"""WITH u AS (SELECT doc_id, text, length(text) AS len,
@@ -1481,7 +1533,7 @@ object Text {
 
   private val t38Sql = {
     val lenE = "least(c // k + CASE WHEN s.i < c % k THEN 1 ELSE 0 END, seg)"
-    val foldI = foldSql("'span-r9:' || s.i || ':' || doc_id")
+    val foldI = mixSql("'span-r9:' || s.i || ':' || doc_id")
     s"""WITH d AS (SELECT doc_id, text, $toksSql AS sp, len($toksSql) AS n FROM documents),
        |p AS (SELECT *, greatest(1, (n * 15) // 100) AS c FROM d),
        |p2 AS (SELECT *, greatest(1, c // 3) AS k FROM p),
@@ -1693,7 +1745,7 @@ object Text {
        |  FROM ($docSignalsSql) WHERE n_tokens > 0),
        |sel AS (
        |  SELECT doc_id, n_tokens,
-       |    ${foldSql("'train-v1:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+       |    ${mixSql("'train-v1:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
        |  FROM (SELECT *,
        |          row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1 AS dedup_keep
        |        FROM s)
@@ -1753,5 +1805,6 @@ object Text {
     QuerySpec("t43_c4_clean_pages", t43, Some(t43Sql)),
     QuerySpec("t44_perplexity_buckets", t44, Some(t44Sql)),
     QuerySpec("t45_classifier_pareto", t45, Some(t45Sql)),
-    QuerySpec("t46_hybrid_rrf", t46, Some(t46Sql)))
+    QuerySpec("t46_hybrid_rrf", t46, Some(t46Sql)),
+    QuerySpec("t47_unimax_sampling", t47, Some(t47Sql)))
 }

@@ -340,7 +340,7 @@ object Vectors {
     Similarity.semDedup(spark, plantedEmbeddings(spark, dir), k = 8, threshold = 0.9)
 
   private val v08Sql = {
-    val fold = Text.foldSql("CAST(vec_id AS VARCHAR)")
+    val fold = Text.mixSql("CAST(vec_id AS VARCHAR)")
     s"""WITH $plantedPairsCtes,
        |cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n
        |         ORDER BY $fold, vec_id LIMIT 8),
@@ -375,7 +375,7 @@ object Vectors {
       k = 10, dim = 64, nSub = 8, codebookK = 16)
 
   private val v09Sql = {
-    val fold = Text.foldSql("CAST(vec_id AS VARCHAR)")
+    val fold = Text.mixSql("CAST(vec_id AS VARCHAR)")
     def l2(a: String, b: String) =
       s"list_sum(list_transform(range(1, 9), i -> ($a[s*8+i] - $b[s*8+i]) * ($a[s*8+i] - $b[s*8+i])))"
     s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -420,7 +420,7 @@ object Vectors {
       k = 10, dim = 64, nSub = 8, codebookK = 16, nCells = 8, nProbe = 3)
 
   private val v10Sql = {
-    val fold = Text.foldSql("CAST(vec_id AS VARCHAR)")
+    val fold = Text.mixSql("CAST(vec_id AS VARCHAR)")
     def l2sub(a: String, b: String) =
       s"list_sum(list_transform(range(1, 9), i -> ($a[s*8+i] - $b[s*8+i]) * ($a[s*8+i] - $b[s*8+i])))"
     def l2full(a: String, b: String) =

@@ -140,7 +140,7 @@ class SamplingSpec extends SparkTestBase {
     assert(hostile.size === n && hostile.values.toSeq.distinct.length === n)
     // the fingerprint key is exactly seed + ":" + id — proved by
     // recomputing one row's shard with the same public fingerprint
-    val fp = Sampling.portableFingerprint(lit("ep'1; --):0")).cast("long")
+    val fp = Sampling.portableUniformFingerprint(lit("ep'1; --):0")).cast("long")
     val expectShard = spark.range(1).select(pmod(fp, lit(4L))).head().getLong(0)
     val gotShard = hostile(0L) % 4
     assert(gotShard === expectShard, "seed must reach the hash verbatim")
@@ -269,6 +269,120 @@ class SamplingSpec extends SparkTestBase {
     val again = Sampling.stratifiedSample(docs.repartition(11), "text", "lang", "doc_id", 5)
       .select("lang", "rank", "doc_id", "fp").as[(String, Long, Long, Long)].collect()
     assert(out.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("portableUniformFingerprint: seeded consecutive ids are equidistributed") {
+    // The hazard this primitive exists for: the raw fold's high bits are
+    // PREFIX-dominated, so for `seed:<id>` keys with consecutive integer
+    // ids, fold/2³¹ is near-constant (every 3-digit id under one seed
+    // landed in [0.4540, 0.4541]) and ORDER BY fold(id) is numeric id
+    // order. Any operator drawing uniforms or ordering picks from seeded
+    // ids MUST use the remix; this test pins both halves of that story.
+    val n = 5000
+    val keys = spark.range(n).select(
+      concat(lit("uniformity-seed:"), col("id").cast("string")).as("k"))
+    val mixed = keys.select(
+      (Sampling.portableUniformFingerprint(col("k")).cast("double")
+        / 2147483647.0).as("u"))
+    val deciles = mixed.groupBy(floor(col("u") * 10).as("d")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(deciles.size === 10, s"every decile occupied: $deciles")
+    deciles.foreach { case (d, c) =>
+      // binomial σ ≈ 21 at n=5000, p=0.1; ±5σ is a loose, stable gate
+      assert(math.abs(c - n / 10) < 110, s"decile $d holds $c of $n")
+    }
+    // the raw fold on the SAME keys collapses into a narrow band per
+    // id-length class (the prefix owns the high bits; only the last few
+    // digits jitter) — the documented failure mode, asserted on the
+    // 4-digit class so the distinction stays real
+    val rawSpread = spark.range(1000, 5000).select(
+        (Sampling.portableFingerprint(
+          concat(lit("uniformity-seed:"), col("id").cast("string"))).cast("double")
+          / 2147483647.0).as("u"))
+      .agg((max(col("u")) - min(col("u"))).as("spread"))
+      .as[Double].head()
+    assert(rawSpread < 0.05, s"raw fold unexpectedly uniform (spread $rawSpread) — " +
+      "if this fires the fold changed and the remix rationale needs revisiting")
+  }
+
+  test("unimaxAllocate: closed form ≡ the paper's greedy loop, across budget regimes") {
+    // four strata with unequal token masses (A 300, B 900, C 2400, D 300 —
+    // A/D tie in capacity, exercising the (capacity, stratum) tie-break)
+    val docs = ((0L until 30L).map(i => (i, "A", 10L)) ++
+      (30L until 60L).map(i => (i, "B", 30L)) ++
+      (60L until 90L).map(i => (i, "C", 80L)) ++
+      (90L until 120L).map(i => (i, "D", 10L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    // the paper's greedy, verbatim: ascending capacity, equal share of
+    // the remainder, capped at own capacity
+    def greedy(caps: Seq[(String, Long)], budget: Long): Map[String, Double] = {
+      val sorted = caps.sortBy { case (s, c) => (c, s) }
+      var remaining = budget.toDouble
+      sorted.zipWithIndex.map { case ((s, c), i) =>
+        val b = math.min(c.toDouble, remaining / (sorted.size - i))
+        remaining -= b
+        s -> b
+      }.toMap
+    }
+    val caps = Seq("A" -> 600L, "B" -> 1800L, "C" -> 4800L, "D" -> 600L)
+    for (budget <- Seq(100L, 900L, 2500L, 6000L, 50000L)) {
+      val alloc = Sampling.unimaxAllocate(docs, "lang", "n_tokens", budget, maxEpochs = 2)
+        .select("lang", "lang_budget").as[(String, Double)].collect().toMap
+      val exp = greedy(caps, budget)
+      caps.foreach { case (s, _) =>
+        assert(math.abs(alloc(s) - exp(s)) <= 1e-9 * math.max(1.0, exp(s)),
+          s"budget=$budget stratum=$s: closed form ${alloc(s)} vs greedy ${exp(s)}")
+      }
+      // conservation: allocations sum to min(budget, total capacity)
+      val total = math.min(budget.toDouble, caps.map(_._2).sum.toDouble)
+      assert(math.abs(alloc.values.sum - total) < 1e-6, s"budget=$budget sum=$alloc")
+    }
+  }
+
+  test("unimaxKeep: capped strata repeat exactly; expected tokens track the budget") {
+    val docs = ((0L until 50L).map(i => (i, "low", 4L)) ++
+      (50L until 1050L).map(i => (i, "high", 10L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    // token masses: low 200, high 10000 → capacities 400 / 20000 at 2
+    // epochs. Budget 3000: low is capped (400·2 = 800 ≤ 3000), high
+    // takes the remaining 2600 → rate 0.26
+    val out = Sampling.unimaxKeep(docs, "doc_id", "lang", "n_tokens",
+      budget = 3000L, maxEpochs = 2, seed = "unimax-spec-seed-long-enough-to-wrap")
+    val byLang = out.groupBy("lang").agg(
+      min(col("rate")).as("rmin"), max(col("rate")).as("rmax"),
+      sum(col("n_copies") * col("n_tokens")).as("tok_out"),
+      min(col("n_copies")).as("cmin"), max(col("n_copies")).as("cmax"))
+      .select("lang", "rmin", "rmax", "tok_out", "cmin", "cmax")
+      .as[(String, Double, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a capped stratum's rate is EXACTLY maxEpochs and every doc gets
+    // exactly that many copies — no rounding noise
+    assert(byLang("low")._2 === 2.0 && byLang("low")._3 === 2.0)
+    assert(byLang("low")._5 === 2L && byLang("low")._6 === 2L)
+    assert(byLang("low")._4 === 400L, "capped stratum emits its full capacity")
+    // the uncapped stratum's realized tokens track its water-fill share
+    val highBudget = 3000.0 - 400.0
+    assert(byLang("high")._2 === byLang("high")._3, "one rate per stratum")
+    assert(math.abs(byLang("high")._4 - highBudget) < 0.15 * highBudget,
+      s"expected ≈$highBudget tokens, got ${byLang("high")._4}")
+    // copies differ by at most one within a stratum (stochastic rounding)
+    assert(byLang("high")._6 - byLang("high")._5 <= 1L)
+    // pure function of (stats, seed, id): partitioning can't move a copy
+    val again = Sampling.unimaxKeep(docs.repartition(7), "doc_id", "lang",
+      "n_tokens", 3000L, 2, "unimax-spec-seed-long-enough-to-wrap")
+    assert(out.orderBy("doc_id").collect().toSeq ===
+      again.orderBy("doc_id").collect().toSeq)
+    // budget beyond total capacity: everything capped at maxEpochs
+    val all = Sampling.unimaxKeep(docs, "doc_id", "lang", "n_tokens",
+      budget = 1000000L, maxEpochs = 3, seed = "unimax-spec-seed-long-enough-to-wrap")
+    assert(all.filter(col("n_copies") =!= 3L || !col("capped")).count() === 0L)
+    // a NULL stratum still receives an allocation and copy counts
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") < 5, lit(null: String)).otherwise(col("lang")))
+    val judged = Sampling.unimaxKeep(withNull, "doc_id", "lang", "n_tokens",
+      3000L, 2, "s1")
+    assert(judged.count() === 1050L)
+    assert(judged.filter(col("lang").isNull && col("n_copies").isNull).count() === 0L)
   }
 
   test("the round-9 sampling/similarity operators validate parameters loudly") {
