@@ -977,6 +977,85 @@ object Text {
        |FROM d JOIN r USING (lang) ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Edit-distance-verified near-duplicates
+    * ([[graft.operators.Dedup.editDistanceNearDups]]): rare-8-gram
+    * blocking (document frequency 2–8 — fanout bounded at df² per gram,
+    * never n²) then exact Levenshtein verification at edit similarity
+    * ≥ 0.55 — the character-level verifier complementing Jaccard (t07/
+    * t09) and Hamming (t08). The oracle replays the blocking on raw
+    * grams (the Spark side blocks on xxhash64 digests — identical
+    * candidates absent a 64-bit collision, the t26 discipline) and
+    * re-verifies every pair with DuckDB's own `levenshtein`, so the
+    * gate cross-checks two independent DP implementations. */
+  private def t48(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceNearDups(Corpus.documents(spark, dir),
+      gramSize = 8, maxDf = 8, minSim = 0.55)
+
+  private val t48Sql =
+    s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |             $toksSql AS sp FROM documents),
+       |g AS (SELECT DISTINCT doc_id, array_to_string(sp[i : i + 7], ' ') AS gram
+       |      FROM d, LATERAL (SELECT unnest(range(1, len(sp) - 8 + 2)) AS i) r
+       |      WHERE len(sp) >= 8),
+       |rare AS (SELECT gram FROM g GROUP BY gram
+       |         HAVING count(*) >= 2 AND count(*) <= 8),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM g x JOIN rare u ON x.gram = u.gram
+       |           JOIN g y ON y.gram = x.gram AND x.doc_id < y.doc_id),
+       |v AS (SELECT c.doc_a, c.doc_b,
+       |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       |        greatest(a.len, b.len) AS ml
+       |      FROM cand c JOIN d a ON c.doc_a = a.doc_id
+       |        JOIN d b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, lev,
+       |  1.0 - lev / CAST(ml AS DOUBLE) AS edit_sim
+       |FROM v WHERE 1.0 - lev / CAST(ml AS DOUBLE) >= 0.55
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Substring-level exact dedup
+    * ([[graft.operators.Dedup.exciseRepeatedSpans]]; Lee et al. ACL'22
+    * ExactSubstr): every 8-token span occurring more than once in the
+    * corpus is excised from every document carrying it; kept tokens
+    * reassemble in order. The oracle replays the occurrence counts (raw
+    * grams vs the engine's xxhash64 keys), the covered-position union,
+    * the gaps-and-islands span count, and the byte-exact cleaned text. */
+  private def t49(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exciseRepeatedSpans(Corpus.documents(spark, dir), spanTokens = 8)
+
+  private val t49Sql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS sp FROM documents
+       |           WHERE len($toksSql) > 0),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+       |        array_to_string(sp[i + 1 : i + 8], ' ') AS gram
+       |      FROM d, LATERAL (SELECT unnest(range(0, len(sp) - 8 + 1)) AS i) r
+       |      WHERE len(sp) >= 8),
+       |occ AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+       |ds AS (SELECT g.doc_id, g.start FROM g JOIN occ ON g.gram = occ.gram),
+       |cov AS (SELECT DISTINCT doc_id, start + CAST(k AS BIGINT) AS pos
+       |        FROM ds, LATERAL (SELECT unnest(range(0, 8)) AS k) kk),
+       |isl AS (SELECT doc_id, CAST(sum(st) AS BIGINT) AS n_spans_removed FROM (
+       |          SELECT doc_id, CASE WHEN lag(pos) OVER w IS NULL
+       |              OR pos > lag(pos) OVER w + 1 THEN 1 ELSE 0 END AS st
+       |          FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       |        GROUP BY doc_id),
+       |dsn AS (SELECT doc_id, count(*) AS n_dup_starts FROM ds GROUP BY doc_id),
+       |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, sp[i + 1] AS tok
+       |         FROM d, LATERAL (SELECT unnest(range(0, len(sp))) AS i) r),
+       |st AS (SELECT t.doc_id, count(*) AS n_tokens,
+       |         CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_removed_tokens,
+       |         COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+       |           ' ' ORDER BY t.pos), '') AS clean_text
+       |       FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |       GROUP BY t.doc_id)
+       |SELECT st.doc_id, st.n_tokens,
+       |  COALESCE(dsn.n_dup_starts, 0) AS n_dup_starts,
+       |  COALESCE(isl.n_spans_removed, 0) AS n_spans_removed,
+       |  st.n_removed_tokens, st.clean_text
+       |FROM st LEFT JOIN dsn ON st.doc_id = dsn.doc_id
+       |  LEFT JOIN isl ON st.doc_id = isl.doc_id
+       |ORDER BY st.doc_id""".stripMargin
+
   /** Corpus datasheet: the per-language rollup a training-data pipeline
     * publishes with a dataset release — doc/token volumes, mean quality
     * (decimal-detour mean of the bit-identical per-row score), and exact
@@ -1806,5 +1885,7 @@ object Text {
     QuerySpec("t44_perplexity_buckets", t44, Some(t44Sql)),
     QuerySpec("t45_classifier_pareto", t45, Some(t45Sql)),
     QuerySpec("t46_hybrid_rrf", t46, Some(t46Sql)),
-    QuerySpec("t47_unimax_sampling", t47, Some(t47Sql)))
+    QuerySpec("t47_unimax_sampling", t47, Some(t47Sql)),
+    QuerySpec("t48_dedup_editdist", t48, Some(t48Sql)),
+    QuerySpec("t49_substring_excision", t49, Some(t49Sql)))
 }

@@ -333,4 +333,71 @@ class DedupSpec extends SparkTestBase {
     val again = Dedup.winnowFingerprints(docs.repartition(5), "text", "doc_id").collect()
     assert(Dedup.winnowFingerprints(docs, "text", "doc_id").collect().toSeq === again.toSeq)
   }
+
+  test("editDistanceNearDups: exact lev on a planted edit; unrelated docs never pair") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val edocs = Seq(
+      (1L, a),
+      (2L, a),                                // exact dup: lev 0, sim 1
+      (3L, a.replace("delta", "dxxta")),      // 2 substituted chars: lev 2
+      (4L, "totally unrelated words that have nothing in common with it all"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.editDistanceNearDups(edocs, gramSize = 4, maxDf = 8, minSim = 0.8)
+      .select("doc_a", "doc_b", "lev", "edit_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    val byPair = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byPair((1L, 2L)) === ((0L, 1.0)), "exact pair at distance 0")
+    assert(byPair((1L, 3L))._1 === 2L, "one 2-char substitution is lev 2")
+    assert(byPair((2L, 3L))._1 === 2L)
+    assert(byPair((1L, 3L))._2 === 1.0 - 2.0 / a.length)
+    assert(!rows.exists(r => r._1 == 4L || r._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("editDistanceNearDups: maxDf bounds blocking fanout (the documented recall trade)") {
+    val t = "one two three four five six seven eight nine ten"
+    val many = (1L to 10L).map(i => (i, t)).toDF("doc_id", "text")
+    // every gram's df is 10 > maxDf=8: blocked, no candidates at all
+    assert(Dedup.editDistanceNearDups(many, gramSize = 4, maxDf = 8).count() === 0L)
+    // raising maxDf to the corpus size restores every pair
+    assert(Dedup.editDistanceNearDups(many, gramSize = 4, maxDf = 10).count() === 45L)
+  }
+
+  test("exciseRepeatedSpans: cross-doc span excised from both; islands merge overlaps") {
+    // a 10-token shared run = three duplicated 8-gram starts merging into ONE island
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val e = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(e, spanTokens = 8)
+      .select("doc_id", "n_tokens", "n_dup_starts", "n_spans_removed",
+        "n_removed_tokens", "clean_text")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 14L, 3L, 1L, 10L, "a1 a2 a3 a4")))
+    assert(out(2L) === ((2L, 14L, 3L, 1L, 10L, "b1 b2 b3 b4")))
+    assert(out(3L) === ((3L, 9L, 0L, 0L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")))
+  }
+
+  test("exciseRepeatedSpans: within-doc repeats duplicate too; short docs pass through") {
+    val span = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val e = Seq(
+      (1L, s"$span x1 x2 x3 x4 x5 x6 x7 x8 $span"),  // same 8-gram twice in one doc
+      (2L, "tiny doc under eight tokens"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(e, spanTokens = 8)
+      .select("doc_id", "n_spans_removed", "n_removed_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 16L, "x1 x2 x3 x4 x5 x6 x7 x8")),
+      "both within-doc occurrences excised as two islands")
+    assert(out(2L) === ((2L, 0L, 0L, "tiny doc under eight tokens")),
+      "docs shorter than the span emit zero removals and original text")
+    // full excision: two identical 8-token docs lose everything, empty text kept
+    val full = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val fo = Dedup.exciseRepeatedSpans(full, spanTokens = 8)
+      .select("doc_id", "n_removed_tokens", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(fo(1L) === ((1L, 8L, "")) && fo(2L) === ((2L, 8L, "")))
+  }
 }
