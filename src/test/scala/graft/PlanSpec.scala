@@ -269,4 +269,26 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_min"),
       s"subspace argmin encoding must be a two-phase aggregate:\n$plan")
   }
+
+  test("t48 edit-distance dedup: blocking joins on 8-byte gram hashes, never n² or raw text") {
+    val plan = planOf("t48_dedup_editdist")
+    assert(plan.contains("xxhash64"),
+      s"grams must reduce to 8-byte hashes before any shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join on the gram hash:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"gram document frequency needs map-side combine:\n$plan")
+  }
+
+  test("t49 span excision: occurrence counts key on gram hashes; islands window is per-doc") {
+    val plan = planOf("t49_substring_excision")
+    assert(plan.contains("xxhash64"),
+      s"gram occurrence counting must key on the 8-byte hash:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nothing in the excision path may go n²:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"occurrence counting needs map-side combine:\n$plan")
+    assert(plan.contains("Window") && plan.contains("hashpartitioning(doc_id"),
+      s"the islands window must partition per document, never one global task:\n$plan")
+  }
 }
