@@ -434,6 +434,92 @@ case class BpeMergeStep(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** Viterbi segmentation of one word under a fixed unigram piece table
+  * (the decode step of the SentencePiece unigram model — Kudo, ACL 2018):
+  * dp[i] = max over j of dp[j] + logp(word[j..i)), candidate window
+  * bounded by the longest piece, ties broken toward the SMALLEST j
+  * (longest final piece) by strict-greater replacement over ascending j.
+  * A single character absent from the table scores [[UnigramEncode.UnkLogp]]
+  * (coverage fallback); longer unknown substrings are non-candidates.
+  * One expression call per word — the whole lattice runs inside the
+  * generated loop, no per-position lambda dispatch (the [[BpeApply]]
+  * precedent). Scores are IEEE doubles summed in canonical DP order, so
+  * a SQL replay of the same recurrence reproduces every comparison
+  * bit-for-bit. Positions are UTF-16 chars (= code points = bytes on
+  * ASCII corpora; a non-ASCII deployment normalizes first, the t48
+  * caveat). */
+case class UnigramEncode(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression {
+  require(pieces.nonEmpty, "piece table must be non-empty")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unigram_encode"
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, l) => m.put(p, java.lang.Double.valueOf(l)) }
+    m
+  }
+  @transient private lazy val maxLen = pieces.iterator.map(_._1.length).max
+
+  def segment(w: UTF8String): ArrayData = {
+    val s = w.toString
+    val n = s.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+    val dp = new Array[Double](n + 1)
+    val bp = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Double.NegativeInfinity
+      var bj = -1
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val p = table.get(s.substring(j, i))
+        val sc =
+          if (p != null) dp(j) + p.doubleValue
+          else if (i - j == 1) dp(j) + UnigramEncode.UnkLogp
+          else Double.NegativeInfinity
+        if (sc > best) { best = sc; bj = j }
+        j += 1
+      }
+      dp(i) = best
+      bp(i) = bj
+      i += 1
+    }
+    // backtrack: count pieces, then fill left-to-right
+    var k = 0
+    var pos = n
+    while (pos > 0) { pos = bp(pos); k += 1 }
+    val out = new Array[AnyRef](k)
+    pos = n
+    while (pos > 0) {
+      val j = bp(pos)
+      k -= 1
+      out(k) = UTF8String.fromString(s.substring(j, pos))
+      pos = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramEnc", this, classOf[UnigramEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segment($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+    copy(child = newChild)
+}
+
+object UnigramEncode {
+  /** Log-probability charged per unknown single character. A plain
+    * constant (not -∞) so coverage holes degrade gracefully; mirrored
+    * verbatim in the SQL oracle's COALESCE. */
+  val UnkLogp: Double = -100.0
+}
+
 /** Registers the custom expressions in a session's function registry so
   * they are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftExpressions {
@@ -456,6 +542,26 @@ object GraftExpressions {
       val i = line.indexOf('\t')
       require(i > 0 && i < line.length - 1, s"bad merge spec line: '$line'")
       (line.substring(0, i), line.substring(i + 1))
+    }
+
+  /** Wire encoding of a unigram piece table for the
+    * `graft_unigram_encode` SQL surface: TAB between piece and log-prob,
+    * NEWLINE between entries. The log-prob round-trips exactly through
+    * `Double.toString`/`parseDouble` (shortest-decimal is bijective), so
+    * the expression scores with the identical bits the caller computed. */
+  def encodePieces(pieces: Seq[(String, Double)]): String = {
+    pieces.foreach { case (p, _) =>
+      require(p.nonEmpty && !p.exists(c => c == '\t' || c == '\n'),
+        s"piece must be non-empty and tab/newline-free: '$p'")
+    }
+    pieces.map { case (p, l) => s"$p\t${java.lang.Double.toString(l)}" }.mkString("\n")
+  }
+
+  def decodePieces(spec: String): Seq[(String, Double)] =
+    spec.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0 && i < line.length - 1, s"bad piece spec line: '$line'")
+      (line.substring(0, i), java.lang.Double.parseDouble(line.substring(i + 1)))
     }
 
   private def intArg(e: Expression, name: String): Int = e.eval() match {
@@ -490,5 +596,7 @@ object GraftExpressions {
       BpeApply(exprs(0), decodeMerges(strArg(exprs(1), "merges"))))
     ensure("graft_bpe_step")(exprs =>
       BpeMergeStep(exprs(0), strArg(exprs(1), "left"), strArg(exprs(2), "right")))
+    ensure("graft_unigram_encode")(exprs =>
+      UnigramEncode(exprs(0), decodePieces(strArg(exprs(1), "pieces"))))
   }
 }

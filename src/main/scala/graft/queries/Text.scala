@@ -1056,6 +1056,86 @@ object Text {
        |  LEFT JOIN isl ON st.doc_id = isl.doc_id
        |ORDER BY st.doc_id""".stripMargin
 
+  /** Unigram-LM tokenizer learning
+    * ([[graft.operators.Unigram.learn]]; Kudo ACL'18, the SentencePiece
+    * unigram model): seed vocabulary from weighted substring counts,
+    * then Viterbi-EM rounds — re-segment the distinct-word table under
+    * the current pieces, recount, reselect. Rows-only (inherently
+    * iterative, the t30 class); UnigramSpec asserts piece-for-piece
+    * equality with a single-node reference of the algorithm. */
+  private def t50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Unigram.learn(Corpus.documents(spark, dir),
+      vocabSize = 40, maxPieceLen = 3, rounds = 3)
+      .zipWithIndex
+      .map { case (p, i) => (i + 1L, p.piece, p.cnt, p.logp) }
+      .toDF("rank", "piece", "cnt", "logp")
+      .orderBy(col("rank"))
+  }
+
+  /** Viterbi unigram encode under a deterministically selected piece
+    * table ([[graft.operators.Unigram.selectPieces]] +
+    * [[graft.operators.Unigram.encodeWords]]): the decode half of the
+    * unigram tokenizer, oracle-gated end-to-end — DuckDB replays the
+    * substring counts, the top-40+singles selection, every `ln(cnt/
+    * total)`, the full Viterbi lattice (a recursive CTE carrying the dp
+    * and backpointer arrays, candidate folds replaying the smallest-j
+    * tie-break), and the backtracked segmentation of every distinct
+    * word. The analogue of t33 for the second tokenizer family: learning
+    * is rows-only, deterministic decode is hash-gated. */
+  private def t51(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    graft.operators.Unigram.encodeWords(docs,
+      graft.operators.Unigram.selectPieces(docs, vocabSize = 40, maxPieceLen = 3))
+  }
+
+  private val t51Sql =
+    s"""WITH RECURSIVE
+       |w AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM (
+       |        SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+       |sub AS (SELECT substr(w.word, CAST(p AS INT), CAST(l AS INT)) AS piece,
+       |          CAST(sum(w.wfreq) AS BIGINT) AS cnt
+       |        FROM w,
+       |          LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS p) pp,
+       |          LATERAL (SELECT unnest(range(1, least(3, length(w.word) - p + 1) + 1)) AS l) ll
+       |        GROUP BY piece),
+       |sel AS (SELECT piece, cnt FROM (
+       |          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM sub)
+       |        WHERE rk <= 40 OR length(piece) = 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM sel),
+       |lp AS (SELECT piece, ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) AS lp
+       |       FROM sel, tot),
+       |cand0 AS (SELECT w.word, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       |            substr(w.word, CAST(j + 1 AS INT), CAST(i - j AS INT)) AS piece
+       |          FROM w,
+       |            LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS i) ii,
+       |            LATERAL (SELECT unnest(range(greatest(0, i - 3), i)) AS j) jj),
+       |cand1 AS (SELECT c.word, c.i, c.j,
+       |            COALESCE(lp.lp, CASE WHEN c.i - c.j = 1 THEN -100.0 END) AS clp
+       |          FROM cand0 c LEFT JOIN lp ON lp.piece = c.piece),
+       |cand AS (SELECT word, i, list(struct_pack(j := j, lp := clp) ORDER BY j) AS jl
+       |         FROM cand1 WHERE clp IS NOT NULL GROUP BY word, i),
+       |vit AS (
+       |  SELECT word, 0 AS i, [CAST(0.0 AS DOUBLE)] AS dp, [CAST(-1 AS INT)] AS bp FROM w
+       |  UNION ALL
+       |  SELECT v.word, v.i + 1, v.dp || [b.best.s], v.bp || [b.best.j]
+       |  FROM vit v JOIN cand c ON c.word = v.word AND c.i = v.i + 1,
+       |    LATERAL (SELECT list_reduce(
+       |        list_transform(c.jl, x -> struct_pack(s := v.dp[x.j + 1] + x.lp, j := x.j)),
+       |        (a, x) -> CASE WHEN x.s > a.s THEN x ELSE a END) AS best) b),
+       |fin AS (SELECT word, bp FROM vit WHERE i = length(word)),
+       |bt AS (
+       |  SELECT word, CAST(length(word) AS INT) AS pos, CAST([] AS VARCHAR[]) AS pieces, bp FROM fin
+       |  UNION ALL
+       |  SELECT word, bp[pos + 1],
+       |    list_prepend(substr(word, CAST(bp[pos + 1] + 1 AS INT), CAST(pos - bp[pos + 1] AS INT)), pieces), bp
+       |  FROM bt WHERE pos > 0),
+       |done AS (SELECT word, pieces FROM bt WHERE pos = 0)
+       |SELECT w.word, w.wfreq, CAST(len(d.pieces) AS BIGINT) AS n_pieces,
+       |  array_to_string(d.pieces, '|') AS encoded
+       |FROM w JOIN done d ON w.word = d.word
+       |ORDER BY w.word""".stripMargin
+
   /** Corpus datasheet: the per-language rollup a training-data pipeline
     * publishes with a dataset release — doc/token volumes, mean quality
     * (decimal-detour mean of the bit-identical per-row score), and exact
@@ -1887,5 +1967,7 @@ object Text {
     QuerySpec("t46_hybrid_rrf", t46, Some(t46Sql)),
     QuerySpec("t47_unimax_sampling", t47, Some(t47Sql)),
     QuerySpec("t48_dedup_editdist", t48, Some(t48Sql)),
-    QuerySpec("t49_substring_excision", t49, Some(t49Sql)))
+    QuerySpec("t49_substring_excision", t49, Some(t49Sql)),
+    QuerySpec("t50_unigram_learn", t50, None),
+    QuerySpec("t51_unigram_encode", t51, Some(t51Sql)))
 }

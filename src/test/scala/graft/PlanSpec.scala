@@ -280,6 +280,20 @@ class PlanSpec extends SparkTestBase {
       s"gram document frequency needs map-side combine:\n$plan")
   }
 
+  test("t51 unigram encode: whole lattice in one codegen'd expression; word agg map-side") {
+    val spec = graft.queries.Registry.specs.find(_.name == "t51_unigram_encode").get
+    val qe = spec.run(spark, sf0001).queryExecution
+    // the expression lives in the aggregate's result projection, which the
+    // physical summary elides — assert it on the optimized logical plan
+    assert(qe.optimizedPlan.toString.contains("graft_unigram_encode"),
+      s"Viterbi must run through the codegen'd expression, not HOF folds:\n${qe.optimizedPlan}")
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"word-frequency aggregation needs map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"nothing in the encode path may go n²:\n$plan")
+  }
+
   test("t49 span excision: occurrence counts key on gram hashes; islands window is per-doc") {
     val plan = planOf("t49_substring_excision")
     assert(plan.contains("xxhash64"),
