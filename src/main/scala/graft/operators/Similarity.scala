@@ -352,6 +352,66 @@ object Similarity {
       .drop("_v")
   }
 
+  /** Number of sign bits in a binary vector code. 63, not 64: the code
+    * is assembled with non-negative contributions only, so XOR/popcount
+    * pipelines stay expressible in portable signed-64 SQL — the
+    * [[Dedup.SimhashBits]] packing discipline. Dimension 64 participates
+    * in the exact rerank, just not in the Hamming prefilter. */
+  val BinaryBits = 63
+
+  /** Binary (1-bit-per-dimension) sign quantization with Hamming
+    * pre-ranking and exact rerank — the extreme end of the quantization
+    * ladder (SQ8 4× → PQ 32× → sign bits 32× at dim 64 with a
+    * popcount-only distance): each vector collapses to one 64-bit code
+    * (bit d = dimension d positive — meaningful because embeddings are
+    * zero-centered; the sign-random-projection view of Charikar'02 with
+    * the identity basis), queries rank the ENTIRE corpus by
+    * `popcount(xor)` over codes alone, and only the `rerank` best
+    * candidates per query are joined back to float vectors for the exact
+    * cosine top-k.
+    *
+    * Scale shape: the scan pass moves (vec_id, code) — 8 bytes of
+    * payload per vector against 256 for the floats — with the query
+    * codes broadcast; both rank stages run through the bounded k-heap
+    * aggregate (k-element buffers cross the shuffle, no per-query
+    * window sort); the float vectors are touched only for
+    * `rerank × nQueries` rows. Everything is deterministic (Hamming
+    * ties break on vec_id), so unlike the KMeans-fitted IVF tier the
+    * whole pipeline — codes, every Hamming distance, the candidate
+    * cut, and the reranked cosine — is oracle-replayable.
+    *
+    * Output: (query_id, rank, neighbor_id, cos_sim), rank 1..k. */
+  def binaryTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      rerank: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerank >= k, s"rerank pool ($rerank) must cover k ($k)")
+    GraftExpressions.register(spark)
+    val n = normed(emb)
+    val code = (0 until BinaryBits)
+      .map(d => when(element_at(col("v"), d + 1) > 0d, lit(1L << d)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val codes = n.select(col("vec_id"), code.as("code"))
+    val qcodes = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val cand = codes.crossJoin(broadcast(qcodes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).as("hamming"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(neighbor_id, CAST(-hamming AS DOUBLE), $rerank)").as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("nb"))
+      .select(col("query_id"), col("nb.neighbor_id").as("neighbor_id"))
+    val x = n.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      col("nrm").as("nn"))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    topKRank(
+      cand.join(x, "neighbor_id").join(broadcast(q), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (expr("graft_dot(nv, qv)") / (col("nn") * col("qn"))).as("cos_sim")),
+      k)
+  }
+
   /** Subvector `s` (0-based) of a `subDim`-striped vector column. */
   private def subVecAt(vec: Column, s: Int, subDim: Int): Column =
     slice(vec, lit(s * subDim + 1), lit(subDim))

@@ -492,6 +492,43 @@ object Vectors {
       .localCheckpoint()
   }
 
+  /** Binary sign-quantized top-k ([[graft.operators.Similarity.binaryTopK]];
+    * sign-random-projection codes, Charikar STOC'02): one 64-bit code per
+    * vector (63 sign bits, the SimHash packing discipline), whole-corpus
+    * Hamming ranking over codes alone, exact cosine rerank of the top-32
+    * pool per query. Fully deterministic, so unlike the KMeans-fitted IVF
+    * tier every stage is oracle-gated: DuckDB replays the codes, every
+    * popcount distance, the candidate cut (ties on vec_id), and the
+    * reranked cosine ordering. */
+  private def v12(spark: SparkSession, dir: String): DataFrame =
+    Similarity.binaryTopK(spark, Corpus.embeddings(spark, dir),
+      nQueries = 8, k = 10, rerank = 32)
+
+  private val v12Sql =
+    s"""WITH $normedCte,
+       |c AS (SELECT vec_id, CAST(list_sum(list_transform(range(0, 63), d ->
+       |        CASE WHEN v[d + 1] > 0 THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END))
+       |        AS BIGINT) AS code
+       |      FROM n),
+       |qc AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < 8),
+       |h AS (SELECT qc.query_id, c.vec_id AS neighbor_id,
+       |        bit_count(xor(c.code, qc.qcode)) AS hamming
+       |      FROM c, qc WHERE c.vec_id <> qc.query_id),
+       |cd AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY hamming, neighbor_id) AS rk FROM h)
+       |       WHERE rk <= 32),
+       |s AS (SELECT cd.query_id, cd.neighbor_id,
+       |        $dotSql / (a.nrm * q.qnrm) AS cos_sim
+       |      FROM cd JOIN n a ON cd.neighbor_id = a.vec_id
+       |        JOIN (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+       |              WHERE vec_id < 8) q ON cd.query_id = q.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -504,6 +541,7 @@ object Vectors {
     QuerySpec("v09_pq_topk", v09, Some(v09Sql)),
     QuerySpec("v10_ivfpq_topk", v10, Some(v10Sql)),
     QuerySpec("v11_pq_index", v11, Some(v09Sql)),
+    QuerySpec("v12_binary_topk", v12, Some(v12Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -294,6 +294,16 @@ class PlanSpec extends SparkTestBase {
       s"nothing in the encode path may go n²:\n$plan")
   }
 
+  test("v12 binary top-k: query codes broadcast; both rank stages are bounded k-heaps") {
+    val plan = planOf("v12_binary_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the Hamming pass must stream codes against broadcast query codes:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"a shuffled cartesian in the code scan kills the plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"ranking must run through the bounded k-heap aggregate, not a window sort:\n$plan")
+  }
+
   test("t49 span excision: occurrence counts key on gram hashes; islands window is per-doc") {
     val plan = planOf("t49_substring_excision")
     assert(plan.contains("xxhash64"),

@@ -446,4 +446,44 @@ class SimilaritySpec extends SparkTestBase {
         dim = 4, nSub = 3, codebookK = 2)
     }
   }
+
+  test("binaryTopK with a full rerank pool equals exact cosineTopK") {
+    val emb = Corpus.embeddings(spark, sf0001).limit(120)
+    val exact = Similarity.cosineTopK(spark, emb, nQueries = 4, k = 5).collect().toSeq
+    val full = Similarity.binaryTopK(spark, emb, nQueries = 4, k = 5, rerank = 119)
+      .collect().toSeq
+    assert(full === exact,
+      "a rerank pool covering the whole corpus must reproduce brute force exactly")
+  }
+
+  test("binaryTopK: Hamming prefilter keeps high recall at a 32-candidate pool") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val exact = Similarity.cosineTopK(spark, emb, nQueries = 8, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.binaryTopK(spark, emb, nQueries = 8, k = 10, rerank = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"sign-bit Hamming should preserve most exact neighbors in the pool (got $recall)")
+    // and the result is deterministic under partitioning
+    val again = Similarity.binaryTopK(spark, emb.repartition(7), nQueries = 8,
+      k = 10, rerank = 32).collect().toSeq
+    assert(again === Similarity.binaryTopK(spark, emb, nQueries = 8, k = 10,
+      rerank = 32).collect().toSeq)
+  }
+
+  test("binaryTopK codes: aligned vectors collide, a sign-flipped vector is popcount-far") {
+    // dims 1..63 drive the code; identical signs => identical codes => the
+    // aligned pair must lead each other's ranking after rerank
+    val base = Array.tabulate(64)(i => if (i % 3 == 0) 0.5f else -0.25f)
+    val flipped = base.map(x => -x)
+    val vecs = Seq(
+      (0L, base, 0), (1L, base.map(x => x * 2f), 0), (2L, flipped, 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.binaryTopK(spark, vecs, nQueries = 1, k = 2, rerank = 2)
+      .select("rank", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(top(0)._2 === 1L && math.abs(top(0)._3 - 1.0) < 1e-12,
+      "the scaled copy (identical code, cosine 1) must rank first")
+    assert(top(1)._2 === 2L && math.abs(top(1)._3 + 1.0) < 1e-12)
+  }
 }
