@@ -598,5 +598,7 @@ object GraftExpressions {
       BpeMergeStep(exprs(0), strArg(exprs(1), "left"), strArg(exprs(2), "right")))
     ensure("graft_unigram_encode")(exprs =>
       UnigramEncode(exprs(0), decodePieces(strArg(exprs(1), "pieces"))))
+    ensure("graft_mg_sketch")(exprs =>
+      MGSketch(exprs(0), intArg(exprs(1), "k")))
   }
 }

@@ -412,6 +412,59 @@ object Similarity {
       k)
   }
 
+  /** K-center greedy coreset selection (the 2-approximation of Gonzalez
+    * 1985, applied to training-data diversity sampling as in Sener &
+    * Savarese, "Active Learning for CNNs: A Core-Set Approach",
+    * ICLR 2018): pick the vector farthest (squared L2) from everything
+    * chosen so far, `k` times — the classic diversity carve-out that
+    * covers the embedding space instead of sampling its density.
+    *
+    * The greedy chain is inherently sequential (pick r depends on all
+    * r−1 predecessors), so the correct distributed formulation is k
+    * rounds of: one scan updating each vector's running min-distance
+    * against the single new broadcast center, then a 1-row
+    * `TakeOrdered` argmax collect (ties on vec_id) — the [[graft.operators.Bpe]]
+    * per-merge-argmax class, k tiny driver round-trips and NO shuffle
+    * anywhere. State is (vec_id, v, running min), localCheckpoint'd per
+    * round to cut lineage. The first pick is the smallest remixed
+    * fingerprint (the v08 centroid-pick rule); everything downstream —
+    * every running-min fold, every argmax tie-break — is deterministic,
+    * so the whole chain is oracle-replayable (a recursive CTE carrying
+    * the chosen centers).
+    *
+    * Output: (round, vec_id, picked_dist) — picked_dist is the squared
+    * L2 from the pick to its nearest predecessor (0.0 for the seed),
+    * the nonincreasing covering-radius trace. */
+  def kCenterGreedy(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    GraftExpressions.register(spark)
+    require(k > 0, s"k must be positive, got $k")
+    import spark.implicits._
+    val n = normed(emb).select(col("vec_id"), col("v"))
+    val first = n
+      .withColumn("fp", Sampling.portableUniformFingerprint(col("vec_id").cast("string")))
+      .orderBy(col("fp"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    var picks = Vector((1L, first.getLong(0), 0.0))
+    def distTo(center: Seq[Double]): Column =
+      fullL2(col("v"), typedLit(center))
+    var state = n
+      .withColumn("mind", distTo(first.getSeq[Double](1)))
+      .localCheckpoint()
+    var r = 2
+    while (r <= k) {
+      val best = state
+        .filter(!col("vec_id").isInCollection(picks.map(_._2)))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("mind")).head()
+      picks = picks :+ ((r.toLong, best.getLong(0), best.getDouble(2)))
+      state = state
+        .withColumn("mind", least(col("mind"), distTo(best.getSeq[Double](1))))
+        .localCheckpoint()
+      r += 1
+    }
+    picks.toDF("round", "vec_id", "picked_dist").orderBy(col("round"))
+  }
+
   /** Subvector `s` (0-based) of a `subDim`-striped vector column. */
   private def subVecAt(vec: Column, s: Int, subDim: Int): Column =
     slice(vec, lit(s * subDim + 1), lit(subDim))

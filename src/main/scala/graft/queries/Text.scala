@@ -1136,6 +1136,26 @@ object Text {
        |FROM w JOIN done d ON w.word = d.word
        |ORDER BY w.word""".stripMargin
 
+  /** Exact heavy hitters via a Misra-Gries candidate sketch
+    * ([[graft.operators.Frequency.heavyHitters]]; Agarwal et al. PODS'12
+    * mergeable summaries): tokens above share 1/31 (k=30 — fewer
+    * counters than the 31-word vocabulary, so the summary genuinely
+    * overflows and reduces; non-empty at sf0.01 AND sf0.1). The sketch proposes ≤ k candidates under a
+    * containment guarantee; an exact pass verifies with the integer rule
+    * `freq·(k+1) > n` — so the gated output equals the plain GROUP BY
+    * answer the oracle replays, while the engine never materializes the
+    * full frequency table. */
+  private def t52(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Frequency.heavyHitters(Corpus.documents(spark, dir), k = 30)
+
+  private val t52Sql =
+    s"""WITH w AS (SELECT unnest($toksSql) AS token FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY token)
+       |SELECT token, freq, CAST(freq AS DOUBLE) / CAST(n.n AS DOUBLE) AS share
+       |FROM c, n WHERE freq * 31 > n.n
+       |ORDER BY freq DESC, token""".stripMargin
+
   /** Corpus datasheet: the per-language rollup a training-data pipeline
     * publishes with a dataset release — doc/token volumes, mean quality
     * (decimal-detour mean of the bit-identical per-row score), and exact
@@ -1969,5 +1989,6 @@ object Text {
     QuerySpec("t48_dedup_editdist", t48, Some(t48Sql)),
     QuerySpec("t49_substring_excision", t49, Some(t49Sql)),
     QuerySpec("t50_unigram_learn", t50, None),
-    QuerySpec("t51_unigram_encode", t51, Some(t51Sql)))
+    QuerySpec("t51_unigram_encode", t51, Some(t51Sql)),
+    QuerySpec("t52_heavy_hitters", t52, Some(t52Sql)))
 }

@@ -529,6 +529,41 @@ object Vectors {
        |FROM r WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** K-center greedy coreset ([[graft.operators.Similarity.kCenterGreedy]];
+    * Gonzalez'85 / Sener & Savarese ICLR'18): 8 diversity picks, each the
+    * vector farthest (squared L2) from all previous picks, seeded at the
+    * smallest remixed fingerprint. The oracle replays the whole greedy
+    * chain — a recursive CTE carrying the chosen centers, re-deriving
+    * every running-min fold and every farthest-point argmax with its
+    * vec_id tie-break — so the k sequential scan+argmax rounds are
+    * hash-gated end to end, covering-radius trace included. */
+  private def v13(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterGreedy(spark, Corpus.embeddings(spark, dir), k = 8)
+
+  private val v13Sql = {
+    val fp = Text.mixSql("CAST(vec_id AS VARCHAR)")
+    s"""WITH RECURSIVE
+       |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |sel AS (
+       |  (SELECT 1 AS round, vec_id, CAST(0.0 AS DOUBLE) AS picked_dist,
+       |     [vec_id] AS ids, [v] AS centers
+       |   FROM n ORDER BY $fp, vec_id LIMIT 1)
+       |  UNION ALL
+       |  (SELECT s.round + 1, c.vec_id, c.d, s.ids || [c.vec_id], s.centers || [c.v]
+       |   FROM sel s, LATERAL (
+       |     SELECT n.vec_id, n.v,
+       |       list_reduce(list_transform(s.centers, ct ->
+       |         list_sum(list_transform(list_zip(n.v, ct),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2])))),
+       |         (a, b) -> least(a, b)) AS d
+       |     FROM n WHERE NOT list_contains(s.ids, n.vec_id)
+       |     ORDER BY d DESC, n.vec_id LIMIT 1) c
+       |   WHERE s.round < 8))
+       |SELECT CAST(round AS BIGINT) AS round, vec_id, picked_dist
+       |FROM sel ORDER BY round""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -542,6 +577,7 @@ object Vectors {
     QuerySpec("v10_ivfpq_topk", v10, Some(v10Sql)),
     QuerySpec("v11_pq_index", v11, Some(v09Sql)),
     QuerySpec("v12_binary_topk", v12, Some(v12Sql)),
+    QuerySpec("v13_kcenter_coreset", v13, Some(v13Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -486,4 +486,28 @@ class SimilaritySpec extends SparkTestBase {
       "the scaled copy (identical code, cosine 1) must rank first")
     assert(top(1)._2 === 2L && math.abs(top(1)._3 + 1.0) < 1e-12)
   }
+
+  test("kCenterGreedy picks the planted far poles before anything near the cluster") {
+    // a tight cluster near the origin plus two distant poles: greedy must
+    // take both poles in rounds 2-3 regardless of which seed it draws
+    val vecs = (
+      (0L until 10L).map(i => (i, Array(0.01f * i, 0.0f, 0.0f, 0.0f), 0)) ++
+      Seq((100L, Array(10.0f, 0.0f, 0.0f, 0.0f), 1),
+          (101L, Array(-10.0f, 10.0f, 0.0f, 0.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val picks = Similarity.kCenterGreedy(spark, vecs, k = 3)
+      .select("round", "vec_id", "picked_dist").as[(Long, Long, Double)].collect()
+    assert(picks.length === 3)
+    assert(picks(0)._3 === 0.0, "seed pick carries distance 0")
+    assert(Set(100L, 101L).subsetOf(picks.map(_._2).toSet),
+      s"both far poles must be among the first three picks: ${picks.toSeq}")
+    // the covering-radius trace never increases after the poles are in
+    val more = Similarity.kCenterGreedy(spark, vecs, k = 6)
+      .select("picked_dist").as[Double].collect()
+    assert(more.drop(1).sliding(2).forall(w => w(0) >= w(1)),
+      s"min-distance trace must be nonincreasing: ${more.toSeq}")
+    // deterministic under partitioning
+    val again = Similarity.kCenterGreedy(spark, vecs.repartition(5), k = 6).collect().toSeq
+    assert(again === Similarity.kCenterGreedy(spark, vecs, k = 6).collect().toSeq)
+  }
 }
