@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -50,5 +50,136 @@ object Retrieval {
         sum(col("_c").cast(DecimalType(30, 6))).cast("double").as("rrf"))
       .orderBy(desc("rrf"), col(idCol))
       .limit(topK)
+  }
+
+  /** One term's BM25 contribution (Robertson idf·w) — the ONE definition
+    * of the scoring formula, shared by the in-memory scorer (the t31
+    * query) and the persisted-index probe, so the two can never drift.
+    * All operands are exact integers widened at fixed points, so the
+    * double result is bit-identical wherever the same (tf, df, dl,
+    * n_docs, total_dl) meet it. */
+  def bm25Contribution(tf: Column, df: Column, dl: Column,
+      nDocs: Column, totalDl: Column, k1: Double, b: Double): Column = {
+    val avgdl = totalDl.cast("double") / nDocs
+    val idf = log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    val w = tf * lit(k1 + 1) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+    idf * w
+  }
+
+  /** Persisted BM25 inverted index — the serving lifecycle of lexical
+    * retrieval (the t31 scorer's analogue of the PQ/IVF index pair):
+    * tokenize and count ONCE at build, probe per query against the
+    * posting lists alone.
+    *
+    * Layout under `dir`:
+    *  - `postings/` — (doc_id, term, tf), partitioned by
+    *    `bucket = xxhash64(term) mod nBuckets`, so a probe's partition
+    *    filter prunes every bucket its query terms don't hash to (the
+    *    inverted-index property, expressed as partition pruning);
+    *  - `df/` — (term, df), bucketed identically;
+    *  - `dl/` — (doc_id, dl) document lengths;
+    *  - `params.json` — nBuckets/k1/b plus the exact corpus stats
+    *    (n_docs, total_dl) so probes score without touching `dl`'s
+    *    aggregate again.
+    *
+    * At 100 TB the build is one explode + one (doc_id, term) shuffle;
+    * probes read only the query terms' buckets. */
+  def buildBm25Index(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      dir: String, nBuckets: Int = 32,
+      k1: Double = 1.2, b: Double = 0.75): Unit =
+    graft.util.PhaseTimer.time("index_build") {
+      require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+      import graft.functions.TextFunctions.{tokenCount, tokens}
+      val dl = docs
+        .withColumn("dl", tokenCount(col("text")).cast("long"))
+        .filter(col("dl") > 0)
+        .select(col("doc_id"), col("dl"))
+      dl.write.mode("overwrite").parquet(s"$dir/dl")
+      val postings = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      postings.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/postings")
+      // df derives from the WRITTEN postings (the buildPqIndex
+      // read-back discipline: probes consume exactly what df counted)
+      spark.read.parquet(s"$dir/postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")).head()
+      writeBm25Params(spark, dir, nBuckets, k1, b, stats.getLong(0), stats.getLong(1))
+    }
+
+  /** BM25 top-k for `queryTerms` against the persisted index at `dir` —
+    * bit-identical to the in-memory scorer over the same corpus and
+    * parameters (same [[bm25Contribution]], same exact integers, same
+    * decimal-detour sum; the t53 oracle is t31's VERBATIM). Reads only
+    * the buckets the query terms hash to (partition pruning) plus the
+    * `dl` side table; corpus stats come from `params.json`. */
+  def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    require(k > 0, s"k must be positive, got $k")
+    val p = readBm25Params(spark, dir)
+    import spark.implicits._
+    // bucket values via the engine's own xxhash64 (one tiny local job —
+    // no dependence on hash internals)
+    val buckets = queryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(p.nBuckets)).as("bucket"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(queryTerms: _*))
+    val dfreq = spark.read.parquet(s"$dir/df")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df"))
+    val dl = spark.read.parquet(s"$dir/dl")
+    postings
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib", bm25Contribution(col("tf"), col("df"), col("dl"),
+        lit(p.nDocs), lit(p.totalDl), p.k1, p.b))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("contrib").cast(DecimalType(30, 6))).cast("double").as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(k)
+  }
+
+  private final case class Bm25Params(nBuckets: Int, k1: Double, b: Double,
+      nDocs: Long, totalDl: Long)
+
+  private def writeBm25Params(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nBuckets: Int, k1: Double, b: Double,
+      nDocs: Long, totalDl: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/params.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(
+      (s"""{"n_buckets":$nBuckets,"k1":${java.lang.Double.toString(k1)},""" +
+        s""""b":${java.lang.Double.toString(b)},"n_docs":$nDocs,"total_dl":$totalDl}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Params as the index declares them — probing a dir that is not a
+    * BM25 index fails loudly (the readPqParams discipline). */
+  private def readBm25Params(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Bm25Params = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/params.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"$dir is not a BM25 index (no params.json)")
+    val in = fs.open(path)
+    val txt = try new String(
+      in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    def num(name: String): String =
+      s""""$name"\\s*:\\s*([-0-9.eE]+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"params.json at $dir lacks '$name'")).group(1)
+    Bm25Params(num("n_buckets").toInt, num("k1").toDouble, num("b").toDouble,
+      num("n_docs").toLong, num("total_dl").toLong)
   }
 }

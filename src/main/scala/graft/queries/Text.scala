@@ -1784,13 +1784,12 @@ object Text {
     tf.join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-      .withColumn("w",
-        col("tf") * lit(Bm25K1 + 1) /
-          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-      .withColumn("contrib", col("idf") * col("w"))
+      // ONE scoring-formula definition, shared with the persisted-index
+      // probe (graft.operators.Retrieval.bm25AgainstIndex) — the t46Sql
+      // shared-fragment lesson applied to the Scala side
+      .withColumn("contrib", graft.operators.Retrieval.bm25Contribution(
+        col("tf"), col("df"), col("dl"), col("n_docs"), col("total_dl"),
+        Bm25K1, Bm25B))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), Num.dsum(col("contrib")).as("bm25"))
   }
@@ -1799,6 +1798,26 @@ object Text {
     bm25Scores(spark, dir)
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(20)
+
+  /** Persisted BM25 inverted index probe
+    * ([[graft.operators.Retrieval.buildBm25Index]] /
+    * [[graft.operators.Retrieval.bm25AgainstIndex]]): tokenize and count
+    * once at build — term-bucketed posting lists, document frequencies,
+    * lengths, and the exact corpus stats as index artifacts — then serve
+    * the t31 query from the posting lists alone, reading only the
+    * buckets the query terms hash to (partition pruning, PlanSpec-
+    * pinned). The oracle is t31's VERBATIM: the persisted probe must
+    * reproduce the in-memory ranking bit for bit (the v11 discipline
+    * applied to lexical retrieval). */
+  private def t53(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.util.RotatingTempDir.next("graft_bm25_idx_")
+    graft.operators.Retrieval.buildBm25Index(spark, Corpus.documents(spark, dir),
+      idx, nBuckets = 32, k1 = Bm25K1, b = Bm25B)
+    // materialized (tiny result): stays valid after RotatingTempDir
+    // prunes this invocation's index generation
+    graft.operators.Retrieval.bm25AgainstIndex(spark, idx, Bm25Query, k = 20)
+      .localCheckpoint()
+  }
 
   // Shared BM25 CTE chain (dl/stats/tf/dfreq/sc) — ONE definition used
   // by both the t31 and t46 mirrors, matching the Scala side's shared
@@ -1990,5 +2009,6 @@ object Text {
     QuerySpec("t49_substring_excision", t49, Some(t49Sql)),
     QuerySpec("t50_unigram_learn", t50, None),
     QuerySpec("t51_unigram_encode", t51, Some(t51Sql)),
-    QuerySpec("t52_heavy_hitters", t52, Some(t52Sql)))
+    QuerySpec("t52_heavy_hitters", t52, Some(t52Sql)),
+    QuerySpec("t53_bm25_index", t53, Some(t31Sql)))
 }

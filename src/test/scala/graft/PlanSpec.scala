@@ -304,6 +304,24 @@ class PlanSpec extends SparkTestBase {
       s"ranking must run through the bounded k-heap aggregate, not a window sort:\n$plan")
   }
 
+  test("bm25 index probe: query-term buckets prune partitions; df broadcasts") {
+    // the t53 query checkpoints its (tiny) result, which hides the probe
+    // plan — pin the operator's own plan instead
+    val idx = graft.util.RotatingTempDir.next("graft_bm25_planspec_")
+    graft.operators.Retrieval.buildBm25Index(spark,
+      Corpus.documents(spark, sf0001), idx, nBuckets = 32)
+    val plan = graft.operators.Retrieval
+      .bm25AgainstIndex(spark, idx, Seq("hash", "join", "window"), k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket") ||
+        plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"the probe must read only the query terms' posting buckets:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny df table must broadcast into the postings join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"nothing in the probe may go n²:\n$plan")
+  }
+
   test("t49 span excision: occurrence counts key on gram hashes; islands window is per-doc") {
     val plan = planOf("t49_substring_excision")
     assert(plan.contains("xxhash64"),

@@ -39,4 +39,39 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.rrfFuse(Seq(a), "doc_id", "rank", kRrf = 0)
     }
   }
+
+  test("bm25 index probe reproduces the hand-computed score and survives rebuilds") {
+    val docs = Seq(
+      (1L, "spark shuffle exchange spark"),
+      (2L, "spark broadcast"),
+      (3L, "window function frame"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.buildBm25Index(spark, docs, dir, nBuckets = 4, k1 = 1.2, b = 0.75)
+    val out = Retrieval.bm25AgainstIndex(spark, dir, Seq("spark"), k = 10)
+      .select("doc_id", "n_terms_hit", "bm25").as[(Long, Long, Double)].collect()
+    // hand-computed: n_docs=3, total_dl=9, avgdl=3; df(spark)=2
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def w(tf: Long, dl: Long) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq === Seq(1L, 2L), "ranked by score desc")
+    assert(out.map(_._2).toSeq === Seq(1L, 1L), "one query term hit per doc")
+    assert(math.abs(out(0)._3 - round6(idf * w(2, 4))) < 1e-9)
+    assert(math.abs(out(1)._3 - round6(idf * w(1, 2))) < 1e-9)
+    // rebuild over the same corpus is idempotent
+    Retrieval.buildBm25Index(spark, docs, dir, nBuckets = 4, k1 = 1.2, b = 0.75)
+    val again = Retrieval.bm25AgainstIndex(spark, dir, Seq("spark"), k = 10)
+      .collect().toSeq
+    assert(again === Retrieval.bm25AgainstIndex(spark, dir, Seq("spark"), k = 10)
+      .collect().toSeq)
+    // probing a non-index dir fails loudly; duplicate terms rejected
+    val empty = java.nio.file.Files.createTempDirectory("notidx").toString
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25AgainstIndex(spark, empty, Seq("spark"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25AgainstIndex(spark, dir, Seq("spark", "spark"), k = 1)
+    }
+  }
 }
