@@ -465,6 +465,65 @@ object Similarity {
     picks.toDF("round", "vec_id", "picked_dist").orderBy(col("round"))
   }
 
+  /** Contrastive training-pair mining (the DPR recipe — Karpukhin et
+    * al., "Dense Passage Retrieval", EMNLP 2020): for each query vector,
+    * a `positive` (its exact nearest neighbor), `nHard` hard negatives
+    * (the next-ranked neighbors — "retrieved but wrong", the pairs that
+    * actually teach a bi-encoder), and `nRand` random negatives drawn by
+    * the remixed content fingerprint (deterministic stand-in for
+    * in-batch negatives), excluding the query and everything ranked.
+    *
+    * Shape: the ranking reuses [[cosineTopK]] (one scan, bounded k-heap);
+    * random negatives are chosen on (query_id, vec_id) IDS alone — a
+    * tiny broadcast cross of ids, an anti-join against the ranked set,
+    * and a per-query k-heap on the fingerprint — with vectors joined
+    * back only for the ≤ nRand·nQueries selected rows' cosines. Fully
+    * deterministic, so every role assignment, draw, and cosine is
+    * oracle-replayable.
+    *
+    * Output: (query_id, role, role_rank, vec_id, cos_sim), role ∈
+    * {positive, hard_neg, rand_neg}. */
+  def contrastivePairs(spark: SparkSession, emb: DataFrame, nQueries: Int,
+      nHard: Int, nRand: Int, seed: String): DataFrame = {
+    GraftExpressions.register(spark)
+    require(nHard >= 0 && nRand >= 0 && nHard + nRand > 0,
+      s"need at least one negative, got nHard=$nHard nRand=$nRand")
+    // materialized: feeds both the labeled output and the random-negative
+    // exclusion anti-join, and is tiny ((nHard+1)·nQueries rows)
+    val ranked = cosineTopK(spark, emb, nQueries, k = nHard + 1).localCheckpoint()
+    val labeled = ranked.select(col("query_id"),
+      when(col("rank") === 1, lit("positive")).otherwise(lit("hard_neg")).as("role"),
+      when(col("rank") === 1, lit(1L)).otherwise(col("rank") - 1).as("role_rank"),
+      col("neighbor_id").as("vec_id"), col("cos_sim"))
+    val n = normed(emb)
+    val ids = n.select(col("vec_id"))
+    val qids = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"))
+    val fp = Sampling.portableUniformFingerprint(
+      concat(lit(s"$seed:"), col("query_id").cast("string"), lit(":"),
+        col("vec_id").cast("string")))
+    val randIds = ids.crossJoin(broadcast(qids))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(ranked.select(col("query_id"), col("neighbor_id").as("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      .select(col("query_id"), col("vec_id"), fp.as("fp"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(vec_id, CAST(-fp AS DOUBLE), $nRand)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("i", "nb")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("role_rank"),
+        col("nb.neighbor_id").as("vec_id"))
+    val x = n.select(col("vec_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val rand = randIds
+      .join(x, "vec_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), lit("rand_neg").as("role"), col("role_rank"),
+        col("vec_id"),
+        (expr("graft_dot(nv, qv)") / (col("nn") * col("qn"))).as("cos_sim"))
+    labeled.unionByName(rand)
+      .orderBy(col("query_id"), col("role"), col("role_rank"))
+  }
+
   /** Subvector `s` (0-based) of a `subDim`-striped vector column. */
   private def subVecAt(vec: Column, s: Int, subDim: Int): Column =
     slice(vec, lit(s * subDim + 1), lit(subDim))

@@ -215,6 +215,45 @@ object Domain {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** Streaming trending detection: hourly event-type counts computed on
+    * the STREAM (windowed aggregation, complete mode), then the trending
+    * rule — share strictly above 1/4 within the hour, in exact integer
+    * arithmetic `n·4 > window_total` — applied as a batch post-pass over
+    * the materialized counts (Structured Streaming permits one
+    * aggregation per stream; the per-window total is a second, so it
+    * runs downstream of the sink — the same split a production job
+    * makes). Oracle: the whole computation replayed in batch SQL —
+    * stream ≡ batch as the correctness gate, the p06 discipline. */
+  private def p09(spark: SparkSession, dir: String): DataFrame = {
+    val counts = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    // localCheckpoint: the post-pass self-joins the materialized counts
+    // (per-window totals), and a MemorySink view resolved twice in one
+    // join carries conflicting attribute ids
+    val mat = SilverStream.runToMemory(counts,
+      s"p09_stream_${System.nanoTime()}", "complete").localCheckpoint()
+    val totals = mat.groupBy(col("hour")).agg(sum(col("n")).as("window_total"))
+    mat.join(totals, "hour")
+      .filter(col("n") * 4 > col("window_total"))
+      .withColumn("share", col("n").cast("double") / col("window_total"))
+      .select(col("hour"), col("event_type"), col("n"), col("window_total"),
+        col("share"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  private val p09Sql =
+    s"""WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+       |             CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM events GROUP BY 1, 2),
+       |t AS (SELECT hour, CAST(sum(n) AS BIGINT) AS window_total FROM c GROUP BY hour)
+       |SELECT c.hour, c.event_type, c.n, t.window_total,
+       |  CAST(c.n AS DOUBLE) / CAST(t.window_total AS DOUBLE) AS share
+       |FROM c JOIN t USING (hour)
+       |WHERE c.n * 4 > t.window_total
+       |ORDER BY c.hour, c.event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -223,5 +262,6 @@ object Domain {
     QuerySpec("p05_ml_delivery_model", p05, None),
     QuerySpec("p06_stream_hourly_windows", p06, Some(p06Sql)),
     QuerySpec("p07_pipeline_e2e", p07, None),
-    QuerySpec("p08_stream_static_join", p08, Some(p08Sql)))
+    QuerySpec("p08_stream_static_join", p08, Some(p08Sql)),
+    QuerySpec("p09_stream_trending", p09, Some(p09Sql)))
 }

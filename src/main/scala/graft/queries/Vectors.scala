@@ -564,6 +564,54 @@ object Vectors {
        |FROM sel ORDER BY round""".stripMargin
   }
 
+  /** Contrastive pair mining
+    * ([[graft.operators.Similarity.contrastivePairs]]; Karpukhin et al.
+    * EMNLP'20 — the DPR hard-negative recipe): per query, the exact
+    * nearest neighbor as positive, ranks 2–4 as hard negatives, and 3
+    * fingerprint-drawn random negatives excluding everything ranked.
+    * The oracle replays the full ranking, every role assignment, the
+    * anti-join exclusion, the remixed-uniform draw order, and the random
+    * negatives' cosines. */
+  private def v14(spark: SparkSession, dir: String): DataFrame =
+    Similarity.contrastivePairs(spark, Corpus.embeddings(spark, dir),
+      nQueries = 4, nHard = 3, nRand = 3, seed = "cp-r10")
+
+  private val v14Sql = {
+    val fp = Text.mixSql("'cp-r10:' || CAST(q.query_id AS VARCHAR) || ':' || CAST(a.vec_id AS VARCHAR)")
+    s"""WITH $normedCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 4),
+       |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+       |        $dotSql / (a.nrm * q.qnrm) AS cos_sim
+       |      FROM n a, q WHERE a.vec_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      FROM s),
+       |ranked AS (SELECT * FROM r WHERE rank <= 4),
+       |lab AS (SELECT query_id,
+       |          CASE WHEN rank = 1 THEN 'positive' ELSE 'hard_neg' END AS role,
+       |          CAST(CASE WHEN rank = 1 THEN 1 ELSE rank - 1 END AS BIGINT) AS role_rank,
+       |          neighbor_id AS vec_id, cos_sim
+       |        FROM ranked),
+       |cand AS (SELECT q.query_id, a.vec_id, $fp AS fp
+       |         FROM n a, q
+       |         WHERE a.vec_id <> q.query_id
+       |           AND NOT EXISTS (SELECT 1 FROM ranked k
+       |             WHERE k.query_id = q.query_id AND k.neighbor_id = a.vec_id)),
+       |rd AS (SELECT query_id, vec_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY fp, vec_id) AS BIGINT) AS role_rank
+       |       FROM cand),
+       |rnd AS (SELECT rd.query_id, 'rand_neg' AS role, rd.role_rank, rd.vec_id,
+       |          $dotSql / (a.nrm * q.qnrm) AS cos_sim
+       |        FROM rd JOIN n a ON rd.vec_id = a.vec_id
+       |          JOIN q ON rd.query_id = q.query_id
+       |        WHERE rd.role_rank <= 3)
+       |SELECT query_id, role, role_rank, vec_id, cos_sim FROM lab
+       |UNION ALL
+       |SELECT query_id, role, role_rank, vec_id, cos_sim FROM rnd
+       |ORDER BY query_id, role, role_rank""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -578,6 +626,7 @@ object Vectors {
     QuerySpec("v11_pq_index", v11, Some(v09Sql)),
     QuerySpec("v12_binary_topk", v12, Some(v12Sql)),
     QuerySpec("v13_kcenter_coreset", v13, Some(v13Sql)),
+    QuerySpec("v14_contrastive_pairs", v14, Some(v14Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

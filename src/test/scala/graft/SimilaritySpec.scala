@@ -510,4 +510,33 @@ class SimilaritySpec extends SparkTestBase {
     val again = Similarity.kCenterGreedy(spark, vecs.repartition(5), k = 6).collect().toSeq
     assert(again === Similarity.kCenterGreedy(spark, vecs, k = 6).collect().toSeq)
   }
+
+  test("contrastivePairs: roles partition correctly and never overlap") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val rows = Similarity.contrastivePairs(spark, emb, nQueries = 3,
+      nHard = 2, nRand = 2, seed = "t")
+      .select("query_id", "role", "role_rank", "vec_id", "cos_sim")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(rows.length === 3 * (1 + 2 + 2))
+    for (qid <- 0L until 3L) {
+      val mine = rows.filter(_._1 == qid)
+      val pos = mine.filter(_._2 == "positive")
+      val hard = mine.filter(_._2 == "hard_neg")
+      val rand = mine.filter(_._2 == "rand_neg")
+      assert(pos.length === 1 && hard.length === 2 && rand.length === 2)
+      // the positive is the best-ranked: its cosine beats every hard neg
+      assert(hard.forall(h => pos.head._5 >= h._5))
+      // roles never share a vec_id, and nothing pairs with itself
+      val all = mine.map(_._4)
+      assert(all.distinct.length === all.length && !all.contains(qid))
+      // random negatives score below the positive (they're outside the top ranks)
+      assert(rand.forall(r => r._5 <= pos.head._5))
+    }
+    // seed keys the random draw
+    val other = Similarity.contrastivePairs(spark, emb, nQueries = 3,
+      nHard = 2, nRand = 2, seed = "u")
+      .filter(col("role") === "rand_neg").select("vec_id").as[Long].collect().toSet
+    val base = rows.filter(_._2 == "rand_neg").map(_._4).toSet
+    assert(other !== base, "a different seed must draw different random negatives")
+  }
 }
