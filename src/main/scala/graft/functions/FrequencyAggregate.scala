@@ -101,9 +101,13 @@ case class MGSketch(
   override def createAggregationBuffer(): MGSummary = new MGSummary(k)
 
   override def update(buf: MGSummary, input: InternalRow): MGSummary = {
-    val v = child.eval(input)
-    // .toString copies out of Spark's reused row buffer — mandatory
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString, 1L)
+    child.eval(input) match {
+      case null =>
+      // .toString copies out of Spark's reused row buffer — mandatory
+      case s: UTF8String => buf.add(s.toString, 1L)
+      case other => throw new IllegalArgumentException(
+        s"graft_mg_sketch input must be a string, got ${other.getClass.getName}")
+    }
     buf
   }
 

@@ -440,10 +440,12 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     import spark.implicits._
     val n = normed(emb).select(col("vec_id"), col("v"))
-    val first = n
+    val firstRows = n
       .withColumn("fp", Sampling.portableUniformFingerprint(col("vec_id").cast("string")))
       .orderBy(col("fp"), col("vec_id")).limit(1)
-      .select(col("vec_id"), col("v")).head()
+      .select(col("vec_id"), col("v")).collect()
+    require(firstRows.nonEmpty, "kCenterGreedy needs a non-empty corpus")
+    val first = firstRows.head
     var picks = Vector((1L, first.getLong(0), 0.0))
     def distTo(center: Seq[Double]): Column =
       fullL2(col("v"), typedLit(center))
@@ -452,15 +454,22 @@ object Similarity {
       .localCheckpoint()
     var r = 2
     while (r <= k) {
-      val best = state
+      val rows = state
         .filter(!col("vec_id").isInCollection(picks.map(_._2)))
         .orderBy(col("mind").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("v"), col("mind")).head()
-      picks = picks :+ ((r.toLong, best.getLong(0), best.getDouble(2)))
-      state = state
-        .withColumn("mind", least(col("mind"), distTo(best.getSeq[Double](1))))
-        .localCheckpoint()
-      r += 1
+        .select(col("vec_id"), col("v"), col("mind")).collect()
+      if (rows.isEmpty) {
+        // corpus exhausted before k picks: return the truncated trace
+        // (every vector IS a center) rather than dying inside a job
+        r = k + 1
+      } else {
+        val best = rows.head
+        picks = picks :+ ((r.toLong, best.getLong(0), best.getDouble(2)))
+        state = state
+          .withColumn("mind", least(col("mind"), distTo(best.getSeq[Double](1))))
+          .localCheckpoint()
+        r += 1
+      }
     }
     picks.toDF("round", "vec_id", "picked_dist").orderBy(col("round"))
   }
@@ -499,6 +508,10 @@ object Similarity {
     val ids = n.select(col("vec_id"))
     val qids = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"))
+    // hard-negatives-only mining is allowed: the random branch (and its
+    // k-heap, which requires k > 0) must not even be constructed then
+    if (nRand == 0)
+      return labeled.orderBy(col("query_id"), col("role"), col("role_rank"))
     val fp = Sampling.portableUniformFingerprint(
       concat(lit(s"$seed:"), col("query_id").cast("string"), lit(":"),
         col("vec_id").cast("string")))

@@ -68,11 +68,17 @@ object Unigram {
     * happens in doubles before the log on both engines, so the SQL
     * oracle reproduces every bit. */
   def selectPieces(docs: DataFrame, textCol: String = "text",
-      vocabSize: Int = 40, maxPieceLen: Int = 3): Seq[Piece] = {
+      vocabSize: Int = 40, maxPieceLen: Int = 3): Seq[Piece] =
+    selectFromWords(wordFrequencies(docs, textCol), vocabSize, maxPieceLen)
+
+  /** [[selectPieces]] over an already-built word table — the entry point
+    * [[learn]] uses so its cached word frequencies feed the seed
+    * selection too (one corpus scan total, per the object contract). */
+  def selectFromWords(words: DataFrame,
+      vocabSize: Int, maxPieceLen: Int): Seq[Piece] = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     require(maxPieceLen > 1, s"maxPieceLen must exceed 1, got $maxPieceLen")
-    val cnts = caches.track(
-      substringCounts(wordFrequencies(docs, textCol), maxPieceLen))
+    val cnts = caches.track(substringCounts(words, maxPieceLen))
     val top = cnts
       .orderBy(col("cnt").desc, col("piece"))
       .limit(vocabSize)
@@ -133,7 +139,7 @@ object Unigram {
       .select(explode(transform(sequence(lit(1), length(col("word"))),
         p => col("word").substr(p, lit(1)))).as("piece"))
       .distinct().collect().map(_.getString(0)).toSet
-    var vocab = selectPieces(docs, textCol, vocabSize * seedMultiplier, maxPieceLen)
+    var vocab = selectFromWords(words, vocabSize * seedMultiplier, maxPieceLen)
     var r = 0
     while (r < rounds) {
       val counts = words

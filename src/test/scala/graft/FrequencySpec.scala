@@ -76,4 +76,17 @@ class FrequencySpec extends SparkTestBase {
       .select("token", "freq", "share").as[(String, Long, Double)].collect()
     assert(rows.toSeq === Seq(("x", 3L, 0.75)))
   }
+
+  test("graft_mg_sketch rejects non-string input with a descriptive error") {
+    graft.functions.GraftExpressions.register(spark)
+    val ex = intercept[Exception] {
+      Seq((1L, "a")).toDF("doc_id", "text")
+        .agg(expr("graft_mg_sketch(doc_id, 3)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("must be a string")),
+      s"expected the descriptive type error, got: $ex")
+  }
 }

@@ -538,5 +538,25 @@ class SimilaritySpec extends SparkTestBase {
       .filter(col("role") === "rand_neg").select("vec_id").as[Long].collect().toSet
     val base = rows.filter(_._2 == "rand_neg").map(_._4).toSet
     assert(other !== base, "a different seed must draw different random negatives")
+    // hard-negatives-only mining (nRand = 0) is a legal configuration
+    val hardOnly = Similarity.contrastivePairs(spark, emb, nQueries = 2,
+      nHard = 2, nRand = 0, seed = "t")
+      .select("role").as[String].collect()
+    assert(hardOnly.count(_ == "positive") === 2 &&
+      hardOnly.count(_ == "hard_neg") === 4 && hardOnly.length === 6)
+  }
+
+  test("kCenterGreedy truncates past corpus exhaustion; empty corpus fails loudly") {
+    val three = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    // k beyond the corpus: every vector becomes a center, no crash
+    val picks = Similarity.kCenterGreedy(spark, three, k = 10)
+      .select("vec_id").as[Long].collect()
+    assert(picks.sorted.toSeq === Seq(0L, 1L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(spark, three.filter(col("vec_id") < 0), k = 2)
+    }
+    assert(ex.getMessage.contains("non-empty"))
   }
 }
