@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over edge lists — the PageRank sibling of
+  * the connected-components family ([[Dedup.dupClusters]]).
+  */
+object Graph {
+
+  /** PageRank (Brin & Page 1998) over a directed edge list, a FIXED
+    * number of power iterations from the uniform start:
+    *
+    *   `pr₀(v) = 1/N`;
+    *   `prₜ₊₁(v) = (1−d)/N + d · Σ_{u→v} prₜ(u) / outdeg(u)`.
+    *
+    * Determinism is the design constraint (the engine's oracle replays
+    * every iteration): per-edge contributions are plain double
+    * arithmetic, but the per-node Σ crosses a shuffle, so it takes the
+    * DECIMAL(30,6) detour (inlined — the operator layer's standing copy
+    * of the `Num.dsum` contract) and is accumulation-order independent.
+    * Fixed iteration count rather than convergence testing keeps the
+    * computation a pure function of the graph.
+    *
+    * Scale shape: one shuffle per iteration — ranks join edges on `src`
+    * (rank table is node-sized, edge table edge-sized; at web scale this
+    * is the canonical join+aggregate PageRank, AQE-skew-splittable), the
+    * Σ aggregates partial+final on `dst`, and a right join against the
+    * node table restores sink-only nodes to the teleport base. Each
+    * generation is localCheckpoint'd (the dupClusters lineage lesson).
+    * Callers with dangling nodes (no out-edges) should symmetrize or
+    * self-loop first; mass is otherwise lost, as in the classic
+    * formulation.
+    *
+    * Input: edges (src, dst) — duplicates are dropped. Output:
+    * (node, pagerank), every node appearing as a src or dst, node
+    * order. */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = (1.0 - damping) / n
+    var pr = nodes.withColumn("pagerank", lit(1.0 / n)).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val contrib = pr
+        .join(outdeg, pr("node") === outdeg("src"))
+        .select(col("node").as("u"), (col("pagerank") / col("outdeg")).as("c"))
+        .join(e, col("u") === e("src"))
+        .select(col("dst"), col("c"))
+        .groupBy(col("dst"))
+        // DECIMAL(30,6) detour: the per-node mass sum must not depend on
+        // which partition's contributions arrive first
+        .agg(sum(col("c").cast(DecimalType(30, 6))).cast("double").as("mass"))
+      pr = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pagerank"))
+        .localCheckpoint()
+      i += 1
+    }
+    pr.orderBy(col("node"))
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.GraftExpressions
 
@@ -535,6 +536,76 @@ object Similarity {
         (expr("graft_dot(nv, qv)") / (col("nn") * col("qn"))).as("cos_sim"))
     labeled.unionByName(rand)
       .orderBy(col("query_id"), col("role"), col("role_rank"))
+  }
+
+  /** Deterministic Lloyd k-means (Lloyd 1957/1982) over the embedding
+    * column — the fully ORACLE-GATEABLE variant of the clustering the
+    * MLlib-fitted IVF tier (v04/v05) keeps rows-only: fingerprint-picked
+    * initial centroids (the v08 rule), a FIXED number of
+    * assign/recenter iterations, squared-L2 assignment with the
+    * (distance, centroid) lexicographic tie-break, and centroid means
+    * through the decimal detour (per-(cluster, dim) DECIMAL(30,6) sums /
+    * counts — the `Num.davg` contract inlined at operator layer), so
+    * every iteration is accumulation-order independent and a SQL mirror
+    * reproduces the whole trajectory bit for bit. A cluster that loses
+    * all members keeps its previous centroid (deterministic, the
+    * standard fallback).
+    *
+    * Scale shape per iteration: assignment = one scan × broadcast(k
+    * centroids), partial-aggregated map-side (one row per vector crosses
+    * the shuffle — the v08 discipline); recentering = one (cluster, dim)
+    * aggregation collected to the driver (k·dim values — the centroid
+    * set is a tokenizer-vocab-class artifact, not a data path). The
+    * corpus frame is localCheckpoint'd once and rescanned per round.
+    *
+    * Output: (vec_id, cluster, sq_dist) — the final assignment, vec_id
+    * order. */
+  def lloydKMeans(spark: SparkSession, emb: DataFrame, k: Int,
+      iterations: Int): DataFrame = {
+    GraftExpressions.register(spark)
+    require(k > 0, s"k must be positive, got $k")
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    import spark.implicits._
+    val n = normed(emb).select(col("vec_id"), col("v")).localCheckpoint()
+    val init = n
+      .withColumn("fp", Sampling.portableUniformFingerprint(col("vec_id").cast("string")))
+      .orderBy(col("fp"), col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    require(init.nonEmpty, "lloydKMeans needs a non-empty corpus")
+    var cents: Seq[(Long, Seq[Double])] =
+      init.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+    var assigned: DataFrame = null
+    var t = 0
+    while (t < iterations) {
+      val centDf = broadcast(cents.toDF("cid", "cv"))
+      assigned = n.crossJoin(centDf)
+        .select(col("vec_id"), col("v"),
+          struct(fullL2(col("v"), col("cv")).as("d"), col("cid")).as("sc"))
+        .groupBy(col("vec_id"))
+        // lexicographic min(struct) = (smallest distance, then smallest
+        // cid) — and unlike a window it partial-aggregates map-side
+        .agg(min(col("v")).as("v"), min(col("sc")).as("best"))
+        .select(col("vec_id"), col("v"), col("best.cid").as("cluster"),
+          col("best.d").as("sq_dist"))
+        .localCheckpoint()
+      if (t < iterations - 1) {
+        val means = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "val")))
+          .groupBy(col("cluster"), col("dim"))
+          // decimal-detour mean (the Num.davg contract, operator-layer copy)
+          .agg((sum(col("val").cast(DecimalType(30, 6))).cast("double") /
+            count(col("val"))).as("mv"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }
+        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      }
+      t += 1
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("sq_dist"))
+      .orderBy(col("vec_id"))
   }
 
   /** Subvector `s` (0-based) of a `subDim`-striped vector column. */

@@ -719,6 +719,63 @@ object Relational {
       |WHERE o_totalprice > priority_avg * 1.8
       |ORDER BY o_orderkey""".stripMargin
 
+  /** PageRank over the customer–supplier trade graph
+    * ([[graft.operators.Graph.pageRank]]; Brin & Page 1998): distinct
+    * (customer, supplier) pairs from orders ⋈ lineitem, symmetrized
+    * (supplier nodes offset by 10⁶ — bipartite random walk, no dangling
+    * nodes), five power iterations at d = 0.85 from the uniform start.
+    * Per-node mass sums take the decimal detour, so every iteration is
+    * accumulation-order independent and the oracle replays all five as
+    * chained CTEs — iterative graph analytics under the same
+    * bit-exactness gate as everything else. */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Corpus.lineitem(spark, dir)
+      .join(Corpus.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + lit(1000000L)).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.operators.Graph.pageRank(edges, iterations = 5, damping = 0.85)
+  }
+
+  private val q34Sql = {
+    // constants interpolated from the SAME Scala doubles the operator
+    // uses (the BM25 discipline): (1.0 - 0.85) is NOT decimal 0.15, and
+    // all divisions must run in DOUBLE, never DuckDB's decimal division
+    val oneMinusD = java.lang.Double.toString(1.0 - 0.85)
+    // one iteration: rank joins out-degrees, contributions sum per dst
+    // through the decimal detour, sink-restoring left join from nodes
+    def step(prev: String, next: String) =
+      s"""$next AS (
+         |  SELECT n.node,
+         |    (CAST($oneMinusD AS DOUBLE) / (SELECT n FROM nn))
+         |      + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS pagerank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, ${dsumSql("p.pagerank / od.outdeg")} AS mass
+         |    FROM $prev p JOIN od ON p.node = od.src
+         |      JOIN e ON p.node = e.src
+         |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT cust AS src, supp AS dst FROM pairs
+       |      UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst AS node FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pagerank
+       |       FROM nodes),
+       |${step("p0", "p1")},
+       |${step("p1", "p2")},
+       |${step("p2", "p3")},
+       |${step("p3", "p4")},
+       |${step("p4", "p5")}
+       |SELECT node, pagerank FROM p5 ORDER BY node""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -752,5 +809,7 @@ object Relational {
     QuerySpec("q30_range_join", q30, Some(q30Sql)),
     QuerySpec("q31_histogram", q31, Some(q31Sql)),
     QuerySpec("q32_unshipped_revenue", q32, Some(q32Sql)),
-    QuerySpec("q33_above_group_avg", q33, Some(q33Sql)))
+    QuerySpec("q33_above_group_avg", q33, Some(q33Sql)),
+    QuerySpec("q34_pagerank", q34, Some(q34Sql)))
+
 }

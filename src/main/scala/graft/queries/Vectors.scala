@@ -612,6 +612,54 @@ object Vectors {
        |ORDER BY query_id, role, role_rank""".stripMargin
   }
 
+  /** Deterministic Lloyd k-means
+    * ([[graft.operators.Similarity.lloydKMeans]]): 8 fingerprint-picked
+    * centroids, three assign/recenter iterations, decimal-detour
+    * centroid means — the fully gated variant of the clustering the
+    * MLlib-fitted IVF tier keeps rows-only. The oracle chains all three
+    * iterations as CTEs: every squared-L2 fold, every (distance, cid)
+    * argmin, every per-(cluster, dim) decimal mean, and the
+    * empty-cluster carry are replayed, and the final assignment must
+    * match bit for bit. */
+  private def v15(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lloydKMeans(spark, Corpus.embeddings(spark, dir),
+      k = 8, iterations = 3)
+
+  private val v15Sql = {
+    val fp = Text.mixSql("CAST(vec_id AS VARCHAR)")
+    val l2 = "list_sum(list_transform(list_zip(n.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    def assign(cPrev: String, a: String) =
+      s"""$a AS (
+         |  SELECT vec_id, v, cid, d FROM (
+         |    SELECT vec_id, v, cid, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |    FROM (SELECT n.vec_id, n.v, c.cid, $l2 AS d FROM n, $cPrev c))
+         |  WHERE rk = 1)""".stripMargin
+    def recenter(a: String, cPrev: String, cNext: String) =
+      s"""$cNext AS (
+         |  SELECT prev.cid, COALESCE(nw.cv, prev.cv) AS cv
+         |  FROM $cPrev prev LEFT JOIN (
+         |    SELECT cid, list(mv ORDER BY dim) AS cv FROM (
+         |      SELECT a.cid, CAST(dim AS INT) AS dim,
+         |        ${Num.dsumSql("a.v[dim]")} / COUNT(a.v[dim]) AS mv
+         |      FROM $a a,
+         |        LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS dim) dd
+         |      GROUP BY a.cid, dim)
+         |    GROUP BY cid) nw ON prev.cid = nw.cid)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY fp, vec_id) - 1 AS BIGINT) AS cid,
+       |         v AS cv
+       |       FROM (SELECT vec_id, v, $fp AS fp FROM n ORDER BY fp, vec_id LIMIT 8)),
+       |${assign("c0", "a0")},
+       |${recenter("a0", "c0", "c1")},
+       |${assign("c1", "a1")},
+       |${recenter("a1", "c1", "c2")},
+       |${assign("c2", "a2")}
+       |SELECT vec_id, cid AS cluster, d AS sq_dist FROM a2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -627,6 +675,7 @@ object Vectors {
     QuerySpec("v12_binary_topk", v12, Some(v12Sql)),
     QuerySpec("v13_kcenter_coreset", v13, Some(v13Sql)),
     QuerySpec("v14_contrastive_pairs", v14, Some(v14Sql)),
+    QuerySpec("v15_lloyd_kmeans", v15, Some(v15Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** PageRank: hand-checkable fixed points, mass conservation, and
+  * determinism under partitioning. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRank on a symmetric pair converges to the uniform fixed point") {
+    // two nodes pointing at each other: pr = 1/2 each, at every iteration
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(e, iterations = 5).as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(1L) - 0.5) < 1e-6 && math.abs(pr(2L) - 0.5) < 1e-6)
+  }
+
+  test("pageRank concentrates mass on the hub of a star") {
+    // spokes 2..6 <-> hub 1 (symmetrized): the hub must dominate
+    val spokes = (2L to 6L)
+    val e = (spokes.map(s => (1L, s)) ++ spokes.map(s => (s, 1L))).toDF("src", "dst")
+    val pr = Graph.pageRank(e, iterations = 10).as[(Long, Double)].collect().toMap
+    assert(spokes.forall(s => pr(1L) > 2 * pr(s)),
+      s"hub must outrank every spoke by a wide margin: $pr")
+    // total mass stays ~1 (symmetric graph, no dangling nodes)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3)
+  }
+
+  test("pageRank is deterministic under partitioning and rejects bad args") {
+    val e = (1L to 40L).map(i => (i, i % 7 + 1)).toDF("src", "dst")
+      .unionByName((1L to 40L).map(i => (i % 7 + 1, i)).toDF("src", "dst"))
+    val a = Graph.pageRank(e, iterations = 4).collect().toSeq
+    val b = Graph.pageRank(e.repartition(11), iterations = 4).collect().toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] { Graph.pageRank(e, iterations = 0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, damping = 1.0) }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e.filter(col("src") < 0), iterations = 2)
+    }
+  }
+}

@@ -559,4 +559,39 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("non-empty"))
   }
+
+  test("lloydKMeans separates planted blobs and is partitioning-invariant") {
+    // two tight blobs far apart: after iterations every member must land
+    // with its blob-mates, whichever centroid ids they drew
+    val blobA = (0L until 6L).map(i => (i, Array(10.0f + 0.01f * i, 0.0f), 0))
+    val blobB = (10L until 16L).map(i => (i, Array(-10.0f, 0.01f * (i - 10)), 1))
+    val vecs = (blobA ++ blobB).toDF("vec_id", "embedding", "label")
+    val out = Similarity.lloydKMeans(spark, vecs, k = 2, iterations = 4)
+      .select("vec_id", "cluster", "sq_dist").as[(Long, Long, Double)].collect()
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size === 2)
+    assert(byCluster.values.toSet ===
+      Set(blobA.map(_._1).toSet, blobB.map(_._1).toSet),
+      s"blobs must separate exactly: $byCluster")
+    // members sit near their recentered blob mean: all sq_dists tiny
+    assert(out.forall(_._3 < 0.01), s"post-recentering distances: ${out.toSeq}")
+    val again = Similarity.lloydKMeans(spark, vecs.repartition(7), k = 2,
+      iterations = 4).collect().toSeq
+    assert(again === Similarity.lloydKMeans(spark, vecs, k = 2,
+      iterations = 4).collect().toSeq)
+  }
+
+  test("lloydKMeans keeps an emptied cluster's previous centroid") {
+    // k = 3 over 2 distinct points: one centroid must go memberless and
+    // survive via the carry rule rather than vanishing (which would make
+    // the next assignment round throw or reshuffle ids)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.lloydKMeans(spark, vecs, k = 3, iterations = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(out.size === 3)
+    assert(out(0L) === out(1L), "identical points share a cluster")
+    assert(out(2L) !== out(0L), "the far point keeps its own cluster")
+  }
 }
