@@ -732,11 +732,18 @@ object Relational {
     val pairs = Corpus.lineitem(spark, dir)
       .join(Corpus.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + lit(1000000L)).as("supp"))
+      // collision-free node ids at ANY scale factor: customers on even,
+      // suppliers on odd ids (a fixed offset collides once custkey
+      // crosses it — TPC-H custkeys pass 10⁶ near SF 7)
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
       .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    // symmetrize in ONE explode pass (the dupClusters idiom) — a
+    // self-union's two branches would each evaluate the join+distinct
+    val edges = pairs.select(explode(array(
+        struct(col("cust").as("src"), col("supp").as("dst")),
+        struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
     graft.operators.Graph.pageRank(edges, iterations = 5, damping = 0.85)
   }
 
@@ -753,12 +760,13 @@ object Relational {
          |    (CAST($oneMinusD AS DOUBLE) / (SELECT n FROM nn))
          |      + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS pagerank
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst, ${dsumSql("p.pagerank / od.outdeg")} AS mass
+         |    SELECT e.dst,
+         |      CAST(SUM(CAST((p.pagerank / od.outdeg) AS DECIMAL(38,18))) AS DOUBLE) AS mass
          |    FROM $prev p JOIN od ON p.node = od.src
          |      JOIN e ON p.node = e.src
          |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
     s"""WITH pairs AS (
-       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+       |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
        |e AS (SELECT cust AS src, supp AS dst FROM pairs
        |      UNION ALL SELECT supp AS src, cust AS dst FROM pairs),

@@ -27,6 +27,21 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(pr.values.sum - 1.0) < 1e-3)
   }
 
+  test("pageRank preserves sub-1e-6 contributions (the decimal-grid regression)") {
+    // hub with out-degree 3000: each hub contribution is ~1/(N·outdeg)
+    // ≈ 1e-7 — a Num.dsum-style 6-dp detour would zero ALL of them and
+    // evaporate a third of the probability mass (the finding that moved
+    // this operator to an 18-dp grid)
+    val spokes = (2L to 3001L)
+    val e = (spokes.map(s => (1L, s)) ++ spokes.map(s => (s, 1L))).toDF("src", "dst")
+    val pr = Graph.pageRank(e, iterations = 3).as[(Long, Double)].collect()
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-6,
+      s"mass must survive tiny contributions, got ${pr.map(_._2).sum}")
+    val spokeRanks = pr.filter(_._1 != 1L).map(_._2)
+    assert(spokeRanks.forall(_ > (1.0 - 0.85) / 3001 + 1e-9),
+      "every spoke must receive hub mass, not just the teleport base")
+  }
+
   test("pageRank is deterministic under partitioning and rejects bad args") {
     val e = (1L to 40L).map(i => (i, i % 7 + 1)).toDF("src", "dst")
       .unionByName((1L to 40L).map(i => (i % 7 + 1, i)).toDF("src", "dst"))
