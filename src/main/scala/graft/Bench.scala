@@ -78,6 +78,7 @@ object Bench {
       graft.operators.Dedup.releaseCaches()
       graft.operators.Sampling.releaseCaches()
       graft.operators.Quality.releaseCaches()
+      graft.operators.Unigram.releaseCaches()
       graft.queries.Text.releaseCaches()
       name -> elapsed
     }.toMap

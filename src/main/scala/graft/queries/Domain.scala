@@ -56,6 +56,7 @@ object Domain {
     graft.operators.Dedup.releaseCaches()
     graft.operators.Sampling.releaseCaches()
     graft.operators.Quality.releaseCaches()
+    graft.operators.Unigram.releaseCaches()
     Text.releaseCaches()
   }
 
