@@ -20,6 +20,15 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Tokens split on ANY whitespace run (`\s+`), empties dropped — for
+    * operators whose downstream machinery cannot tolerate tab/newline
+    * inside a token (the unigram piece-spec wire format reserves both as
+    * separators). Identical to [[tokens]] on single-space text, so
+    * oracles mirroring `str_split(text, ' ')` stay exact on the fixture;
+    * the general DuckDB mirror is `regexp_split_to_array(text, '\s+')`. */
+  def wsTokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
   /** BPE-ish subword segmentation: letter runs or single non-letter,
     * non-space characters — a cheap proxy for LLM token counting. */
   def bpeTokens(c: Column): Column =

@@ -43,7 +43,12 @@ object Unigram {
     * step; everything downstream is vocabulary-sized. */
   def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      // \s+ split (not single-space): tab/newline must never survive into
+      // a word, because pieces derived from words travel through the
+      // tab/newline-separated piece-spec wire format — a single-space
+      // split would abort encodePieces on arbitrary text instead of
+      // degrading gracefully. Equal to tokens() on the space-only fixture.
+      .select(explode(TextFunctions.wsTokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
 
   /** Weighted occurrence counts of EVERY substring of length

@@ -103,6 +103,32 @@ class UnigramSpec extends SparkTestBase {
     assert(out === (("azb", 3L, "a|z|b")))
   }
 
+  test("tab/newline-bearing text degrades to whitespace tokens instead of aborting") {
+    // the piece-spec wire format reserves tab and newline as separators;
+    // a single-space split would let them survive into words and trip
+    // encodePieces's require — the operator must tokenize on \s+ instead
+    val messy = Seq(
+      (1L, "stream\tstream table\nstream  join\r\njoin scan"),
+      (2L, "table scan stream joinery joinery"),
+      (3L, "scanner scanner stream table"))
+      .toDF("doc_id", "text")
+    val clean = Seq(
+      (1L, "stream stream table stream join join scan"),
+      (2L, "table scan stream joinery joinery"),
+      (3L, "scanner scanner stream table"))
+      .toDF("doc_id", "text")
+    val vGot = Unigram.learn(messy, vocabSize = 8, maxPieceLen = 3, rounds = 2,
+      seedMultiplier = 2)
+    val vWant = Unigram.learn(clean, vocabSize = 8, maxPieceLen = 3, rounds = 2,
+      seedMultiplier = 2)
+    assert(vGot === vWant, "whitespace flavor cannot change the learned vocabulary")
+    val eGot = Unigram.encodeWords(messy, vGot)
+      .select("word", "encoded").as[(String, String)].collect().sorted.toSeq
+    val eWant = Unigram.encodeWords(clean, vWant)
+      .select("word", "encoded").as[(String, String)].collect().sorted.toSeq
+    assert(eGot === eWant)
+  }
+
   test("learn matches the single-node reference Viterbi-EM round for round") {
     val vocabSize = 8
     val maxLen = 3
