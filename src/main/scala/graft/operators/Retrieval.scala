@@ -45,7 +45,11 @@ object Retrieval {
     contribs.groupBy(col(idCol))
       // DECIMAL(30,6) detour inline (operator layer can't depend on the
       // query layer's Num; the mirror contract is Num.dsumSql — the
-      // Sampling/Quality operators carry the same inlined copy)
+      // Sampling/Quality operators carry the same inlined copy).
+      // Magnitude bound (the Num.dsum precondition): every summand is
+      // 1/(kRrf + rank) ≥ 1/(kRrf + topN) — ~1/110 at the defaults,
+      // and bounded below by the callers' finite list lengths, four
+      // orders above the 10⁻⁶ grid.
       .agg(count(lit(1)).as("n_systems"),
         sum(col("_c").cast(DecimalType(30, 6))).cast("double").as("rrf"))
       .orderBy(desc("rrf"), col(idCol))
@@ -91,6 +95,18 @@ object Retrieval {
     graft.util.PhaseTimer.time("index_build") {
       require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
       import graft.functions.TextFunctions.{tokenCount, tokens}
+      // Rebuild atomicity: params.json is the index's validity marker
+      // (probes fail loudly without it), but postings/df/dl are
+      // overwritten BEFORE it is rewritten — so delete it first, or a
+      // rebuild that dies mid-way leaves a probe-able index whose corpus
+      // stats are stale relative to the new postings and probes score
+      // silently wrong. With the marker gone, the failure window fails
+      // loudly instead.
+      locally {
+        val marker = new org.apache.hadoop.fs.Path(s"$dir/params.json")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) fs.delete(marker, false)
+      }
       val dl = docs
         .withColumn("dl", tokenCount(col("text")).cast("long"))
         .filter(col("dl") > 0)
@@ -142,6 +158,12 @@ object Retrieval {
       .withColumn("contrib", bm25Contribution(col("tf"), col("df"), col("dl"),
         lit(p.nDocs), lit(p.totalDl), p.k1, p.b))
       .groupBy(col("doc_id"))
+      // Magnitude bound (the Num.dsum precondition): contributions are
+      // idf·w with w ∈ (0, k1+1); idf ≈ 1.5/n_docs for a term in EVERY
+      // doc, which falls below the 10⁻⁶ grid past ~10⁶ docs — but such a
+      // term's true contribution is negligible against any
+      // discriminative term's O(1), so zeroing it is semantically a
+      // no-op (bounded by the value itself), not a q34-style mass loss.
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("contrib").cast(DecimalType(30, 6))).cast("double").as("bm25"))
       .orderBy(desc("bm25"), col("doc_id"))

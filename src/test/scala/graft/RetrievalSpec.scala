@@ -74,4 +74,29 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.bm25AgainstIndex(spark, dir, Seq("spark", "spark"), k = 1)
     }
   }
+
+  test("a rebuild that dies mid-way leaves no probe-able stale index") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "spark shuffle"), (2L, "spark broadcast"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25gen").toString
+    Retrieval.buildBm25Index(spark, docs, dir, nBuckets = 4)
+    assert(Retrieval.bm25AgainstIndex(spark, dir, Seq("spark"), k = 2).count() === 2)
+    // poison the rebuild: text evaluation throws once the job runs, so
+    // the build dies after the validity marker is dropped but before any
+    // consistent index exists
+    val poisoned = docs.select(col("doc_id"),
+      expr("cast(raise_error('mid-build failure') as string)").as("text"))
+    intercept[Throwable] {
+      Retrieval.buildBm25Index(spark, poisoned, dir, nBuckets = 4)
+    }
+    // the half-rebuilt dir must fail loudly, not score against stale stats
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.bm25AgainstIndex(spark, dir, Seq("spark"), k = 2)
+    }
+    assert(ex.getMessage.contains("not a BM25 index"))
+    // a successful rebuild restores the probe
+    Retrieval.buildBm25Index(spark, docs, dir, nBuckets = 4)
+    assert(Retrieval.bm25AgainstIndex(spark, dir, Seq("spark"), k = 2).count() === 2)
+  }
 }
