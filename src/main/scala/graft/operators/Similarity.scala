@@ -142,57 +142,44 @@ object Similarity {
     * cost is Σ_clusters c² (bounded by sizing k to the corpus) instead
     * of n².
     *
-    * Centroids are the k vectors whose ids have the smallest portable
-    * content fingerprint — a deterministic pseudo-random sample using
-    * the same cross-engine mod-2³¹ fold the split/sampling oracles gate
-    * on, so the full pipeline (selection, assignment, dedup verdicts) is
-    * replayable bit-for-bit in the DuckDB oracle. The paper's k-means
-    * refinement of the centroids would tighten clusters but adds
-    * nondeterministic iteration; the dedup semantics downstream of
-    * assignment are identical, and [[ivfTopK]] already covers trained
-    * coarse quantizers.
+    * Clusters come from the paper's actual recipe — k-means — via the
+    * shared deterministic [[lloydFit]]: fingerprint-smallest init (the
+    * same cross-engine mod-2³¹ fold the split/sampling oracles gate on)
+    * refined by `refineIterations` fixed Lloyd rounds, so the full
+    * pipeline (init, every refinement round, assignment, dedup
+    * verdicts) is replayable bit-for-bit in the DuckDB oracle exactly
+    * as v15's is.
     *
-    * Plan shape at scale: centroid pick is a global top-k (TakeOrdered,
-    * k rows to the driver's successor stage, never the corpus);
-    * assignment is one scan × broadcast(k); the ε-ball check is an
-    * equi-join on centroid_id (cluster-bounded, no n² pair
-    * enumeration).
+    * Plan shape at scale: init pick is a global top-k (TakeOrdered, k
+    * rows to the driver); each Lloyd round is one scan × broadcast(k)
+    * with a map-side-partial argmin and a (cluster, dim) recenter
+    * aggregate; the ε-ball check is an equi-join on cluster
+    * (cluster-bounded, no n² pair enumeration).
     *
-    * Output: (vec_id, centroid_id, centroid_cos, keep) for every input
-    * vector, ascending vec_id. */
-  def semDedup(spark: SparkSession, emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+    * Output: (vec_id, cluster, sq_dist, keep) for every input vector,
+    * ascending vec_id. */
+  def semDedup(spark: SparkSession, emb: DataFrame, k: Int, threshold: Double,
+      refineIterations: Int = 2): DataFrame = {
     GraftExpressions.register(spark)
     require(k > 0, s"k must be positive, got $k")
-    val n = normed(emb)
-    val cent = n
-      .withColumn("fp", Sampling.portableUniformFingerprint(col("vec_id").cast("string")))
-      .orderBy(col("fp"), col("vec_id")).limit(k)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // nearest centroid per vector as a two-phase aggregate — max of
-    // struct(cos, -centroid_id) is the lexicographic argmax with the
-    // (cos desc, centroid_id asc) tie-break, and unlike a Window over
-    // vec_id it partial-aggregates map-side: the shuffle carries one row
-    // per vector, not one per (vector × centroid). v/nrm are constant
-    // within a group (same vector), so min() just carries them through.
-    val assigned = n.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        struct(
-          (expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm"))).as("cos"),
-          (-col("centroid_id")).as("negcid")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("v")).as("v"), min(col("nrm")).as("nrm"), max(col("sc")).as("best"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        (-col("best.negcid")).as("centroid_id"), col("best.cos").as("centroid_cos"))
-    val members = assigned.select(col("centroid_id"), col("vec_id"), col("v"), col("nrm"))
+    // The paper's clustering step in full: k-means cells from the shared
+    // deterministic [[lloydFit]] (fingerprint-smallest init + fixed Lloyd
+    // rounds — r11 upgraded this from the one-shot centroid pick, so the
+    // v08 oracle now chains the refinement iterations like v15's).
+    // Identical vectors always share a cluster (assignment is a pure
+    // function of the vector value with deterministic tie-breaks), which
+    // is what the within-cluster pair scan relies on.
+    val (assigned, _) = lloydFit(spark, emb, k, refineIterations)
+    val members = assigned.select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
     val dropped = members.as("i").join(members.as("j"),
-        col("i.centroid_id") === col("j.centroid_id") &&
+        col("i.cluster") === col("j.cluster") &&
           col("j.vec_id") < col("i.vec_id") &&
           (expr("graft_dot(i.v, j.v)") / (col("i.nrm") * col("j.nrm"))) >= threshold,
         "left_semi")
       .select(col("vec_id"), lit(false).as("keep"))
     assigned
       .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("centroid_id"), col("centroid_cos"),
+      .select(col("vec_id"), col("cluster"), col("sq_dist"),
         coalesce(col("keep"), lit(true)).as("keep"))
       .orderBy(col("vec_id"))
   }
@@ -224,27 +211,27 @@ object Similarity {
     probeIvf(assigned, centroidDf, q, k, nProbe)
   }
 
+  /** Fixed Lloyd rounds for the IVF coarse quantizer — the quantizer only
+    * needs approximate centroids (recall at nProbe/nCells = 1/4 is
+    * asserted in SimilaritySpec), so two rounds suffice and keep both the
+    * build and its oracle replay bounded. */
+  private[graft] val IvfFitIterations = 2
+
   /** Fits the IVF coarse quantizer and assigns every corpus vector to a
-    * cell. The quantizer only needs approximate centroids: fit on a
-    * deterministic ~25% hash sample with few iterations (training cost is
-    * iterations × sample, the dominant term of IVF build). Assignment of
-    * the FULL corpus uses the fitted centroids, so recall depends only on
-    * centroid quality — sampled+capped fit measurably changes nothing at
-    * nProbe/nCells = 1/4 (recall test in SimilaritySpec). Deterministic:
-    * hash sample + fixed seed, so two builds agree bit-for-bit. */
+    * cell — the engine's own deterministic [[lloydFit]] (fingerprint-
+    * smallest init, [[IvfFitIterations]] rounds, decimal-detour
+    * recenters), NOT an MLlib KMeans: every step is a pure function of
+    * the corpus, so the v04/v05 oracles replay the whole fit the way
+    * v15's does, and two builds agree bit-for-bit on any partitioning.
+    * Training cost is iterations × corpus, the dominant term of IVF
+    * build; assignment of the full corpus falls out of the final round
+    * for free. */
   private def fitIvf(spark: SparkSession, emb: DataFrame, nCells: Int)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val n = normed(emb).withColumn("fv", array_to_vector(col("v")))
-    val fitSample = n.where(pmod(xxhash64(col("vec_id")), lit(4)) === 0).cache()
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(fitSample) // cache pays off here (iterative); freed right after
-    fitSample.unpersist()
-    val assigned = model.transform(n).drop("fv")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    (assigned, spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
+    import spark.implicits._
+    val (assigned, cents) = lloydFit(spark, emb, nCells, IvfFitIterations)
+    (assigned.withColumnRenamed("cluster", "cell").drop("sq_dist"),
+      cents.toDF("cell", "centroid"))
   }
 
   /** Scores `q` (query_id, qv, qnrm) against the `nProbe` nearest cells of
@@ -561,17 +548,31 @@ object Similarity {
     * Output: (vec_id, cluster, sq_dist) — the final assignment, vec_id
     * order. */
   def lloydKMeans(spark: SparkSession, emb: DataFrame, k: Int,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    lloydFit(spark, emb, k, iterations)._1
+      .select(col("vec_id"), col("cluster"), col("sq_dist"))
+      .orderBy(col("vec_id"))
+
+  /** The shared Lloyd machinery behind [[lloydKMeans]] (v15) and the IVF
+    * coarse quantizer ([[fitIvf]]) — ONE definition of the deterministic
+    * fit, so the oracle recipe proven on v15 gates the IVF tier too.
+    * Returns the final per-vector assignment (vec_id, v, nrm, cluster,
+    * sq_dist — the carried `nrm` lets the IVF probe score cosines
+    * without rejoining the corpus) and the centroids that produced it
+    * (the last recenter's output; the final round assigns WITHOUT
+    * recentering, so assignment and returned centroids agree). */
+  private[operators] def lloydFit(spark: SparkSession, emb: DataFrame, k: Int,
+      iterations: Int): (DataFrame, Seq[(Long, Seq[Double])]) = {
     GraftExpressions.register(spark)
     require(k > 0, s"k must be positive, got $k")
     require(iterations > 0, s"iterations must be positive, got $iterations")
     import spark.implicits._
-    val n = normed(emb).select(col("vec_id"), col("v")).localCheckpoint()
+    val n = normed(emb).select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
     val init = n
       .withColumn("fp", Sampling.portableUniformFingerprint(col("vec_id").cast("string")))
       .orderBy(col("fp"), col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0))
-    require(init.nonEmpty, "lloydKMeans needs a non-empty corpus")
+    require(init.nonEmpty, "lloydFit needs a non-empty corpus")
     var cents: Seq[(Long, Seq[Double])] =
       init.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
     var assigned: DataFrame = null
@@ -579,20 +580,28 @@ object Similarity {
     while (t < iterations) {
       val centDf = broadcast(cents.toDF("cid", "cv"))
       assigned = n.crossJoin(centDf)
-        .select(col("vec_id"), col("v"),
+        .select(col("vec_id"), col("v"), col("nrm"),
           struct(fullL2(col("v"), col("cv")).as("d"), col("cid")).as("sc"))
         .groupBy(col("vec_id"))
         // lexicographic min(struct) = (smallest distance, then smallest
-        // cid) — and unlike a window it partial-aggregates map-side
-        .agg(min(col("v")).as("v"), min(col("sc")).as("best"))
-        .select(col("vec_id"), col("v"), col("best.cid").as("cluster"),
+        // cid) — and unlike a window it partial-aggregates map-side;
+        // min(v)/min(nrm) are the values (every per-vec_id row carries
+        // the same v and nrm)
+        .agg(min(col("v")).as("v"), min(col("nrm")).as("nrm"), min(col("sc")).as("best"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("best.cid").as("cluster"),
           col("best.d").as("sq_dist"))
         .localCheckpoint()
       if (t < iterations - 1) {
         val means = assigned
           .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "val")))
           .groupBy(col("cluster"), col("dim"))
-          // decimal-detour mean (the Num.davg contract, operator-layer copy)
+          // decimal-detour mean (the Num.davg contract, operator-layer
+          // copy). Magnitude bound (the Num.dsum precondition): summands
+          // are raw embedding components (~0.1 scale on the fixture);
+          // components below the 10⁻⁶ grid contribute a deterministic
+          // ≤ 5·10⁻⁷ per-dim centroid error — noise relative to any
+          // component scale a clustering is meaningful at, not a
+          // q34-style collapse of a whole summand class.
           .agg((sum(col("val").cast(DecimalType(30, 6))).cast("double") /
             count(col("val"))).as("mv"))
           .collect()
@@ -604,8 +613,7 @@ object Similarity {
       }
       t += 1
     }
-    assigned.select(col("vec_id"), col("cluster"), col("sq_dist"))
-      .orderBy(col("vec_id"))
+    (assigned, cents)
   }
 
   /** Subvector `s` (0-based) of a `subDim`-striped vector column. */

@@ -97,19 +97,88 @@ object Vectors {
     * full-outer contract). Full-baseline mode stays one call away:
     * pass `lit(true)` (SimilaritySpec exercises it). */
   private def recallSample(nQueries: Int) =
-    col("vec_id") < nQueries && pmod(xxhash64(col("vec_id")), lit(2)) === 0
+    col("vec_id") < nQueries &&
+      pmod(graft.operators.Sampling.portableUniformFingerprint(
+        concat(lit("recall-r11:"), col("vec_id").cast("string"))), lit(2)) === 0
 
-  /** LSH-bucketed approximate top-k (scale path for v01) — rows-only by
-    * design, but NOT unmeasured: each row carries `recall_at_k`, the
-    * fraction of the exact top-k its query recovered, so the rows-only
-    * correctness artifact quantifies the approximation (the unit-test
-    * threshold made visible as data). The exact side covers a hash-sample
-    * of the queries — see [[recallSample]]. */
+  // DuckDB mirror of [[recallSample]]'s parity draw (the engine-portable
+  // fingerprint, NOT xxhash64 — switching the sample to the portable mix
+  // in r11 is what made the whole recall column oracle-replayable).
+  private val recallSampleSql =
+    s"(${Text.mixSql("'recall-r11:' || CAST(query_id AS VARCHAR)")}) % 2 = 0"
+
+  // Sequential-fold dot product between two list columns (neither may be
+  // an outer lambda variable's alias — the list_zip form keeps outer
+  // names out of inner lambda bodies, the v15 binder discipline).
+  private def zipDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+
+  /** Appends the measured-recall CTEs + final projection to an `approx`
+    * CTE of shape (query_id, rank, neighbor_id, cos_sim) — the SQL
+    * mirror of [[Similarity.withMeasuredRecall]] over the hash-sampled
+    * exact baseline: exact top-k for sampled queries, per-query found
+    * fraction, FULL OUTER back onto the approximate rows (recall-0
+    * queries surface as rows; unsampled queries keep null recall). */
+  private def recallTailSql(k: Int): String =
+    s"""sq AS (SELECT query_id, qv, qnrm FROM q WHERE $recallSampleSql),
+       |es AS (SELECT s.query_id, a.vec_id AS neighbor_id,
+       |         ${zipDot("a.v", "s.qv")} / (a.nrm * s.qnrm) AS cos_sim
+       |       FROM n a, sq s WHERE a.vec_id <> s.query_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |         FROM es) WHERE rank <= $k),
+       |rc AS (SELECT e.query_id,
+       |         CAST(count(f.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+       |       FROM ex e LEFT JOIN approx f
+       |         ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id
+       |       GROUP BY e.query_id)
+       |SELECT COALESCE(a.query_id, rc.query_id) AS query_id, a.rank,
+       |  a.neighbor_id, a.cos_sim, rc.recall_at_k
+       |FROM approx a FULL OUTER JOIN rc ON a.query_id = rc.query_id
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed approximate top-k (scale path for v01), with each row
+    * carrying `recall_at_k` against the hash-sampled exact baseline.
+    * Oracle-gated since r11: the hyperplanes are a fixed seeded draw, so
+    * the oracle inlines the SAME plane matrix ([[Similarity.flatPlanes]]
+    * — one source of truth) and replays signature bits, the Hamming
+    * radius-2 candidate filter (bit_count over a packed XOR engine-side ≡
+    * per-plane sign-mismatch count, Hamming being bit-permutation
+    * invariant), the cosine top-k, and the measured recall column. */
   private def v03(spark: SparkSession, dir: String): DataFrame = {
     val emb = Corpus.embeddings(spark, dir)
     Similarity.withMeasuredRecall(
       Similarity.lshTopK(spark, emb, nQueries = 5, k = 10),
       Similarity.cosineTopKForQueries(spark, emb, recallSample(5), k = 10))
+  }
+
+  private val v03Sql = {
+    // the engine's exact plane matrix (8 planes × dim 64), inlined as a
+    // literal and cast element-wise to DOUBLE (DuckDB parses bare decimal
+    // literals as DECIMAL; shortest-repr strings round-trip exactly)
+    val planes = graft.operators.Similarity.flatPlanes(8, 64).grouped(64)
+      .map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH $normedCte,
+       |pl AS (SELECT list_transform($planes,
+       |         p -> list_transform(p, x -> CAST(x AS DOUBLE))) AS planes),
+       |sg AS (SELECT vec_id, v, nrm,
+       |         list_transform(planes, p -> ${zipDot("v", "p")} > 0) AS bits
+       |       FROM n, pl),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bits AS qbits
+       |      FROM sg WHERE vec_id < 5),
+       |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+       |        ${zipDot("a.v", "q.qv")} / (a.nrm * q.qnrm) AS cos_sim
+       |      FROM sg a, q
+       |      WHERE a.vec_id <> q.query_id
+       |        AND len(list_filter(range(1, len(a.bits) + 1),
+       |              i -> a.bits[i] <> q.qbits[i])) <= 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      FROM s),
+       |approx AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |           FROM r WHERE rank <= 10),
+       |${recallTailSql(10)}""".stripMargin
   }
 
   /** Multimodal decode: documents → genuine BMP payloads in a binary
@@ -231,10 +300,86 @@ object Vectors {
       |FROM c
       |ORDER BY doc_id, clip_idx""".stripMargin
 
-  /** IVF-bucketed approximate top-k (KMeans coarse quantizer, 4-of-16
-    * cell probes) — rows-only by design, with the same measured
-    * `recall_at_k` column as v03 quantifying the approximation (exact
-    * side hash-sampled, see [[recallSample]]). */
+  /** The IVF fit+probe CTE chain shared verbatim by the v04 and v05
+    * oracles: the deterministic Lloyd coarse quantizer
+    * ([[Similarity.lloydFit]] — fingerprint-smallest init, 2 rounds,
+    * decimal-detour recenters; the v15 recipe at k=16), then the probe —
+    * per-query cell ranking by |c|²−2q·c over the FINAL centroids, the
+    * 4-of-16 cell candidate join, cosine top-10. Ends with an `approx`
+    * CTE of shape (query_id, rank, neighbor_id, cos_sim). */
+  /** CTE chain replaying [[Similarity.lloydFit]] over an in-scope CTE
+    * `n` (vec_id, v, nrm): fingerprint-smallest init `c0` (k rows),
+    * then alternating assign/recenter rounds — the v15 recipe with the
+    * assignment CTEs carrying v/nrm for downstream probes. The final
+    * assignment CTE is `a${iterations - 1}` (vec_id, v, nrm, cid, d)
+    * under centroids `c${iterations - 1}` — the fit's contract: the
+    * last round assigns without recentering. Shared verbatim by the
+    * v04/v05 IVF oracles and the v08 SemDeDup oracle. */
+  private def lloydChainSql(k: Int, iterations: Int): String = {
+    val fp = Text.mixSql("CAST(vec_id AS VARCHAR)")
+    def l2full(v: String, cv: String) =
+      s"list_sum(list_transform(list_zip($v, $cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    def assign(cPrev: String, a: String) =
+      s"""$a AS (
+         |  SELECT vec_id, v, nrm, cid, d FROM (
+         |    SELECT vec_id, v, nrm, cid, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |    FROM (SELECT n.vec_id, n.v, n.nrm, c.cid, ${l2full("n.v", "c.cv")} AS d
+         |          FROM n, $cPrev c))
+         |  WHERE rk = 1)""".stripMargin
+    def recenter(a: String, cPrev: String, cNext: String) =
+      s"""$cNext AS (
+         |  SELECT prev.cid, COALESCE(nw.cv, prev.cv) AS cv
+         |  FROM $cPrev prev LEFT JOIN (
+         |    SELECT cid, list(mv ORDER BY dim) AS cv FROM (
+         |      SELECT a.cid, CAST(dim AS INT) AS dim,
+         |        ${Num.dsumSql("a.v[dim]")} / COUNT(a.v[dim]) AS mv
+         |      FROM $a a,
+         |        LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS dim) dd
+         |      GROUP BY a.cid, dim)
+         |    GROUP BY cid) nw ON prev.cid = nw.cid)""".stripMargin
+    val rounds = (0 until iterations).map { t =>
+      if (t < iterations - 1)
+        s"${assign(s"c$t", s"a$t")},\n${recenter(s"a$t", s"c$t", s"c${t + 1}")}"
+      else assign(s"c$t", s"a$t")
+    }.mkString(",\n")
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY fp, vec_id) - 1 AS BIGINT) AS cid,
+       |         v AS cv
+       |       FROM (SELECT vec_id, v, $fp AS fp FROM n ORDER BY fp, vec_id LIMIT $k)),
+       |$rounds""".stripMargin
+  }
+
+  private val ivfProbeCtes: String = {
+    // final fit round's CTE names under IvfFitIterations rounds
+    val cF = s"c${graft.operators.Similarity.IvfFitIterations - 1}"
+    val aF = s"a${graft.operators.Similarity.IvfFitIterations - 1}"
+    s"""$normedCte,
+       |${lloydChainSql(16, graft.operators.Similarity.IvfFitIterations)},
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+       |cd AS (SELECT q.query_id, q.qv, q.qnrm, c.cid AS cell,
+       |         ${zipDot("c.cv", "c.cv")}
+       |           - CAST(2.0 AS DOUBLE) * ${zipDot("q.qv", "c.cv")} AS cdist
+       |       FROM q, $cF c),
+       |pb AS (SELECT query_id, qv, qnrm, cell FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cdist, cell) AS crank
+       |         FROM cd)
+       |       WHERE crank <= 4),
+       |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |        ${zipDot("a.v", "p.qv")} / (a.nrm * p.qnrm) AS cos_sim
+       |      FROM $aF a JOIN pb p ON a.cid = p.cell AND a.vec_id <> p.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      FROM s),
+       |approx AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |           FROM r WHERE rank <= 10)""".stripMargin
+  }
+
+  /** IVF-bucketed approximate top-k (deterministic Lloyd coarse
+    * quantizer, 4-of-16 cell probes) with the measured `recall_at_k`
+    * column (exact side hash-sampled, see [[recallSample]]).
+    * Oracle-gated since r11: the fit moved off MLlib KMeans onto the
+    * engine's own [[Similarity.lloydFit]], so DuckDB replays the init
+    * pick, both Lloyd rounds, every cell ranking, the probe join, and
+    * the recall arithmetic — hash-exact. */
   private def v04(spark: SparkSession, dir: String): DataFrame = {
     val emb = Corpus.embeddings(spark, dir)
     Similarity.withMeasuredRecall(
@@ -242,13 +387,18 @@ object Vectors {
       Similarity.cosineTopKForQueries(spark, emb, recallSample(5), k = 10))
   }
 
+  private val v04Sql =
+    s"""WITH $ivfProbeCtes,
+       |${recallTailSql(10)}""".stripMargin
+
   /** IVF index round trip — the serve-path shape: the corpus is signed
     * ONCE into a persisted centroids+assignments index (cell-partitioned
     * parquet), then the query batch probes the on-disk index without
     * re-fitting the quantizer. Bit-identical to v04's in-memory path
     * (deterministic fit; doubles round-trip parquet exactly — asserted in
-    * SimilaritySpec). Rows-only for the driver (KMeans isn't
-    * SQL-expressible). */
+    * SimilaritySpec), so its oracle is the SAME fit+probe chain minus
+    * the recall column — the persisted lifecycle must reproduce the
+    * in-memory answer to the bit (the v11/t53 discipline). */
   private def v05(spark: SparkSession, dir: String): DataFrame = {
     val emb = Corpus.embeddings(spark, dir)
     // fresh bounded-retention dir per invocation: see RotatingTempDir
@@ -259,6 +409,11 @@ object Vectors {
     Similarity.ivfTopKAgainstIndex(spark, emb.filter(col("vec_id") < 5), idx, k = 10)
       .localCheckpoint()
   }
+
+  private val v05Sql =
+    s"""WITH $ivfProbeCtes
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM approx
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Embedding dedup end-to-end: the v02 near-dup pairs fold into
     * connected components (same [[Dedup.dupClusters]] min-label
@@ -340,24 +495,21 @@ object Vectors {
     Similarity.semDedup(spark, plantedEmbeddings(spark, dir), k = 8, threshold = 0.9)
 
   private val v08Sql = {
-    val fold = Text.mixSql("CAST(vec_id AS VARCHAR)")
+    // the SemDeDup clustering is the r11 lloydFit (2 refinement rounds,
+    // the full published recipe) over the PLANTED corpus — the chain's
+    // `n` comes from plantedPairsCtes, so the init pick, both Lloyd
+    // rounds, every sq_dist, and the within-cluster ε-ball verdicts all
+    // replay against the corpus the engine actually deduped
+    val aF = "a1"
     s"""WITH $plantedPairsCtes,
-       |cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n
-       |         ORDER BY $fold, vec_id LIMIT 8),
-       |sc AS (SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
-       |         list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]))
-       |           / (n.nrm * c.cnrm) AS centroid_cos
-       |       FROM n, cent c),
-       |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-       |          ORDER BY centroid_cos DESC, centroid_id) AS rn FROM sc),
-       |a AS (SELECT vec_id, v, nrm, centroid_id, centroid_cos FROM asg WHERE rn = 1),
-       |dup AS (SELECT DISTINCT i.vec_id FROM a i JOIN a j
-       |        ON i.centroid_id = j.centroid_id AND j.vec_id < i.vec_id
+       |${lloydChainSql(8, 2)},
+       |dup AS (SELECT DISTINCT i.vec_id FROM $aF i JOIN $aF j
+       |        ON i.cid = j.cid AND j.vec_id < i.vec_id
        |        WHERE list_sum(list_transform(range(1, len(i.v) + 1), x -> i.v[x] * j.v[x]))
        |            / (i.nrm * j.nrm) >= 0.9)
-       |SELECT vec_id, centroid_id, centroid_cos,
+       |SELECT vec_id, cid AS cluster, d AS sq_dist,
        |  vec_id NOT IN (SELECT vec_id FROM dup) AS keep
-       |FROM a ORDER BY vec_id""".stripMargin
+       |FROM $aF ORDER BY vec_id""".stripMargin
   }
 
   /** Product-quantization ADC top-k
@@ -663,9 +815,9 @@ object Vectors {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
-    QuerySpec("v03_ann_lsh_topk", v03, None),
-    QuerySpec("v04_ann_ivf_topk", v04, None),
-    QuerySpec("v05_ann_ivf_index", v05, None),
+    QuerySpec("v03_ann_lsh_topk", v03, Some(v03Sql)),
+    QuerySpec("v04_ann_ivf_topk", v04, Some(v04Sql)),
+    QuerySpec("v05_ann_ivf_index", v05, Some(v05Sql)),
     QuerySpec("v06_embedding_dup_clusters", v06, Some(v06Sql)),
     QuerySpec("v07_embedding_quantize", v07, Some(v07Sql)),
     QuerySpec("v08_semdedup", v08, Some(v08Sql)),

@@ -196,17 +196,18 @@ class PlanSpec extends SparkTestBase {
 
   test("v08 semDedup: centroids broadcast; the ε-ball check is an equi-join, never n²") {
     val plan = planOf("v08_semdedup")
-    // the only cartesian allowed is corpus × broadcast(k centroids);
-    // the within-cluster pair check must equi-join on centroid_id
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"centroid assignment must broadcast the k centroids:\n$plan")
+    // clustering now runs inside lloydFit's checkpointed rounds (its
+    // broadcast(k)-crossJoin + map-side-partial argmin shape is the v15
+    // machinery, value-pinned by the v15 oracle); what the FINAL plan
+    // must show is the ε-ball pair check staying cluster-bounded: an
+    // equi-join on the cluster id, never a cartesian or a nested-loop
+    // pair enumeration
     assert(!plan.contains("CartesianProduct"),
       s"pairwise compare must stay cluster-bounded:\n$plan")
-    // the nearest-centroid argmax must partial-aggregate map-side (one
-    // row per vector crosses the shuffle), not rank via a Window over
-    // all n×k scored rows
-    assert(plan.contains("partial_max"),
-      s"assignment argmax must be a two-phase aggregate:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair check must be an equi-join on cluster, not a nested loop:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"dropped-member detection must stay a semi-join (ids only):\n$plan")
   }
 
   test("t36 temperature mix: rates broadcast back; the data itself never shuffle-joins") {
