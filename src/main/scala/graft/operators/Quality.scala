@@ -114,6 +114,10 @@ object Quality {
       .join(broadcast(nt), Seq("lang"), "left")
       .withColumn("_lp", logp)
       .groupBy(col("doc_id"), col("lang"))
+      // Magnitude bound (the Num.dsum precondition): summands are
+      // Laplace-smoothed n-gram log-probs, ≤ −ln((nt+buckets)/(ct+1)) —
+      // below the 10⁻⁶ grid only if one gram held e^(−10⁻⁶) ≈ all of its
+      // language's probability mass, which the bucket smoothing forbids.
       .agg(count(lit(1)).as("n_grams"),
         (lit(0.0) - sum(col("_lp").cast(DecimalType(30, 6))).cast("double")
           / count(col("_lp"))).as("logpp")))
@@ -197,6 +201,11 @@ object Quality {
       .crossJoin(broadcast(np)).crossJoin(broadcast(nn))
       .withColumn("_lo", lodds)
       .groupBy(col("doc_id"))
+      // Magnitude bound (the Num.dsum precondition): summands are
+      // per-gram class log-odds — O(1) except for grams whose positive
+      // and negative smoothed rates coincide, where the true term is ~0
+      // and the ≤ 5·10⁻⁷ quantization matches its own order (no term
+      // class sits wholly below the grid, unlike q34's rank mass).
       .agg(count(lit(1)).as("n_grams"),
         sum(col("_lo").cast(DecimalType(30, 6))).cast("double").as("_s"))
       .crossJoin(broadcast(prior))

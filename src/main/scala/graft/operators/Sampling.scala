@@ -223,7 +223,14 @@ object Sampling {
       .withColumn("_q", pow(col("_n").cast("double") / col("_total"), lit(alpha)))
     // _z sums doubles: route through the DECIMAL(30,6) detour so the
     // normalizer (hence every rate) is accumulation-order independent
-    // and bit-identical cross-engine (the Num contract)
+    // and bit-identical cross-engine (the Num contract).
+    // Magnitude bound (the Num.dsum precondition): summands are stratum
+    // shares^α ∈ (0, 1]; a term falls below the 10⁻⁶ grid only when a
+    // stratum holds < 10⁻⁶̂(1/α) of the corpus — at α = 0.5 that is one
+    // row per 10¹² — and these terms SHRINK with corpus growth, so a
+    // deployment with ultra-rare strata at larger N than the fixture
+    // must migrate to the (38,18) grid (SamplingSpec pins the
+    // smallest-term behavior at the documented edge).
     val rates = stats
       .crossJoin(broadcast(stats.select(
         sum(col("_q").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
@@ -428,7 +435,13 @@ object Sampling {
           - log((col("cr").cast("double") + lit(1.0)) / (col("n_r") + lit(buckets))))
       .groupBy(col("doc_id"))
       // DECIMAL(30,6) detour inline (operator layer can't depend on the
-      // query layer's Num; the mirror contract is Num.dsumSql)
+      // query layer's Num; the mirror contract is Num.dsumSql).
+      // Magnitude bound (the Num.dsum precondition): summands are
+      // per-gram log-ratios of Laplace-smoothed bucket frequencies —
+      // O(1) except where the target and reference rates genuinely
+      // coincide, and there the true term is ~0, so the ≤ 5·10⁻⁷
+      // per-term quantization is of the same order as the value itself
+      // (no q34-style mass class sits wholly below the grid).
       .agg(count(lit(1)).as("n_grams"),
         sum(col("logratio").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
           .cast("double").as("weight"))

@@ -19,13 +19,27 @@ import org.apache.spark.sql.types.DecimalType
   * DOUBLE)` — see [[dsumSql]].
   */
 object Num {
-  /** Order-independent exact sum of a double column, returned as double. */
+  /** Order-independent exact sum of a double column, returned as double.
+    *
+    * MAGNITUDE PRECONDITION (the q34 lesson): each summand quantizes to
+    * the 10⁻⁶ grid, so a summand whose magnitude sits BELOW 10⁻⁶
+    * contributes zero — IDENTICALLY in both engines, so the hash gate
+    * cannot see it. Per-term quantization error is ≤ 5·10⁻⁷ and
+    * deterministic, which is fine when typical terms are O(1); it is
+    * catastrophic when ALL terms are tiny (PageRank's ~1/(N·outdeg)
+    * contributions lost 35% of probability mass at 16k nodes). Use this
+    * detour only where the typical summand is ≥ 10⁻⁶ — every call site
+    * documents its bound — and the DECIMAL(38,18) grid
+    * ([[graft.operators.Graph.pageRank]]) for small-magnitude mass
+    * sums. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
 
   /** Deterministic mean: exact decimal sum divided by non-null count. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** DuckDB SQL fragment equivalent to [[dsum]]. */
+  /** DuckDB SQL fragment equivalent to [[dsum]] — [[dsum]]'s magnitude
+    * precondition applies verbatim (the mirrors share the grid, which is
+    * exactly why a below-grid summand is invisible to the hash gate). */
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(30,6))) AS DOUBLE)"
 

@@ -701,6 +701,8 @@ object Relational {
   private def q33(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
     Corpus.orders(spark, dir)
+      // Magnitude bound (the Num.dsum precondition): summands are order
+      // totals, O(10⁴–10⁵) — eight orders above the 10⁻⁶ grid.
       .withColumn("grp_sum", sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 6))).over(w))
       .withColumn("grp_n", count(lit(1)).over(w))
       .withColumn("grp_avg", col("grp_sum").cast("double") / col("grp_n"))

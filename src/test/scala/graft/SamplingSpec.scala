@@ -244,6 +244,36 @@ class SamplingSpec extends SparkTestBase {
     assert(judged.filter(col("lang").isNull).count() === 10L)
   }
 
+  test("temperatureKeep: the DECIMAL(30,6) normalizer grid is exactly the documented contract") {
+    // The q34 lesson generalized (the Num.dsum magnitude precondition):
+    // each share^α summand quantizes to the 1e-6 grid HALF_UP before the
+    // sum. Three equal strata make the sub-grid digits visible — q =
+    // (1/3)^1 = 0.3333333... quantizes to 0.333333, so z = 0.999999, NOT
+    // the exact double sum ≈ 1.0. The rates must match the quantized
+    // reference to the bit and must NOT match the naive double
+    // normalizer — pinning that we know exactly what the grid does to
+    // the smallest digits (α < 1 RAISES small shares toward 1, so terms
+    // can only fall below the grid when a stratum holds < 1e-6^(1/α) of
+    // the corpus — the documented migration edge).
+    val docs = (0L until 9L).map(i =>
+      (i, s"body $i", (i % 3).toString)).toDF("doc_id", "text", "lang")
+    val out = Sampling.temperatureKeep(docs, "text", "lang",
+      alpha = 1.0, targetRows = 1L)
+    val rates = out.select("lang", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    val qExact = 3.0 / 9.0
+    val qGrid = BigDecimal(qExact).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val zGrid = (qGrid * 3).toDouble // 0.999999 — the quantized normalizer
+    val want = 1.0 * (qExact / zGrid) / 3.0
+    val naive = 1.0 * (qExact / (qExact * 3)) / 3.0
+    for (s <- Seq("0", "1", "2")) {
+      assert(rates(s) === want, s"stratum $s must carry the grid-quantized rate")
+      assert(rates(s) !== naive, "the naive double normalizer would hide the grid")
+    }
+    // and the per-term grid error obeys the documented <= 5e-7 bound
+    assert(math.abs(qGrid.toDouble - qExact) <= 5e-7)
+  }
+
   test("stratifiedSample: k smallest fingerprints per stratum; growth displaces at most one") {
     val docs = (0L until 120L).map(i =>
       (i, s"body of document number $i", if (i % 3 == 0) "en" else "fr"))
