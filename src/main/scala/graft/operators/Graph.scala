@@ -44,13 +44,21 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // Edges are hash-partitioned by src ONCE, up front: localCheckpoint
+    // preserves the physical partitioning in its LogicalRDD, so every
+    // iteration's rank⋈edges join moves only the node-sized rank table
+    // (one-sided exchange) instead of re-shuffling the edge-sized side
+    // five times — at web scale the edge table is the 100× term.
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     // materialized once — every iteration's plan embeds it, and a lazy
-    // outdeg would re-aggregate the full edge table per round
+    // outdeg would re-aggregate the full edge table per round. Aggregates
+    // shuffle-free over the src-partitioned edges and inherits their
+    // partitioning, so the per-round pr⋈outdeg join is one-sided too.
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val base = (1.0 - damping) / n
