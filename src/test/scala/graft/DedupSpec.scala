@@ -400,4 +400,47 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
     assert(fo(1L) === ((1L, 8L, "")) && fo(2L) === ((2L, 8L, "")))
   }
+
+  test("exciseRepeatedSpans: the gaps-and-islands merge is L-independent (3..50)") {
+    // The Lee et al. recipe is parameterized by the span length L (the
+    // paper's canonical setting is ~50 bytes; t49 fixes L=8 tokens).
+    // Sweep L across 3/8/20/50 against a single-node reference of the
+    // whole operator — same duplicated-gram marking, covered-position
+    // union, island counting, reassembly — on a fixture whose shared
+    // passage (60 tokens) is LONGER than every L, so long-span
+    // coalescing (many overlapping duplicated L-grams merging into one
+    // island) is exercised at each setting, alongside a within-doc
+    // repeat and unique filler.
+    val shared = (1 to 60).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 5).map(i => s"r$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 $rep b3 $rep"),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")))
+    def ref(l: Int): Map[Long, (Long, Long, Long, Long, String)] = {
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toVector }
+      val counts = scala.collection.mutable.Map.empty[Seq[String], Int].withDefaultValue(0)
+      for ((_, tk) <- toks; i <- 0 to tk.length - l) counts(tk.slice(i, i + l)) += 1
+      toks.map { case (id, tk) =>
+        val dupStarts = (0 to tk.length - l).filter(i => counts(tk.slice(i, i + l)) > 1)
+        val covered = dupStarts.flatMap(i => i until i + l).toSet
+        val islands = covered.toSeq.sorted
+          .foldLeft((0L, -2)) { case ((n, prev), p) =>
+            (if (p > prev + 1) n + 1 else n, p)
+          }._1
+        val clean = tk.indices.filterNot(covered).map(tk).mkString(" ")
+        id -> ((tk.length.toLong, dupStarts.size.toLong, islands,
+          covered.size.toLong, clean))
+      }.toMap
+    }
+    for (l <- Seq(3, 8, 20, 50)) {
+      val out = Dedup.exciseRepeatedSpans(
+        corpus.toDF("doc_id", "text"), spanTokens = l)
+        .select("doc_id", "n_tokens", "n_dup_starts", "n_spans_removed",
+          "n_removed_tokens", "clean_text")
+        .as[(Long, Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      assert(out === ref(l), s"L=$l must match the single-node reference")
+    }
+  }
 }
