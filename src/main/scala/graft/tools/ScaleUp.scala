@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling-corpus builder (the tools/Scratch class of utility —
+  * NOT part of the engine): replicates the sf0.1 fixture ~Nx with
+  * shifted ids so the shuffle-heavy queries can be timed one scale
+  * point beyond the driver fixtures, turning the 100x design claims
+  * (log-n CC rounds, bounded k-heaps, df²-capped blocking) into
+  * measured slopes.
+  *
+  * Replication semantics: each replica is an INDEPENDENT copy of the
+  * original problem —
+  *  - documents: ids offset per replica; every token of replica r > 0
+  *    is prefixed `r_`, a per-replica token bijection. Shingle/gram
+  *    equality is invariant under it WITHIN a replica (each replica
+  *    reproduces the original dedup problem exactly) and impossible
+  *    ACROSS replicas (no cross-replica near-dup blowup that would
+  *    change the workload's character rather than its scale);
+  *  - embeddings: vec_id offset, vectors unchanged (probe-side queries
+  *    stay the original vec_id < 5 five);
+  *  - orders/lineitem/customer: join keys offset consistently so the
+  *    key relationships replicate; dimension tables (nation/region/
+  *    part/supplier) and events copy through unchanged.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1x")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftSession.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val OFF = 100000000L
+    val reps = spark.range(replicas).select(col("id").as("_r"))
+
+    def replicate(table: String)(shift: DataFrame => DataFrame): Unit =
+      shift(spark.read.parquet(s"$src/$table.parquet").crossJoin(broadcast(reps)))
+        .drop("_r")
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+
+    def copy(table: String): Unit =
+      spark.read.parquet(s"$src/$table.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+
+    replicate("documents")(df => df
+      .withColumn("doc_id", col("doc_id") + col("_r") * OFF)
+      .withColumn("text", when(col("_r") === 0, col("text"))
+        .otherwise(array_join(
+          transform(filter(split(col("text"), " "), t => t =!= lit("")),
+            t => concat(col("_r").cast("string"), lit("_"), t)), " "))))
+    replicate("embeddings")(df => df
+      .withColumn("vec_id", col("vec_id") + col("_r") * OFF))
+    replicate("orders")(df => df
+      .withColumn("o_orderkey", col("o_orderkey") + col("_r") * OFF)
+      .withColumn("o_custkey", col("o_custkey") + col("_r") * OFF))
+    replicate("lineitem")(df => df
+      .withColumn("l_orderkey", col("l_orderkey") + col("_r") * OFF)
+      .withColumn("l_suppkey", col("l_suppkey") + col("_r") * OFF))
+    replicate("customer")(df => df
+      .withColumn("c_custkey", col("c_custkey") + col("_r") * OFF))
+    // events is deliberately NOT copied: its TIMESTAMP(NANOS) column
+    // reads as long under the session's nanosAsLong conf, so a naive
+    // read/write round trip would rewrite the schema; none of the
+    // shuffle-heavy scaling queries touch it
+    Seq("nation", "region", "part", "supplier").foreach(copy)
+    println(s"[scaleup] wrote ${replicas}x $src -> $dst")
+    spark.stop()
+  }
+}
