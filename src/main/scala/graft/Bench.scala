@@ -40,10 +40,14 @@ object Bench {
     // changes). Two back-to-back runs per query and reporting the min
     // makes a transient spike structurally impossible to mistake for a
     // plan regression — a real regression reproduces in BOTH runs.
-    val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val runsPerQuery =
+      math.max(1, sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2))
     val allRuns = scala.collection.mutable.Map.empty[String, Seq[Double]]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Boolean, Map[String, Double]) = {
+      // (elapsed, succeeded, phase split, count-channel keys) — the keys
+      // travel with the map so the integer-vs-seconds formatting below
+      // stays exact, not a name heuristic
+      def once(): (Double, Boolean, Map[String, Double], Set[String]) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -84,19 +88,22 @@ object Bench {
         graft.operators.Quality.releaseCaches()
         graft.operators.Unigram.releaseCaches()
         graft.queries.Text.releaseCaches()
-        (elapsed, ok, withProbe)
+        (elapsed, ok, withProbe, counts.keySet.toSet)
       }
-      val runs = (1 to math.max(1, runsPerQuery)).map(_ => once())
+      val runs = (1 to runsPerQuery).map(_ => once())
       allRuns(name) = runs.map(_._1)
       // the min run's phase split is the one reported: its elapsed is the
-      // number in "queries", so probe = elapsed - build stays consistent
-      val best = runs.minBy(_._1)
+      // number in "queries", so probe = elapsed - build stays consistent.
+      // Min over SUCCESSFUL runs first — a fast-failing run must not mask
+      // a successful run's timing (a 0.4s crash would otherwise report as
+      // a phantom speedup and drop the good run's phase split); only if
+      // every run failed does the raw min stand next to its failure line.
+      val best = runs.filter(_._2).minByOption(_._1).getOrElse(runs.minBy(_._1))
       if (best._2 && best._3.nonEmpty) {
         phaseResults(name) = best._3
         val parts = best._3.toSeq.sortBy(_._1)
           .map { case (p, s) =>
-            // counts (the cc_*_rounds channel) print as integers
-            if (p.endsWith("_rounds")) s"$p=${s.toLong}" else f"$p=$s%.2fs" }
+            if (best._4.contains(p)) s"$p=${s.toLong}" else f"$p=$s%.2fs" }
           .mkString(" ")
         System.err.println(f"[bench] $name $parts total=${best._1}%.2fs")
       }

@@ -20,6 +20,12 @@ object Text {
   // Shared SQL fragments (DuckDB): whitespace tokens with empties dropped.
   private val toksSql = "list_filter(str_split(text, ' '), t -> t <> '')"
 
+  // DuckDB mirror of TextFunctions.wsTokens (\s+ split) — the unigram
+  // word table's tokenization since the tab/newline hardening; equal to
+  // toksSql on single-space text, diverges exactly where the engine does
+  private[queries] val wsToksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
   // DuckDB mirror of Sampling.portableFingerprint — the portable mod-2³¹
   // fold is a cross-engine CONTRACT (split/sampling/packing oracles all
   // gate on it), so it has exactly one Spark definition and this one SQL
@@ -1092,7 +1098,7 @@ object Text {
   private val t51Sql =
     s"""WITH RECURSIVE
        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM (
-       |        SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+       |        SELECT unnest($wsToksSql) AS word FROM documents) GROUP BY word),
        |sub AS (SELECT substr(w.word, CAST(p AS INT), CAST(l AS INT)) AS piece,
        |          CAST(sum(w.wfreq) AS BIGINT) AS cnt
        |        FROM w,

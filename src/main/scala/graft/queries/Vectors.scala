@@ -777,40 +777,15 @@ object Vectors {
     Similarity.lloydKMeans(spark, Corpus.embeddings(spark, dir),
       k = 8, iterations = 3)
 
-  private val v15Sql = {
-    val fp = Text.mixSql("CAST(vec_id AS VARCHAR)")
-    val l2 = "list_sum(list_transform(list_zip(n.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
-    def assign(cPrev: String, a: String) =
-      s"""$a AS (
-         |  SELECT vec_id, v, cid, d FROM (
-         |    SELECT vec_id, v, cid, d,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-         |    FROM (SELECT n.vec_id, n.v, c.cid, $l2 AS d FROM n, $cPrev c))
-         |  WHERE rk = 1)""".stripMargin
-    def recenter(a: String, cPrev: String, cNext: String) =
-      s"""$cNext AS (
-         |  SELECT prev.cid, COALESCE(nw.cv, prev.cv) AS cv
-         |  FROM $cPrev prev LEFT JOIN (
-         |    SELECT cid, list(mv ORDER BY dim) AS cv FROM (
-         |      SELECT a.cid, CAST(dim AS INT) AS dim,
-         |        ${Num.dsumSql("a.v[dim]")} / COUNT(a.v[dim]) AS mv
-         |      FROM $a a,
-         |        LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS dim) dd
-         |      GROUP BY a.cid, dim)
-         |    GROUP BY cid) nw ON prev.cid = nw.cid)""".stripMargin
-    s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |      FROM embeddings),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY fp, vec_id) - 1 AS BIGINT) AS cid,
-       |         v AS cv
-       |       FROM (SELECT vec_id, v, $fp AS fp FROM n ORDER BY fp, vec_id LIMIT 8)),
-       |${assign("c0", "a0")},
-       |${recenter("a0", "c0", "c1")},
-       |${assign("c1", "a1")},
-       |${recenter("a1", "c1", "c2")},
-       |${assign("c2", "a2")}
+  // the shared lloydChainSql verbatim (one SQL definition of the Lloyd
+  // recipe for v04/v05/v08/v15 — a fix to the fold arithmetic or a
+  // tie-break can no longer de-synchronize the gates); the carried nrm
+  // column is projected away by the final select
+  private val v15Sql =
+    s"""WITH $normedCte,
+       |${lloydChainSql(8, 3)}
        |SELECT vec_id, cid AS cluster, d AS sq_dist FROM a2
        |ORDER BY vec_id""".stripMargin
-  }
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),

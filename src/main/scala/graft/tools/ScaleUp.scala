@@ -54,8 +54,20 @@ object ScaleUp {
         .otherwise(array_join(
           transform(filter(split(col("text"), " "), t => t =!= lit("")),
             t => concat(col("_r").cast("string"), lit("_"), t)), " "))))
+    // per-replica cyclic DIMENSION shift: inner products (hence cosines,
+    // L2, every dedup/cluster verdict) are invariant under a permutation
+    // applied to BOTH sides, so each replica reproduces the original
+    // similarity structure exactly — while cos(v, shift_r(v)) across
+    // replicas sits at the corpus noise floor instead of 1.0 (identical
+    // copies would hand the embedding-dedup family C(replicas,2) planted
+    // pairs per vector — a dense problem, not a scaled one)
     replicate("embeddings")(df => df
-      .withColumn("vec_id", col("vec_id") + col("_r") * OFF))
+      .withColumn("vec_id", col("vec_id") + col("_r") * OFF)
+      .withColumn("embedding", concat(
+        slice(col("embedding"), (col("_r") % size(col("embedding"))) + lit(1),
+          size(col("embedding")) - (col("_r") % size(col("embedding")))),
+        slice(col("embedding"), lit(1),
+          (col("_r") % size(col("embedding")))))))
     replicate("orders")(df => df
       .withColumn("o_orderkey", col("o_orderkey") + col("_r") * OFF)
       .withColumn("o_custkey", col("o_custkey") + col("_r") * OFF))
@@ -64,11 +76,17 @@ object ScaleUp {
       .withColumn("l_suppkey", col("l_suppkey") + col("_r") * OFF))
     replicate("customer")(df => df
       .withColumn("c_custkey", col("c_custkey") + col("_r") * OFF))
+    // supplier replicates alongside lineitem's shifted l_suppkey so the
+    // FK relationship replicates too (a copied-through supplier would
+    // leave replica r > 0 probes dangling and change join selectivity
+    // 10x); l_partkey stays unshifted against the copied-through part
+    replicate("supplier")(df => df
+      .withColumn("s_suppkey", col("s_suppkey") + col("_r") * OFF))
     // events is deliberately NOT copied: its TIMESTAMP(NANOS) column
     // reads as long under the session's nanosAsLong conf, so a naive
     // read/write round trip would rewrite the schema; none of the
     // shuffle-heavy scaling queries touch it
-    Seq("nation", "region", "part", "supplier").foreach(copy)
+    Seq("nation", "region", "part").foreach(copy)
     println(s"[scaleup] wrote ${replicas}x $src -> $dst")
     spark.stop()
   }
