@@ -520,6 +520,77 @@ object UnigramEncode {
   val UnkLogp: Double = -100.0
 }
 
+/** Greedy longest-match-first WordPiece segmentation (Wu et al., "Google's
+  * Neural Machine Translation System", 2016 §4.1 — the BERT tokenizer's
+  * WordpieceTokenizer): from the current position take the LONGEST vocab
+  * piece that matches — the word-initial table at position 0, the
+  * `##`-prefixed continuation table after — and advance; if no piece
+  * matches at some position the whole word collapses to `[UNK]` (the
+  * published behavior). The third tokenizer family beside BPE
+  * ([[BpeApply]]) and unigram ([[UnigramEncode]]): same one-expression-
+  * call-per-word shape, the greedy loop runs inside codegen with a
+  * shared hash table, no per-position lambda dispatch.
+  *
+  * Caveat (shared with BERT): a vocab entry's leading `##` IS the
+  * continuation marker, so corpus tokens that themselves start with
+  * `##` are not representable as word-initial matches. */
+case class WordPieceEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "vocab must be non-empty")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+
+  @transient private lazy val table: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxLen = vocab.iterator
+    .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+
+  def segment(w: UTF8String): ArrayData = {
+    val s = w.toString
+    val n = s.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+    val out = new java.util.ArrayList[AnyRef](4)
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val sub = s.substring(pos, pos + l)
+        val cand = if (pos == 0) sub else "##" + sub
+        if (table.contains(cand)) hit = cand
+        l -= 1
+      }
+      if (hit == null)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[AnyRef](UTF8String.fromString(WordPieceEncode.Unk)))
+      out.add(UTF8String.fromString(hit))
+      pos += (if (pos == 0) hit.length else hit.length - 2)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpieceEnc", this, classOf[WordPieceEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segment($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncode =
+    copy(child = newChild)
+}
+
+object WordPieceEncode {
+  /** The unknown-word sentinel, BERT's literal. */
+  val Unk: String = "[UNK]"
+}
+
 /** Registers the custom expressions in a session's function registry so
   * they are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftExpressions {
@@ -564,6 +635,22 @@ object GraftExpressions {
       (line.substring(0, i), java.lang.Double.parseDouble(line.substring(i + 1)))
     }
 
+  /** Wire encoding of a WordPiece vocabulary for the
+    * `graft_wordpiece_encode` SQL surface: NEWLINE between entries
+    * (continuation pieces carry their literal `##` prefix). Pieces come
+    * from whitespace tokens so they can never contain the separator —
+    * enforced here rather than assumed (the encodeMerges discipline). */
+  def encodeWordPieceVocab(pieces: Seq[String]): String = {
+    pieces.foreach { p =>
+      require(p.nonEmpty && !p.exists(c => c == '\t' || c == '\n'),
+        s"piece must be non-empty and tab/newline-free: '$p'")
+    }
+    pieces.mkString("\n")
+  }
+
+  def decodeWordPieceVocab(spec: String): Seq[String] =
+    spec.split('\n').toSeq.filter(_.nonEmpty)
+
   private def intArg(e: Expression, name: String): Int = e.eval() match {
     case i: Int => i
     case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
@@ -600,5 +687,9 @@ object GraftExpressions {
       UnigramEncode(exprs(0), decodePieces(strArg(exprs(1), "pieces"))))
     ensure("graft_mg_sketch")(exprs =>
       MGSketch(exprs(0), intArg(exprs(1), "k")))
+    ensure("graft_cms_sketch")(exprs =>
+      CMSketch(exprs(0), intArg(exprs(1), "depth"), intArg(exprs(2), "width")))
+    ensure("graft_wordpiece_encode")(exprs =>
+      WordPieceEncode(exprs(0), decodeWordPieceVocab(strArg(exprs(1), "vocab"))))
   }
 }

@@ -52,4 +52,58 @@ object Frequency {
       .withColumn("share", col("freq").cast("double") / lit(n.toDouble))
       .orderBy(col("freq").desc, col("token"))
   }
+
+  /** Count-Min point estimates for every distinct token (Cormode &
+    * Muthukrishnan, J. Algorithms 2005) — the ESTIMATING sibling of
+    * [[heavyHitters]]'s Misra-Gries candidates: one aggregation builds
+    * the depth×width counter matrix ([[graft.functions.CMSketch]] —
+    * fixed-size buffers map-side, one matrix per partition crosses the
+    * shuffle, merges are element-wise adds, so the matrix is a pure
+    * function of the token multiset at any partitioning), then each
+    * distinct token reads `est = min over rows of its cell`.
+    *
+    * The estimate is deterministic data, not a tolerance: with the row
+    * hashes on the portable fold, the oracle rebuilds every cell (a
+    * GROUP BY over colliding tokens) and replays each min — `est ≥
+    * freq` always, over by at most 2n/width with prob 1 − 2^−depth.
+    * The exact `freq` column rides along for the overestimate audit;
+    * at 100 TB the sketch is what a pipeline SHIPS (depth·width longs
+    * summarize any domain) — the exact join here is the gate's
+    * ground truth, not part of the serving shape.
+    *
+    * Output: (token, freq, est, overestimate), (freq desc, token)
+    * order. */
+  def cmsEstimates(docs: DataFrame, depth: Int, width: Int,
+      textCol: String = "text"): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    require(width > 1, s"width must exceed 1, got $width")
+    GraftExpressions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val matrix = toks
+      .agg(expr(s"graft_cms_sketch(token, $depth, $width)").as("m"))
+      .head().getSeq[Long](0)
+    val cells = spark.createDataset(
+      matrix.zipWithIndex.map { case (c, i) => (i / width, i % width, c) })
+      .toDF("row", "cell", "cnt")
+    // per-token cell coordinates via the SAME fold the sketch hashed
+    // with (one definition: CMSMatrix.cell ≡ this column arithmetic ≡
+    // the oracle's foldSql mirror)
+    val rows = (0 until depth).map(r =>
+      struct(lit(r).as("row"),
+        pmod(Sampling.portableFingerprint(
+          concat(lit(s"cms:$r:"), col("token"))), lit(width)).as("cell")))
+    toks
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("rc", explode(array(rows: _*)))
+      .select(col("token"), col("freq"),
+        col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .join(broadcast(cells), Seq("row", "cell"))
+      .groupBy(col("token"))
+      .agg(min(col("freq")).as("freq"), min(col("cnt")).as("est"))
+      .select(col("token"), col("freq"), col("est"),
+        (col("est") - col("freq")).as("overestimate"))
+      .orderBy(col("freq").desc, col("token"))
+  }
 }

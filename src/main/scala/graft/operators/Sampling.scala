@@ -453,4 +453,46 @@ object Sampling {
       .withColumn("selected", col("gumbel_key") >= lit(tau))
       .orderBy(col("doc_id"))
   }
+
+  /** Weighted reservoir sample WITHOUT replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", Information
+    * Processing Letters 2006 — algorithm A-Res): each row draws
+    * `u ∈ (0, 1]` from the portable fingerprint mix and scores
+    * `res_key = ln(u) / w`; the k LARGEST keys win, which realizes
+    * exactly the sequential weighted-sampling-without-replacement
+    * distribution. `ln(u)/w` is the monotone log of the paper's
+    * `u^(1/w)` (same winners, no pow precision cliffs). Zero/negative
+    * weights are excluded up front (the paper's w > 0 domain).
+    *
+    * Unlike `sample`/`rand`, the draw is a pure function of
+    * (seed, id, weight): deterministic, partitioning-independent, and
+    * replayable in SQL — so the k winners are oracle-gateable data, not
+    * a fixture. Scale shape: one scan; the bounded k-heap aggregate
+    * ([[graft.functions.TopK]]) keeps k-entry buffers map-side and
+    * ships only those — no global sort, no corpus-sized shuffle at any
+    * size. The winners (k rows) broadcast back for the weight column.
+    *
+    * Output: (idCol, weight, res_key, rank), rank 1..k by (key desc,
+    * id asc). */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.GraftExpressions.register(df.sparkSession)
+    val u = (portableUniformFingerprint(
+        concat(lit(seed + ":"), col(idCol).cast("string"))) + lit(1))
+      .cast("double") / lit(2147483647.0)
+    val keyed = df
+      .select(col(idCol), weightCol.cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("_rk", log(u) / col("weight"))
+    val winners = keyed
+      .agg(expr(s"graft_topk($idCol, _rk, $k)").as("tk"))
+      .select(posexplode(col("tk")).as(Seq("_i", "_e")))
+      .select(col("_e.neighbor_id").as(idCol),
+        (col("_i") + 1).cast("long").as("rank"),
+        col("_e.cos_sim").as("res_key"))
+    keyed.join(broadcast(winners), Seq(idCol))
+      .select(col(idCol), col("weight"), col("res_key"), col("rank"))
+      .orderBy(col("rank"))
+  }
 }

@@ -1963,6 +1963,115 @@ object Text {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  /** WordPiece greedy longest-match encode under a deterministically
+    * selected position-classed vocabulary
+    * ([[graft.operators.WordPiece]]; Wu et al. 2016 §4.1, the BERT
+    * tokenizer): the third tokenizer-decode gate beside t33 (BPE) and
+    * t51 (unigram), same (word, wfreq, n_pieces, encoded) surface.
+    * The oracle replays the classed substring counts, the top-40 +
+    * single-chars-of-both-classes selection, and the greedy march —
+    * the longest-match choice at every position materialized as a
+    * (word, pos) → best-piece table, chained by a recursive CTE. The
+    * coverage floor (all single chars, both classes) means the corpus
+    * can never hit [UNK], keeping the recursion an inner join; the
+    * [UNK] fallback is unit-tested directly in WordPieceSpec. */
+  private def t54(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    graft.operators.WordPiece.encodeWords(docs,
+      graft.operators.WordPiece.selectVocab(docs, vocabSize = 40, maxPieceLen = 4))
+  }
+
+  private val t54Sql =
+    s"""WITH RECURSIVE
+       |w AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM (
+       |        SELECT unnest($wsToksSql) AS word FROM documents) GROUP BY word),
+       |sub AS (SELECT CASE WHEN p = 1 THEN s ELSE '##' || s END AS piece,
+       |          CAST(sum(w.wfreq) AS BIGINT) AS cnt
+       |        FROM w,
+       |          LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS p) pp,
+       |          LATERAL (SELECT unnest(range(1, least(4, length(w.word) - p + 1) + 1)) AS l) ll,
+       |          LATERAL (SELECT substr(w.word, CAST(p AS INT), CAST(l AS INT)) AS s) ss
+       |        GROUP BY piece),
+       |sel AS (SELECT piece FROM (
+       |          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM sub)
+       |        WHERE rk <= 40 OR length(piece) = 1
+       |           OR (piece LIKE '##%' AND length(piece) = 3)),
+       |cand0 AS (SELECT w.word, CAST(p - 1 AS INT) AS pos, CAST(l AS INT) AS l,
+       |            CASE WHEN p = 1 THEN substr(w.word, CAST(p AS INT), CAST(l AS INT))
+       |                 ELSE '##' || substr(w.word, CAST(p AS INT), CAST(l AS INT)) END AS piece
+       |          FROM w,
+       |            LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS p) pp,
+       |            LATERAL (SELECT unnest(range(1, least(4, length(w.word) - p + 1) + 1)) AS l) ll),
+       |mt AS (SELECT c.word, c.pos, c.l, c.piece
+       |       FROM cand0 c JOIN sel s ON s.piece = c.piece),
+       |best AS (SELECT word, pos, l, piece FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY word, pos ORDER BY l DESC) AS rk
+       |           FROM mt)
+       |         WHERE rk = 1),
+       |enc AS (
+       |  SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM w
+       |  UNION ALL
+       |  SELECT e.word, e.pos + b.l, list_append(e.pieces, b.piece)
+       |  FROM enc e JOIN best b ON b.word = e.word AND b.pos = e.pos
+       |  WHERE e.pos < length(e.word)),
+       |done AS (SELECT word, pieces FROM enc WHERE pos = length(word))
+       |SELECT w.word, w.wfreq, CAST(len(d.pieces) AS BIGINT) AS n_pieces,
+       |  array_to_string(d.pieces, '|') AS encoded
+       |FROM w JOIN done d ON w.word = d.word
+       |ORDER BY w.word""".stripMargin
+
+  /** Count-Min point estimates for every distinct token
+    * ([[graft.operators.Frequency.cmsEstimates]]; Cormode &
+    * Muthukrishnan 2005) — the estimating sibling of t52's Misra-Gries
+    * candidates: a 4×32 counter matrix (narrower than the 31-word
+    * vocabulary, so collisions genuinely occur and overestimates are
+    * non-trivial), estimates = min over rows. The matrix is a SUM —
+    * merge-order independent — and its hashes are the portable fold,
+    * so the oracle rebuilds every cell and replays every min: the
+    * approximate answer is hash-gated data, not a tolerance check. */
+  private def t55(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Frequency.cmsEstimates(
+      Corpus.documents(spark, dir), depth = 4, width = 32)
+
+  private val t55Sql = {
+    def cellOf(r: String) = s"(${foldSql(s"'cms:' || $r || ':' || token")}) % 32"
+    s"""WITH w AS (SELECT unnest($toksSql) AS token FROM documents),
+       |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY token),
+       |rc AS (SELECT cnt.token, cnt.freq, CAST(r AS INT) AS row, ${cellOf("r")} AS cell
+       |       FROM cnt, LATERAL (SELECT unnest(range(0, 4)) AS r) rr),
+       |cells AS (SELECT row, cell, CAST(sum(freq) AS BIGINT) AS cellcnt
+       |          FROM rc GROUP BY row, cell),
+       |est AS (SELECT t.token, t.freq, min(c.cellcnt) AS est
+       |        FROM rc t JOIN cells c ON c.row = t.row AND c.cell = t.cell
+       |        GROUP BY t.token, t.freq)
+       |SELECT token, freq, est, est - freq AS overestimate
+       |FROM est ORDER BY freq DESC, token""".stripMargin
+  }
+
+  /** Weighted reservoir sample without replacement
+    * ([[graft.operators.Sampling.weightedReservoir]]; Efraimidis &
+    * Spirakis IPL 2006, A-Res): k = 25 winners by `ln(u)/w` with
+    * `w = n_chars` and u from the portable mix — the draw is a pure
+    * function of (seed, id, weight), so the sampled SET itself is
+    * hash-gated (the rand()-free counterpart of `df.sample`). Engine
+    * side runs the bounded k-heap aggregate (map-side partials, no
+    * global sort); the oracle replays every key and the full ranking. */
+  private def t56(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedReservoir(
+      Corpus.documents(spark, dir), "doc_id", col("n_chars"), k = 25,
+      seed = "wres-r11")
+
+  private val t56Sql = {
+    val u = s"CAST((${mixSql("'wres-r11:' || CAST(doc_id AS VARCHAR)")}) + 1 AS DOUBLE) / CAST(2147483647 AS DOUBLE)"
+    s"""WITH w AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, $u AS u
+       |           FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+       |k AS (SELECT doc_id, weight, ln(u) / weight AS res_key FROM w),
+       |r AS (SELECT *, row_number() OVER (ORDER BY res_key DESC, doc_id) AS rank FROM k)
+       |SELECT doc_id, weight, res_key, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 25
+       |ORDER BY rank""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2016,5 +2125,8 @@ object Text {
     QuerySpec("t50_unigram_learn", t50, None),
     QuerySpec("t51_unigram_encode", t51, Some(t51Sql)),
     QuerySpec("t52_heavy_hitters", t52, Some(t52Sql)),
-    QuerySpec("t53_bm25_index", t53, Some(t31Sql)))
+    QuerySpec("t53_bm25_index", t53, Some(t31Sql)),
+    QuerySpec("t54_wordpiece_encode", t54, Some(t54Sql)),
+    QuerySpec("t55_cms_estimates", t55, Some(t55Sql)),
+    QuerySpec("t56_weighted_reservoir", t56, Some(t56Sql)))
 }

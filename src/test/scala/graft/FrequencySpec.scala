@@ -89,4 +89,50 @@ class FrequencySpec extends SparkTestBase {
       c.getMessage.contains("must be a string")),
       s"expected the descriptive type error, got: $ex")
   }
+
+  /** Single-node CMS reference: the same fold-salted matrix. */
+  private def refCms(tokens: Seq[String], depth: Int, width: Int)
+      : Map[String, Long] = {
+    val m = Array.fill(depth, width)(0L)
+    for (t <- tokens; r <- 0 until depth)
+      m(r)(graft.functions.CMSMatrix.cell(t, r, width)) += 1
+    tokens.distinct.map { t =>
+      t -> (0 until depth).map(r => m(r)(graft.functions.CMSMatrix.cell(t, r, width))).min
+    }.toMap
+  }
+
+  test("cmsEstimates: est >= freq always, exact when width avoids collisions") {
+    val words = Seq.fill(9)("alpha") ++ Seq.fill(5)("beta") ++
+      (1 to 12).map(i => s"t$i")
+    val text = new scala.util.Random(5).shuffle(words).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    // narrow sketch: collisions guaranteed (14 distinct tokens, width 8)
+    val narrow = Frequency.cmsEstimates(df, depth = 3, width = 8)
+      .select("token", "freq", "est", "overestimate")
+      .as[(String, Long, Long, Long)].collect()
+    val want = refCms(words, 3, 8)
+    val freq = words.groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+    for ((t, f, e, o) <- narrow) {
+      assert(f === freq(t))
+      assert(e === want(t), s"token $t estimate must equal the reference matrix min")
+      assert(e >= f, s"CMS can only overestimate: $t est=$e freq=$f")
+      assert(o === e - f)
+    }
+    // wide sketch: width >> distinct tokens makes collisions unlikely;
+    // the reference says exactly which tokens (if any) still collide
+    val wide = Frequency.cmsEstimates(df, depth = 4, width = 1024)
+      .select("token", "est").as[(String, Long)].collect().toMap
+    val wideRef = refCms(words, 4, 1024)
+    for ((t, e) <- wide) assert(e === wideRef(t))
+  }
+
+  test("cmsEstimates is partitioning-invariant (the matrix is a sum)") {
+    val words = (1 to 50).map(i => s"w${i % 7}")
+    val one = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val many = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(13)
+    val a = Frequency.cmsEstimates(one, 4, 16).collect().toSeq
+    val b = Frequency.cmsEstimates(many, 4, 16).collect().toSeq
+    assert(a === b, "merge order cannot change a sum-structured sketch")
+  }
 }

@@ -334,4 +334,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Window") && plan.contains("hashpartitioning(doc_id"),
       s"the islands window must partition per document, never one global task:\n$plan")
   }
+
+  test("t55 CMS: the sketch partial-aggregates map-side; cell lookups broadcast") {
+    val plan = planOf("t55_cms_estimates")
+    // the matrix itself is collected in a separate job; what the FINAL
+    // plan must show is the tiny cells frame broadcasting back onto the
+    // distinct-token stream, never shuffle-joining it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the depth×width cells frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"joining fixed-size cells by shuffle defeats the sketch:\n$plan")
+  }
+
+  test("t56 weighted reservoir: bounded k-heap, no corpus-wide sort") {
+    val plan = planOf("t56_weighted_reservoir")
+    assert(plan.contains("partial_graft_topk"),
+      s"the reservoir must reduce map-side via the k-heap aggregate:\n$plan")
+    // the only global sort allowed is the k-row rank order after the
+    // winners join; the corpus-sized keyed stream (_rk / res_key before
+    // the heap) must never range-partition
+    assert(!plan.contains("rangepartitioning(_rk") &&
+      !plan.contains("rangepartitioning(res_key"),
+      s"a range-partitioned global sort of the corpus keys defeats the heap:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k winners must broadcast back for the weight column:\n$plan")
+  }
 }

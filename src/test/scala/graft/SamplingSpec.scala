@@ -432,4 +432,59 @@ class SamplingSpec extends SparkTestBase {
         Seq((1L, Array(1.0f), 0)).toDF("vec_id", "embedding", "label"), k = 0, threshold = 0.9)
     }
   }
+
+  // ---- weighted reservoir (Efraimidis-Spirakis A-Res) ----
+
+  private def refMix(s: String): Long = {
+    val fold = graft.functions.Fold31.fold(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    (fold * 2654435761L) % 2147483647L
+  }
+
+  private def refReservoir(items: Seq[(Long, Double)], k: Int, seed: String)
+      : Seq[(Long, Double)] = // (id, key), rank order
+    items.filter(_._2 > 0)
+      .map { case (id, w) =>
+        val u = (refMix(s"$seed:$id") + 1).toDouble / 2147483647.0
+        (id, math.log(u) / w)
+      }
+      .sortBy { case (id, key) => (-key, id) }
+      .take(k)
+
+  test("weightedReservoir reproduces the reference A-Res winners and ranking") {
+    val items = (0L until 200L).map(i => (i, 1.0 + (i % 7).toDouble))
+    val df = items.toDF("doc_id", "w")
+    val got = Sampling.weightedReservoir(df, "doc_id", col("w"), k = 20,
+      seed = "spec")
+      .select("doc_id", "res_key", "rank").as[(Long, Double, Long)].collect()
+    val want = refReservoir(items, 20, "spec")
+    assert(got.map(_._1).toSeq === want.map(_._1),
+      "winner ids and order must match the single-node reference")
+    assert(got.map(_._3).toSeq === (1L to 20L))
+    for (((_, k1, _), (_, k2)) <- got.zip(want))
+      assert(math.abs(k1 - k2) < 1e-12, "keys match up to log ulp")
+    // partitioning cannot move a winner (pure function of seed, id, w)
+    val again = Sampling.weightedReservoir(df.repartition(13), "doc_id",
+      col("w"), k = 20, seed = "spec").select("doc_id").as[Long].collect()
+    assert(again.toSeq === got.map(_._1).toSeq)
+  }
+
+  test("weightedReservoir: weights bias inclusion; zero weights excluded; k > n returns all") {
+    // 50 heavy (w=200) vs 450 light (w=1): heavies should dominate the
+    // k=25 sample by a wide margin
+    val items = (0L until 500L).map(i => (i, if (i < 50) 200.0 else 1.0))
+    val win = Sampling.weightedReservoir(items.toDF("doc_id", "w"),
+      "doc_id", col("w"), k = 25, seed = "bias")
+      .select("doc_id").as[Long].collect()
+    assert(win.count(_ < 50) >= 18,
+      s"200x weights must dominate the sample, got ${win.count(_ < 50)}/25")
+    // zero/negative weights never win
+    val withZero = Seq((1L, 0.0), (2L, -3.0), (3L, 1.0)).toDF("doc_id", "w")
+    val w3 = Sampling.weightedReservoir(withZero, "doc_id", col("w"),
+      k = 5, seed = "z").select("doc_id").as[Long].collect()
+    assert(w3.toSeq === Seq(3L))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedReservoir(withZero, "doc_id", col("w"), k = 0, seed = "z")
+    }
+  }
 }

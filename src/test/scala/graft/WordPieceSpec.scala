@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.WordPiece
+
+/** WordPiece (Wu et al. 2016 / BERT) against a single-node reference:
+  * greedy longest-match-first with the `##` continuation convention,
+  * deterministic position-classed vocabulary selection, the [UNK]
+  * fallback. */
+class WordPieceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- single-node reference ----
+
+  private def refVocab(texts: Seq[String], vocabSize: Int, maxLen: Int): Seq[String] = {
+    val wf = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    val acc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- wf; p <- 0 until w.length; l <- 1 to math.min(maxLen, w.length - p)) {
+      val raw = w.substring(p, p + l)
+      acc(if (p == 0) raw else "##" + raw) += f
+    }
+    val top = acc.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+    val singles = acc.filter { case (p, _) =>
+      p.length == 1 || (p.startsWith("##") && p.length == 3) }.toSeq
+    (top ++ singles).distinct.sortBy { case (p, c) => (-c, p) }.map(_._1)
+  }
+
+  private def refEncode(word: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+    var pos = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (pos < word.length) {
+      val hit = (math.min(maxLen, word.length - pos) to 1 by -1).iterator
+        .map { l =>
+          val sub = word.substring(pos, pos + l)
+          if (pos == 0) sub else "##" + sub
+        }
+        .find(vocab.contains)
+      hit match {
+        case None => return Seq("[UNK]")
+        case Some(p) =>
+          out += p
+          pos += (if (pos == 0) p.length else p.length - 2)
+      }
+    }
+    out.toSeq
+  }
+
+  private val corpus = Seq(
+    "stream stream table stream join join scan",
+    "table scan stream joinery joinery",
+    "scanner scanner stream table")
+  private def docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    .toDF("doc_id", "text")
+
+  test("selectVocab reproduces the reference position-classed selection") {
+    val got = WordPiece.selectVocab(docs, vocabSize = 12, maxPieceLen = 4)
+    val want = refVocab(corpus, 12, 4)
+    assert(got === want)
+    // the two position classes are genuinely distinct entries
+    assert(got.exists(_.startsWith("##")), "continuation pieces must exist")
+    assert(got.exists(p => !p.startsWith("##")), "initial pieces must exist")
+    // partitioning cannot change the selection
+    val again = WordPiece.selectVocab(docs.repartition(7), vocabSize = 12, maxPieceLen = 4)
+    assert(again === got)
+  }
+
+  test("encodeWords is greedy longest-match-first, per the reference, for every word") {
+    val vocab = WordPiece.selectVocab(docs, vocabSize = 12, maxPieceLen = 4)
+    val got = WordPiece.encodeWords(docs, vocab)
+      .select("word", "encoded").as[(String, String)].collect().toMap
+    val vs = vocab.toSet
+    val words = corpus.flatMap(_.split(" ")).distinct
+    assert(got.keySet === words.toSet)
+    for (w <- words)
+      assert(got(w) === refEncode(w, vs, 4).mkString("|"), s"word '$w'")
+    // the coverage floor (all single chars, both classes) means no [UNK]
+    // on the corpus the vocab was selected from
+    assert(!got.values.exists(_.contains("[UNK]")))
+  }
+
+  test("greedy prefers the longest piece even when shorter pieces also match") {
+    // vocab has both "sc" and "scan": greedy must take "scan", never "sc"
+    val vocab = Seq("scan", "sc", "s", "c", "a", "n", "##n", "##e", "##r",
+      "##ner", "##a", "##c")
+    val out = WordPiece.encodeWords(Seq((1L, "scanner")).toDF("doc_id", "text"), vocab)
+      .select("encoded").as[String].head()
+    assert(out === "scan|##ner", s"longest match first, got $out")
+  }
+
+  test("a position with no matching piece collapses the whole word to [UNK]") {
+    val vocab = Seq("a", "##b")
+    val out = WordPiece.encodeWords(
+      Seq((1L, "ab az")).toDF("doc_id", "text"), vocab)
+      .select("word", "n_pieces", "encoded").as[(String, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("ab") === (("ab", 2L, "a|##b")))
+    // 'z' has no continuation piece: BERT's whole-word [UNK]
+    assert(out("az") === (("az", 1L, "[UNK]")))
+  }
+
+  test("the continuation class is respected: an initial-only piece never matches mid-word") {
+    // "b" exists only word-initially; mid-word the encoder must fall back
+    // to "##b", and if that is absent the word UNKs
+    val vocab = Seq("a", "b", "##a")
+    val out = WordPiece.encodeWords(Seq((1L, "ba ab")).toDF("doc_id", "text"), vocab)
+      .select("word", "encoded").as[(String, String)].collect().toMap
+    assert(out("ba") === "b|##a")
+    assert(out("ab") === "[UNK]", "no ##b piece: mid-word b is unreachable")
+  }
+}
