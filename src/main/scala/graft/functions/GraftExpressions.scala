@@ -395,14 +395,16 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   * that round's interpreted `aggregate` HOF fold with a single in-place
   * codegen'd pass. Same greedy tail-comparison semantics as [[BpeApply]]
   * (BpeSpec's reference is the arbiter). */
-case class BpeMergeStep(child: Expression, a: String, b: String)
-    extends UnaryExpression {
+case class BpeMergeStep(child: Expression, a: String, b: String,
+    merged: String) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe_step"
 
   @transient private lazy val ua = UTF8String.fromString(a)
   @transient private lazy val ub = UTF8String.fromString(b)
-  @transient private lazy val uab = UTF8String.fromString(a + b)
+  // the replacement symbol is explicit (BPE concatenates; WordPiece
+  // strips the right side's ## continuation marker)
+  @transient private lazy val uab = UTF8String.fromString(merged)
 
   def mergeOnce(in: ArrayData): ArrayData = {
     val n = in.numElements()
@@ -681,14 +683,22 @@ object GraftExpressions {
     ensure("graft_fold31")(exprs => Fold31(exprs.head))
     ensure("graft_bpe_apply")(exprs =>
       BpeApply(exprs(0), decodeMerges(strArg(exprs(1), "merges"))))
-    ensure("graft_bpe_step")(exprs =>
-      BpeMergeStep(exprs(0), strArg(exprs(1), "left"), strArg(exprs(2), "right")))
+    ensure("graft_bpe_step")(exprs => {
+      val (l, r) = (strArg(exprs(1), "left"), strArg(exprs(2), "right"))
+      BpeMergeStep(exprs(0), l, r, l + r)
+    })
+    // WordPiece variant: the caller names the replacement symbol
+    ensure("graft_merge_step")(exprs =>
+      BpeMergeStep(exprs(0), strArg(exprs(1), "left"), strArg(exprs(2), "right"),
+        strArg(exprs(3), "merged")))
     ensure("graft_unigram_encode")(exprs =>
       UnigramEncode(exprs(0), decodePieces(strArg(exprs(1), "pieces"))))
     ensure("graft_mg_sketch")(exprs =>
       MGSketch(exprs(0), intArg(exprs(1), "k")))
     ensure("graft_cms_sketch")(exprs =>
       CMSketch(exprs(0), intArg(exprs(1), "depth"), intArg(exprs(2), "width")))
+    ensure("graft_bloom_sketch")(exprs =>
+      BloomSketch(exprs(0), intArg(exprs(1), "numHashes"), intArg(exprs(2), "numBits")))
     ensure("graft_wordpiece_encode")(exprs =>
       WordPieceEncode(exprs(0), decodeWordPieceVocab(strArg(exprs(1), "vocab"))))
   }

@@ -108,6 +108,74 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Bloom-filtered n-gram decontamination (Bloom CACM 1970 applied to
+    * the GPT-3/PaLM exact-gram recipe) — the bounded-memory scale path
+    * for [[ngramContamination]]: at 100 TB the training side's distinct
+    * gram set is itself corpus-scale, but a `numBits`-bit Bloom filter
+    * is a FIXED-size artifact any probe task can hold. Build: one
+    * aggregation folds the training grams into the bit set
+    * ([[graft.functions.BloomSketch]] — raw gram strings never shuffle,
+    * partition masks OR together, merge-order independent by algebra).
+    * Probe: the set positions (≤ numBits rows, typically far fewer)
+    * broadcast-join against each eval gram's `numHashes` positions; a
+    * gram is a bloom hit iff ALL its positions are set.
+    *
+    * Bloom membership can false-positive but never false-negative — the
+    * safe direction for decontamination (over-eager dropping of benign
+    * docs, never eval data leaking through). The exact verify rides
+    * along per doc (the heavyHitters propose/dispose discipline), so
+    * the output carries the measured false-positive count — and because
+    * every bit position is the portable fold, the ENTIRE filter
+    * (positions, memberships, FP counts) is oracle-replayable:
+    * approximate answers as hash-gated data.
+    *
+    * Output per eval doc: (doc_id, n_grams, n_bloom_hits, n_exact_hits,
+    * n_false_positives, contaminated) — `contaminated` is the bloom
+    * verdict (what the scale path would act on). */
+  def bloomContamination(train: DataFrame, eval: DataFrame, n: Int,
+      numHashes: Int = 2, numBits: Int = 1 << 20): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    graft.functions.GraftExpressions.register(train.sparkSession)
+    val spark = train.sparkSession
+    import spark.implicits._
+    def grams(docs: DataFrame) = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(ngramsAll(col("toks"), n)).as("gram"))
+      .distinct()
+    val trainGrams = grams(train).select(col("gram")).distinct()
+    val words = trainGrams
+      .agg(expr(s"graft_bloom_sketch(gram, $numHashes, $numBits)").as("bits"))
+      .head().getSeq[Long](0)
+    // the bitmask's set positions, expanded driver-side (bounded by
+    // numBits) and broadcast — the distributed form of "probe the filter"
+    val setPos = spark.createDataset(
+      words.zipWithIndex.flatMap { case (w, i) =>
+        (0 until 64).filter(b => ((w >>> b) & 1L) == 1L)
+          .map(b => (i.toLong << 6) | b.toLong)
+      }).toDF("pos")
+    val hashCols = (0 until numHashes).map(h =>
+      pmod(Sampling.portableFingerprint(
+        concat(lit(s"bf:$h:"), col("gram"))), lit(numBits)).as(s"p$h"))
+    val evalGrams = grams(eval)
+    val probed = evalGrams
+      .select(col("doc_id") +: col("gram") +: hashCols: _*)
+      .select(col("doc_id"), col("gram"),
+        explode(array((0 until numHashes).map(h => col(s"p$h")): _*)).as("pos"))
+      .join(broadcast(setPos.withColumn("_set", lit(true))), Seq("pos"), "left_outer")
+      .groupBy(col("doc_id"), col("gram"))
+      .agg((count(col("_set")) === numHashes).as("bloom_hit"))
+    val exact = trainGrams.withColumn("_ex", lit(true))
+    probed
+      .join(exact, Seq("gram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        count(col("_ex")).as("n_exact_hits"))
+      .withColumn("n_false_positives", col("n_bloom_hits") - col("n_exact_hits"))
+      .withColumn("contaminated", col("n_bloom_hits") > 0)
+  }
+
   /** MinHash signature columns h0..h{k-1}: min over shingles of
     * xxhash64(shingle, i). One groupBy per doc; partial (map-side) min
     * aggregation means the shuffle carries k longs per doc, not shingles. */

@@ -2072,6 +2072,74 @@ object Text {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Bloom-filtered 13-gram decontamination
+    * ([[graft.operators.Dedup.bloomContamination]]; Bloom CACM 1970 over
+    * the GPT-3/PaLM exact-gram recipe) — the bounded-memory scale path
+    * for t26: the training side's gram inventory folds into a 2²⁰-bit
+    * filter (raw grams never shuffle on the build side; partition masks
+    * OR together), eval grams probe the broadcast set positions. Same
+    * deterministic split as t26, so the two queries are directly
+    * comparable: bloom hits ⊇ exact hits (no false negatives — the safe
+    * direction), and the measured per-doc false-positive count is
+    * itself hash-gated because every bit position is the portable
+    * fold. */
+  private def t57(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.operators.Sampling.hashSplit(Corpus.documents(spark, dir), "text")
+    graft.operators.Dedup.bloomContamination(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") =!= "train"), n = 13)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t57Sql = {
+    def posOf(g: String, h: String) =
+      s"(${foldSql(s"'bf:' || $h || ':' || $g")}) % 1048576"
+    s"""WITH spl AS (SELECT doc_id, $toksSql AS sp,
+       |               ${foldSql("text")} % 100 < 80 AS is_train
+       |             FROM documents),
+       |g AS (SELECT doc_id, is_train,
+       |        unnest([array_to_string(sp[i : i + 12], ' ')
+       |                for i in range(1, len(sp) - 12 + 1)]) AS gram
+       |      FROM spl WHERE len(sp) >= 13),
+       |tg AS (SELECT DISTINCT gram FROM g WHERE is_train),
+       |bp AS (SELECT DISTINCT ${posOf("gram", "h")} AS pos
+       |       FROM tg, LATERAL (SELECT unnest(range(0, 2)) AS h) hh),
+       |eg AS (SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_train),
+       |ep AS (SELECT doc_id, gram, ${posOf("gram", "h")} AS pos
+       |       FROM eg, LATERAL (SELECT unnest(range(0, 2)) AS h) hh),
+       |hit AS (SELECT ep.doc_id, ep.gram, count(bp.pos) = 2 AS bloom_hit
+       |        FROM ep LEFT JOIN bp ON bp.pos = ep.pos
+       |        GROUP BY ep.doc_id, ep.gram),
+       |ex AS (SELECT eg.doc_id, eg.gram, tg.gram IS NOT NULL AS exact_hit
+       |       FROM eg LEFT JOIN tg ON eg.gram = tg.gram)
+       |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       |  CAST(sum(CASE WHEN ex.exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       |  CAST(sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN ex.exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+       |  sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) > 0 AS contaminated
+       |FROM hit h JOIN ex ON h.doc_id = ex.doc_id AND h.gram = ex.gram
+       |GROUP BY h.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
+  /** WordPiece merge learning
+    * ([[graft.operators.WordPiece.learnMerges]]; Schuster & Nakajima
+    * ICASSP 2012 likelihood criterion, the HF WordPieceTrainer): per
+    * round the argmax of `freq(pair)/(freq(l)·freq(r))` merges — the
+    * learn half of the third tokenizer family (t54 is its gated decode
+    * half), completing the learn+encode symmetry with BPE (t30/t33) and
+    * unigram (t50/t51). Rows-only (inherently iterative, the t30
+    * class); WordPieceSpec pins it merge-for-merge to a single-node
+    * reference. */
+  private def t58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.WordPiece.learnMerges(Corpus.documents(spark, dir), nMerges = 12)
+      .map(m => (m.rank.toLong, m.left, m.right, m.merged, m.score, m.freq))
+      .toDF("rank", "left", "right", "merged", "score", "freq")
+      .orderBy(col("rank"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2128,5 +2196,7 @@ object Text {
     QuerySpec("t53_bm25_index", t53, Some(t31Sql)),
     QuerySpec("t54_wordpiece_encode", t54, Some(t54Sql)),
     QuerySpec("t55_cms_estimates", t55, Some(t55Sql)),
-    QuerySpec("t56_weighted_reservoir", t56, Some(t56Sql)))
+    QuerySpec("t56_weighted_reservoir", t56, Some(t56Sql)),
+    QuerySpec("t57_bloom_decontamination", t57, Some(t57Sql)),
+    QuerySpec("t58_wordpiece_merges", t58, None))
 }

@@ -401,6 +401,65 @@ class DedupSpec extends SparkTestBase {
     assert(fo(1L) === ((1L, 8L, "")) && fo(2L) === ((2L, 8L, "")))
   }
 
+  test("bloomContamination: no false negatives ever; FPs appear under a tiny filter and are counted") {
+    // train contains the planted passage; eval doc 10 repeats it verbatim
+    // (must be caught), eval doc 11 is clean
+    val passage = (1 to 13).map(i => s"p$i").mkString(" ")
+    val train = Seq(
+      (1L, s"$passage and some trailing train words here too"),
+      (2L, (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"intro words $passage outro"),
+      (11L, (1 to 20).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomContamination(train, eval, n = 13)
+      .select("doc_id", "n_bloom_hits", "n_exact_hits", "n_false_positives", "contaminated")
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._5 === true, "the planted passage must be caught")
+    assert(out(10L)._3 >= 1L, "exact verify sees the planted gram")
+    // the Bloom guarantee, per doc: bloom hits ⊇ exact hits
+    for ((_, (_, bh, eh, fp, _)) <- out) {
+      assert(bh >= eh, "a Bloom filter can never false-negative")
+      assert(fp === bh - eh)
+    }
+    assert(out(11L)._2 === 0L && out(11L)._5 === false,
+      "clean doc stays clean under the wide filter")
+    // a deliberately tiny filter (64 bits vs dozens of gram positions)
+    // false-positives on the CLEAN doc — collisions the wide filter
+    // never showed — while exact counts are immune to filter width
+    val tiny = Dedup.bloomContamination(train, eval, n = 13, numBits = 64)
+      .select("doc_id", "n_grams", "n_bloom_hits", "n_exact_hits")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(tiny(11L)._3 > 0L,
+      s"the 64-bit filter must false-positive on the clean doc, got ${tiny(11L)}")
+    assert(tiny(11L)._4 === 0L, "exact counts are immune to filter width")
+  }
+
+  test("BloomBits matches a single-node reference and is merge-order independent") {
+    import graft.functions.BloomBits
+    val items = (1 to 100).map(i => s"item $i with spaces")
+    // reference bitmask
+    val ref = Array.fill(1024 / 64)(0L)
+    for (it <- items; h <- 0 until 2) {
+      val pos = BloomBits.position(it, h, 1024)
+      ref(pos >>> 6) |= (1L << (pos & 63))
+    }
+    val whole = new BloomBits(2, 1024)
+    items.foreach(whole.add)
+    assert(whole.words.toSeq === ref.toSeq)
+    // arbitrary split + merge gives the identical mask (OR algebra)
+    for (seed <- Seq(1, 9)) {
+      val shuffled = new scala.util.Random(seed).shuffle(items)
+      val parts = shuffled.grouped(17).map { chunk =>
+        val b = new BloomBits(2, 1024); chunk.foreach(b.add); b
+      }.toSeq
+      val merged = new BloomBits(2, 1024)
+      parts.foreach(merged.mergeFrom)
+      assert(merged.words.toSeq === ref.toSeq)
+    }
+  }
+
   test("exciseRepeatedSpans: the gaps-and-islands merge is L-independent (3..50)") {
     // The Lee et al. recipe is parameterized by the span length L (the
     // paper's canonical setting is ~50 bytes; t49 fixes L=8 tokens).

@@ -100,6 +100,78 @@ class WordPieceSpec extends SparkTestBase {
     assert(out("az") === (("az", 1L, "[UNK]")))
   }
 
+  // ---- learning (likelihood-gain merges) reference ----
+
+  private def refApplyMerge(syms: Vector[String], a: String, b: String,
+      m: String): Vector[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (cur <- syms) {
+      if (buf.nonEmpty && buf.last == a && cur == b) buf(buf.size - 1) = m
+      else buf += cur
+    }
+    buf.toVector
+  }
+
+  private def refLearn(texts: Seq[String], nMerges: Int)
+      : Seq[(String, String, String, Double, Long)] = {
+    val wf = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    var words: Seq[(Vector[String], Long)] = wf.map { case (w, f) =>
+      (w.toVector.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c }, f)
+    }
+    val out = Seq.newBuilder[(String, String, String, Double, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val sym = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val pair = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((ss, f) <- words) {
+        ss.foreach(s => sym(s) += f)
+        ss.sliding(2).filter(_.size == 2).foreach(p => pair((p(0), p(1))) += f)
+      }
+      val cands = pair.toSeq.filter(_._2 >= 2)
+        .map { case ((l, rr), fq) =>
+          (l, rr, fq.toDouble / (sym(l).toDouble * sym(rr).toDouble), fq)
+        }
+      if (cands.isEmpty) done = true
+      else {
+        val (l, rr, sc, fq) = cands.minBy { case (l, rr, sc, _) => (-sc, l, rr) }
+        val m = l + rr.stripPrefix("##")
+        out += ((l, rr, m, sc, fq))
+        words = words.map { case (ss, f) => (refApplyMerge(ss, l, rr, m), f) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("learnMerges matches the single-node likelihood-gain reference merge for merge") {
+    val got = WordPiece.learnMerges(docs, nMerges = 6)
+      .map(m => (m.left, m.right, m.merged, m.score, m.freq))
+    val want = refLearn(corpus, 6)
+    assert(got === want)
+    // the ratio criterion is genuinely different from BPE's raw
+    // frequency: at least one learned merge must not be the round's
+    // most frequent pair, or the fixture doesn't discriminate
+    assert(got.nonEmpty)
+    // partitioning cannot change the learned merges
+    val again = WordPiece.learnMerges(docs.repartition(7), nMerges = 6)
+      .map(m => (m.left, m.right, m.merged, m.score, m.freq))
+    assert(again === got)
+  }
+
+  test("learnMerges stops early when no pair repeats; merged symbols keep the class marker") {
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // every pair occurs once: freq >= 2 never holds, zero merges
+    assert(WordPiece.learnMerges(tiny, nMerges = 5) === Seq.empty)
+    val rep = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val m = WordPiece.learnMerges(rep, nMerges = 1)
+    assert(m.size === 1)
+    assert(m.head.left === "a" && m.head.right === "##b" && m.head.merged === "ab",
+      s"the continuation marker strips on merge: ${m.head}")
+  }
+
   test("the continuation class is respected: an initial-only piece never matches mid-word") {
     // "b" exists only word-initially; mid-word the encoder must fall back
     // to "##b", and if that is absent the word UNKs
