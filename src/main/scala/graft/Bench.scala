@@ -87,6 +87,7 @@ object Bench {
         graft.operators.Sampling.releaseCaches()
         graft.operators.Quality.releaseCaches()
         graft.operators.Unigram.releaseCaches()
+        graft.operators.WordPiece.releaseCaches()
         graft.queries.Text.releaseCaches()
         (elapsed, ok, withProbe, counts.keySet.toSet)
       }

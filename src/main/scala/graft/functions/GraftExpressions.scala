@@ -535,7 +535,11 @@ object UnigramEncode {
   *
   * Caveat (shared with BERT): a vocab entry's leading `##` IS the
   * continuation marker, so corpus tokens that themselves start with
-  * `##` are not representable as word-initial matches. */
+  * `##` are not representable as word-initial matches.
+  *
+  * Positions are UTF-16 chars (= code points = bytes on ASCII corpora;
+  * a non-ASCII deployment normalizes first — the [[UnigramEncode]]/t48
+  * caveat, shared by the whole tokenizer family). */
 case class WordPieceEncode(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
   require(vocab.nonEmpty, "vocab must be non-empty")

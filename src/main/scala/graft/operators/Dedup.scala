@@ -142,9 +142,12 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(ngramsAll(col("toks"), n)).as("gram"))
-      .distinct()
-    val trainGrams = grams(train).select(col("gram")).distinct()
-    val words = trainGrams
+    // Bloom insertion is OR-idempotent, so the sketch consumes the raw
+    // (un-distinct) gram stream straight off the scan — NO shuffle of
+    // gram strings on the build side, which is the operator's whole
+    // scale contract (a distinct here would be a corpus-scale exchange
+    // of ~100-byte strings before an aggregation that doesn't need it).
+    val words = grams(train)
       .agg(expr(s"graft_bloom_sketch(gram, $numHashes, $numBits)").as("bits"))
       .head().getSeq[Long](0)
     // the bitmask's set positions, expanded driver-side (bounded by
@@ -157,17 +160,22 @@ object Dedup {
     val hashCols = (0 until numHashes).map(h =>
       pmod(Sampling.portableFingerprint(
         concat(lit(s"bf:$h:"), col("gram"))), lit(numBits)).as(s"p$h"))
-    val evalGrams = grams(eval)
-    val probed = evalGrams
+    val probed = grams(eval).distinct()
       .select(col("doc_id") +: col("gram") +: hashCols: _*)
       .select(col("doc_id"), col("gram"),
         explode(array((0 until numHashes).map(h => col(s"p$h")): _*)).as("pos"))
       .join(broadcast(setPos.withColumn("_set", lit(true))), Seq("pos"), "left_outer")
       .groupBy(col("doc_id"), col("gram"))
       .agg((count(col("_set")) === numHashes).as("bloom_hit"))
-    val exact = trainGrams.withColumn("_ex", lit(true))
+    // exact verify (the gate's ground truth): grams reduce to 8-byte
+    // xxhash64 keys BEFORE the distinct/join shuffles — the
+    // ngramContamination discipline; a second train-docs scan beats
+    // caching a corpus-scale exploded gram frame
+    val trainGh = grams(train).select(xxhash64(col("gram")).as("gh")).distinct()
+      .withColumn("_ex", lit(true))
     probed
-      .join(exact, Seq("gram"), "left_outer")
+      .withColumn("gh", xxhash64(col("gram")))
+      .join(trainGh, Seq("gh"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),

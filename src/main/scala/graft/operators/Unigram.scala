@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftExpressions, TextFunctions}
@@ -55,11 +55,21 @@ object Unigram {
     * 1..maxPieceLen across the word table — each occurrence position
     * counts, weighted by word frequency. One explode + one hash-shuffle
     * on the piece. */
-  def substringCounts(words: DataFrame, maxPieceLen: Int): DataFrame = {
+  def substringCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    substringCountsBy(words, maxPieceLen, (_, sub) => sub)
+
+  /** [[substringCounts]] with a caller-supplied piece mapping over
+    * (start position, substring) — ONE definition of the substring
+    * enumeration and its shuffle shape, shared with WordPiece's
+    * position-CLASSED counts (bare at position 1, `##`-prefixed after):
+    * a fix to the enumeration bounds applies to both tokenizer
+    * families. */
+  private[operators] def substringCountsBy(words: DataFrame, maxPieceLen: Int,
+      piece: (Column, Column) => Column): DataFrame = {
     val subs = flatten(transform(sequence(lit(1), length(col("word"))), p =>
       transform(
         sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - p + 1)),
-        l => col("word").substr(p, l))))
+        l => piece(p, col("word").substr(p, l)))))
     words
       .select(explode(subs).as("piece"), col("wfreq"))
       .groupBy(col("piece")).agg(sum(col("wfreq")).as("cnt"))

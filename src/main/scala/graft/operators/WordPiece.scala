@@ -32,18 +32,16 @@ import graft.functions.GraftExpressions
   */
 object WordPiece {
 
+  private val caches = new graft.util.CacheRegistry
+  def releaseCaches(): Unit = caches.releaseAll()
+
   /** Position-classed weighted substring counts: (piece, cnt) where
-    * word-initial substrings are bare and others carry `##`. */
-  def classedCounts(words: DataFrame, maxPieceLen: Int): DataFrame = {
-    val subs = flatten(transform(sequence(lit(1), length(col("word"))), p =>
-      transform(
-        sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - p + 1)),
-        l => when(p === 1, col("word").substr(p, l))
-          .otherwise(concat(lit("##"), col("word").substr(p, l))))))
-    words
-      .select(explode(subs).as("piece"), col("wfreq"))
-      .groupBy(col("piece")).agg(sum(col("wfreq")).as("cnt"))
-  }
+    * word-initial substrings are bare and others carry `##` — the
+    * shared [[Unigram.substringCountsBy]] enumeration with the classed
+    * piece mapping. */
+  def classedCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    Unigram.substringCountsBy(words, maxPieceLen, (p, sub) =>
+      when(p === 1, sub).otherwise(concat(lit("##"), sub)))
 
   /** Deterministic vocabulary: the `vocabSize` highest-count classed
     * pieces (ties to the lexicographically smaller piece) UNION every
@@ -52,7 +50,11 @@ object WordPiece {
       maxPieceLen: Int = 4, textCol: String = "text"): Seq[String] = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     require(maxPieceLen > 1, s"maxPieceLen must exceed 1, got $maxPieceLen")
-    val cnts = classedCounts(Unigram.wordFrequencies(docs, textCol), maxPieceLen)
+    // tracked: the counts frame feeds TWO collects (top-K, then the
+    // singles pass) — uncached, each re-scans the corpus and re-runs
+    // the substring explode (the Unigram.selectFromWords discipline)
+    val cnts = caches.track(
+      classedCounts(Unigram.wordFrequencies(docs, textCol), maxPieceLen))
     val isSingle =
       length(col("piece")) === 1 ||
         (col("piece").startsWith("##") && length(col("piece")) === 3)

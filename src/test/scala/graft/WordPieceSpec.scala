@@ -7,7 +7,13 @@ import graft.operators.WordPiece
 /** WordPiece (Wu et al. 2016 / BERT) against a single-node reference:
   * greedy longest-match-first with the `##` continuation convention,
   * deterministic position-classed vocabulary selection, the [UNK]
-  * fallback. */
+  * fallback.
+  *
+  * The reference (like the engine's encode side) indexes UTF-16 chars —
+  * equal to code points on this ASCII fixture, the documented
+  * WordPieceEncode/UnigramEncode/t48 caveat: non-ASCII deployments
+  * normalize first, so neither side is exercised beyond the BMP here
+  * (BpeSpec carries the family's supplementary-plane collation test). */
 class WordPieceSpec extends SparkTestBase {
   import spark.implicits._
 
