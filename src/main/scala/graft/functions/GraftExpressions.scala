@@ -703,6 +703,8 @@ object GraftExpressions {
       CMSketch(exprs(0), intArg(exprs(1), "depth"), intArg(exprs(2), "width")))
     ensure("graft_bloom_sketch")(exprs =>
       BloomSketch(exprs(0), intArg(exprs(1), "numHashes"), intArg(exprs(2), "numBits")))
+    ensure("graft_hll_sketch")(exprs =>
+      HllSketch(exprs(0), intArg(exprs(1), "p")))
     ensure("graft_wordpiece_encode")(exprs =>
       WordPieceEncode(exprs(0), decodeWordPieceVocab(strArg(exprs(1), "vocab"))))
   }

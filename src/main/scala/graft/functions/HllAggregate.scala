@@ -1,0 +1,120 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog register file (Flajolet, Fusy, Gandouet & Meunier,
+  * "HyperLogLog: the analysis of a near-optimal cardinality estimation
+  * algorithm", AofA 2007): `2^p` byte registers; an item's remixed fold
+  * `mx = (fold31("hll:" + item) · 2654435761) mod (2³¹−1)` splits into
+  * `bucket = mx mod m` (the low bits, which vary) and `w = mx div m`
+  * (a q = 31−p bit value whose uniformity the Knuth remix provides —
+  * the raw fold's high bits are prefix-dominated and would collapse
+  * every rank, the r10 randomness lesson); the register keeps
+  * `max(rank)` with `rank = q + 1 − bitlength(w)`.
+  *
+  * Like CMS and Bloom — and unlike Spark's own HLL++ sketch, whose
+  * binary state is engine-specific — this register file is a pure
+  * function of the input SET at any partitioning (merges are
+  * element-wise MAX), and every rank derives from the portable fold,
+  * so the ORACLE can rebuild all m registers and replay the estimate:
+  * an approximate distinct count whose value is hash-gated, the q23
+  * asymmetry closed for the engine's own sketch.
+  *
+  * Public (not nested in the aggregate) so serialized buffers reference
+  * a stable class. */
+final class HllRegisters(val p: Int) {
+  val m: Int = 1 << p
+  val q: Int = 31 - p
+  val regs = new Array[Byte](m)
+
+  def add(item: String): Unit = {
+    val fold = Fold31.fold(UTF8String.fromString("hll:" + item))
+    val mx = (fold * 2654435761L) % 2147483647L
+    val bucket = (mx % m).toInt
+    val w = mx / m
+    val rank =
+      if (w == 0L) q + 1
+      else q + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rank > regs(bucket)) regs(bucket) = rank.toByte
+  }
+
+  def mergeFrom(other: HllRegisters): Unit = {
+    var i = 0
+    while (i < regs.length) {
+      if (other.regs(i) > regs(i)) regs(i) = other.regs(i)
+      i += 1
+    }
+  }
+}
+
+/** `graft_hll_sketch(item, p)` — per-group HyperLogLog registers as
+  * `array<int>` (length 2^p). ObjectHashAggregate with map-side
+  * partials: each partition reduces to one 2^p-byte register file and
+  * files MAX together — insertion is max-idempotent, so the aggregate
+  * consumes the raw (un-distinct) stream with no shuffle of the items
+  * themselves. The estimate arithmetic lives at the call site
+  * ([[graft.operators.Frequency.hllDistinct]]) where its SQL mirror
+  * shares the constants. */
+case class HllSketch(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllRegisters] {
+  require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+
+  override def prettyName: String = "graft_hll_sketch"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def createAggregationBuffer(): HllRegisters = new HllRegisters(p)
+
+  override def update(buf: HllRegisters, input: InternalRow): HllRegisters = {
+    child.eval(input) match {
+      case null =>
+      // .toString copies out of Spark's reused row buffer — mandatory
+      case s: UTF8String => buf.add(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"graft_hll_sketch input must be a string, got ${other.getClass.getName}")
+    }
+    buf
+  }
+
+  override def merge(buf: HllRegisters, other: HllRegisters): HllRegisters = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: HllRegisters): Any =
+    new GenericArrayData(
+      buf.regs.map(r => java.lang.Integer.valueOf(r.toInt)).asInstanceOf[Array[Any]])
+
+  override def serialize(buf: HllRegisters): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.regs.length)
+    bb.putInt(buf.p)
+    bb.put(buf.regs)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllRegisters = {
+    val bb = ByteBuffer.wrap(bytes)
+    val h = new HllRegisters(bb.getInt)
+    bb.get(h.regs)
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketch =
+    copy(child = newChildren.head)
+}

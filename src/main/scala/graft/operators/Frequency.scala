@@ -106,4 +106,60 @@ object Frequency {
         (col("est") - col("freq")).as("overestimate"))
       .orderBy(col("freq").desc, col("token"))
   }
+
+  /** `alpha_m · m²` for HLL precision p — the Flajolet et al. (2007)
+    * bias constants. A Scala-computed double, INLINED into the SQL
+    * mirror via Double.toString, so both engines use the identical
+    * bits. */
+  def hllAlphaMM(p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m
+  }
+
+  /** Per-group HyperLogLog distinct estimates (Flajolet et al. 2007)
+    * with the exact count riding along — the DETERMINISTIC sibling of
+    * Spark's `approx_count_distinct` (q23): that sketch's binary state
+    * is engine-specific, so q23 can only be rows-only; this one's
+    * registers derive from the portable fold ([[graft.functions
+    * .HllSketch]] — max-merged, order independent by algebra), so the
+    * ORACLE rebuilds all 2^p registers and replays the estimate,
+    * including the small-range linear-counting branch. Z = Σ 2^−reg is
+    * a sum of exact binary fractions (< 53 significant bits total), so
+    * even the double summation is order-independent.
+    *
+    * One aggregation: the register file partial-aggregates map-side
+    * (2^p bytes per group per partition — the raw items never shuffle
+    * for the sketch; the exact count in the same pass is the gate's
+    * ground truth, not the serving shape).
+    *
+    * Output: (groupCol, hll_estimate, exact_distinct, rel_err), group
+    * order. */
+  def hllDistinct(df: DataFrame, itemCol: org.apache.spark.sql.Column,
+      groupCol: String, p: Int = 8): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    val m = 1 << p
+    val grouped = df
+      .select(col(groupCol), itemCol.as("_it"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_hll_sketch(_it, $p)").as("regs"),
+        countDistinct(col("_it")).as("exact_distinct"))
+    val z = aggregate(transform(col("regs"), r => pow(lit(2.0), -r)),
+      lit(0.0), (a, b) => a + b)
+    val v = size(filter(col("regs"), r => r === 0))
+    val raw = lit(hllAlphaMM(p)) / z
+    val est = when(raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v)).otherwise(raw)
+    grouped
+      .withColumn("hll_estimate", est)
+      .withColumn("rel_err",
+        abs(col("hll_estimate") - col("exact_distinct")) / col("exact_distinct"))
+      .select(col(groupCol), col("hll_estimate"), col("exact_distinct"), col("rel_err"))
+      .orderBy(col(groupCol))
+  }
 }

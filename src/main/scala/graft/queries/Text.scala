@@ -2140,6 +2140,53 @@ object Text {
       .orderBy(col("rank"))
   }
 
+  /** Deterministic HyperLogLog distinct 13-grams per language
+    * ([[graft.operators.Frequency.hllDistinct]]; Flajolet et al. 2007) —
+    * the hash-GATED sibling of q23's `approx_count_distinct` (whose
+    * HLL++ binary state is engine-specific and therefore rows-only):
+    * every register derives from the portable fold's Knuth remix, so
+    * DuckDB rebuilds the full register file per language and replays
+    * the estimate, the linear-counting branch, and the measured
+    * rel_err. Completes the mergeable-sketch family's last asymmetry —
+    * MG/CMS/Bloom/HLL all now answer approximately AND gate exactly. */
+  private def t59(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val grams = Corpus.documents(spark, dir)
+      .select(col("lang"),
+        explode(TextFunctions.ngramsAll(TextFunctions.tokens(col("text")), 13)).as("gram"))
+    graft.operators.Frequency.hllDistinct(grams, col("gram"), "lang", p = 8)
+  }
+
+  private val t59Sql = {
+    val alphaMM = java.lang.Double.toString(graft.operators.Frequency.hllAlphaMM(8))
+    s"""WITH g AS (SELECT lang,
+       |        unnest([array_to_string(sp[i : i + 12], ' ')
+       |                for i in range(1, len(sp) - 12 + 1)]) AS gram
+       |      FROM (SELECT lang, $toksSql AS sp FROM documents)
+       |      WHERE len(sp) >= 13),
+       |d AS (SELECT DISTINCT lang, gram FROM g),
+       |rb AS (SELECT lang, mx % 256 AS bucket, mx // 256 AS w FROM (
+       |         SELECT lang, ${mixSql("'hll:' || gram")} AS mx FROM d)),
+       |reg AS (SELECT lang, bucket,
+       |          max(CASE WHEN w = 0 THEN 24 ELSE 24 - length(bin(w)) END) AS r
+       |        FROM rb GROUP BY lang, bucket),
+       |agg AS (SELECT lang,
+       |          sum(power(CAST(2 AS DOUBLE), -r)) + (256 - count(*)) AS zsum,
+       |          CAST(256 - count(*) AS BIGINT) AS vzero
+       |        FROM reg GROUP BY lang),
+       |ex AS (SELECT lang, CAST(count(DISTINCT gram) AS BIGINT) AS exact_distinct
+       |       FROM g GROUP BY lang),
+       |est AS (SELECT a.lang, ex.exact_distinct,
+       |          CASE WHEN CAST($alphaMM AS DOUBLE) / zsum <= 640.0 AND vzero > 0
+       |               THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / vzero)
+       |               ELSE CAST($alphaMM AS DOUBLE) / zsum END AS hll_estimate
+       |        FROM agg a JOIN ex ON a.lang = ex.lang)
+       |SELECT lang, hll_estimate, exact_distinct,
+       |  abs(hll_estimate - exact_distinct) / exact_distinct AS rel_err
+       |FROM est
+       |ORDER BY lang""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2198,5 +2245,6 @@ object Text {
     QuerySpec("t55_cms_estimates", t55, Some(t55Sql)),
     QuerySpec("t56_weighted_reservoir", t56, Some(t56Sql)),
     QuerySpec("t57_bloom_decontamination", t57, Some(t57Sql)),
-    QuerySpec("t58_wordpiece_merges", t58, None))
+    QuerySpec("t58_wordpiece_merges", t58, None),
+    QuerySpec("t59_hll_distinct", t59, Some(t59Sql)))
 }

@@ -126,6 +126,54 @@ class FrequencySpec extends SparkTestBase {
     for ((t, e) <- wide) assert(e === wideRef(t))
   }
 
+  // ---- HyperLogLog (portable-fold registers) ----
+
+  /** Single-node HLL reference sharing the one JVM definition of the
+    * register update ([[graft.functions.HllRegisters]]). */
+  private def refHll(items: Seq[String], p: Int): (Array[Byte], Double) = {
+    val h = new graft.functions.HllRegisters(p)
+    items.foreach(h.add)
+    val m = 1 << p
+    val z = h.regs.map(r => math.pow(2.0, -r)).sum
+    val v = h.regs.count(_ == 0)
+    val raw = Frequency.hllAlphaMM(p) / z
+    val est = if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw
+    (h.regs.clone(), est)
+  }
+
+  test("hllDistinct matches the reference registers+formula; estimate is in the error regime") {
+    val items = (1 to 10000).map(i => s"item-$i")
+    val df = items.zipWithIndex.map { case (t, i) => (i.toLong, t, "g") }
+      .toDF("doc_id", "text", "grp")
+    val out = Frequency.hllDistinct(df, col("text"), "grp", p = 8)
+      .select("hll_estimate", "exact_distinct", "rel_err")
+      .as[(Double, Long, Double)].head()
+    val (_, want) = refHll(items, 8)
+    assert(out._1 === want, "estimate must equal the single-node reference bit for bit")
+    assert(out._2 === 10000L)
+    // 1.04/sqrt(256) ~ 6.5% std error; 3 sigma bound
+    assert(out._3 < 0.20, s"estimate out of the HLL error regime: $out")
+    // register MAX-merge: partitioning cannot change the estimate
+    val again = Frequency.hllDistinct(df.repartition(13), col("text"), "grp", p = 8)
+      .select("hll_estimate").as[Double].head()
+    assert(again === out._1)
+  }
+
+  test("hllDistinct small-range correction: tiny cardinalities take the linear-counting branch") {
+    val items = Seq("a", "b", "c", "a", "b")
+    val df = items.zipWithIndex.map { case (t, i) => (i.toLong, t, "g") }
+      .toDF("doc_id", "text", "grp")
+    val out = Frequency.hllDistinct(df, col("text"), "grp", p = 8)
+      .select("hll_estimate", "exact_distinct").as[(Double, Long)].head()
+    val (regs, want) = refHll(items.distinct, 8)
+    // 3 distinct items: V = 253 zero registers, raw << 640 → linear counting
+    val v = regs.count(_ == 0)
+    assert(v === 253)
+    assert(out._1 === want)
+    assert(out._1 === 256.0 * math.log(256.0 / 253.0), "the m·ln(m/V) branch")
+    assert(out._2 === 3L)
+  }
+
   test("cmsEstimates is partitioning-invariant (the matrix is a sum)") {
     val words = (1 to 50).map(i => s"w${i % 7}")
     val one = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
