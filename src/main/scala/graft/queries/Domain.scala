@@ -57,6 +57,7 @@ object Domain {
     graft.operators.Sampling.releaseCaches()
     graft.operators.Quality.releaseCaches()
     graft.operators.Unigram.releaseCaches()
+    graft.operators.WordPiece.releaseCaches()
     Text.releaseCaches()
   }
 

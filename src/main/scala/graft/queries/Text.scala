@@ -2150,10 +2150,9 @@ object Text {
     * rel_err. Completes the mergeable-sketch family's last asymmetry —
     * MG/CMS/Bloom/HLL all now answer approximately AND gate exactly. */
   private def t59(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
     val grams = Corpus.documents(spark, dir)
       .select(col("lang"),
-        explode(TextFunctions.ngramsAll(TextFunctions.tokens(col("text")), 13)).as("gram"))
+        explode(ngramsAll(tokens(col("text")), 13)).as("gram"))
     graft.operators.Frequency.hllDistinct(grams, col("gram"), "lang", p = 8)
   }
 
