@@ -140,23 +140,31 @@ object Frequency {
     *
     * Output: (groupCol, hll_estimate, exact_distinct, rel_err), group
     * order. */
+  /** The Flajolet estimate over a register-file column — ONE definition
+    * of the arithmetic, shared by [[hllDistinct]] and the streaming p10
+    * post-pass (its SQL twin is the query layer's shared mirror): Z as
+    * an exact binary-fraction fold, the raw `αm²/Z`, and the
+    * small-range linear-counting branch. */
+  def hllEstimate(regs: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column = {
+    val m = 1 << p
+    val z = aggregate(transform(regs, r => pow(lit(2.0), -r)),
+      lit(0.0), (a, b) => a + b)
+    val v = size(filter(regs, r => r === 0))
+    val raw = lit(hllAlphaMM(p)) / z
+    when(raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v)).otherwise(raw)
+  }
+
   def hllDistinct(df: DataFrame, itemCol: org.apache.spark.sql.Column,
       groupCol: String, p: Int = 8): DataFrame = {
     GraftExpressions.register(df.sparkSession)
-    val m = 1 << p
     val grouped = df
       .select(col(groupCol), itemCol.as("_it"))
       .groupBy(col(groupCol))
       .agg(expr(s"graft_hll_sketch(_it, $p)").as("regs"),
         countDistinct(col("_it")).as("exact_distinct"))
-    val z = aggregate(transform(col("regs"), r => pow(lit(2.0), -r)),
-      lit(0.0), (a, b) => a + b)
-    val v = size(filter(col("regs"), r => r === 0))
-    val raw = lit(hllAlphaMM(p)) / z
-    val est = when(raw <= lit(2.5 * m) && v > 0,
-      lit(m.toDouble) * log(lit(m.toDouble) / v)).otherwise(raw)
     grouped
-      .withColumn("hll_estimate", est)
+      .withColumn("hll_estimate", hllEstimate(col("regs"), p))
       .withColumn("rel_err",
         abs(col("hll_estimate") - col("exact_distinct")) / col("exact_distinct"))
       .select(col(groupCol), col("hll_estimate"), col("exact_distinct"), col("rel_err"))

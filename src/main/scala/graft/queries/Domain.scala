@@ -256,6 +256,51 @@ object Domain {
        |WHERE c.n * 4 > t.window_total
        |ORDER BY c.hour, c.event_type""".stripMargin
 
+  /** Structured Streaming approximate distinct users per event type —
+    * the engine's deterministic HLL ([[graft.functions.HllSketch]], the
+    * t59 machinery) running AS STREAMING STATE: a mergeable sketch is
+    * exactly what a streaming aggregation wants (partial register files
+    * max-merge across micro-batches the same way they merge across
+    * partitions), so the stream's final registers are a pure function
+    * of the event SET and the batch oracle replays them — stream ≡
+    * batch as a hash gate over an APPROXIMATE answer. The exact
+    * distinct count joins from the batch side as the ground-truth
+    * column (streaming count(DISTINCT) is unsupported by Spark —
+    * bounded sketch state is the published answer to exactly that
+    * gap, which is the point of this query). */
+  private def p10(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
+    val regs = eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("graft_hll_sketch(CAST(user_id AS STRING), 8)").as("regs"))
+    val mat = SilverStream.runToMemory(regs,
+      s"p10_stream_${System.nanoTime()}", "complete").localCheckpoint()
+    val exact = Corpus.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    mat
+      .withColumn("hll_users", graft.operators.Frequency.hllEstimate(col("regs"), 8))
+      .join(exact, "event_type")
+      .withColumn("rel_err",
+        abs(col("hll_users") - col("exact_users")) / col("exact_users"))
+      .select(col("event_type"), col("hll_users"), col("exact_users"), col("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  private val p10Sql =
+    s"""WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS it
+       |           FROM events),
+       |${Text.hllChainSql("d", "event_type")},
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+       |       FROM events GROUP BY 1),
+       |est AS (SELECT a.event_type, ex.exact_users,
+       |          ${Text.hllEstimateSql} AS hll_users
+       |        FROM hagg a JOIN ex ON a.event_type = ex.event_type)
+       |SELECT event_type, hll_users, exact_users,
+       |  abs(hll_users - exact_users) / exact_users AS rel_err
+       |FROM est
+       |ORDER BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -265,5 +310,6 @@ object Domain {
     QuerySpec("p06_stream_hourly_windows", p06, Some(p06Sql)),
     QuerySpec("p07_pipeline_e2e", p07, None),
     QuerySpec("p08_stream_static_join", p08, Some(p08Sql)),
-    QuerySpec("p09_stream_trending", p09, Some(p09Sql)))
+    QuerySpec("p09_stream_trending", p09, Some(p09Sql)),
+    QuerySpec("p10_stream_hll_users", p10, Some(p10Sql)))
 }

@@ -2156,35 +2156,47 @@ object Text {
     graft.operators.Frequency.hllDistinct(grams, col("gram"), "lang", p = 8)
   }
 
-  private val t59Sql = {
+  // Shared DuckDB mirror of the p=8 HLL register chain + estimate —
+  // ONE SQL definition of Frequency.hllEstimate/HllRegisters, used by
+  // the t59 and p10 oracles. `dCte` must expose ($group, it) with `it`
+  // the DISTINCT item string (register max is insertion-idempotent, so
+  // distinct-or-not is equivalent; distinct is just cheaper to replay).
+  private[queries] def hllChainSql(dCte: String, group: String): String =
+    s"""rb AS (SELECT $group, mx % 256 AS bucket, mx // 256 AS w FROM (
+       |         SELECT $group,
+       |           ${mixSql(s"'hll:' || CAST((${mixSql("'hll:' || it")}) AS VARCHAR)")} AS mx
+       |         FROM $dCte)),
+       |reg AS (SELECT $group, bucket,
+       |          max(CASE WHEN w = 0 THEN 24 ELSE 24 - length(bin(w)) END) AS r
+       |        FROM rb GROUP BY $group, bucket),
+       |hagg AS (SELECT $group,
+       |          sum(power(CAST(2 AS DOUBLE), -r)) + (256 - count(*)) AS zsum,
+       |          CAST(256 - count(*) AS BIGINT) AS vzero
+       |        FROM reg GROUP BY $group)""".stripMargin
+
+  private[queries] val hllEstimateSql: String = {
     val alphaMM = java.lang.Double.toString(graft.operators.Frequency.hllAlphaMM(8))
+    s"""CASE WHEN CAST($alphaMM AS DOUBLE) / zsum <= 640.0 AND vzero > 0
+       |     THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / vzero)
+       |     ELSE CAST($alphaMM AS DOUBLE) / zsum END""".stripMargin
+  }
+
+  private val t59Sql =
     s"""WITH g AS (SELECT lang,
        |        unnest([array_to_string(sp[i : i + 12], ' ')
        |                for i in range(1, len(sp) - 12 + 1)]) AS gram
        |      FROM (SELECT lang, $toksSql AS sp FROM documents)
        |      WHERE len(sp) >= 13),
-       |d AS (SELECT DISTINCT lang, gram FROM g),
-       |rb AS (SELECT lang, mx % 256 AS bucket, mx // 256 AS w FROM (
-       |         SELECT lang, ${mixSql("'hll:' || gram")} AS mx FROM d)),
-       |reg AS (SELECT lang, bucket,
-       |          max(CASE WHEN w = 0 THEN 24 ELSE 24 - length(bin(w)) END) AS r
-       |        FROM rb GROUP BY lang, bucket),
-       |agg AS (SELECT lang,
-       |          sum(power(CAST(2 AS DOUBLE), -r)) + (256 - count(*)) AS zsum,
-       |          CAST(256 - count(*) AS BIGINT) AS vzero
-       |        FROM reg GROUP BY lang),
+       |d AS (SELECT DISTINCT lang, gram AS it FROM g),
+       |${hllChainSql("d", "lang")},
        |ex AS (SELECT lang, CAST(count(DISTINCT gram) AS BIGINT) AS exact_distinct
        |       FROM g GROUP BY lang),
-       |est AS (SELECT a.lang, ex.exact_distinct,
-       |          CASE WHEN CAST($alphaMM AS DOUBLE) / zsum <= 640.0 AND vzero > 0
-       |               THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / vzero)
-       |               ELSE CAST($alphaMM AS DOUBLE) / zsum END AS hll_estimate
-       |        FROM agg a JOIN ex ON a.lang = ex.lang)
+       |est AS (SELECT a.lang, ex.exact_distinct, $hllEstimateSql AS hll_estimate
+       |        FROM hagg a JOIN ex ON a.lang = ex.lang)
        |SELECT lang, hll_estimate, exact_distinct,
        |  abs(hll_estimate - exact_distinct) / exact_distinct AS rel_err
        |FROM est
        |ORDER BY lang""".stripMargin
-  }
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
