@@ -122,24 +122,6 @@ object Frequency {
     alpha * m * m
   }
 
-  /** Per-group HyperLogLog distinct estimates (Flajolet et al. 2007)
-    * with the exact count riding along — the DETERMINISTIC sibling of
-    * Spark's `approx_count_distinct` (q23): that sketch's binary state
-    * is engine-specific, so q23 can only be rows-only; this one's
-    * registers derive from the portable fold ([[graft.functions
-    * .HllSketch]] — max-merged, order independent by algebra), so the
-    * ORACLE rebuilds all 2^p registers and replays the estimate,
-    * including the small-range linear-counting branch. Z = Σ 2^−reg is
-    * a sum of exact binary fractions (< 53 significant bits total), so
-    * even the double summation is order-independent.
-    *
-    * One aggregation: the register file partial-aggregates map-side
-    * (2^p bytes per group per partition — the raw items never shuffle
-    * for the sketch; the exact count in the same pass is the gate's
-    * ground truth, not the serving shape).
-    *
-    * Output: (groupCol, hll_estimate, exact_distinct, rel_err), group
-    * order. */
   /** The Flajolet estimate over a register-file column — ONE definition
     * of the arithmetic, shared by [[hllDistinct]] and the streaming p10
     * post-pass (its SQL twin is the query layer's shared mirror): Z as
@@ -155,6 +137,22 @@ object Frequency {
       lit(m.toDouble) * log(lit(m.toDouble) / v)).otherwise(raw)
   }
 
+  /** Per-group HyperLogLog distinct estimates (Flajolet et al. 2007)
+    * with the exact count riding along — the DETERMINISTIC sibling of
+    * Spark's `approx_count_distinct` (q23): that sketch's binary state
+    * is engine-specific, so q23 can only be rows-only; this one's
+    * registers derive from the portable fold ([[graft.functions
+    * .HllSketch]] — max-merged, order independent by algebra), so the
+    * ORACLE rebuilds all 2^p registers and replays the estimate,
+    * including the small-range linear-counting branch.
+    *
+    * One aggregation: the register file partial-aggregates map-side
+    * (2^p bytes per group per partition — the raw items never shuffle
+    * for the sketch; the exact count in the same pass is the gate's
+    * ground truth, not the serving shape).
+    *
+    * Output: (groupCol, hll_estimate, exact_distinct, rel_err), group
+    * order. */
   def hllDistinct(df: DataFrame, itemCol: org.apache.spark.sql.Column,
       groupCol: String, p: Int = 8): DataFrame = {
     GraftExpressions.register(df.sparkSession)

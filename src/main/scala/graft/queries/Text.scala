@@ -2161,11 +2161,14 @@ object Text {
   // the t59 and p10 oracles. `dCte` must expose ($group, it) with `it`
   // the DISTINCT item string (register max is insertion-idempotent, so
   // distinct-or-not is equivalent; distinct is just cheaper to replay).
+  // NULL items are filtered HERE to match the sketch's update contract
+  // (HllSketch skips NULL inputs) — without the filter a NULL item
+  // would form a NULL bucket group that miscounts vzero/zsum by one.
   private[queries] def hllChainSql(dCte: String, group: String): String =
     s"""rb AS (SELECT $group, mx % 256 AS bucket, mx // 256 AS w FROM (
        |         SELECT $group,
        |           ${mixSql(s"'hll:' || CAST((${mixSql("'hll:' || it")}) AS VARCHAR)")} AS mx
-       |         FROM $dCte)),
+       |         FROM $dCte WHERE it IS NOT NULL)),
        |reg AS (SELECT $group, bucket,
        |          max(CASE WHEN w = 0 THEN 24 ELSE 24 - length(bin(w)) END) AS r
        |        FROM rb GROUP BY $group, bucket),
