@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** One timed execution: elapsed seconds, success, phase split, the
+    * count-channel keys within it, GC seconds and used-heap delta (MB)
+    * across the run — the attribution telemetry for elevated timings. */
+  private final case class Run(elapsed: Double, ok: Boolean,
+      phases: Map[String, Double], countKeys: Set[String],
+      gcSec: Double, heapMb: Long)
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+  private def heapUsed(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,75 +59,120 @@ object Bench {
     // plan regression — a real regression reproduces in BOTH runs.
     val runsPerQuery =
       math.max(1, sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2))
-    val allRuns = scala.collection.mutable.Map.empty[String, Seq[Double]]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (elapsed, succeeded, phase split, count-channel keys) — the keys
-      // travel with the map so the integer-vs-seconds formatting below
-      // stays exact, not a name heuristic
-      def once(): (Double, Boolean, Map[String, Double], Set[String]) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+    val fns = selected.toSeq.sortBy(_._1)
+    // (elapsed, succeeded, phase split, count-channel keys, gc, heap) —
+    // the count keys travel with the map so the integer-vs-seconds
+    // formatting below stays exact, not a name heuristic
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+      val gc0 = gcMillis()
+      val h0 = heapUsed()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
+      val heapMb = (heapUsed() - h0) / (1024L * 1024L)
+      // Index-backed queries (t15/t16/t29/v05) rebuild/extend their
+      // on-disk index inside the query by design; split the amortizable
+      // phases (index_build, index_register) from the remainder — the
+      // per-batch probe — so probe-side regressions are visible. Stderr
+      // so the stdout JSON line stays inside the driver's capture budget.
+      // Drain unconditionally (a failed query must not leak its phases
+      // into the next one's split), but only report on success — after a
+      // mid-build failure the probe remainder is a meaningless
+      // near-zero/negative number that would read as a valid timing next
+      // to the failure line.
+      val phases = graft.util.PhaseTimer.drain()
+      // counts (cc_*_rounds) are a separate channel: they join the
+      // reported split but must stay OUT of the probe-remainder
+      // subtraction, which is seconds arithmetic
+      val counts = graft.util.PhaseTimer.drainCounts()
+      val withProbe =
+        if (ok && (phases.nonEmpty || counts.nonEmpty))
+          (if (phases.nonEmpty)
+            phases + ("probe" -> (elapsed - phases.values.sum))
+          else phases) ++ counts.map { case (k, v) => k -> v.toDouble }
+        else Map.empty[String, Double]
+      // Per-call operator caches (minhash explodes, tf frames, cluster
+      // labels) are never reused across queries — release them so query
+      // N+1 (and run 2 of this query) isn't timed under run 1's cache
+      // memory/GC pressure. The deliberately-shared Domain.silverFlat
+      // frame is NOT released (p02/p03/p04 sharing one scan is the
+      // engine's design).
+      graft.operators.Dedup.releaseCaches()
+      graft.operators.Sampling.releaseCaches()
+      graft.operators.Quality.releaseCaches()
+      graft.operators.Unigram.releaseCaches()
+      graft.operators.WordPiece.releaseCaches()
+      graft.queries.Text.releaseCaches()
+      Run(elapsed, ok, withProbe, counts.keySet, gcSec, heapMb)
+    }
+    val allRuns = scala.collection.mutable.Map.empty[String, Seq[Run]]
+    // queries whose every run failed: excluded from "queries" and the
+    // total (a fast crash must not read as a timing, let alone a
+    // speedup) and listed under "failed" instead
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val bestRun = scala.collection.mutable.Map.empty[String, Run]
+    val results = fns.flatMap { case (name, fn) =>
+      val runs = (1 to runsPerQuery).map(_ => once(name, fn))
+      allRuns(name) = runs
+      val pair = runs.map(r => f"${r.elapsed}%.2f").mkString("/")
+      // Min over SUCCESSFUL runs only — a fast-failing run must not mask
+      // a successful run's timing (a 0.4s crash would otherwise report
+      // as a phantom speedup and drop the good run's phase split).
+      runs.filter(_.ok).minByOption(_.elapsed) match {
+        case None =>
+          failed += name
+          System.err.println(f"[bench] $name runs=$pair ALL FAILED (excluded from total)")
+          None
+        case Some(best) =>
+          bestRun(name) = best
+          // the min run's phase split is the one reported: its elapsed is
+          // the number in "queries", so probe = elapsed - build stays
+          // consistent.
+          if (best.phases.nonEmpty) {
+            phaseResults(name) = best.phases
+            val parts = best.phases.toSeq.sortBy(_._1)
+              .map { case (p, s) =>
+                if (best.countKeys.contains(p)) s"$p=${s.toLong}" else f"$p=$s%.2fs" }
+              .mkString(" ")
+            System.err.println(f"[bench] $name $parts total=${best.elapsed}%.2fs")
           }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // Index-backed queries (t15/t16/t29/v05) rebuild/extend their
-        // on-disk index inside the query by design; split the amortizable
-        // phases (index_build, index_register) from the remainder — the
-        // per-batch probe — so probe-side regressions are visible. Stderr
-        // so the stdout JSON line stays inside the driver's capture budget.
-        // Drain unconditionally (a failed query must not leak its phases
-        // into the next one's split), but only report on success — after a
-        // mid-build failure the probe remainder is a meaningless
-        // near-zero/negative number that would read as a valid timing next
-        // to the failure line.
-        val phases = graft.util.PhaseTimer.drain()
-        // counts (cc_*_rounds) are a separate channel: they join the
-        // reported split but must stay OUT of the probe-remainder
-        // subtraction, which is seconds arithmetic
-        val counts = graft.util.PhaseTimer.drainCounts()
-        val withProbe =
-          if (ok && (phases.nonEmpty || counts.nonEmpty))
-            (if (phases.nonEmpty)
-              phases + ("probe" -> (elapsed - phases.values.sum))
-            else phases) ++ counts.map { case (k, v) => k -> v.toDouble }
-          else Map.empty[String, Double]
-        // Per-call operator caches (minhash explodes, tf frames, cluster
-        // labels) are never reused across queries — release them so query
-        // N+1 (and run 2 of this query) isn't timed under run 1's cache
-        // memory/GC pressure. The deliberately-shared Domain.silverFlat
-        // frame is NOT released (p02/p03/p04 sharing one scan is the
-        // engine's design).
-        graft.operators.Dedup.releaseCaches()
-        graft.operators.Sampling.releaseCaches()
-        graft.operators.Quality.releaseCaches()
-        graft.operators.Unigram.releaseCaches()
-        graft.operators.WordPiece.releaseCaches()
-        graft.queries.Text.releaseCaches()
-        (elapsed, ok, withProbe, counts.keySet.toSet)
+          System.err.println(
+            f"[bench] $name runs=$pair min=${best.elapsed}%.2fs gc=${best.gcSec}%.2fs heap=${best.heapMb}MB")
+          Some(name -> best.elapsed)
       }
-      val runs = (1 to runsPerQuery).map(_ => once())
-      allRuns(name) = runs.map(_._1)
-      // the min run's phase split is the one reported: its elapsed is the
-      // number in "queries", so probe = elapsed - build stays consistent.
-      // Min over SUCCESSFUL runs first — a fast-failing run must not mask
-      // a successful run's timing (a 0.4s crash would otherwise report as
-      // a phantom speedup and drop the good run's phase split); only if
-      // every run failed does the raw min stand next to its failure line.
-      val best = runs.filter(_._2).minByOption(_._1).getOrElse(runs.minBy(_._1))
-      if (best._2 && best._3.nonEmpty) {
-        phaseResults(name) = best._3
-        val parts = best._3.toSeq.sortBy(_._1)
-          .map { case (p, s) =>
-            if (best._4.contains(p)) s"$p=${s.toLong}" else f"$p=$s%.2fs" }
-          .mkString(" ")
-        System.err.println(f"[bench] $name $parts total=${best._1}%.2fs")
-      }
-      val pair = runs.map(r => f"${r._1}%.2f").mkString("/")
-      System.err.println(f"[bench] $name runs=$pair min=${best._1}%.2fs")
-      name -> best._1
+    }.toMap
+    // ---- end-of-suite re-pair of elevated queries (the sustained-
+    // pressure window class): min-of-2 back-to-back shares one GC/memory
+    // regime, so a suite window elevates BOTH runs of a query together.
+    // Any query whose min exceeds 2× its best driver-recorded time
+    // (BenchReference; r1–r11 sf0.1 artifacts) AND 1s absolute gets a
+    // fresh pair at end of suite — a different regime by construction —
+    // so elevation is attributable from this artifact alone: repair ≈
+    // original min ⇒ real change; repair ≈ reference ⇒ pressure window
+    // (and the gc/heap columns say which). References exist only for the
+    // driver's config (sf0.1); other sfDirs skip the pass.
+    val shortId = (s: String) => s.takeWhile(_ != '_')
+    val refApplies = sfDir.contains("sf0.1")
+    val flaggedAll = if (!refApplies) Seq.empty else results.toSeq
+      .filter { case (name, v) =>
+        BenchReference.sf01DriverMin.get(shortId(name))
+          .exists(ref => v > 2 * ref && v > 1.0)
+      }.sortBy(-_._2)
+    if (flaggedAll.size > 8)
+      System.err.println(s"[bench] re-pair capped at 8 of ${flaggedAll.size} flagged")
+    val flagged = flaggedAll.take(8)
+    val repair = flagged.map { case (name, origMin) =>
+      val fn = selected(name)
+      val runs = (1 to math.max(2, runsPerQuery)).map(_ => once(name, fn))
+      val re = runs.filter(_.ok).map(_.elapsed).minOption.getOrElse(origMin)
+      System.err.println(f"[bench] $name repair=${re}%.2fs (suite min $origMin%.2fs)")
+      name -> re
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The harness captures only the last ~2000 chars of output; a
@@ -119,9 +181,11 @@ object Bench {
     // if it would still run long, fall back to the short query ids
     // (prefix before the first '_': q01, t09, ...), which are unique.
     def line(keyOf: String => String): String = {
-      val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + keyOf(k) + "\":" + f"$v%.2f" }
-        .mkString("{", ",", "}")
+      def secMap(m: Iterable[(String, Double)]): String =
+        m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + keyOf(k) + "\":" + f"$v%.2f" }
+          .mkString("{", ",", "}")
+      val qs = secMap(results)
       // phase splits (index_build / index_register / probe) for the
       // index-backed queries, same key scheme as "queries"
       val ph = phaseResults.toSeq.sortBy(_._1)
@@ -133,11 +197,30 @@ object Bench {
         .mkString("{", ",", "}")
       val phasesField = if (phaseResults.isEmpty) "" else s""","phases":$ph"""
       // per-run suite totals (run1, run2, ...) so the paired evidence is
-      // native to the artifact, not just the stderr tail
+      // native to the artifact, not just the stderr tail; gc_totals is
+      // the same per-run sum over the GC deltas — a pressure window
+      // shows up as a lopsided pair here
       val runTotals = (0 until runsPerQuery).map { i =>
-        f"${allRuns.values.map(rs => rs.lift(i).getOrElse(0.0)).sum}%.2f"
+        f"${allRuns.values.map(rs => rs.lift(i).map(_.elapsed).getOrElse(0.0)).sum}%.2f"
       }.mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","runs":$runsPerQuery,"run_totals":$runTotals,"queries":$qs$phasesField,"sf":"$sfDir"}"""
+      val gcTotals = (0 until runsPerQuery).map { i =>
+        f"${allRuns.values.map(rs => rs.lift(i).map(_.gcSec).getOrElse(0.0)).sum}%.2f"
+      }.mkString("[", ",", "]")
+      val failedField =
+        if (failed.isEmpty) ""
+        else s""","failed":${failed.sorted.map("\"" + keyOf(_) + "\"").mkString("[", ",", "]")}"""
+      // flagged-only attribution: re-paired min, and the original min
+      // run's GC seconds / heap delta
+      val repairField =
+        if (repair.isEmpty) ""
+        else {
+          val gc = secMap(flagged.map { case (n, _) => n -> bestRun(n).gcSec })
+          val hp = flagged.map { case (n, _) =>
+            "\"" + keyOf(n) + "\":" + bestRun(n).heapMb }
+            .mkString("{", ",", "}")
+          s""","repair":${secMap(repair)},"gc":$gc,"heap_mb":$hp"""
+        }
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","runs":$runsPerQuery,"run_totals":$runTotals,"gc_totals":$gcTotals$failedField$repairField,"queries":$qs$phasesField,"sf":"$sfDir"}"""
     }
     val full = line(identity)
     println(if (full.length <= 1700) full else line(_.takeWhile(_ != '_')))

@@ -537,9 +537,12 @@ object UnigramEncode {
   * continuation marker, so corpus tokens that themselves start with
   * `##` are not representable as word-initial matches.
   *
-  * Positions are UTF-16 chars (= code points = bytes on ASCII corpora;
-  * a non-ASCII deployment normalizes first — the [[UnigramEncode]]/t48
-  * caveat, shared by the whole tokenizer family). */
+  * Positions and lengths count Unicode CODE POINTS — matching the
+  * vocab selection (Spark `substr`), the t54 DuckDB oracle, and the
+  * learner's single-char tests, all of which are code-point based, so
+  * supplementary-plane characters segment consistently across the
+  * stack. BMP-only words (the overwhelmingly common case, where char
+  * index == code point index) take a zero-allocation fast path. */
 case class WordPieceEncode(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
   require(vocab.nonEmpty, "vocab must be non-empty")
@@ -551,30 +554,49 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String])
     vocab.foreach(s.add)
     s
   }
+  // longest piece BODY in code points (matching the position unit)
   @transient private lazy val maxLen = vocab.iterator
-    .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    .map { p =>
+      val body = if (p.startsWith("##")) p.substring(2) else p
+      body.codePointCount(0, body.length)
+    }.max
 
   def segment(w: UTF8String): ArrayData = {
     val s = w.toString
-    val n = s.length
-    if (n == 0)
+    val nChars = s.length
+    if (nChars == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+    val ncp = s.codePointCount(0, nChars)
+    // off(i) = UTF-16 index of code point i, off(ncp) = nChars — built
+    // only when a surrogate pair is present; null means identity.
+    val off: Array[Int] =
+      if (ncp == nChars) null
+      else {
+        val a = new Array[Int](ncp + 1)
+        var ci = 0
+        var i = 0
+        while (i < ncp) { a(i) = ci; ci = s.offsetByCodePoints(ci, 1); i += 1 }
+        a(ncp) = nChars
+        a
+      }
+    @inline def charIdx(cp: Int): Int = if (off == null) cp else off(cp)
     val out = new java.util.ArrayList[AnyRef](4)
     var pos = 0
-    while (pos < n) {
-      var l = math.min(maxLen, n - pos)
+    while (pos < ncp) {
+      var l = math.min(maxLen, ncp - pos)
       var hit: String = null
+      var hitLen = 0
       while (l >= 1 && hit == null) {
-        val sub = s.substring(pos, pos + l)
+        val sub = s.substring(charIdx(pos), charIdx(pos + l))
         val cand = if (pos == 0) sub else "##" + sub
-        if (table.contains(cand)) hit = cand
+        if (table.contains(cand)) { hit = cand; hitLen = l }
         l -= 1
       }
       if (hit == null)
         return new org.apache.spark.sql.catalyst.util.GenericArrayData(
           Array[AnyRef](UTF8String.fromString(WordPieceEncode.Unk)))
       out.add(UTF8String.fromString(hit))
-      pos += (if (pos == 0) hit.length else hit.length - 2)
+      pos += hitLen
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[AnyRef](out.size())))

@@ -35,6 +35,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * an approximate distinct count whose value is hash-gated, the q23
   * asymmetry closed for the engine's own sketch.
   *
+  * Cardinality ceiling: the remixed hash lives in a 31-bit space
+  * (`mod 2³¹−1`; `w` has only q = 31−p bits) and the estimator carries
+  * no large-range correction, so estimates SATURATE as true cardinality
+  * approaches ~2³¹ ≈ 2.1·10⁹ per group — beyond ~10⁸ distincts per
+  * group, hash-space collisions start to silently undercount. The
+  * 31-bit space is the price of SQL replayability (DuckDB integer
+  * arithmetic); a deployment counting >10⁸ distincts per group should
+  * pre-split groups (count shards, sum estimates) or use Spark's own
+  * HLL++ (q23) where the gate can be rows-only. Callers:
+  * [[graft.operators.Frequency.hllDistinct]] documents the same bound.
+  *
   * Public (not nested in the aggregate) so serialized buffers reference
   * a stable class. */
 final class HllRegisters(val p: Int) {
@@ -43,9 +54,7 @@ final class HllRegisters(val p: Int) {
   val regs = new Array[Byte](m)
 
   def add(item: String): Unit = {
-    def mix(s: String): Long =
-      (Fold31.fold(UTF8String.fromString(s)) * 2654435761L) % 2147483647L
-    val mx = mix("hll:" + java.lang.Long.toString(mix("hll:" + item)))
+    val mx = HllRegisters.doubleMix(item)
     val bucket = (mx % m).toInt
     val w = mx / m
     val rank =
@@ -61,6 +70,20 @@ final class HllRegisters(val p: Int) {
       i += 1
     }
   }
+}
+
+object HllRegisters {
+  /** One Knuth remix of the portable fold — static (no per-row closure
+    * allocation on the aggregation hot path). */
+  private def mix(s: String): Long =
+    (Fold31.fold(UTF8String.fromString(s)) * 2654435761L) % 2147483647L
+
+  /** The full salted double remix (see class doc for why two mixes).
+    * The intermediate `"hll:" + …` strings are part of the hash
+    * DEFINITION (the SQL mirror concatenates the same bytes), so they
+    * cannot be elided — only the closure allocation can. */
+  private[functions] def doubleMix(item: String): Long =
+    mix("hll:" + java.lang.Long.toString(mix("hll:" + item)))
 }
 
 /** `graft_hll_sketch(item, p)` — per-group HyperLogLog registers as

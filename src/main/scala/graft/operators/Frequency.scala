@@ -151,6 +151,12 @@ object Frequency {
     * for the sketch; the exact count in the same pass is the gate's
     * ground truth, not the serving shape).
     *
+    * Ceiling: the portable hash lives in a 31-bit space (the price of
+    * SQL replayability), so estimates saturate as per-group cardinality
+    * approaches ~2³¹; past ~10⁸ distincts per group, undercounting sets
+    * in silently. Shard such groups (sum the shard estimates) or use
+    * Spark's HLL++ — see [[graft.functions.HllRegisters]].
+    *
     * Output: (groupCol, hll_estimate, exact_distinct, rel_err), group
     * order. */
   def hllDistinct(df: DataFrame, itemCol: org.apache.spark.sql.Column,

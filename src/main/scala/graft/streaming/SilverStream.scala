@@ -74,7 +74,15 @@ object SilverStream {
 
   /** Runs a streaming frame to completion against a memory sink and
     * returns the materialized result — used by tests and the stream/batch
-    * equivalence oracle query. */
+    * equivalence oracle query.
+    *
+    * The memory sink registers `name` as a session-lifetime temp view;
+    * without the drop below every verify/bench pass leaks one table per
+    * streaming query into the catalog for the life of the session. The
+    * result is localCheckpoint'd (eager) BEFORE the drop so the returned
+    * frame no longer references the view — which also gives every caller
+    * fresh attribute ids (a MemorySink view resolved twice in one
+    * downstream self-join otherwise carries conflicting ids). */
   def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
     val q = df.writeStream
       .format("memory")
@@ -83,6 +91,9 @@ object SilverStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -9,11 +9,11 @@ import graft.operators.WordPiece
   * deterministic position-classed vocabulary selection, the [UNK]
   * fallback.
   *
-  * The reference (like the engine's encode side) indexes UTF-16 chars —
-  * equal to code points on this ASCII fixture, the documented
-  * WordPieceEncode/UnigramEncode/t48 caveat: non-ASCII deployments
-  * normalize first, so neither side is exercised beyond the BMP here
-  * (BpeSpec carries the family's supplementary-plane collation test). */
+  * The reference here indexes UTF-16 chars — equal to code points on
+  * this ASCII fixture; the engine's encode side iterates by CODE POINT
+  * (matching the code-point-based vocab selection and t54 oracle), and
+  * the supplementary-plane test below pins that alignment directly
+  * (BpeSpec carries the family's collation test). */
 class WordPieceSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -176,6 +176,30 @@ class WordPieceSpec extends SparkTestBase {
     assert(m.size === 1)
     assert(m.head.left === "a" && m.head.right === "##b" && m.head.merged === "ab",
       s"the continuation marker strips on merge: ${m.head}")
+  }
+
+  test("supplementary-plane characters segment by code point, aligned with the vocab unit") {
+    // 𝕏/𝕐 (U+1D54F/U+1D550) are 2 UTF-16 chars but 1 code point each.
+    // All piece bodies are 1 code point, so maxLen = 1 in the engine's
+    // (code-point) unit — a char-based iterator would clamp lengths in a
+    // different unit and probe lone-surrogate substrings.
+    val sup = "𝕏" // 𝕏
+    val sup2 = "𝕐" // 𝕐
+    val vocab = Seq(sup, "##y", "##" + sup2)
+    val out = WordPiece.encodeWords(
+      Seq((1L, s"${sup}y$sup2 ${sup}z")).toDF("doc_id", "text"), vocab)
+      .select("word", "n_pieces", "encoded").as[(String, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(s"${sup}y$sup2") === ((s"${sup}y$sup2", 3L, s"$sup|##y|##$sup2")))
+    // no ##z piece: whole-word [UNK], even mid-supplementary-word
+    assert(out(s"${sup}z") === ((s"${sup}z", 1L, "[UNK]")))
+    // a 2-code-point piece spanning a supplementary char is taken
+    // greedily over its 1-code-point prefix
+    val vocab2 = Seq("a" + sup, "a", "##" + sup, "##b")
+    val out2 = WordPiece.encodeWords(
+      Seq((1L, s"a${sup}b")).toDF("doc_id", "text"), vocab2)
+      .select("encoded").as[String].head()
+    assert(out2 === s"a$sup|##b")
   }
 
   test("the continuation class is respected: an initial-only piece never matches mid-word") {
