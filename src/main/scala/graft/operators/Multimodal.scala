@@ -322,6 +322,151 @@ object Multimodal {
     })(Encoders.product[ClipRow]).toDF()
   }
 
+  final case class ImageRow(image_id: Long, base_id: Long, variant: String,
+      media: Array[Byte], format: String)
+
+  /** Deterministic image corpus with PLANTED near-duplicates — the
+    * fixture for perceptual-hash dedup (m06): every doc becomes a base
+    * BMP whose pixel bytes derive from the portable fold (pseudo-random,
+    * so dHash bits are balanced and band buckets stay small); docs with
+    * `doc_id % 7 == 0` also get a BRIGHTNESS-SHIFTED copy (+10 on every
+    * byte — order-preserving, so a correct dHash is IDENTICAL: the
+    * invariance a perceptual hash exists to provide) and docs with
+    * `doc_id % 11 == 0` a PERTURBED copy (every 97th byte rewritten —
+    * a few sampled cells change, so the dHash lands within a small
+    * Hamming distance, the LAION-style near-dup case). Base bytes stay
+    * < 200 so the +10 shift never clamps. All arithmetic is replayed by
+    * the m06 oracle, the m01 prediction discipline.
+    *
+    * Pixel bytes come from a DOUBLE Knuth remix of the portable fold —
+    * the HLL lesson verbatim: one fold (or one multiply) of consecutive
+    * offsets is low-discrepancy, which here made grayscale rows
+    * MONOTONE and collapsed whole dHash bands to 0xFFFF (65 of ~660
+    * images shared an all-ones band when first measured); the
+    * digit-decomposition between the two mixes restores random bit
+    * statistics while staying SQL-replayable. */
+  def toImageCorpus(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ids.flatMap { base =>
+      val w = (9 + base % 8).toInt
+      val h = (8 + base % 5).toInt
+      val rowSize = (3 * w + 3) / 4 * 4
+      val n = rowSize * h
+      def mix(s: String): Long =
+        (graft.functions.Fold31.fold(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)) * 2654435761L) % 2147483647L
+      def baseByte(i: Int): Int =
+        (mix("img:" + java.lang.Long.toString(mix(s"img:$base:$i"))) % 200L).toInt
+      val fill = Array.tabulate(n)(i => baseByte(i).toByte)
+      val out = Seq.newBuilder[ImageRow]
+      out += ImageRow(base, base, "base", bmpBytes(w, h, fill), "bmp")
+      if (base % 7 == 0)
+        out += ImageRow(1000000L + base, base, "bright",
+          bmpBytes(w, h, fill.map(b => ((b & 0xff) + 10).toByte)), "bmp")
+      if (base % 11 == 0)
+        out += ImageRow(2000000L + base, base, "perturb",
+          bmpBytes(w, h, Array.tabulate(n)(i =>
+            (if (i % 97 == 0) (baseByte(i) + 100) % 200 else baseByte(i)).toByte)), "bmp")
+      out.result()
+    }(Encoders.product[ImageRow]).toDF()
+  }
+
+  final case class DhashRow(image_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** dHash (difference hash — the standard perceptual image fingerprint:
+    * 9×8 nearest-neighbor grayscale grid, each bit = "is the right
+    * neighbor brighter") over a REAL decode of the BMP bytes, emitted as
+    * FOUR 16-bit bands (two grid rows each) rather than one packed
+    * 64-bit word: the bands are simultaneously the LSH blocking keys for
+    * [[perceptualDedup]] and sidestep signed-overflow asymmetries in the
+    * SQL mirror. Brightness/contrast shifts preserve every comparison,
+    * so true re-encodes collide exactly; small edits flip only the bits
+    * whose sampled cells they touch. `mapPartitions`: blobs stay
+    * executor-local, only 4 ints per image leave the scan. */
+  def dhashBands(images: DataFrame): DataFrame = {
+    val ds = images.select(col("image_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions(_.map { case (id, media) =>
+      val buf = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      require(media.length >= 54 && buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte,
+        s"image $id: not a BMP payload")
+      require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
+        s"image $id: dHash supports uncompressed 24bpp BMP only " +
+          s"(got ${buf.getShort(28)}bpp, compression ${buf.getInt(30)})")
+      val w = buf.getInt(18)
+      val rawH = buf.getInt(22) // negative = top-down row order
+      val h = math.abs(rawH)
+      val pixelOff = buf.getInt(10)
+      val rowSize = (3 * w + 3) / 4 * 4
+      require(media.length >= pixelOff + rowSize.toLong * h,
+        s"image $id: BMP header claims ${rowSize.toLong * h} pixel bytes " +
+          s"at offset $pixelOff but payload has ${media.length}")
+      // gray(gy)(gx): 9×8 grid, gy from the TOP of the image — stored
+      // bottom-up unless the height is negative
+      val gray = Array.ofDim[Int](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val sy = gy * h / 8
+        val srcRow = if (rawH < 0) sy else h - 1 - sy
+        var gx = 0
+        while (gx < 9) {
+          val sx = gx * w / 9
+          val o = pixelOff + srcRow * rowSize + 3 * sx
+          gray(gy)(gx) = (media(o) & 0xff) + (media(o + 1) & 0xff) + (media(o + 2) & 0xff)
+          gx += 1
+        }
+        gy += 1
+      }
+      val bands = new Array[Int](4)
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (gray(gy)(gx + 1) > gray(gy)(gx))
+            bands(gy / 2) |= 1 << ((gy % 2) * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      DhashRow(id, bands(0), bands(1), bands(2), bands(3))
+    })(Encoders.product[DhashRow]).toDF()
+  }
+
+  /** Perceptual-hash image near-dup pairs — the multimodal counterpart
+    * of the text family's SimHash dedup, via the same band-blocking
+    * discipline (`operators/Dedup.scala`): images sharing ANY of the 4
+    * dHash bands become candidates through an equi-join on
+    * (band_idx, band_val) — never an all-pairs compare — then the exact
+    * 64-bit Hamming distance verifies each candidate. A 16-bit band
+    * match is the standard LSH bet: true near-dups (few flipped bits)
+    * almost surely leave one band untouched, while unrelated images
+    * (~32 differing bits) rarely collide. Bucket sizes are bounded by
+    * duplicate-cluster sizes at any corpus scale. Output: (id_a, id_b,
+    * hamming), id_a < id_b. */
+  def perceptualDedup(images: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0, 64], got $maxHamming")
+    // tiny frame (4 ints/image): materialize once so the candidate
+    // self-join and both verify sides reuse ONE decode pass of the blobs
+    val bands = dhashBands(images).localCheckpoint()
+    val exploded = bands.select(col("image_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.image_id") < col("b.image_id"))
+      .select(col("a.image_id").as("id_a"), col("b.image_id").as("id_b"))
+      .distinct()
+    cand
+      .join(bands.toDF("id_a", "a0", "a1", "a2", "a3"), "id_a")
+      .join(bands.toDF("id_b", "c0", "c1", "c2", "c3"), "id_b")
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Frame sampling — the video-modality pipeline op: walks each
     * container (validating the GVID magic and every frame's BMP header),
     * emits every `every`-th frame's metadata. `mapPartitions` like the

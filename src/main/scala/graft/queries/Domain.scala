@@ -231,11 +231,10 @@ object Domain {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
-    // localCheckpoint: the post-pass self-joins the materialized counts
-    // (per-window totals), and a MemorySink view resolved twice in one
-    // join carries conflicting attribute ids
+    // runToMemory localCheckpoints before dropping its temp view, so the
+    // post-pass self-join (per-window totals) sees fresh attribute ids
     val mat = SilverStream.runToMemory(counts,
-      s"p09_stream_${System.nanoTime()}", "complete").localCheckpoint()
+      s"p09_stream_${System.nanoTime()}", "complete")
     val totals = mat.groupBy(col("hour")).agg(sum(col("n")).as("window_total"))
     mat.join(totals, "hour")
       .filter(col("n") * 4 > col("window_total"))
@@ -274,7 +273,7 @@ object Domain {
       .groupBy(col("event_type"))
       .agg(expr("graft_hll_sketch(CAST(user_id AS STRING), 8)").as("regs"))
     val mat = SilverStream.runToMemory(regs,
-      s"p10_stream_${System.nanoTime()}", "complete").localCheckpoint()
+      s"p10_stream_${System.nanoTime()}", "complete")
     val exact = Corpus.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
@@ -301,6 +300,74 @@ object Domain {
        |FROM est
        |ORDER BY event_type""".stripMargin
 
+  /** Structured Streaming Count-Min frequency estimates — the CMS
+    * ([[graft.functions.CMSketch]], the t55 machinery) running AS
+    * STREAMING STATE, completing the p10 symmetry for the sketch
+    * family's ADDITIVE member: counter matrices element-wise add across
+    * micro-batches exactly as across partitions, so the streamed matrix
+    * is a pure function of the event multiset and the batch oracle
+    * rebuilds every cell — stream ≡ batch as a hash gate over an
+    * approximate answer. The post-pass reads point estimates for the
+    * top-3 users per event type (exact counts join from the batch side
+    * as the gate's ground truth, the t55 discipline; at 100 TB the
+    * matrix — depth×width longs per group — is what a streaming job
+    * ships, never a per-user table). */
+  private def p11(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
+    val depth = 4
+    val width = 32
+    val mat = SilverStream.runToMemory(
+      eventsStream(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(expr(s"graft_cms_sketch(CAST(user_id AS STRING), $depth, $width)").as("m")),
+      s"p11_stream_${System.nanoTime()}", "complete")
+    val freq = Corpus.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("freq"))
+    val top = freq.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("freq").desc, col("user_id"))))
+      .filter(col("rk") <= 3).drop("rk")
+    // per-user cell reads via the SAME fold the sketch hashed with
+    // (CMSMatrix.cell ≡ this column arithmetic ≡ the oracle's foldSql
+    // mirror — one hash definition across engine, stream, and oracle)
+    val ests = (0 until depth).map { r =>
+      element_at(col("m"),
+        (lit(r * width) + pmod(graft.operators.Sampling.portableFingerprint(
+          concat(lit(s"cms:$r:"), col("user_id").cast("string"))), lit(width)) + 1)
+          .cast("int"))
+    }
+    top.join(broadcast(mat), "event_type")
+      .withColumn("est", least(ests: _*))
+      .select(col("event_type"), col("user_id"), col("freq"), col("est"),
+        (col("est") - col("freq")).as("overestimate"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  private val p11Sql = {
+    def cellOf(r: String) =
+      s"(${Text.foldSql(s"'cms:' || $r || ':' || CAST(user_id AS VARCHAR)")}) % 32"
+    s"""WITH f AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS freq
+       |           FROM events GROUP BY 1, 2),
+       |rc AS (SELECT event_type, user_id, freq, CAST(r AS INT) AS row, ${cellOf("r")} AS cell
+       |       FROM f, LATERAL (SELECT unnest(range(0, 4)) AS r) rr),
+       |cells AS (SELECT event_type, row, cell, CAST(sum(freq) AS BIGINT) AS cellcnt
+       |          FROM rc GROUP BY 1, 2, 3),
+       |top3 AS (SELECT event_type, user_id, freq FROM (
+       |           SELECT f.*, row_number() OVER (PARTITION BY event_type
+       |                        ORDER BY freq DESC, user_id) AS rk FROM f) rf
+       |         WHERE rk <= 3),
+       |est AS (SELECT t.event_type, t.user_id, min(c.cellcnt) AS est
+       |        FROM (SELECT rc.* FROM rc JOIN top3
+       |              ON rc.event_type = top3.event_type AND rc.user_id = top3.user_id) t
+       |        JOIN cells c ON c.event_type = t.event_type AND c.row = t.row AND c.cell = t.cell
+       |        GROUP BY 1, 2)
+       |SELECT t.event_type, t.user_id, t.freq, e.est, e.est - t.freq AS overestimate
+       |FROM top3 t JOIN est e ON t.event_type = e.event_type AND t.user_id = e.user_id
+       |ORDER BY t.event_type, t.user_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -311,5 +378,6 @@ object Domain {
     QuerySpec("p07_pipeline_e2e", p07, None),
     QuerySpec("p08_stream_static_join", p08, Some(p08Sql)),
     QuerySpec("p09_stream_trending", p09, Some(p09Sql)),
-    QuerySpec("p10_stream_hll_users", p10, Some(p10Sql)))
+    QuerySpec("p10_stream_hll_users", p10, Some(p10Sql)),
+    QuerySpec("p11_stream_cms_counts", p11, Some(p11Sql)))
 }

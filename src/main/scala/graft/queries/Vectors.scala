@@ -300,6 +300,83 @@ object Vectors {
       |FROM c
       |ORDER BY doc_id, clip_idx""".stripMargin
 
+  /** Perceptual-hash image dedup ([[Multimodal.perceptualDedup]]) —
+    * dHash over a real BMP decode, near-dup pairs via the SimHash
+    * band-blocking discipline, on a corpus with PLANTED duplicates
+    * ([[Multimodal.toImageCorpus]]): brightness-shifted copies must
+    * land at Hamming 0 (the invariance a perceptual hash provides) and
+    * byte-perturbed copies within the threshold. The oracle predicts
+    * every sampled grid byte from the generation arithmetic (pixels
+    * derive from the portable fold), rebuilds the 9×8 grayscale grid,
+    * the 64 comparison bits, the 4 blocking bands, the band-join
+    * candidates, and every Hamming verdict — so a broken encoder,
+    * decoder, grid sampler, or banding rule all fail the hash. */
+  private def m06(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.toImageCorpus(Corpus.documents(spark, dir))
+    val labels = corpus.select(col("image_id"), col("variant"))
+    Multimodal.perceptualDedup(corpus, maxHamming = 10)
+      .join(labels.toDF("id_a", "variant_a"), "id_a")
+      .join(labels.toDF("id_b", "variant_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("variant_a"), col("variant_b"),
+        col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val m06Sql = {
+    // double Knuth remix (the HLL discipline): one mix of consecutive
+    // byte offsets is low-discrepancy — monotone rows, all-ones bands
+    val fold = Text.mixSql(
+      s"'img:' || CAST((${Text.mixSql("'img:' || base_id || ':' || bi")}) AS VARCHAR)")
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS base_id, doc_id AS image_id, 'base' AS variant FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1000000 + doc_id, 'bright' FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 2000000 + doc_id, 'perturb' FROM documents WHERE doc_id % 11 = 0),
+       |dims AS (SELECT image_id, base_id, variant,
+       |           9 + base_id % 8 AS w, 8 + base_id % 5 AS h,
+       |           (3 * (9 + base_id % 8) + 3) // 4 * 4 AS row_size
+       |         FROM imgs),
+       |cells AS (SELECT d.image_id, d.base_id, d.variant, gy, gx,
+       |            (d.h - 1 - (gy * d.h) // 8) * d.row_size + 3 * ((gx * d.w) // 9) AS o
+       |          FROM dims d,
+       |               LATERAL (SELECT unnest(range(0, 8)) AS gy) yy,
+       |               LATERAL (SELECT unnest(range(0, 9)) AS gx) xx),
+       |fb AS (SELECT image_id, variant, gy, gx, o + j AS bi,
+       |         ($fold) % 200 AS fv
+       |       FROM cells, LATERAL (SELECT unnest(range(0, 3)) AS j) jj),
+       |vals AS (SELECT image_id, gy, gx,
+       |           CASE WHEN variant = 'bright' THEN fv + 10
+       |                WHEN variant = 'perturb' AND bi % 97 = 0 THEN (fv + 100) % 200
+       |                ELSE fv END AS b
+       |         FROM fb),
+       |gray AS (SELECT image_id, gy, gx, sum(b) AS g FROM vals GROUP BY 1, 2, 3),
+       |bits AS (SELECT l.image_id, l.gy, l.gx,
+       |           CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+       |         FROM gray l JOIN gray r ON r.image_id = l.image_id AND r.gy = l.gy
+       |              AND r.gx = l.gx + 1
+       |         WHERE l.gx < 8),
+       |bands AS (SELECT image_id, gy // 2 AS k,
+       |            CAST(sum(bit * (1 << ((gy % 2) * 8 + gx))) AS INT) AS v
+       |          FROM bits GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+       |         FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v
+       |              AND a.image_id < b.image_id),
+       |ham AS (SELECT c.id_a, c.id_b,
+       |          CAST(sum(bit_count(xor(ba.v, bb.v))) AS INT) AS hamming
+       |        FROM cand c
+       |        JOIN bands ba ON ba.image_id = c.id_a
+       |        JOIN bands bb ON bb.image_id = c.id_b AND bb.k = ba.k
+       |        GROUP BY 1, 2)
+       |SELECT h.id_a, h.id_b, ia.variant AS variant_a, ib.variant AS variant_b,
+       |  h.hamming
+       |FROM ham h
+       |JOIN imgs ia ON ia.image_id = h.id_a
+       |JOIN imgs ib ON ib.image_id = h.id_b
+       |WHERE h.hamming <= 10
+       |ORDER BY h.id_a, h.id_b""".stripMargin
+  }
+
   /** The IVF fit+probe CTE chain shared verbatim by the v04 and v05
     * oracles: the deterministic Lloyd coarse quantizer
     * ([[Similarity.lloydFit]] — fingerprint-smallest init, 2 rounds,
@@ -807,5 +884,6 @@ object Vectors {
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),
     QuerySpec("m04_image_resize", m04, Some(m04Sql)),
-    QuerySpec("m05_audio_clips", m05, Some(m05Sql)))
+    QuerySpec("m05_audio_clips", m05, Some(m05Sql)),
+    QuerySpec("m06_image_dedup_dhash", m06, Some(m06Sql)))
 }

@@ -197,4 +197,73 @@ class MultimodalSpec extends SparkTestBase {
     val e2 = intercept[org.apache.spark.SparkException](nonPcm.count())
     assert(e2.getMessage.contains("not PCM"), e2.getMessage)
   }
+
+  // ---- perceptual-hash dedup (m06) ----
+
+  private def imageCorpus(n: Int) =
+    Multimodal.toImageCorpus((0L until n.toLong).toDF("doc_id"))
+
+  test("dHash is invariant under the brightness shift and flips few bits under perturbation") {
+    val bands = Multimodal.dhashBands(imageCorpus(25))
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def hamming(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    // every bright copy (base % 7 == 0) collides EXACTLY — a +10 shift
+    // preserves every grayscale comparison
+    for (base <- 0 until 25 if base % 7 == 0)
+      assert(bands(base) === bands(1000000L + base), s"bright copy of $base")
+    // every perturbed copy (base % 11 == 0) is near, not identical-ish far
+    for (base <- 0 until 25 if base % 11 == 0) {
+      val d = hamming(bands(base), bands(2000000L + base))
+      assert(d <= 10, s"perturbed copy of $base drifted to hamming $d")
+    }
+    // unrelated images are far apart (pseudo-random bits ⇒ ~32)
+    val d01 = hamming(bands(1L), bands(2L))
+    assert(d01 > 10, s"unrelated images at hamming $d01 — bits not balanced")
+  }
+
+  test("dHash respects top-down (negative height) row order") {
+    val corpus = imageCorpus(1)
+    val bottomUp = corpus.select("media").as[Array[Byte]].head()
+    // rewrite the same image as a top-down BMP: negate the height field
+    // and reverse the stored row blocks — identical IMAGE, different layout
+    val buf = java.nio.ByteBuffer.wrap(bottomUp.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = buf.getInt(18); val h = buf.getInt(22); val off = buf.getInt(10)
+    val rowSize = (3 * w + 3) / 4 * 4
+    buf.putInt(22, -h)
+    val topDown = buf.array()
+    for (r <- 0 until h)
+      System.arraycopy(bottomUp, off + (h - 1 - r) * rowSize,
+        topDown, off + r * rowSize, rowSize)
+    val two = Seq((0L, bottomUp, "bmp"), (1L, topDown, "bmp"))
+      .toDF("image_id", "media", "format")
+    val hashes = Multimodal.dhashBands(two)
+      .as[(Long, Int, Int, Int, Int)].collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(hashes(0L) === hashes(1L), "row order must not change the hash")
+  }
+
+  test("perceptualDedup finds exactly the planted duplicate pairs, at any partitioning") {
+    val corpus = imageCorpus(30)
+    val pairs = Multimodal.perceptualDedup(corpus, maxHamming = 10)
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2))
+    // planted: bright for 0,7,14,21,28; perturb for 0,11,22; id 0 has both
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    for (base <- Seq(0L, 7L, 14L, 21L, 28L))
+      assert(ids.contains((base, 1000000L + base)), s"missing bright pair for $base")
+    for (base <- Seq(0L, 11L, 22L))
+      assert(ids.contains((base, 2000000L + base)), s"missing perturb pair for $base")
+    assert(ids.contains((1000000L, 2000000L)), "bright×perturb of base 0")
+    // nothing unplanted: every pair shares its base id
+    for ((a, b) <- ids)
+      assert(a % 1000000L === b % 1000000L, s"accidental pair ($a, $b)")
+    // bright pairs verify at hamming 0
+    assert(pairs.filter(p => p._2 === p._1 + 1000000L).forall(_._3 === 0))
+    // partitioning cannot change the pair set
+    val again = Multimodal.perceptualDedup(corpus.repartition(7), maxHamming = 10)
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2))
+    assert(again === pairs)
+  }
 }

@@ -23,12 +23,18 @@ class StreamingSpec extends SparkTestBase {
       .write.mode("overwrite").json(dir)
     val batch = SilverTransform.transform(
       spark.read.schema(graft.model.Schemas.bronzeShipment).json(dir), "2024-01-01", ts)
+    val tablesBefore = spark.catalog.listTables().count()
     val streamed = SilverStream.runToMemory(
       SilverStream.silverStream(spark, dir, "2024-01-01", ts),
       s"silver_eq_${System.nanoTime()}", "append")
     assert(streamed.count() === batch.count())
     assert(batch.exceptAll(streamed).count() === 0)
     assert(streamed.exceptAll(batch).count() === 0)
+    // the memory-sink temp view is dropped after materialization — a
+    // bench/verify pass must not grow the catalog by one table per
+    // streaming query for the life of the session
+    assert(spark.catalog.listTables().count() === tablesBefore,
+      "runToMemory leaked its memory-sink temp view")
   }
 
   test("watermark drops late events in append mode") {
@@ -512,6 +518,32 @@ class StreamingSpec extends SparkTestBase {
     val rows = spark.table(name).select("user", "amount")
       .as[(Long, Double)].collect().toSet
     assert(rows === Set((1L, 9.99)))
+  }
+
+  test("CMS sketch as streaming aggregation state ≡ the batch matrix (additive merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftExpressions.register(spark)
+    val input = MemoryStream[(String, String)]
+    val agg = input.toDF().toDF("k", "it")
+      .groupBy(col("k")).agg(expr("graft_cms_sketch(it, 2, 8)").as("m"))
+    val name = s"cms_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(("a", "x"), ("a", "y"), ("b", "x"))
+    q.processAllAvailable()
+    // second micro-batch: counter state must ADD across batches exactly
+    // as matrices add across partitions
+    input.addData(("a", "x"), ("b", "z"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).as[(String, Seq[Long])].collect().toMap
+    spark.catalog.dropTempView(name)
+    val batch = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"), ("b", "z"))
+      .toDF("k", "it")
+      .groupBy(col("k")).agg(expr("graft_cms_sketch(it, 2, 8)").as("m"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(streamed === batch)
+    assert(streamed("a").sum === 2L * 3) // 3 items × depth 2 rows
   }
 
   test("windowed courier KPIs run as a stream over generated bronze") {
