@@ -177,10 +177,15 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The harness captures only the last ~2000 chars of output; a
     // full-precision 58-query map overflows that and the JSON line gets
-    // clipped mid-stream. Keep the line compact (2-decimal seconds), and
-    // if it would still run long, fall back to the short query ids
-    // (prefix before the first '_': q01, t09, ...), which are unique.
-    def line(keyOf: String => String): String = {
+    // clipped mid-stream (clipped at the HEAD, so the whole line becomes
+    // unparseable — not just the early fields). Keep the line compact
+    // (2-decimal seconds); fall back to the short query ids (prefix
+    // before the first '_': q01, t09, ..., unique); and if telemetry
+    // still pushes past the budget, degrade it field by field (drop
+    // heap, cap repair, drop phases) — the queries map is the one part
+    // that must never be sacrificed.
+    def line(keyOf: String => String, withPhases: Boolean = true,
+        withHeap: Boolean = true, repairCap: Int = Int.MaxValue): String = {
       def secMap(m: Iterable[(String, Double)]): String =
         m.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + keyOf(k) + "\":" + f"$v%.2f" }
@@ -195,7 +200,8 @@ object Bench {
             .mkString("{", ",", "}")
         }
         .mkString("{", ",", "}")
-      val phasesField = if (phaseResults.isEmpty) "" else s""","phases":$ph"""
+      val phasesField =
+        if (phaseResults.isEmpty || !withPhases) "" else s""","phases":$ph"""
       // per-run suite totals (run1, run2, ...) so the paired evidence is
       // native to the artifact, not just the stderr tail; gc_totals is
       // the same per-run sum over the GC deltas — a pressure window
@@ -211,19 +217,28 @@ object Bench {
         else s""","failed":${failed.sorted.map("\"" + keyOf(_) + "\"").mkString("[", ",", "]")}"""
       // flagged-only attribution: re-paired min, and the original min
       // run's GC seconds / heap delta
+      val kept = flagged.take(repairCap)
       val repairField =
-        if (repair.isEmpty) ""
+        if (repair.isEmpty || kept.isEmpty) ""
         else {
-          val gc = secMap(flagged.map { case (n, _) => n -> bestRun(n).gcSec })
-          val hp = flagged.map { case (n, _) =>
+          val gc = secMap(kept.map { case (n, _) => n -> bestRun(n).gcSec })
+          val hp = kept.map { case (n, _) =>
             "\"" + keyOf(n) + "\":" + bestRun(n).heapMb }
             .mkString("{", ",", "}")
-          s""","repair":${secMap(repair)},"gc":$gc,"heap_mb":$hp"""
+          val heapField = if (withHeap) s""","heap_mb":$hp""" else ""
+          s""","repair":${secMap(repair.view.filterKeys(kept.map(_._1).toSet).toMap)},"gc":$gc$heapField"""
         }
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","runs":$runsPerQuery,"run_totals":$runTotals,"gc_totals":$gcTotals$failedField$repairField,"queries":$qs$phasesField,"sf":"$sfDir"}"""
     }
-    val full = line(identity)
-    println(if (full.length <= 1700) full else line(_.takeWhile(_ != '_')))
+    // the line is the LAST stdout write, so it survives the ~2000-char
+    // tail capture iff it fits whole; 1950 leaves newline margin
+    val tiers = Iterator(
+      line(identity),
+      line(shortId),
+      line(shortId, withHeap = false, repairCap = 5),
+      line(shortId, withPhases = false, withHeap = false, repairCap = 5))
+    println(tiers.find(_.length <= 1950).getOrElse(
+      line(shortId, withPhases = false, withHeap = false, repairCap = 3)))
     spark.stop()
   }
 }
