@@ -352,11 +352,8 @@ object Multimodal {
       val h = (8 + base % 5).toInt
       val rowSize = (3 * w + 3) / 4 * 4
       val n = rowSize * h
-      def mix(s: String): Long =
-        (graft.functions.Fold31.fold(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s)) * 2654435761L) % 2147483647L
       def baseByte(i: Int): Int =
-        (mix("img:" + java.lang.Long.toString(mix(s"img:$base:$i"))) % 200L).toInt
+        (doubleMix("img:", s"img:$base:$i") % 200L).toInt
       val fill = Array.tabulate(n)(i => baseByte(i).toByte)
       val out = Seq.newBuilder[ImageRow]
       out += ImageRow(base, base, "base", bmpBytes(w, h, fill), "bmp")
@@ -443,20 +440,31 @@ object Multimodal {
     * (~32 differing bits) rarely collide. Bucket sizes are bounded by
     * duplicate-cluster sizes at any corpus scale. Output: (id_a, id_b,
     * hamming), id_a < id_b. */
-  def perceptualDedup(images: DataFrame, maxHamming: Int): DataFrame = {
+  def perceptualDedup(images: DataFrame, maxHamming: Int): DataFrame =
+    bandNearDups(dhashBands(images), maxHamming)
+
+  /** The modality-agnostic half of perceptual dedup: takes any
+    * (id, b0, b1, b2, b3) fingerprint frame — dHash bands for images
+    * ([[dhashBands]]), energy-delta bands for audio
+    * ([[audioFingerprint]]) — and returns verified near-dup pairs via
+    * the band equi-join + exact 64-bit Hamming verify. */
+  private[graft] def bandNearDups(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming must be in [0, 64], got $maxHamming")
-    // tiny frame (4 ints/image): materialize once so the candidate
+    // tiny frame (4 ints/row): materialize once so the candidate
     // self-join and both verify sides reuse ONE decode pass of the blobs
-    val bands = dhashBands(images).localCheckpoint()
-    val exploded = bands.select(col("image_id"),
+    val idCol = fingerprints.columns.head
+    val bands = fingerprints
+      .select(col(idCol).as("_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .localCheckpoint()
+    val exploded = bands.select(col("_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band_idx", "band_val")))
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
-          col("a.image_id") < col("b.image_id"))
-      .select(col("a.image_id").as("id_a"), col("b.image_id").as("id_b"))
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     cand
       .join(bands.toDF("id_a", "a0", "a1", "a2", "a3"), "id_a")
@@ -465,6 +473,123 @@ object Multimodal {
         "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  final case class AudioRow(audio_id: Long, base_id: Long, variant: String,
+      media: Array[Byte], format: String)
+
+  /** Deterministic audio corpus with planted near-duplicates — the
+    * audio sibling of [[toImageCorpus]]: every doc becomes a mono
+    * 16-bit PCM WAV whose samples derive from the double-remixed
+    * portable fold (range ±10000, so the ×2 volume variant never
+    * clips); docs with `doc_id % 7 == 0` also get a VOLUME-DOUBLED copy
+    * (|2s| = 2|s| exactly in integers, so every window-energy
+    * comparison is preserved and a correct fingerprint is IDENTICAL —
+    * the invariance an audio fingerprint exists for) and docs with
+    * `doc_id % 11 == 0` a PERTURBED copy (samples 0/251/502 rewritten —
+    * three windows shift, ≤ 5 comparison bits flip). */
+  def toAudioCorpus(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val ids = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ids.flatMap { base =>
+      val n = (520 + base % 128).toInt
+      def sampleAt(salt: String, i: Int): Int =
+        (doubleMix(salt + ":", s"$salt:$base:$i") % 20000L).toInt - 10000
+      def wav(f: Int => Int): Array[Byte] = {
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = f(i)
+          bytes(2 * i) = (s & 0xff).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        wavBytes(sampleRate, n, bytes)
+      }
+      val out = Seq.newBuilder[AudioRow]
+      out += AudioRow(base, base, "base", wav(i => sampleAt("aud", i)), "wav")
+      if (base % 7 == 0)
+        out += AudioRow(1000000L + base, base, "volume",
+          wav(i => 2 * sampleAt("aud", i)), "wav")
+      if (base % 11 == 0)
+        out += AudioRow(2000000L + base, base, "perturb",
+          wav(i => if (i % 251 == 0) sampleAt("aud2", i) else sampleAt("aud", i)), "wav")
+      out.result()
+    }(Encoders.product[AudioRow]).toDF()
+  }
+
+  final case class AudioHashRow(audio_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Energy-delta audio fingerprint over a REAL WAV decode — the audio
+    * analog of [[dhashBands]]: the first 520 PCM samples split into 65
+    * windows of 8, window energy = Σ|sample| (exact integers), and each
+    * of the 64 bits asks "is the next window louder". Volume scaling
+    * preserves every comparison (the perceptual-hash invariance); local
+    * edits flip only the bits whose windows they touch. Emitted as four
+    * 16-bit bands — the LSH blocking keys for [[bandNearDups]]. */
+  def audioFingerprint(audio: DataFrame): DataFrame = {
+    val ds = audio.select(col("audio_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions(_.map { case (id, media) =>
+      val buf = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      require(media.length >= 44 &&
+        buf.getInt(0) == 0x46464952 && buf.getInt(8) == 0x45564157, // "RIFF", "WAVE"
+        s"audio $id: not a WAV payload")
+      var pos = 12
+      var audioFormat = 0; var bits = 0; var blockAlign = 0
+      var dataPos = -1; var dataSize = -1
+      while (pos + 8 <= media.length && (audioFormat == 0 || dataPos < 0)) {
+        val cid = buf.getInt(pos); val size = buf.getInt(pos + 4)
+        require(size >= 0, s"audio $id: corrupt WAV chunk size $size")
+        if (cid == 0x20746d66) { // "fmt "
+          audioFormat = buf.getShort(pos + 8).toInt
+          blockAlign = buf.getShort(pos + 20).toInt
+          bits = buf.getShort(pos + 22).toInt
+        } else if (cid == 0x61746164) { dataPos = pos + 8; dataSize = size } // "data"
+        pos += 8 + size + (size & 1)
+      }
+      require(audioFormat == 1 && bits == 16 && blockAlign == 2,
+        s"audio $id: fingerprint expects mono 16-bit PCM " +
+          s"(format=$audioFormat, bits=$bits, blockAlign=$blockAlign)")
+      require(dataPos >= 0 && dataSize >= 520 * 2 && dataPos + dataSize <= media.length,
+        s"audio $id: need >= 520 samples, data chunk has ${dataSize / 2}")
+      val energy = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        var e = 0L
+        var j = 0
+        while (j < 8) {
+          e += math.abs(buf.getShort(dataPos + 2 * (w * 8 + j)).toLong)
+          j += 1
+        }
+        energy(w) = e
+        w += 1
+      }
+      val bands = new Array[Int](4)
+      var b = 0
+      while (b < 64) {
+        if (energy(b + 1) > energy(b)) bands(b / 16) |= 1 << (b % 16)
+        b += 1
+      }
+      AudioHashRow(id, bands(0), bands(1), bands(2), bands(3))
+    })(Encoders.product[AudioHashRow]).toDF()
+  }
+
+  /** Perceptual audio near-dup pairs: [[audioFingerprint]] +
+    * [[bandNearDups]] — image and audio dedup share one blocking/verify
+    * engine. */
+  def audioDedup(audio: DataFrame, maxHamming: Int): DataFrame =
+    bandNearDups(audioFingerprint(audio), maxHamming)
+
+  /** The double Knuth remix of the portable fold shared by the planted
+    * fixture generators — one mix of consecutive offsets is
+    * low-discrepancy (the HLL lesson; see [[toImageCorpus]]), the
+    * digit decomposition between two folds restores random statistics
+    * while staying SQL-replayable. */
+  private def doubleMix(outerSalt: String, inner: String): Long = {
+    def mix(s: String): Long =
+      (graft.functions.Fold31.fold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) * 2654435761L) % 2147483647L
+    mix(outerSalt + java.lang.Long.toString(mix(inner)))
   }
 
   /** Frame sampling — the video-modality pipeline op: walks each

@@ -377,6 +377,72 @@ object Vectors {
        |ORDER BY h.id_a, h.id_b""".stripMargin
   }
 
+  /** Perceptual audio dedup ([[Multimodal.audioDedup]]) — the audio
+    * sibling of m06, completing multimodal near-dup coverage for both
+    * decoded modalities: an energy-delta fingerprint (65 windows of 8
+    * PCM samples, bit = "next window louder") over a real WAV decode,
+    * pairs via the shared band-blocking + Hamming verify engine.
+    * Planted: volume-DOUBLED copies must collide at Hamming 0 (|2s| =
+    * 2|s| exactly — the invariance), 3-sample perturbed copies land
+    * within the threshold. The oracle predicts every PCM sample from
+    * the generation arithmetic and replays windows, bits, bands,
+    * candidates, and verdicts — a broken encoder, chunk walk, window
+    * sum, or banding all fail the hash. */
+  private def m07(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.toAudioCorpus(Corpus.documents(spark, dir))
+    val labels = corpus.select(col("audio_id"), col("variant"))
+    Multimodal.audioDedup(corpus, maxHamming = 10)
+      .join(labels.toDF("id_a", "variant_a"), "id_a")
+      .join(labels.toDF("id_b", "variant_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("variant_a"), col("variant_b"),
+        col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val m07Sql = {
+    def smp(salt: String) = Text.mixSql(
+      s"'$salt:' || CAST((${Text.mixSql(s"'$salt:' || base_id || ':' || i")}) AS VARCHAR)")
+    s"""WITH auds AS (
+       |  SELECT doc_id AS base_id, doc_id AS audio_id, 'base' AS variant FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1000000 + doc_id, 'volume' FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 2000000 + doc_id, 'perturb' FROM documents WHERE doc_id % 11 = 0),
+       |sm AS (SELECT audio_id, base_id, variant, i, i // 8 AS w,
+       |         (${smp("aud")}) % 20000 - 10000 AS s0
+       |       FROM auds, LATERAL (SELECT unnest(range(0, 520)) AS i) ii),
+       |vals AS (SELECT audio_id, w,
+       |           CASE WHEN variant = 'volume' THEN 2 * s0
+       |                WHEN variant = 'perturb' AND i % 251 = 0
+       |                  THEN (${smp("aud2")}) % 20000 - 10000
+       |                ELSE s0 END AS s
+       |         FROM sm),
+       |energy AS (SELECT audio_id, w, sum(abs(s)) AS e FROM vals GROUP BY 1, 2),
+       |bits AS (SELECT l.audio_id, l.w,
+       |           CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+       |         FROM energy l JOIN energy r ON r.audio_id = l.audio_id AND r.w = l.w + 1
+       |         WHERE l.w < 64),
+       |bands AS (SELECT audio_id, w // 16 AS k,
+       |            CAST(sum(bit * (1 << (w % 16))) AS INT) AS v
+       |          FROM bits GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.audio_id AS id_a, b.audio_id AS id_b
+       |         FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v
+       |              AND a.audio_id < b.audio_id),
+       |ham AS (SELECT c.id_a, c.id_b,
+       |          CAST(sum(bit_count(xor(ba.v, bb.v))) AS INT) AS hamming
+       |        FROM cand c
+       |        JOIN bands ba ON ba.audio_id = c.id_a
+       |        JOIN bands bb ON bb.audio_id = c.id_b AND bb.k = ba.k
+       |        GROUP BY 1, 2)
+       |SELECT h.id_a, h.id_b, aa.variant AS variant_a, ab.variant AS variant_b,
+       |  h.hamming
+       |FROM ham h
+       |JOIN auds aa ON aa.audio_id = h.id_a
+       |JOIN auds ab ON ab.audio_id = h.id_b
+       |WHERE h.hamming <= 10
+       |ORDER BY h.id_a, h.id_b""".stripMargin
+  }
+
   /** The IVF fit+probe CTE chain shared verbatim by the v04 and v05
     * oracles: the deterministic Lloyd coarse quantizer
     * ([[Similarity.lloydFit]] — fingerprint-smallest init, 2 rounds,
@@ -885,5 +951,6 @@ object Vectors {
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),
     QuerySpec("m04_image_resize", m04, Some(m04Sql)),
     QuerySpec("m05_audio_clips", m05, Some(m05Sql)),
-    QuerySpec("m06_image_dedup_dhash", m06, Some(m06Sql)))
+    QuerySpec("m06_image_dedup_dhash", m06, Some(m06Sql)),
+    QuerySpec("m07_audio_dedup_fingerprint", m07, Some(m07Sql)))
 }

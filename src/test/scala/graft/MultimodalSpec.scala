@@ -245,6 +245,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(hashes(0L) === hashes(1L), "row order must not change the hash")
   }
 
+  test("audio fingerprint is invariant under volume doubling; generated corpus WAVs are valid") {
+    val corpus = Multimodal.toAudioCorpus((0L until 15L).toDF("doc_id"))
+    // every generated payload parses with the JDK's own audio reader
+    for (bytes <- corpus.select("media").as[Array[Byte]].collect()) {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(in.getFormat.getSampleSizeInBits === 16)
+      assert(in.getFrameLength >= 520)
+    }
+    val fps = Multimodal.audioFingerprint(corpus)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def hamming(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    // |2s| = 2|s| exactly: the volume copy collides at hamming 0
+    for (base <- 0 until 15 if base % 7 == 0)
+      assert(fps(base) === fps(1000000L + base), s"volume copy of $base")
+    // the perturbed copy (3 samples, 3 windows) flips at most 5 bits
+    for (base <- 0 until 15 if base % 11 == 0) {
+      val d = hamming(fps(base), fps(2000000L + base))
+      assert(d <= 5, s"perturbed copy of $base at hamming $d")
+    }
+    // unrelated clips are far (pseudo-random bits)
+    assert(hamming(fps(1L), fps(2L)) > 10)
+  }
+
+  test("audioDedup finds the planted audio pairs and rejects a truncated data chunk") {
+    val corpus = Multimodal.toAudioCorpus((0L until 12L).toDF("doc_id"))
+    val ids = Multimodal.audioDedup(corpus, maxHamming = 10)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    for (base <- Seq(0L, 7L)) assert(ids.contains((base, 1000000L + base)))
+    for (base <- Seq(0L, 11L)) assert(ids.contains((base, 2000000L + base)))
+    for ((a, b) <- ids) assert(a % 1000000L === b % 1000000L, s"accidental pair ($a, $b)")
+    // a WAV with fewer than 520 samples must fail loudly, not hash garbage
+    val shortWav = Multimodal.wavBytes(8000, 100, Array.fill(200)(1.toByte))
+    val bad = Multimodal.audioFingerprint(
+      Seq((99L, shortWav, "wav")).toDF("audio_id", "media", "format"))
+    val e = intercept[org.apache.spark.SparkException](bad.count())
+    assert(e.getMessage.contains("520"), e.getMessage)
+  }
+
   test("perceptualDedup finds exactly the planted duplicate pairs, at any partitioning") {
     val corpus = imageCorpus(30)
     val pairs = Multimodal.perceptualDedup(corpus, maxHamming = 10)
