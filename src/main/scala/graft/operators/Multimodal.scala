@@ -592,6 +592,100 @@ object Multimodal {
     mix(outerSalt + java.lang.Long.toString(mix(inner)))
   }
 
+  final case class VideoRow(video_id: Long, base_id: Long, variant: String,
+      media: Array[Byte], format: String)
+
+  /** Deterministic video corpus with planted near-duplicates — the
+    * third modality of the family: every doc becomes a GVID container
+    * of `2 + doc_id % 4` fold-pixel BMP frames; docs with
+    * `doc_id % 7 == 0` get a BRIGHTNESS-shifted re-encode (every frame
+    * +10 — all per-frame hashes must collide) and docs with
+    * `doc_id % 11 == 0` whose frame count exceeds 2 get a TRUNCATED
+    * copy (last frame dropped — the re-encode-that-loses-the-tail
+    * case; the surviving frames are byte-identical, so ≥ 2 frames
+    * still match and the clip pair is recoverable). */
+  def toVideoCorpus(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ids.flatMap { base =>
+      val w = (9 + base % 8).toInt
+      val h = (8 + base % 5).toInt
+      val rowSize = (3 * w + 3) / 4 * 4
+      val n = rowSize * h
+      val nFrames = (2 + base % 4).toInt
+      def frame(f: Int, lift: Int): Array[Byte] =
+        bmpBytes(w, h, Array.tabulate(n)(i =>
+          ((doubleMix("vid:", s"vid:$base:$f:$i") % 200L).toInt + lift).toByte))
+      def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+        val buf = ByteBuffer.allocate(8 + frames.map(_.length).sum)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        buf.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+          .putInt(frames.size)
+        frames.foreach(buf.put)
+        buf.array()
+      }
+      val baseFrames = (0 until nFrames).map(f => frame(f, 0))
+      val out = Seq.newBuilder[VideoRow]
+      out += VideoRow(base, base, "base", container(baseFrames), "gvid")
+      if (base % 7 == 0)
+        out += VideoRow(1000000L + base, base, "bright",
+          container((0 until nFrames).map(f => frame(f, 10))), "gvid")
+      if (base % 11 == 0 && nFrames > 2)
+        out += VideoRow(2000000L + base, base, "trunc",
+          container(baseFrames.dropRight(1)), "gvid")
+      out.result()
+    }(Encoders.product[VideoRow]).toDF()
+  }
+
+  /** Walks each GVID container and emits every frame as a standalone
+    * BMP media row with the composite id `video_id * 16 + frame_idx`
+    * (frame counts are < 16 by construction, enforced) — the adapter
+    * that lets the per-frame dHash ride [[dhashBands]] unchanged.
+    * `mapPartitions`: containers stay executor-local, frames leave as
+    * rows for the hashing scan. */
+  def videoFrameMedia(videos: DataFrame): DataFrame = {
+    val ds = videos.select(col("video_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions(_.flatMap { case (id, media) =>
+      val buf = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      require(media.length >= 8 && buf.get(0) == 'G'.toByte && buf.get(1) == 'V'.toByte &&
+        buf.get(2) == 'I'.toByte && buf.get(3) == 'D'.toByte,
+        s"video $id: not a GVID container")
+      val n = buf.getInt(4)
+      require(n > 0 && n < 16, s"video $id: composite frame ids need 0 < frames < 16, got $n")
+      var offset = 8
+      (0 until n).iterator.map { f =>
+        require(media.length >= offset + 54 &&
+          buf.get(offset) == 'B'.toByte && buf.get(offset + 1) == 'M'.toByte,
+          s"video $id: frame $f is not a BMP at offset $offset")
+        val size = buf.getInt(offset + 2)
+        val slice = java.util.Arrays.copyOfRange(media, offset, offset + size)
+        offset += size
+        (id * 16 + f, slice)
+      }
+    })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("image_id", "media")
+  }
+
+  /** Perceptual video near-dup pairs — frame-level shot matching: every
+    * frame dHashes through the SAME band-blocking engine as m06, frame
+    * matches (Hamming ≤ maxHamming) aggregate to clip pairs, and a
+    * pair survives when ≥ `minMatchedFrames` distinct frame matches
+    * connect the two clips — the truncated/re-encoded-copy detection a
+    * video pipeline runs, with frame blobs never shuffled (only 4-int
+    * hashes leave the decode). Output: (id_a, id_b, matched_frames),
+    * id_a < id_b. */
+  def videoDedup(videos: DataFrame, maxHamming: Int,
+      minMatchedFrames: Int): DataFrame = {
+    require(minMatchedFrames >= 1,
+      s"minMatchedFrames must be positive, got $minMatchedFrames")
+    bandNearDups(dhashBands(videoFrameMedia(videos)), maxHamming)
+      .select(expr("id_a DIV 16").as("id_a"), expr("id_b DIV 16").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("matched_frames"))
+      .filter(col("matched_frames") >= minMatchedFrames)
+  }
+
   /** Frame sampling — the video-modality pipeline op: walks each
     * container (validating the GVID magic and every frame's BMP header),
     * emits every `every`-th frame's metadata. `mapPartitions` like the

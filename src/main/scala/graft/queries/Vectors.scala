@@ -443,6 +443,84 @@ object Vectors {
        |ORDER BY h.id_a, h.id_b""".stripMargin
   }
 
+  /** Perceptual video dedup ([[Multimodal.videoDedup]]) — the third
+    * modality on the shared band engine: every GVID frame dHashes like
+    * an m06 image (composite id `video_id·16 + frame_idx`), frame
+    * matches aggregate to clip pairs, and ≥ 2 matched frames make a
+    * near-dup — the truncated/re-encoded-copy detection of a video
+    * pipeline. Planted: brightness re-encodes (all frames match at
+    * Hamming 0 → matched = frame count) and tail-truncated copies
+    * (surviving frames byte-identical → matched = count − 1). The
+    * oracle replays every frame's grid bytes, bits, bands, frame
+    * candidates, Hamming verdicts, and the clip-level aggregation. */
+  private def m08(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.toVideoCorpus(Corpus.documents(spark, dir))
+    val labels = corpus.select(col("video_id"), col("variant"))
+    Multimodal.videoDedup(corpus, maxHamming = 10, minMatchedFrames = 2)
+      .join(labels.toDF("id_a", "variant_a"), "id_a")
+      .join(labels.toDF("id_b", "variant_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("variant_a"), col("variant_b"),
+        col("matched_frames"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val m08Sql = {
+    val fold = Text.mixSql(
+      s"'vid:' || CAST((${Text.mixSql("'vid:' || base_id || ':' || f || ':' || bi")}) AS VARCHAR)")
+    s"""WITH vids AS (
+       |  SELECT doc_id AS base_id, doc_id AS video_id, 'base' AS variant,
+       |         2 + doc_id % 4 AS nf
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1000000 + doc_id, 'bright', 2 + doc_id % 4
+       |  FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 2000000 + doc_id, 'trunc', 1 + doc_id % 4
+       |  FROM documents WHERE doc_id % 11 = 0 AND 2 + doc_id % 4 > 2),
+       |dims AS (SELECT video_id, base_id, variant, f,
+       |           9 + base_id % 8 AS w, 8 + base_id % 5 AS h,
+       |           (3 * (9 + base_id % 8) + 3) // 4 * 4 AS row_size
+       |         FROM vids, LATERAL (SELECT unnest(range(0, nf)) AS f) ff),
+       |cells AS (SELECT d.video_id, d.base_id, d.variant, d.f, gy, gx,
+       |            (d.h - 1 - (gy * d.h) // 8) * d.row_size + 3 * ((gx * d.w) // 9) AS o
+       |          FROM dims d,
+       |               LATERAL (SELECT unnest(range(0, 8)) AS gy) yy,
+       |               LATERAL (SELECT unnest(range(0, 9)) AS gx) xx),
+       |pix AS (SELECT video_id, variant, f, gy, gx, ($fold) % 200 AS fv
+       |        FROM (SELECT *, o + j AS bi FROM cells,
+       |              LATERAL (SELECT unnest(range(0, 3)) AS j) jj)),
+       |gray AS (SELECT video_id, f, gy, gx,
+       |           sum(CASE WHEN variant = 'bright' THEN fv + 10 ELSE fv END) AS g
+       |         FROM pix GROUP BY 1, 2, 3, 4),
+       |bits AS (SELECT l.video_id, l.f, l.gy, l.gx,
+       |           CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+       |         FROM gray l JOIN gray r ON r.video_id = l.video_id AND r.f = l.f
+       |              AND r.gy = l.gy AND r.gx = l.gx + 1
+       |         WHERE l.gx < 8),
+       |bands AS (SELECT video_id * 16 + f AS fid, gy // 2 AS k,
+       |            CAST(sum(bit * (1 << ((gy % 2) * 8 + gx))) AS INT) AS v
+       |          FROM bits GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb
+       |         FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v AND a.fid < b.fid),
+       |ham AS (SELECT c.fa, c.fb
+       |        FROM cand c
+       |        JOIN bands ba ON ba.fid = c.fa
+       |        JOIN bands bb ON bb.fid = c.fb AND bb.k = ba.k
+       |        GROUP BY 1, 2
+       |        HAVING sum(bit_count(xor(ba.v, bb.v))) <= 10),
+       |vp AS (SELECT fa // 16 AS id_a, fb // 16 AS id_b,
+       |         CAST(count(*) AS INT) AS matched_frames
+       |       FROM ham WHERE fa // 16 <> fb // 16
+       |       GROUP BY 1, 2
+       |       HAVING count(*) >= 2)
+       |SELECT v.id_a, v.id_b, va.variant AS variant_a, vb.variant AS variant_b,
+       |  v.matched_frames
+       |FROM vp v
+       |JOIN vids va ON va.video_id = v.id_a
+       |JOIN vids vb ON vb.video_id = v.id_b
+       |ORDER BY v.id_a, v.id_b""".stripMargin
+  }
+
   /** The IVF fit+probe CTE chain shared verbatim by the v04 and v05
     * oracles: the deterministic Lloyd coarse quantizer
     * ([[Similarity.lloydFit]] — fingerprint-smallest init, 2 rounds,
@@ -952,5 +1030,6 @@ object Vectors {
     QuerySpec("m04_image_resize", m04, Some(m04Sql)),
     QuerySpec("m05_audio_clips", m05, Some(m05Sql)),
     QuerySpec("m06_image_dedup_dhash", m06, Some(m06Sql)),
-    QuerySpec("m07_audio_dedup_fingerprint", m07, Some(m07Sql)))
+    QuerySpec("m07_audio_dedup_fingerprint", m07, Some(m07Sql)),
+    QuerySpec("m08_video_dedup_frames", m08, Some(m08Sql)))
 }

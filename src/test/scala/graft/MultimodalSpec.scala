@@ -287,6 +287,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(e.getMessage.contains("520"), e.getMessage)
   }
 
+  test("video dedup: brightness re-encodes match on every frame, truncated copies on all but one") {
+    val corpus = Multimodal.toVideoCorpus((0L until 25L).toDF("doc_id"))
+    // every frame of every container is a valid BMP per ImageIO
+    for (bytes <- corpus.select("media").as[Array[Byte]].collect()) {
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = buf.getInt(4)
+      var off = 8
+      for (_ <- 0 until n) {
+        val size = buf.getInt(off + 2)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(bytes, off, off + size)))
+        assert(img != null, "frame did not parse as BMP")
+        off += size
+      }
+      assert(off === bytes.length, "container walk must consume exactly all bytes")
+    }
+    val pairs = Multimodal.videoDedup(corpus, maxHamming = 10, minMatchedFrames = 2)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // bright copies: matched = full frame count
+    for (base <- 0 until 25 if base % 7 == 0)
+      assert(pairs((base.toLong, 1000000L + base)) === (2 + base % 4),
+        s"bright copy of $base")
+    // trunc copies (planted only when frames > 2): matched = count - 1
+    for (base <- 0 until 25 if base % 11 == 0 && (2 + base % 4) > 2)
+      assert(pairs((base.toLong, 2000000L + base)) === (1 + base % 4),
+        s"trunc copy of $base")
+    // nothing unplanted
+    for (((a, b), _) <- pairs)
+      assert(a % 1000000L === b % 1000000L, s"accidental pair ($a, $b)")
+  }
+
   test("perceptualDedup finds exactly the planted duplicate pairs, at any partitioning") {
     val corpus = imageCorpus(30)
     val pairs = Multimodal.perceptualDedup(corpus, maxHamming = 10)
