@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
+import graft.functions.TextFunctions.tokens
 import graft.io.Corpus
 import graft.gold.StarSchema
 import graft.ml.DeliveryModel
@@ -368,6 +369,53 @@ object Domain {
        |ORDER BY t.event_type, t.user_id""".stripMargin
   }
 
+  /** Structured Streaming Misra-Gries heavy hitters — the THIRD sketch
+    * as streaming state, with a different correctness contract from
+    * p10/p11: the MG candidate set is NOT a pure function of the input
+    * multiset (it varies with merge order, hence with micro-batching),
+    * so the sketch itself cannot be hash-gated — but the PODS'12
+    * mergeable-summaries superset guarantee (every true heavy hitter
+    * survives ANY merge tree) holds across micro-batch merges exactly
+    * as across partition merges. The streamed sketch only PROPOSES;
+    * the batch exact pass DISPOSES (`freq·(k+1) > n` in integer
+    * arithmetic over candidates only), so the VERIFIED output equals
+    * the plain GROUP BY answer at any micro-batching — which is what
+    * the oracle replays. The t52 two-phase discipline, proven to
+    * survive streaming. */
+  private def p12(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
+    val k = 30
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val toks = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val sk = SilverStream.runToMemory(
+      toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), expr(s"graft_mg_sketch(token, $k)").as("cand")),
+      s"p12_stream_${System.nanoTime()}", "complete")
+    val cand = sk
+      .select(col("lang"), col("n"), explode(col("cand")).as("c"))
+      .select(col("lang"), col("n"), col("c.token").as("token"))
+    val exact = Corpus.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
+    cand.join(exact, Seq("lang", "token"))
+      .filter(col("freq") * (k + 1) > col("n"))
+      .withColumn("share", col("freq").cast("double") / col("n").cast("double"))
+      .select(col("lang"), col("token"), col("freq"), col("share"))
+      .orderBy(col("lang"), col("freq").desc, col("token"))
+  }
+
+  private val p12Sql =
+    s"""WITH w AS (SELECT lang, unnest(${Text.toksSql}) AS token FROM documents),
+       |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+       |f AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1, 2)
+       |SELECT f.lang, f.token, f.freq,
+       |  CAST(f.freq AS DOUBLE) / CAST(t.n AS DOUBLE) AS share
+       |FROM f JOIN t ON f.lang = t.lang
+       |WHERE f.freq * 31 > t.n
+       |ORDER BY f.lang, f.freq DESC, f.token""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -379,5 +427,6 @@ object Domain {
     QuerySpec("p08_stream_static_join", p08, Some(p08Sql)),
     QuerySpec("p09_stream_trending", p09, Some(p09Sql)),
     QuerySpec("p10_stream_hll_users", p10, Some(p10Sql)),
-    QuerySpec("p11_stream_cms_counts", p11, Some(p11Sql)))
+    QuerySpec("p11_stream_cms_counts", p11, Some(p11Sql)),
+    QuerySpec("p12_stream_mg_heavy", p12, Some(p12Sql)))
 }

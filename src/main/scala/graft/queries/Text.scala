@@ -18,7 +18,7 @@ import graft.operators.{Bpe, Dedup, Retrieval, Similarity}
 object Text {
 
   // Shared SQL fragments (DuckDB): whitespace tokens with empties dropped.
-  private val toksSql = "list_filter(str_split(text, ' '), t -> t <> '')"
+  private[queries] val toksSql = "list_filter(str_split(text, ' '), t -> t <> '')"
 
   // DuckDB mirror of TextFunctions.wsTokens (\s+ split) — the unigram
   // word table's tokenization since the tab/newline hardening; equal to

@@ -546,6 +546,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed("a").sum === 2L * 3) // 3 items × depth 2 rows
   }
 
+  test("MG sketch as streaming state keeps the superset guarantee across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftExpressions.register(spark)
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("it")
+      .agg(count(lit(1)).as("n"), expr("graft_mg_sketch(it, 2)").as("cand"))
+    val name = s"mg_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData("a", "a", "b", "c")
+    q.processAllAvailable()
+    // second micro-batch: the k-counter state merges across batches; the
+    // candidate SET may depend on the batch split, the guarantee may not
+    input.addData("a", "a", "a", "d", "e", "b")
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table(name).head()
+    spark.catalog.dropTempView(name)
+    assert(row.getLong(0) === 10L)
+    val cand = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
+    // 'a' holds 5 of 10 > 10/(k+1): a true heavy hitter must survive ANY
+    // merge tree, including this micro-batched one
+    assert(cand.contains("a"), s"superset guarantee violated: $cand")
+    assert(cand.size <= 2, s"k-bound violated: $cand")
+  }
+
   test("windowed courier KPIs run as a stream over generated bronze") {
     val dir = Files.createTempDirectory("graft_stream_kpi_").toString
     BronzeGenerator.shipments(spark, 300, 42L, "2024-01-01")
