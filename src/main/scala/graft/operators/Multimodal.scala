@@ -447,8 +447,21 @@ object Multimodal {
     * (id, b0, b1, b2, b3) fingerprint frame — dHash bands for images
     * ([[dhashBands]]), energy-delta bands for audio
     * ([[audioFingerprint]]) — and returns verified near-dup pairs via
-    * the band equi-join + exact 64-bit Hamming verify. */
-  private[graft] def bandNearDups(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
+    * the band equi-join + exact 64-bit Hamming verify.
+    *
+    * Band width is an LSH parameter that must SCALE with corpus size:
+    * b-bit bands keep expected random candidates at
+    * `(#bands)·n²/2^(b+1)`, so b must stay ≥ ~2·log2(n). The 100×
+    * measurement caught exactly this — 1.75M video frames over 16-bit
+    * bands produced ~93M random candidates and a super-linear slope —
+    * hence `wideBands`: concatenate the four 16-bit bands into two
+    * 32-bit bands (good to n ≈ 10⁸ rows). The recall bet narrows with
+    * width: a true near-dup must leave one whole band untouched —
+    * guaranteed for the Hamming-0 invariance classes (re-encodes,
+    * volume/brightness shifts, byte-identical frames), the bet all
+    * LSH banding makes for edit classes. */
+  private[graft] def bandNearDups(fingerprints: DataFrame, maxHamming: Int,
+      wideBands: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming must be in [0, 64], got $maxHamming")
     // tiny frame (4 ints/row): materialize once so the candidate
@@ -457,9 +470,13 @@ object Multimodal {
     val bands = fingerprints
       .select(col(idCol).as("_id"), col("b0"), col("b1"), col("b2"), col("b3"))
       .localCheckpoint()
+    val bandCols =
+      if (wideBands) Seq(
+        col("b0").cast("long") * 65536L + col("b1"),
+        col("b2").cast("long") * 65536L + col("b3"))
+      else Seq(col("b0"), col("b1"), col("b2"), col("b3"))
     val exploded = bands.select(col("_id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("band_idx", "band_val")))
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -678,7 +695,10 @@ object Multimodal {
       minMatchedFrames: Int): DataFrame = {
     require(minMatchedFrames >= 1,
       s"minMatchedFrames must be positive, got $minMatchedFrames")
-    bandNearDups(dhashBands(videoFrameMedia(videos)), maxHamming)
+    // frames are the family's largest n (frame count × corpus): wide
+    // 32-bit bands, per the bandNearDups scaling rule — measured at 100×
+    // to cut the candidate blowup from ~93M random pairs to ~700k
+    bandNearDups(dhashBands(videoFrameMedia(videos)), maxHamming, wideBands = true)
       .select(expr("id_a DIV 16").as("id_a"), expr("id_b DIV 16").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

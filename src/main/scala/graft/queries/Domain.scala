@@ -152,15 +152,28 @@ object Domain {
   private def p05(spark: SparkSession, dir: String): DataFrame =
     mlConfusion(spark, dir)
 
-  /** Events file-source stream (shared by the streaming oracle queries):
-    * directory + glob (file sources need a directory) with the nanos→
-    * micros ts normalization applied. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    Corpus.normalizeEventTs(
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  /** Parquet file-source stream for one fixture table, handling BOTH
+    * layouts: the driver fixtures are single FILES (`<dir>/<t>.parquet`
+    * — file sources need a directory, hence the parent-dir + glob
+    * form), while Spark-written corpora (e.g. the ScaleUp replicas) are
+    * DIRECTORIES of part files, which the glob form silently matches
+    * nothing against — the stream reads zero rows without an error.
+    * That silent-empty footgun is why this helper exists (caught when
+    * p12's 100× measurement came back vacuously fast). */
+  private def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
+
+  /** Events stream (shared by the streaming oracle queries) with the
+    * nanos→micros ts normalization applied. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    Corpus.normalizeEventTs(tableStream(spark, dir, "events"))
 
   /** Structured Streaming: hourly event windows computed via readStream +
     * memory sink (Trigger.AvailableNow), oracle-checked against the batch
@@ -385,9 +398,7 @@ object Domain {
   private def p12(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExpressions.register(spark)
     val k = 30
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val toks = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val toks = tableStream(spark, dir, "documents")
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
     val sk = SilverStream.runToMemory(
       toks.groupBy(col("lang"))

@@ -500,8 +500,12 @@ object Vectors {
        |bands AS (SELECT video_id * 16 + f AS fid, gy // 2 AS k,
        |            CAST(sum(bit * (1 << ((gy % 2) * 8 + gx))) AS INT) AS v
        |          FROM bits GROUP BY 1, 2),
+       |wb AS (SELECT fid, k // 2 AS k2,
+       |         CAST(sum(CASE WHEN k % 2 = 0 THEN CAST(v AS BIGINT) * 65536
+       |                       ELSE CAST(v AS BIGINT) END) AS BIGINT) AS wv
+       |       FROM bands GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb
-       |         FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v AND a.fid < b.fid),
+       |         FROM wb a JOIN wb b ON a.k2 = b.k2 AND a.wv = b.wv AND a.fid < b.fid),
        |ham AS (SELECT c.fa, c.fb
        |        FROM cand c
        |        JOIN bands ba ON ba.fid = c.fa
