@@ -163,11 +163,15 @@ object Domain {
   private def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
     val path = s"$dir/$table.parquet"
     val schema = spark.read.parquet(path).schema
-    if (new java.io.File(path).isDirectory)
-      spark.readStream.schema(schema).parquet(path)
-    else
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    // Hadoop FS, not java.io.File: the layout probe must answer
+    // correctly on HDFS/S3 paths too, where a local-File check would
+    // silently send every directory down the glob branch
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDir = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hPath).isDirectory
+    if (isDir) spark.readStream.schema(schema).parquet(path)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
   /** Events stream (shared by the streaming oracle queries) with the
