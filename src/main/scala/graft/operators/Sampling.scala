@@ -495,4 +495,90 @@ object Sampling {
       .select(col(idCol), col("weight"), col("res_key"), col("rank"))
       .orderBy(col("rank"))
   }
+
+  /** Per-group quantile estimates from a bottom-k hash sample, with the
+    * exact rank of every estimate verified in the same pass (Cohen &
+    * Kaplan, "Summarizing data using bottom-k sketches", PODC 2007; the
+    * rank error of the ⌈q·m⌉-th order statistic of a uniform m-sample is
+    * the classic O(1/√m)).
+    *
+    * Unlike GK/KLL-style mergeable quantile sketches, whose retained-item
+    * set depends on merge order (so a distributed run can never be
+    * hash-gated), the bottom-k-by-hash sample is a PURE SET FUNCTION of
+    * the input: row r is kept iff remix(seed:id_r) is among the group's k
+    * smallest, regardless of partitioning or merge tree — the
+    * merge-order-purity that makes Bloom/CMS/HLL gateable, obtained here
+    * by making retention a property of the ROW rather than of the merge
+    * history. The avalanche remix is mandatory ([[portableUniformFingerprint]]):
+    * raw-fold order on consecutive ids is id order, not a sample.
+    *
+    * Estimate: the ⌈q·m⌉-th smallest sampled (value, id) pair. Verify:
+    * one exact aggregation computes each estimate's true rank in the
+    * group's total (value, id) order — the heavyHitters propose/dispose
+    * discipline applied to quantiles, so the output carries measured
+    * `rank_err` as hash-gated data, not a hope.
+    *
+    * Scale shape: the bounded k-heap ([[graft.functions.TopK]], score
+    * = −u) reduces each partition to ≤ k ids per group map-side — only
+    * k-element buffers cross the shuffle, never rows. The winners
+    * (groups×k ids) broadcast back for their values; the verify pass is
+    * one more scan whose shuffle carries (group, q) partial counts. A
+    * window function touches only the groups×k sample, never the corpus.
+    *
+    * Output per (group, q): (group, q, est_value, sample_rank, msize,
+    * true_rank, n, rank_err), ordered by (group, q). */
+  def kmvQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: Column, qs: Seq[Double], k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    val spark = df.sparkSession
+    graft.functions.GraftExpressions.register(spark)
+    // NULL rows are skipped, matching the sketch family's update contract
+    // — and Spark sorts nulls FIRST where DuckDB sorts them LAST, so a
+    // null value in the (value, id) order would silently desync the gate
+    val base = df.select(col(groupCol), col(idCol), valueCol.cast("double").as("value"))
+      .filter(col(idCol).isNotNull && col("value").isNotNull)
+    val keyed = base.withColumn("_u",
+      portableUniformFingerprint(
+        concat(lit(seed + ":"), col(idCol).cast("string"))).cast("double"))
+    // bottom-k of _u == top-k of −_u; heap ties (hash collisions) break
+    // by id asc, matching the oracle's ORDER BY _u, id
+    val winnerIds = keyed
+      .withColumn("_negu", -col("_u"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_topk($idCol, _negu, $k)").as("tk"))
+      .select(col(groupCol), explode(col("tk")).as("_e"))
+      .select(col(groupCol), col("_e.neighbor_id").as(idCol))
+    val sample = keyed.join(broadcast(winnerIds), Seq(groupCol, idCol))
+    val m = sample.groupBy(col(groupCol)).agg(count(lit(1)).as("msize"))
+    val ranked = sample.join(broadcast(m), Seq(groupCol))
+      .withColumn("vrk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col("value"), col(idCol))))
+    import spark.implicits._
+    val qdf = qs.toDF("q")
+    // IEEE double ⌈q·m⌉ on BOTH sides (the oracle CASTs its q literals to
+    // DOUBLE): decimal q·m rounds differently exactly at integer products
+    val est = ranked.join(broadcast(qdf),
+        col("vrk") === ceil(col("q") * col("msize")))
+      .select(col(groupCol), col("q"), col("value").as("est_value"),
+        col(idCol).as("est_id"), col("vrk").cast("long").as("sample_rank"),
+        col("msize"))
+    val n = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val ranks = base
+      .join(broadcast(est.select(col(groupCol), col("q"), col("est_value"), col("est_id"))),
+        Seq(groupCol))
+      .groupBy(col(groupCol), col("q"))
+      .agg(sum(when(col("value") < col("est_value") ||
+          (col("value") === col("est_value") && col(idCol) <= col("est_id")), 1L)
+        .otherwise(0L)).as("true_rank"))
+    est.join(ranks, Seq(groupCol, "q"))
+      .join(broadcast(n), Seq(groupCol))
+      .withColumn("rank_err",
+        abs(col("true_rank").cast("double") / col("n").cast("double") - col("q")))
+      .select(col(groupCol), col("q"), col("est_value"), col("sample_rank"),
+        col("msize"), col("true_rank"), col("n"), col("rank_err"))
+      .orderBy(col(groupCol), col("q"))
+  }
 }

@@ -431,6 +431,90 @@ object Domain {
        |WHERE f.freq * 31 > t.n
        |ORDER BY f.lang, f.freq DESC, f.token""".stripMargin
 
+  /** Structured Streaming Bloom membership filter — the FOURTH sketch as
+    * streaming state, completing the family (p10 HLL max-merge, p11 CMS
+    * add-merge, p12 MG propose/dispose): Bloom bit sets OR-merge, and OR
+    * is merge-order independent by algebra, so the streamed per-type
+    * filter is a pure function of the event SET at any micro-batching
+    * and the batch oracle replays every set bit — stream ≡ batch as a
+    * hash gate. The batch post-pass probes the whole customer dim
+    * against each type's filter ("has this customer ever produced this
+    * event type?" — the streaming-novelty shape); exact membership joins
+    * from the batch side as ground truth, so the output carries the
+    * measured false-positive count per type (never a false negative —
+    * the arithmetic `n_bloom_hits − n_members ≥ 0` is itself gated).
+    * At 100 TB the filter is the artifact a streaming job ships: 4096
+    * bits per type, regardless of user cardinality. */
+  private def p13(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
+    val numHashes = 2
+    val numBits = 4096 // 64 words; ~7% load at sf0.01, ~52% at sf0.1 — real FP pressure
+    val bits = SilverStream.runToMemory(
+      eventsStream(spark, dir)
+        .groupBy(col("event_type"))
+        // OR-idempotent insertion consumes the raw stream — no distinct
+        .agg(expr(s"graft_bloom_sketch(CAST(user_id AS STRING), $numHashes, $numBits)")
+          .as("bits")),
+      s"p13_stream_${System.nanoTime()}", "complete")
+    val probes = Corpus.customer(spark, dir).select(col("c_custkey"))
+      .crossJoin(broadcast(bits))
+    val withPos = (0 until numHashes).foldLeft(probes) { (df, h) =>
+      df.withColumn(s"p$h",
+        pmod(graft.operators.Sampling.portableFingerprint(
+          concat(lit(s"bf:$h:"), col("c_custkey").cast("string"))), lit(numBits.toLong)))
+    }
+    val hit = (0 until numHashes)
+      .map(h => expr(s"(shiftright(element_at(bits, CAST(p$h DIV 64 AS INT) + 1), " +
+        s"CAST(p$h % 64 AS INT)) & 1) = 1"))
+      .reduce(_ && _)
+    val members = Corpus.events(spark, dir)
+      .select(col("event_type").as("m_type"), col("user_id").as("m_user"))
+      .distinct()
+      .withColumn("_mem", lit(true))
+    withPos.withColumn("bloom_hit", hit)
+      .join(broadcast(members),
+        col("event_type") === col("m_type") && col("c_custkey") === col("m_user"),
+        "left_outer")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_probed"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        count(col("_mem")).as("n_members"))
+      .withColumn("n_false_positives", col("n_bloom_hits") - col("n_members"))
+      .withColumn("fp_rate", col("n_false_positives").cast("double") /
+        (col("n_probed") - col("n_members")).cast("double"))
+      .select(col("event_type"), col("n_probed"), col("n_bloom_hits"),
+        col("n_members"), col("n_false_positives"), col("fp_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  private val p13Sql =
+    s"""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+       |pos AS (SELECT DISTINCT event_type,
+       |          (${Text.foldSql("'bf:' || h || ':' || CAST(user_id AS VARCHAR)")}) % 4096 AS pos
+       |        FROM ev, LATERAL (SELECT unnest(range(0, 2)) AS h) hh),
+       |probe AS (SELECT t.event_type, c.c_custkey
+       |          FROM customer c, (SELECT DISTINCT event_type FROM events) t),
+       |ph AS (SELECT event_type, c_custkey,
+       |         (${Text.foldSql("'bf:' || h || ':' || CAST(c_custkey AS VARCHAR)")}) % 4096 AS pos
+       |       FROM probe, LATERAL (SELECT unnest(range(0, 2)) AS h) hh),
+       |hit AS (SELECT ph.event_type, ph.c_custkey, count(p.pos) = 2 AS bloom_hit
+       |        FROM ph LEFT JOIN pos p
+       |          ON p.event_type = ph.event_type AND p.pos = ph.pos
+       |        GROUP BY 1, 2),
+       |agg AS (SELECT h.event_type,
+       |          CAST(count(*) AS BIGINT) AS n_probed,
+       |          CAST(sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       |          CAST(count(m.user_id) AS BIGINT) AS n_members
+       |        FROM hit h LEFT JOIN ev m
+       |          ON m.event_type = h.event_type AND m.user_id = h.c_custkey
+       |        GROUP BY 1)
+       |SELECT event_type, n_probed, n_bloom_hits, n_members,
+       |  n_bloom_hits - n_members AS n_false_positives,
+       |  CAST(n_bloom_hits - n_members AS DOUBLE)
+       |    / CAST(n_probed - n_members AS DOUBLE) AS fp_rate
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -443,5 +527,6 @@ object Domain {
     QuerySpec("p09_stream_trending", p09, Some(p09Sql)),
     QuerySpec("p10_stream_hll_users", p10, Some(p10Sql)),
     QuerySpec("p11_stream_cms_counts", p11, Some(p11Sql)),
-    QuerySpec("p12_stream_mg_heavy", p12, Some(p12Sql)))
+    QuerySpec("p12_stream_mg_heavy", p12, Some(p12Sql)),
+    QuerySpec("p13_stream_bloom_members", p13, Some(p13Sql)))
 }

@@ -2201,6 +2201,59 @@ object Text {
        |FROM est
        |ORDER BY lang""".stripMargin
 
+  /** Per-lang token-count quantiles from a bottom-k hash sample
+    * ([[graft.operators.Sampling.kmvQuantiles]]; Cohen & Kaplan PODC
+    * 2007) — the QUANTILE member of the sketch family, made gateable by
+    * a different route than Bloom/CMS/HLL: mergeable quantile sketches
+    * (GK/KLL) retain merge-order-DEPENDENT item sets, so instead the
+    * sample is bottom-k-by-remix — a pure set function of the corpus at
+    * any partitioning — and the exact pass verifies every estimate's
+    * true rank (the t52 propose/dispose discipline). Every sampled id,
+    * every ⌈q·m⌉ pick, and every measured rank_err replays in SQL. */
+  private def t60(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.kmvQuantiles(
+      Corpus.documents(spark, dir)
+        .withColumn("n_tokens", tokenCount(col("text")).cast("long")),
+      "lang", "doc_id", col("n_tokens"), t60Qs, k = 128, seed = "kmv-r12")
+
+  private val t60Qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  private val t60Sql = {
+    // q literals CAST to DOUBLE so ⌈q·m⌉ is IEEE on both sides — decimal
+    // q·m rounds differently exactly when the product lands on an integer
+    val qRows = t60Qs.map(q => s"(CAST(${java.lang.Double.toString(q)} AS DOUBLE))")
+      .mkString(", ")
+    s"""WITH b AS (SELECT lang, doc_id,
+       |             CAST(len($toksSql) AS DOUBLE) AS value FROM documents),
+       |key AS (SELECT lang, doc_id, value,
+       |          CAST(${mixSql("'kmv-r12:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) AS _u
+       |        FROM b),
+       |s AS (SELECT lang, doc_id, value FROM (
+       |        SELECT key.*, row_number() OVER (PARTITION BY lang
+       |                        ORDER BY _u, doc_id) AS urk
+       |        FROM key) ranked WHERE urk <= 128),
+       |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS msize FROM s GROUP BY 1),
+       |o AS (SELECT s.lang, s.doc_id, s.value,
+       |        row_number() OVER (PARTITION BY s.lang ORDER BY s.value, s.doc_id) AS vrk
+       |      FROM s),
+       |est AS (SELECT o.lang, qq.q, o.value AS est_value, o.doc_id AS est_id,
+       |          CAST(o.vrk AS BIGINT) AS sample_rank, m.msize
+       |        FROM o JOIN m USING (lang)
+       |        JOIN (VALUES $qRows) qq(q)
+       |          ON o.vrk = CAST(ceil(qq.q * m.msize) AS BIGINT)),
+       |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+       |r AS (SELECT e.lang, e.q, e.est_value, e.sample_rank, e.msize,
+       |        CAST(sum(CASE WHEN b.value < e.est_value
+       |                   OR (b.value = e.est_value AND b.doc_id <= e.est_id)
+       |                 THEN 1 ELSE 0 END) AS BIGINT) AS true_rank
+       |      FROM est e JOIN b ON b.lang = e.lang
+       |      GROUP BY 1, 2, 3, 4, 5)
+       |SELECT r.lang, r.q, r.est_value, r.sample_rank, r.msize, r.true_rank, n.n,
+       |  abs(CAST(r.true_rank AS DOUBLE) / CAST(n.n AS DOUBLE) - r.q) AS rank_err
+       |FROM r JOIN n USING (lang)
+       |ORDER BY r.lang, r.q""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2260,5 +2313,6 @@ object Text {
     QuerySpec("t56_weighted_reservoir", t56, Some(t56Sql)),
     QuerySpec("t57_bloom_decontamination", t57, Some(t57Sql)),
     QuerySpec("t58_wordpiece_merges", t58, None),
-    QuerySpec("t59_hll_distinct", t59, Some(t59Sql)))
+    QuerySpec("t59_hll_distinct", t59, Some(t59Sql)),
+    QuerySpec("t60_kmv_quantiles", t60, Some(t60Sql)))
 }

@@ -487,4 +487,53 @@ class SamplingSpec extends SparkTestBase {
       Sampling.weightedReservoir(withZero, "doc_id", col("w"), k = 0, seed = "z")
     }
   }
+
+  test("kmvQuantiles: group ≤ k degenerates to exact quantiles; partitioning-invariant") {
+    // heavy value ties on purpose: the (value, id) total order must
+    // resolve them identically in the sample rank and the exact rank
+    val rows = (0L until 40L).map(i => (s"g${i % 2}", i, (i % 10).toDouble))
+    val df = rows.toDF("grp", "id", "v")
+    val qs = Seq(0.25, 0.5, 0.75, 1.0)
+    val got = Sampling.kmvQuantiles(df, "grp", "id", col("v"), qs, k = 64, seed = "s")
+      .collect()
+    assert(got.length === 8) // 2 groups × 4 quantiles
+    val byGrp = rows.groupBy(_._1)
+    for (r <- got) {
+      assert(r.getAs[Long]("msize") === 20L)
+      assert(r.getAs[Long]("n") === 20L)
+      // sample == group, so the estimate IS the exact (value, id)-order
+      // statistic and the verify pass must agree with the sample rank
+      assert(r.getAs[Long]("true_rank") === r.getAs[Long]("sample_rank"))
+      val sorted = byGrp(r.getString(0)).sortBy(t => (t._3, t._2))
+      val idx = math.ceil(r.getAs[Double]("q") * sorted.size).toInt - 1
+      assert(r.getAs[Double]("est_value") === sorted(idx)._3)
+    }
+    val again = Sampling.kmvQuantiles(df.repartition(7), "grp", "id", col("v"),
+      qs, k = 64, seed = "s").collect()
+    assert(again.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq,
+      "bottom-k retention is a pure row property — partitioning cannot move it")
+  }
+
+  test("kmvQuantiles: k ≪ n measured rank error stays in the O(1/√k) family") {
+    // a permutation of 0..2999 as values: every rank distinct, n/k = 30
+    val df = (0L until 3000L).map(i => ("g", i, (i * 7 % 3000).toDouble))
+      .toDF("grp", "id", "v")
+    val out = Sampling.kmvQuantiles(df, "grp", "id", col("v"),
+      Seq(0.1, 0.5, 0.9), k = 100, seed = "acc").collect()
+    assert(out.length === 3)
+    for (r <- out) {
+      assert(r.getAs[Long]("msize") === 100L)
+      assert(r.getAs[Long]("n") === 3000L)
+      // 1/√100 = 0.1; a 2σ envelope — deterministic given the seed, so
+      // this is a regression pin, not a flaky statistical assertion
+      assert(r.getAs[Double]("rank_err") < 0.2,
+        s"rank_err ${r.getAs[Double]("rank_err")} at q=${r.getAs[Double]("q")}")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.kmvQuantiles(df, "grp", "id", col("v"), Seq(0.5), k = 0, seed = "s")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.kmvQuantiles(df, "grp", "id", col("v"), Seq(1.5), k = 8, seed = "s")
+    }
+  }
 }

@@ -546,6 +546,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed("a").sum === 2L * 3) // 3 items × depth 2 rows
   }
 
+  test("Bloom sketch as streaming aggregation state ≡ the batch bit set (OR merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftExpressions.register(spark)
+    val input = MemoryStream[(String, String)]
+    val agg = input.toDF().toDF("k", "it")
+      .groupBy(col("k")).agg(expr("graft_bloom_sketch(it, 2, 64)").as("bits"))
+    val name = s"bloom_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(("a", "x"), ("a", "y"), ("b", "x"))
+    q.processAllAvailable()
+    // second micro-batch: re-inserting "x" is OR-idempotent; "z" ORs in —
+    // bit sets merge across batches exactly as across partitions
+    input.addData(("a", "x"), ("b", "z"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).as[(String, Seq[Long])].collect().toMap
+    spark.catalog.dropTempView(name)
+    val batch = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"), ("b", "z"))
+      .toDF("k", "it")
+      .groupBy(col("k")).agg(expr("graft_bloom_sketch(it, 2, 64)").as("bits"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(streamed === batch)
+    // every inserted item's positions are set in its group's mask — no
+    // false negatives survive the micro-batched merge tree
+    for ((k, items) <- Seq("a" -> Seq("x", "y"), "b" -> Seq("x", "z"));
+         it <- items; h <- 0 until 2) {
+      val p = graft.functions.BloomBits.position(it, h, 64)
+      assert(((streamed(k)(p >>> 6) >>> (p & 63)) & 1L) === 1L,
+        s"bit $p for ($k, $it, h=$h) not set")
+    }
+  }
+
   test("MG sketch as streaming state keeps the superset guarantee across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftExpressions.register(spark)
