@@ -84,4 +84,61 @@ object Graph {
     }
     pr.orderBy(col("node"))
   }
+
+  /** Per-node triangle counts by degree orientation — Schank & Wagner's
+    * forward algorithm ("Finding, Counting and Listing all Triangles in
+    * Large Graphs", WEA 2005), in its join-shaped distributed form
+    * (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    * Last Reducer", WWW 2011): orient every undirected edge from its
+    * lower-(degree, id) endpoint to its higher one, enumerate wedges
+    * (v, w) around each source's out-neighborhood, and close them
+    * against the oriented edge set.
+    *
+    * Why orientation is the whole algorithm: a naive wedge count pays
+    * Σ deg(u)² — the "last reducer" dies on the first hub. Ordering by
+    * (degree, id) caps every out-degree at O(√m), so the wedge set —
+    * the only super-linear intermediate — is O(m^1.5) TOTAL and no
+    * single key is a hot spot, which is what makes the shape safe at
+    * 100 TB. Each triangle {a,b,c} is produced exactly once (its
+    * orientation-least vertex is the unique wedge center), so per-node
+    * counts are one explode of the triangle triple — no ÷3, no ÷2
+    * corrections. Everything is joins + aggregations: deterministic,
+    * AQE-skew-splittable, and SQL-replayable.
+    *
+    * Input: edges (src, dst) in any orientation; self-loops and
+    * duplicates (either direction) are dropped. Output: (node,
+    * n_triangles) for every node in ≥ 1 triangle, node order. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().localCheckpoint()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // total (degree, id) order decides direction; dst keeps its rank so
+    // wedge pairs order WITHOUT re-joining degrees
+    val oriented = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("ddeg")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddeg")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddeg"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")),
+        Seq("src"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("src").as("x"), col("v"), col("w"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(explode(array(col("x"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
 }

@@ -786,6 +786,53 @@ object Relational {
        |SELECT node, pagerank FROM p5 ORDER BY node""".stripMargin
   }
 
+  /** Per-user triangle counts in the event co-occurrence graph
+    * ([[graft.operators.Graph.triangleCounts]]; Schank & Wagner WEA
+    * 2005, Suri & Vassilvitskii WWW 2011): users are connected when
+    * they produced the same event type in the same hour at least 3
+    * times — the bounded-block pair generation of the dedup family
+    * (pairs per (type, hour) block are ≤ block², never corpus²),
+    * thresholded to the recurring-co-activity backbone. The engine
+    * counts by DEGREE ORIENTATION (wedge set O(m^1.5), no hub hot
+    * spot); the oracle enumerates src<dst<dst triples directly — two
+    * structurally different algorithms hash-agreeing on every per-node
+    * count is the gate. */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    val b = Corpus.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val pairs = b.as("b1").join(b.as("b2"),
+        col("b1.event_type") === col("b2.event_type") &&
+        col("b1.h") === col("b2.h") &&
+        col("b1.user_id") < col("b2.user_id"))
+      .select(col("b1.user_id").as("src"), col("b2.user_id").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.triangleCounts(pairs)
+  }
+
+  private val q35Sql =
+    s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, user_id
+       |           FROM events GROUP BY 1, 2, 3),
+       |e AS (SELECT b1.user_id AS src, b2.user_id AS dst
+       |      FROM b b1 JOIN b b2
+       |        ON b1.event_type = b2.event_type AND b1.h = b2.h
+       |       AND b1.user_id < b2.user_id
+       |      GROUP BY 1, 2 HAVING count(*) >= 3),
+       |tri AS (SELECT e1.src AS x, e1.dst AS v, e2.dst AS w
+       |        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+       |        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |nodes AS (SELECT x AS node FROM tri
+       |          UNION ALL SELECT v FROM tri
+       |          UNION ALL SELECT w FROM tri)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM nodes GROUP BY node
+       |ORDER BY node""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -820,6 +867,7 @@ object Relational {
     QuerySpec("q31_histogram", q31, Some(q31Sql)),
     QuerySpec("q32_unshipped_revenue", q32, Some(q32Sql)),
     QuerySpec("q33_above_group_avg", q33, Some(q33Sql)),
-    QuerySpec("q34_pagerank", q34, Some(q34Sql)))
+    QuerySpec("q34_pagerank", q34, Some(q34Sql)),
+    QuerySpec("q35_triangle_counts", q35, Some(q35Sql)))
 
 }

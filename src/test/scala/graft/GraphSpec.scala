@@ -54,4 +54,36 @@ class GraphSpec extends SparkTestBase {
       Graph.pageRank(e.filter(col("src") < 0), iterations = 2)
     }
   }
+
+  test("triangleCounts: K4, star, and a hub-heavy graph count by hand") {
+    // K4: 4 triangles, every node on exactly 3
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // star: wedges everywhere, zero triangles — empty output, and the
+    // hub's out-degree under orientation is 0 (every spoke has lower
+    // degree, so all edges point hub-ward... spoke-ward): no last-reducer
+    val star = (2L to 50L).map(s => (1L, s)).toDF("src", "dst")
+    assert(Graph.triangleCounts(star).isEmpty)
+    // two triangles sharing an edge: shared nodes count both
+    val bowtie = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val bt = Graph.triangleCounts(bowtie).as[(Long, Long)].collect().toMap
+    assert(bt === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts canonicalizes input: direction, duplicates, self-loops") {
+    // the same K3 arriving as reversed edges, duplicates, and a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (1L, 3L), (2L, 2L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(messy).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // partitioning invariance: joins + aggregations only
+    val big = (for (a <- 1L to 30L; b <- 1L to 30L if a < b && (a + b) % 3 != 0)
+      yield (a, b)).toDF("src", "dst")
+    val one = Graph.triangleCounts(big).collect().toSeq
+    val many = Graph.triangleCounts(big.repartition(13)).collect().toSeq
+    assert(one === many)
+  }
 }
