@@ -553,6 +553,75 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("sq_dist"))
       .orderBy(col("vec_id"))
 
+  /** Deterministic k-means++ seeding (Arthur & Vassilvitskii, "k-means++:
+    * the advantages of careful seeding", SODA 2007): round 1 draws
+    * uniformly, every later round draws a point with probability ∝ D²
+    * (its squared distance to the nearest already-chosen seed) — the
+    * O(log k)-competitive init that plain uniform seeding (lloydFit's
+    * fingerprint-smallest) lacks.
+    *
+    * Each "random" draw is an Efraimidis-Spirakis single-winner draw
+    * (the t56 A-Res machinery at k = 1): winner = argmax ln(u)/D² with
+    * `u` the round-salted portable remix uniform — a pure function of
+    * (seed, round, id, corpus), so the whole seed SEQUENCE and every
+    * round's post-pick inertia Σ D² (decimal detour, O(1)-magnitude
+    * terms) replay in SQL. Points at D² = 0 (the chosen seeds and their
+    * exact duplicates) carry probability 0 and are excluded, exactly as
+    * in the paper.
+    *
+    * Scale shape: D² maintains incrementally — one scan × broadcast(1
+    * new centroid) per round, `least`-folded into the carried distance
+    * column (localCheckpoint'd, the lloydFit discipline), so round r
+    * costs one corpus scan, not r re-scans. The per-round argmax is the
+    * documented ≤ 1-row driver chain of the k-center family (v13) —
+    * k rows total cross the driver, never data.
+    *
+    * Output: (round, seed_id, inertia), round 1..k — inertia is Σ D²
+    * AFTER that round's seed joins, so the column is the measured
+    * coverage-improvement curve. */
+  def kmeansPlusPlusSeed(spark: SparkSession, emb: DataFrame, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    GraftExpressions.register(spark)
+    import spark.implicits._
+    val n = normed(emb).select(col("vec_id"), col("v")).localCheckpoint()
+    // the t56 uniform: (remix + 1) / (2³¹ − 1) ∈ (0, 1], round-salted
+    def u(r: Int): Column =
+      (Sampling.portableUniformFingerprint(
+          concat(lit(s"$seed:$r:"), col("vec_id").cast("string"))) + lit(1))
+        .cast("double") / lit(2147483647.0)
+    def centDf(cv: Seq[Double]) = broadcast(Seq(Tuple1(cv)).toDF("cv"))
+    // decimal-detour inertia (Num.dsum contract inlined at operator
+    // layer): D² terms are O(1) on any unit-ish embedding scale — far
+    // above the 10⁻⁶ grid; a seed's own 0.0 contributes zero identically
+    def inertia(b: DataFrame): Double =
+      b.agg(sum(col("d").cast(DecimalType(30, 6))).cast("double")).head().getDouble(0)
+    val first = n.withColumn("_u", u(1))
+      .orderBy(col("_u").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).head()
+    var best = n.crossJoin(centDf(first.getSeq[Double](1)))
+      .select(col("vec_id"), col("v"), fullL2(col("v"), col("cv")).as("d"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ListBuffer(
+      (1L, first.getLong(0), inertia(best)))
+    var r = 2
+    while (r <= k) {
+      val cand = best.filter(col("d") > 0)
+        .withColumn("_key", log(u(r)) / col("d"))
+        .orderBy(col("_key").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v")).collect()
+      require(cand.nonEmpty,
+        s"k-means++ round $r found no point at D² > 0: k = $k exceeds the corpus' distinct vectors")
+      best = best.crossJoin(centDf(cand(0).getSeq[Double](1)))
+        .select(col("vec_id"), col("v"),
+          least(col("d"), fullL2(col("v"), col("cv"))).as("d"))
+        .localCheckpoint()
+      out += ((r.toLong, cand(0).getLong(0), inertia(best)))
+      r += 1
+    }
+    out.toSeq.toDF("round", "seed_id", "inertia").orderBy(col("round"))
+  }
+
   /** The shared Lloyd machinery behind [[lloydKMeans]] (v15) and the IVF
     * coarse quantizer ([[fitIvf]]) — ONE definition of the deterministic
     * fit, so the oracle recipe proven on v15 gates the IVF tier too.

@@ -833,6 +833,72 @@ object Relational {
        |FROM nodes GROUP BY node
        |ORDER BY node""".stripMargin
 
+  /** Ordered funnel conversion (view → click → purchase): each stage's
+    * entry time is the user's EARLIEST qualifying event STRICTLY after
+    * the previous stage's — the sequential-pattern shape event
+    * analytics runs everywhere and none of q01–q35 covered. Chained
+    * conditional-min aggregations, no windows: each stage is one join
+    * (keyed on user) + partial-aggregated min, so the shuffle carries
+    * one (user, ts) pair per stage — at 100 TB the stage frames are
+    * user-sized, never event-sized, and no per-user event list is ever
+    * sorted or collected. Output: 3 rows (step, stage, n_users,
+    * conversion), conversion = share of the previous stage's cohort
+    * (stage 1 converts from all active users). */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = ev.agg(countDistinct(col("user_id")).as("n0"))
+      .crossJoin(s1.agg(count(lit(1)).as("n1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+    counts.select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("stage"),
+          col("n1").as("n_users"),
+          (col("n1").cast("double") / col("n0").cast("double")).as("conversion")),
+        struct(lit(2).as("step"), lit("click_after_view").as("stage"),
+          col("n2").as("n_users"),
+          (col("n2").cast("double") / col("n1").cast("double")).as("conversion")),
+        struct(lit(3).as("step"), lit("purchase_after_click").as("stage"),
+          col("n3").as("n_users"),
+          (col("n3").cast("double") / col("n2").cast("double")).as("conversion"))))
+        .as("f"))
+      .select(col("f.step"), col("f.stage"), col("f.n_users"), col("f.conversion"))
+      .orderBy(col("step"))
+  }
+
+  private val q36Sql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      |c AS (SELECT
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n0,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3)
+      |SELECT step, stage, n_users, conversion FROM (
+      |  SELECT CAST(1 AS INT) AS step, 'view' AS stage, n1 AS n_users,
+      |    CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS conversion FROM c
+      |  UNION ALL
+      |  SELECT CAST(2 AS INT), 'click_after_view', n2,
+      |    CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+      |  UNION ALL
+      |  SELECT CAST(3 AS INT), 'purchase_after_click', n3,
+      |    CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) FROM c)
+      |ORDER BY step""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -868,6 +934,7 @@ object Relational {
     QuerySpec("q32_unshipped_revenue", q32, Some(q32Sql)),
     QuerySpec("q33_above_group_avg", q33, Some(q33Sql)),
     QuerySpec("q34_pagerank", q34, Some(q34Sql)),
-    QuerySpec("q35_triangle_counts", q35, Some(q35Sql)))
+    QuerySpec("q35_triangle_counts", q35, Some(q35Sql)),
+    QuerySpec("q36_funnel_conversion", q36, Some(q36Sql)))
 
 }

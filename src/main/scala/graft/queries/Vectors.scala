@@ -1012,6 +1012,52 @@ object Vectors {
        |SELECT vec_id, cid AS cluster, d AS sq_dist FROM a2
        |ORDER BY vec_id""".stripMargin
 
+  /** Deterministic k-means++ D² seeding
+    * ([[graft.operators.Similarity.kmeansPlusPlusSeed]]; Arthur &
+    * Vassilvitskii SODA 2007): 8 seeds over the corpus, each round's
+    * D²-proportional draw realized as a round-salted Efraimidis single
+    * draw (the t56 machinery at k = 1). The oracle replays the entire
+    * chain in one recursive CTE — every uniform, every argmax ln(u)/D²
+    * pick, and every round's decimal-detour inertia — the v13 greedy-
+    * chain recipe with a randomized (but hash-deterministic) argmax. */
+  private def v16(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansPlusPlusSeed(spark, Corpus.embeddings(spark, dir),
+      k = 8, seed = "kpp-r12")
+
+  private val v16Sql = {
+    // round-salted uniform over alias `a`, round expression `rExpr`
+    def uSql(rExpr: String, alias: String) =
+      s"CAST((${Text.mixSql(s"'kpp-r12:' || $rExpr || ':' || CAST($alias.vec_id AS VARCHAR)")}) + 1 AS DOUBLE) / CAST(2147483647 AS DOUBLE)"
+    // squared L2 of n2.v against a centroid list element `ct`
+    val sqTo = "ct -> list_sum(list_transform(list_zip(n2.v, ct), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    def minTo(centers: String) =
+      s"list_reduce(list_transform($centers, $sqTo), (a, b) -> least(a, b))"
+    // candidate D² in the recursive pick (alias n2 inside the LATERAL)
+    s"""WITH RECURSIVE
+       |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |sel AS (
+       |  (SELECT 1 AS round, c.vec_id AS seed_id, [c.v] AS centers,
+       |     (SELECT CAST(SUM(CAST(
+       |        list_sum(list_transform(list_zip(n2.v, c.v),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS DECIMAL(30,6))) AS DOUBLE)
+       |      FROM n n2) AS inertia
+       |   FROM n c ORDER BY ${uSql("'1'", "c")} DESC, c.vec_id LIMIT 1)
+       |  UNION ALL
+       |  (SELECT s.round + 1, c.vec_id, s.centers || [c.v],
+       |     (SELECT CAST(SUM(CAST(${minTo("s.centers || [c.v]")} AS DECIMAL(30,6))) AS DOUBLE)
+       |      FROM n n2) AS inertia
+       |   FROM sel s, LATERAL (
+       |     SELECT n2.vec_id, n2.v
+       |     FROM n n2
+       |     WHERE ${minTo("s.centers")} > 0
+       |     ORDER BY ln(${uSql("CAST(s.round + 1 AS VARCHAR)", "n2")})
+       |              / (${minTo("s.centers")}) DESC, n2.vec_id LIMIT 1) c
+       |   WHERE s.round < 8))
+       |SELECT CAST(round AS BIGINT) AS round, seed_id, inertia
+       |FROM sel ORDER BY round""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -1028,6 +1074,7 @@ object Vectors {
     QuerySpec("v13_kcenter_coreset", v13, Some(v13Sql)),
     QuerySpec("v14_contrastive_pairs", v14, Some(v14Sql)),
     QuerySpec("v15_lloyd_kmeans", v15, Some(v15Sql)),
+    QuerySpec("v16_kmeanspp_seeds", v16, Some(v16Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

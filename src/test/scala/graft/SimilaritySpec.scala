@@ -581,6 +581,51 @@ class SimilaritySpec extends SparkTestBase {
       iterations = 4).collect().toSeq)
   }
 
+  test("kmeansPlusPlusSeed spreads seeds across planted far blobs; inertia collapses") {
+    // three tight blobs 1000 apart: after the uniform first draw, D² to
+    // unseeded blobs is ~10⁶ vs ~10⁻² within a seeded one, so the
+    // ln(u)/D² draw picks an unseeded blob unless u lands within 1e-6 of
+    // 1 — each round covers a new blob, and inertia collapses with it
+    def blob(base: Long, x: Float, y: Float) =
+      (0L until 8L).map(i => (base + i, Array(x + 0.01f * i, y), 0))
+    val vecs = (blob(0L, 0f, 0f) ++ blob(100L, 1000f, 0f) ++ blob(200L, 0f, 1000f))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansPlusPlusSeed(spark, vecs, k = 3, seed = "spec")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_._2 / 100L).toSet === Set(0L, 1L, 2L),
+      s"one seed per blob expected: ${out.toSeq}")
+    // all blobs covered → only the within-blob 0.01-grid spread remains
+    assert(out.last._3 < 1.0 && out.head._3 > 1e5,
+      s"inertia must collapse from ~10⁶ to sub-1: ${out.toSeq}")
+    assert(out.sliding(2).forall(w => w(1)._3 <= w(0)._3),
+      "inertia is monotone non-increasing in the seed count")
+    // pure function of (seed, corpus): partitioning cannot move a draw
+    val again = Similarity.kmeansPlusPlusSeed(spark, vecs.repartition(7),
+      k = 3, seed = "spec").collect().toSeq
+    assert(again === Similarity.kmeansPlusPlusSeed(spark, vecs, k = 3,
+      seed = "spec").collect().toSeq)
+  }
+
+  test("kmeansPlusPlusSeed excludes D²=0 duplicates and fails loudly past exhaustion") {
+    // two distinct positions, one duplicated: the duplicate can never be
+    // drawn (probability 0 in the paper), so k=3 exhausts the corpus
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val two = Similarity.kmeansPlusPlusSeed(spark, vecs, k = 2, seed = "dup")
+      .as[(Long, Long, Double)].collect()
+    assert(two.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L)))
+    // the two seeds sit at the two distinct positions → inertia exactly 0
+    assert(two.last._3 === 0.0)
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansPlusPlusSeed(spark, vecs, k = 3, seed = "dup")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansPlusPlusSeed(spark, vecs, k = 0, seed = "dup")
+    }
+  }
+
   test("lloydKMeans keeps an emptied cluster's previous centroid") {
     // k = 3 over 2 distinct points: one centroid must go memberless and
     // survive via the carry rule rather than vanishing (which would make
