@@ -899,6 +899,49 @@ object Relational {
       |    CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) FROM c)
       |ORDER BY step""".stripMargin
 
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * first event, each later-active week counted against the cohort —
+    * the standard companion matrix to q36's funnel. Both engines
+    * Monday-align via date_trunc('week'), so the offset is an EXACT
+    * day-difference ÷ 7 (never a boundary-counting datediff, which
+    * disagrees across engines). Shape: distinct (user, week) pairs →
+    * per-user min → one join + count aggregations; everything partial-
+    * aggregates map-side and the matrix is (weeks × offsets)-sized. */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Corpus.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, wk) pairs are distinct
+      .join(sizes, "cohort_wk")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  private val q37Sql =
+    """WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |            FROM events),
+      |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+      |sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+      |          FROM cohort GROUP BY 1),
+      |m AS (SELECT c.cohort_wk,
+      |        CAST(date_diff('day', c.cohort_wk, uw.wk) / 7 AS INT) AS week_offset,
+      |        CAST(count(*) AS BIGINT) AS n_active
+      |      FROM uw JOIN cohort c ON uw.user_id = c.user_id
+      |      GROUP BY 1, 2)
+      |SELECT m.cohort_wk, m.week_offset, m.n_active, s.cohort_size,
+      |  CAST(m.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+      |FROM m JOIN sizes s ON m.cohort_wk = s.cohort_wk
+      |ORDER BY m.cohort_wk, m.week_offset""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -935,6 +978,7 @@ object Relational {
     QuerySpec("q33_above_group_avg", q33, Some(q33Sql)),
     QuerySpec("q34_pagerank", q34, Some(q34Sql)),
     QuerySpec("q35_triangle_counts", q35, Some(q35Sql)),
-    QuerySpec("q36_funnel_conversion", q36, Some(q36Sql)))
+    QuerySpec("q36_funnel_conversion", q36, Some(q36Sql)),
+    QuerySpec("q37_retention_cohorts", q37, Some(q37Sql)))
 
 }

@@ -82,10 +82,23 @@ object ScaleUp {
     // 10x); l_partkey stays unshifted against the copied-through part
     replicate("supplier")(df => df
       .withColumn("s_suppkey", col("s_suppkey") + col("_r") * OFF))
-    // events is deliberately NOT copied: its TIMESTAMP(NANOS) column
-    // reads as long under the session's nanosAsLong conf, so a naive
-    // read/write round trip would rewrite the schema; none of the
-    // shuffle-heavy scaling queries touch it
+    // events: TIMESTAMP(NANOS) reads as int64 nanos under the session's
+    // nanosAsLong conf, so the replica is written as int64 —
+    // Corpus.normalizeEventTs accepts both layouts. Users/event ids
+    // offset per replica (matching the shifted customer keys, so the
+    // stream-static joins keep their selectivity), and each replica's
+    // TIME range shifts by 10 years: the (type, hour) co-occurrence
+    // blocks behind the triangle/funnel/cohort queries stay
+    // replica-disjoint — N independent copies of the original problem,
+    // never one N×-denser block structure (which would scale the pair
+    // set N² and change the workload's character, not its size)
+    replicate("events")(df => df
+      .withColumn("event_id", col("event_id") + col("_r") * OFF)
+      .withColumn("user_id", col("user_id") + col("_r") * OFF)
+      // ts surfaces as TIMESTAMP_NTZ under this session (nanos truncate
+      // to micros on the round trip — the same truncation Corpus.events
+      // applies, so query semantics are unchanged)
+      .withColumn("ts", expr("ts + make_dt_interval(_r * 3650, 0, 0, 0)")))
     Seq("nation", "region", "part").foreach(copy)
     println(s"[scaleup] wrote ${replicas}x $src -> $dst")
     spark.stop()
