@@ -602,6 +602,63 @@ object Multimodal {
     * low-discrepancy (the HLL lesson; see [[toImageCorpus]]), the
     * digit decomposition between two folds restores random statistics
     * while staying SQL-replayable. */
+  final case class ImageStatsRow(image_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_gray: Long, mean_gray: Double, variance: Double,
+      sharpness: Long)
+
+  /** Per-image no-reference quality statistics over a REAL BMP decode:
+    * per-pixel luminance `gray = B + G + R` (0..765 — an integer, so
+    * sums and sums of squares accumulate as EXACT BIGINTs in any order;
+    * no decimal detour needed), with `mean`/`variance` going double
+    * only in the final two expressions, and `sharpness` =
+    * Σ|gray(x+1,y) − gray(x,y)| — horizontal gradient energy, the
+    * standard blur proxy. Both variance and sharpness are invariant
+    * under a global brightness shift (the shift cancels in the
+    * differences), which is exactly what the planted "bright" variants
+    * pin in the spec; mean moves by precisely 3×shift.
+    *
+    * Row order is the STORAGE order (BMP bottom-up) — irrelevant to
+    * every emitted statistic: sums are row-order free and the gradient
+    * stays within a storage row, which IS an image row. mapPartitions:
+    * blobs stay executor-local, 8 numbers per image leave the scan. */
+  def imageStats(images: DataFrame): DataFrame = {
+    val ds = images.select(col("image_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions(_.map { case (id, media) =>
+      val buf = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      require(media.length >= 54 && buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte,
+        s"image $id: not a BMP payload")
+      val dataPos = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = math.abs(buf.getInt(22))
+      val rowSize = (3 * w + 3) / 4 * 4
+      require(media.length >= dataPos + rowSize * h,
+        s"image $id: truncated pixel data")
+      var sum = 0L
+      var sumSq = 0L
+      var grad = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        var prev = -1
+        while (x < w) {
+          val o = dataPos + y * rowSize + 3 * x
+          val g = (media(o) & 0xff) + (media(o + 1) & 0xff) + (media(o + 2) & 0xff)
+          sum += g
+          sumSq += g.toLong * g
+          if (prev >= 0) grad += math.abs(g - prev)
+          prev = g
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mean = sum.toDouble / n.toDouble
+      ImageStatsRow(id, w, h, n, sum, mean,
+        sumSq.toDouble / n.toDouble - mean * mean, grad)
+    })(Encoders.product[ImageStatsRow]).toDF()
+  }
+
   private def doubleMix(outerSalt: String, inner: String): Long = {
     def mix(s: String): Long =
       (graft.functions.Fold31.fold(

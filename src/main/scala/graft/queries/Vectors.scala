@@ -525,6 +525,77 @@ object Vectors {
        |ORDER BY v.id_a, v.id_b""".stripMargin
   }
 
+  /** Per-image quality statistics ([[Multimodal.imageStats]]) over the
+    * planted image corpus: mean/variance of the B+G+R luminance and
+    * horizontal gradient energy (sharpness — the standard no-reference
+    * blur proxy), all from a REAL BMP decode. Integer pixel sums stay
+    * exact BIGINTs (no decimal detour), so the oracle predicts every
+    * pixel byte from the generation arithmetic (the m06 double-remix
+    * discipline), rebuilds the per-pixel grays, and replays every sum,
+    * variance, and gradient — including that the planted "bright"
+    * variants shift mean by EXACTLY 30 while variance and sharpness are
+    * bit-identical to their base (shift-invariance as gated data). */
+  private def m09(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.toImageCorpus(Corpus.documents(spark, dir))
+    Multimodal.imageStats(corpus)
+      .join(corpus.select(col("image_id"), col("variant")), "image_id")
+      .select(col("image_id"), col("variant"), col("width"), col("height"),
+        col("n_pixels"), col("sum_gray"), col("mean_gray"), col("variance"),
+        col("sharpness"))
+      .orderBy(col("image_id"))
+  }
+
+  private val m09Sql = {
+    val fold = Text.mixSql(
+      s"'img:' || CAST((${Text.mixSql("'img:' || base_id || ':' || bi")}) AS VARCHAR)")
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS base_id, doc_id AS image_id, 'base' AS variant FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1000000 + doc_id, 'bright' FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 2000000 + doc_id, 'perturb' FROM documents WHERE doc_id % 11 = 0),
+       |dims AS (SELECT image_id, base_id, variant,
+       |           9 + base_id % 8 AS w, 8 + base_id % 5 AS h,
+       |           (3 * (9 + base_id % 8) + 3) // 4 * 4 AS row_size
+       |         FROM imgs),
+       |fb AS (SELECT d.image_id, d.variant, d.w, d.h, y, x,
+       |         y * d.row_size + 3 * x + j AS bi,
+       |         ($fold) % 200 AS fv
+       |       FROM dims d,
+       |            LATERAL (SELECT unnest(range(0, d.h)) AS y) yy,
+       |            LATERAL (SELECT unnest(range(0, d.w)) AS x) xx,
+       |            LATERAL (SELECT unnest(range(0, 3)) AS j) jj),
+       |vals AS (SELECT image_id, w, h, y, x,
+       |           CASE WHEN variant = 'bright' THEN fv + 10
+       |                WHEN variant = 'perturb' AND bi % 97 = 0 THEN (fv + 100) % 200
+       |                ELSE fv END AS b
+       |         FROM fb),
+       |gray AS (SELECT image_id, max(w) AS w, max(h) AS h, y, x,
+       |           sum(b) AS g
+       |         FROM vals GROUP BY image_id, y, x),
+       |stats AS (SELECT image_id, max(w) AS w, max(h) AS h,
+       |            CAST(count(*) AS BIGINT) AS n_pixels,
+       |            CAST(sum(g) AS BIGINT) AS sum_gray,
+       |            CAST(sum(g * g) AS BIGINT) AS sum_sq
+       |          FROM gray GROUP BY image_id),
+       |grad AS (SELECT l.image_id,
+       |           CAST(sum(abs(r.g - l.g)) AS BIGINT) AS sharpness
+       |         FROM gray l JOIN gray r ON r.image_id = l.image_id
+       |              AND r.y = l.y AND r.x = l.x + 1
+       |         GROUP BY 1)
+       |SELECT s.image_id, i.variant, CAST(s.w AS INT) AS width,
+       |  CAST(s.h AS INT) AS height, s.n_pixels, s.sum_gray,
+       |  CAST(s.sum_gray AS DOUBLE) / CAST(s.n_pixels AS DOUBLE) AS mean_gray,
+       |  CAST(s.sum_sq AS DOUBLE) / CAST(s.n_pixels AS DOUBLE)
+       |    - (CAST(s.sum_gray AS DOUBLE) / CAST(s.n_pixels AS DOUBLE))
+       |      * (CAST(s.sum_gray AS DOUBLE) / CAST(s.n_pixels AS DOUBLE)) AS variance,
+       |  g.sharpness
+       |FROM stats s
+       |JOIN imgs i USING (image_id)
+       |JOIN grad g USING (image_id)
+       |ORDER BY s.image_id""".stripMargin
+  }
+
   /** The IVF fit+probe CTE chain shared verbatim by the v04 and v05
     * oracles: the deterministic Lloyd coarse quantizer
     * ([[Similarity.lloydFit]] — fingerprint-smallest init, 2 rounds,
@@ -1082,5 +1153,6 @@ object Vectors {
     QuerySpec("m05_audio_clips", m05, Some(m05Sql)),
     QuerySpec("m06_image_dedup_dhash", m06, Some(m06Sql)),
     QuerySpec("m07_audio_dedup_fingerprint", m07, Some(m07Sql)),
-    QuerySpec("m08_video_dedup_frames", m08, Some(m08Sql)))
+    QuerySpec("m08_video_dedup_frames", m08, Some(m08Sql)),
+    QuerySpec("m09_image_quality_stats", m09, Some(m09Sql)))
 }

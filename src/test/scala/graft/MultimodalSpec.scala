@@ -224,6 +224,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(d01 > 10, s"unrelated images at hamming $d01 — bits not balanced")
   }
 
+  test("imageStats: exact brightness shift on mean; variance/sharpness bit-invariant") {
+    val stats = Multimodal.imageStats(imageCorpus(25))
+      .as[(Long, Int, Int, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // dims and pixel count follow the generator arithmetic
+    for ((id, r) <- stats; base = id % 1000000L) {
+      assert(r._2 === (9 + base % 8).toInt && r._3 === (8 + base % 5).toInt)
+      assert(r._4 === r._2.toLong * r._3)
+      // gray ∈ [0, 627] ⇒ population variance is bounded by (range/2)²
+      assert(r._7 >= 0.0 && r._7 < 99000.0, s"variance out of range: $r")
+    }
+    // a +10/byte shift moves mean by 30 (3 channels) and leaves variance
+    // and gradient energy invariant — sharpness exactly (integer), the
+    // two float columns to within division-rounding ulps
+    for (base <- 0 until 25 if base % 7 == 0) {
+      val (b, s) = (stats(base.toLong), stats(1000000L + base))
+      assert(math.abs(s._6 - b._6 - 30.0) < 1e-9, s"mean shift for $base: ${s._6} vs ${b._6}")
+      assert(math.abs(s._7 - b._7) < 1e-9, s"shift must not move variance")
+      assert(s._8 === b._8, s"shift must not move sharpness")
+    }
+    // perturbed copies genuinely differ
+    for (base <- 0 until 25 if base % 11 == 0)
+      assert(stats(2000000L + base)._6 !== stats(base.toLong)._6)
+    // junk bytes fail loudly, not silently
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("image_id", "media")
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.imageStats(junk).count())
+    assert(e.getMessage.contains("not a BMP"), e.getMessage)
+  }
+
   test("dHash respects top-down (negative height) row order") {
     val corpus = imageCorpus(1)
     val bottomUp = corpus.select("media").as[Array[Byte]].head()

@@ -359,4 +359,18 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"the k winners must broadcast back for the weight column:\n$plan")
   }
+
+  test("t60 kmv quantiles: bounded k-heap sample, no corpus-wide sort or shuffle") {
+    val plan = planOf("t60_kmv_quantiles")
+    assert(plan.contains("partial_graft_topk"),
+      s"the bottom-k sample must reduce map-side via the k-heap aggregate:\n$plan")
+    // the (value, id) window ranks the groups×k SAMPLE only; the
+    // corpus-sized keyed stream (_u before the heap) must never
+    // range-partition — that would be the full sort the sketch exists
+    // to avoid
+    assert(!plan.contains("rangepartitioning(_u"),
+      s"a range-partitioned global sort of the corpus keys defeats the sketch:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"winner ids / estimates must broadcast back, never shuffle the corpus:\n$plan")
+  }
 }

@@ -115,4 +115,48 @@ class PropertySpec extends SparkTestBase {
       assert(m === ref, s"toks=$toks")
     }
   }
+
+  test("triangleCounts equals the brute-force triple count on arbitrary graphs") {
+    // random graphs over 12 nodes — dense enough for triangles, small
+    // enough for the O(n³) reference
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+    for ((edges, i) <- sample(edgeGen, 6).zipWithIndex) {
+      val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct.toSet
+      val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val ref = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (Seq(a, b, c) <- nodes.combinations(3)
+           if canon((a, b)) && canon((a, c)) && canon((b, c));
+           n <- Seq(a, b, c)) ref(n) += 1
+      val got = graft.operators.Graph
+        .triangleCounts(edges.toDF("src", "dst")) // raw: dups/loops/reversals
+        .as[(Long, Long)].collect().toMap
+      assert(got === ref.toMap, s"graph $i: $canon")
+    }
+  }
+
+  test("kmvQuantiles true_rank is the exact (value,id)-order rank on arbitrary data") {
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 499L), Gen.chooseNum(0, 15))
+    val rows = sample(rowGen, 300).distinctBy(_._1)
+      .map { case (id, v) => ("g", id, v.toDouble) } // heavy ties by design
+    val out = graft.operators.Sampling.kmvQuantiles(rows.toDF("grp", "id", "v"),
+      "grp", "id", col("v"), Seq(0.3, 0.6, 0.9), k = 40, seed = "prop")
+      .collect()
+    val sorted = rows.map(t => (t._3, t._2)).sorted
+    for (r <- out) {
+      val ev = r.getAs[Double]("est_value")
+      // recompute the estimate's exact rank from first principles: the
+      // number of (value, id) pairs ≤ the picked pair
+      val estId = sorted.filter(_._1 == ev).map(_._2)
+      val rank = r.getAs[Long]("true_rank").toInt
+      assert(rank >= 1 && rank <= rows.size)
+      val (rv, rid) = sorted(rank - 1)
+      assert(rv === ev && estId.contains(rid),
+        s"true_rank $rank must point at the estimate pair, got ($rv,$rid) vs $ev")
+      // and the measured rank error is what the output claims
+      val err = math.abs(rank.toDouble / rows.size - r.getAs[Double]("q"))
+      assert(math.abs(err - r.getAs[Double]("rank_err")) < 1e-12)
+    }
+  }
 }
