@@ -596,9 +596,11 @@ object Similarity {
     // above the 10⁻⁶ grid; a seed's own 0.0 contributes zero identically
     def inertia(b: DataFrame): Double =
       b.agg(sum(col("d").cast(DecimalType(30, 6))).cast("double")).head().getDouble(0)
-    val first = n.withColumn("_u", u(1))
+    val firstRows = n.withColumn("_u", u(1))
       .orderBy(col("_u").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("v")).head()
+      .select(col("vec_id"), col("v")).collect()
+    require(firstRows.nonEmpty, "kmeansPlusPlusSeed needs a non-empty corpus")
+    val first = firstRows(0)
     var best = n.crossJoin(centDf(first.getSeq[Double](1)))
       .select(col("vec_id"), col("v"), fullL2(col("v"), col("cv")).as("d"))
       .localCheckpoint()
