@@ -220,4 +220,37 @@ object Quality {
         col("pareto_x"), col("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-group Zipf rank-frequency fit (freq ∝ rank^−s): closed-form
+    * least squares of ln(freq) on ln(rank) over the top `topRanks`
+    * ranks of a (group, item, freq) table — the corpus-statistics model
+    * fit read before choosing vocab sizes and mixture temperatures.
+    * The window ranks only the vocab-sized frequency table; the four Σ
+    * terms cross their aggregation through the decimal detour (ln
+    * magnitudes 0–20, far above the 10⁻⁶ grid), so slope and intercept
+    * are accumulation-order independent and SQL-replayable (t61).
+    * Output: (group, n_ranks, zipf_slope, zipf_intercept). */
+  def zipfFit(freq: DataFrame, groupCol: String, freqCol: String,
+      itemCol: String, topRanks: Int = 100): DataFrame = {
+    require(topRanks > 1, s"topRanks must exceed 1, got $topRanks")
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col(freqCol).desc, col(itemCol))))
+      .filter(col("rank") <= topRanks)
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col(freqCol).cast("double")))
+    def dsum(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_ranks"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"))
+      .withColumn("zipf_slope",
+        (col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_ranks") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("zipf_intercept",
+        (col("sy") - col("zipf_slope") * col("sx")) / col("n_ranks"))
+      .select(col(groupCol), col("n_ranks"), col("zipf_slope"), col("zipf_intercept"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -2254,6 +2254,43 @@ object Text {
        |ORDER BY r.lang, r.q""".stripMargin
   }
 
+  /** Per-lang Zipf rank-frequency fit (Zipf's law: freq ∝ rank^−s):
+    * closed-form least squares of ln(freq) on ln(rank) over the top-100
+    * ranks — the corpus-statistics model fit a tokenizer/mixture
+    * designer reads before choosing vocab sizes and temperature
+    * exponents. The ONLY corpus-scale step is the (lang, token)
+    * frequency aggregation (partial map-side); ranking and the fit run
+    * on the vocab-sized table, and the four Σ terms cross their final
+    * aggregation through the decimal detour (ln magnitudes 0–20, far
+    * above the grid), so slope and intercept are accumulation-order
+    * independent and replay in SQL exactly. */
+  private def t61(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.zipfFit(
+      Corpus.documents(spark, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq")),
+      "lang", "freq", "token", topRanks = 100)
+
+  private val t61Sql =
+    s"""WITH w AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+       |f AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1, 2),
+       |r AS (SELECT lang, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+       |      FROM (SELECT f.*, row_number() OVER (PARTITION BY lang
+       |                     ORDER BY freq DESC, token) AS rank FROM f)
+       |      WHERE rank <= 100),
+       |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+       |        ${Num.dsumSql("x")} AS sx, ${Num.dsumSql("y")} AS sy,
+       |        ${Num.dsumSql("x * x")} AS sxx, ${Num.dsumSql("x * y")} AS sxy
+       |      FROM r GROUP BY 1),
+       |fit AS (SELECT lang, n_ranks,
+       |          (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx) AS zipf_slope,
+       |          sx, sy
+       |        FROM s)
+       |SELECT lang, n_ranks, zipf_slope,
+       |  (sy - zipf_slope * sx) / n_ranks AS zipf_intercept
+       |FROM fit
+       |ORDER BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2314,5 +2351,6 @@ object Text {
     QuerySpec("t57_bloom_decontamination", t57, Some(t57Sql)),
     QuerySpec("t58_wordpiece_merges", t58, None),
     QuerySpec("t59_hll_distinct", t59, Some(t59Sql)),
-    QuerySpec("t60_kmv_quantiles", t60, Some(t60Sql)))
+    QuerySpec("t60_kmv_quantiles", t60, Some(t60Sql)),
+    QuerySpec("t61_zipf_fit", t61, Some(t61Sql)))
 }

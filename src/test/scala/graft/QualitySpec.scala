@@ -119,4 +119,30 @@ class QualitySpec extends SparkTestBase {
         col("source") === "cur", buckets = 64, sampleK = 0, seed = "s")
     }
   }
+
+  test("zipfFit recovers a planted exact power law and is partitioning-invariant") {
+    // freq = 720720 / rank is an EXACT integer for ranks 1..16, so
+    // ln(freq) = ln(720720) − 1·ln(rank) and the least-squares fit must
+    // return slope −1, intercept ln(720720) — up to the 10⁻⁶ decimal
+    // grid the Σ terms quantize on
+    val rows = (1 to 16).map(r => ("g", f"tok$r%02d", 720720L / r))
+    val df = rows.toDF("lang", "token", "freq")
+    val fit = Quality.zipfFit(df, "lang", "freq", "token").collect()
+    assert(fit.length === 1)
+    assert(fit(0).getAs[Long]("n_ranks") === 16L)
+    assert(math.abs(fit(0).getAs[Double]("zipf_slope") + 1.0) < 1e-3,
+      s"slope ${fit(0).getAs[Double]("zipf_slope")}")
+    assert(math.abs(fit(0).getAs[Double]("zipf_intercept") - math.log(720720.0)) < 1e-3)
+    // a flat (uniform) distribution fits slope 0 — to within the 10⁻⁶
+    // decimal grid the Σ terms quantize on (measured residual ~4·10⁻⁷)
+    val flat = (1 to 10).map(r => ("u", f"tok$r%02d", 50L)).toDF("lang", "token", "freq")
+    val f2 = Quality.zipfFit(flat, "lang", "freq", "token").collect()(0)
+    assert(math.abs(f2.getAs[Double]("zipf_slope")) < 1e-5)
+    // deterministic under partitioning; bad topRanks rejected
+    assert(Quality.zipfFit(df.repartition(5), "lang", "freq", "token")
+      .collect().map(_.toSeq).toSeq === fit.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Quality.zipfFit(df, "lang", "freq", "token", topRanks = 1)
+    }
+  }
 }
