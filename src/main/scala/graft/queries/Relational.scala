@@ -942,6 +942,74 @@ object Relational {
       |FROM m JOIN sizes s ON m.cohort_wk = s.cohort_wk
       |ORDER BY m.cohort_wk, m.week_offset""".stripMargin
 
+  /** SCD2 attribute history ([[graft.gold.Scd2]]) surfaced as an oracle
+    * query: three deterministic "daily" snapshots of the customer dim —
+    * day 2 moves every key%10==3 segment and drops every key%17==0 row,
+    * day 3 brings the dropped keys back and bumps every key%10==7
+    * nation — applied through init + two apply() rounds. The oracle
+    * replays the SEMANTICS generically (semi/anti joins per day on
+    * key + attributes), not the class arithmetic, so closed ranges,
+    * re-opened keys, and unchanged carries all hash-gate. Scale shape:
+    * each apply is three key-equi joins against the current slice —
+    * never history — plus a union; history accumulates append-only. */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val snap1 = Corpus.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat"))
+    val snap2 = snap1.filter(col("c_custkey") % 17 =!= 0)
+      .withColumn("seg",
+        when(col("c_custkey") % 10 === 3, lit("MOVED")).otherwise(col("seg")))
+    val snap3 = snap1
+      .withColumn("seg",
+        when(col("c_custkey") % 10 === 3, lit("MOVED")).otherwise(col("seg")))
+      .withColumn("nat",
+        when(col("c_custkey") % 10 === 7, col("nat") + 1).otherwise(col("nat")))
+    val d1 = graft.gold.Scd2.init(snap1, "c_custkey", Seq("seg", "nat"), "2024-01-01")
+    val d2 = graft.gold.Scd2(d1, snap2, "c_custkey", Seq("seg", "nat"), "2024-01-02")
+    val d3 = graft.gold.Scd2(d2, snap3, "c_custkey", Seq("seg", "nat"), "2024-01-03")
+    d3.orderBy(col("c_custkey"), col("effective_from"))
+  }
+
+  private val q38Sql = {
+    // one generic apply() mirror per day: history carry + unchanged
+    // (semi) + closed (anti) + opened (snapshot anti current)
+    def step(dim: String, snap: String, asOf: String, out: String) =
+      s"""$out AS (
+         |  SELECT c_custkey, seg, nat, effective_from, effective_to, is_current
+         |  FROM $dim WHERE NOT is_current
+         |  UNION ALL
+         |  SELECT d.* FROM $dim d WHERE d.is_current AND EXISTS (
+         |    SELECT 1 FROM $snap s WHERE s.c_custkey = d.c_custkey
+         |      AND s.seg = d.seg AND s.nat = d.nat)
+         |  UNION ALL
+         |  SELECT d.c_custkey, d.seg, d.nat, d.effective_from, '$asOf', false
+         |  FROM $dim d WHERE d.is_current AND NOT EXISTS (
+         |    SELECT 1 FROM $snap s WHERE s.c_custkey = d.c_custkey
+         |      AND s.seg = d.seg AND s.nat = d.nat)
+         |  UNION ALL
+         |  SELECT s.c_custkey, s.seg, s.nat, '$asOf', CAST(NULL AS VARCHAR), true
+         |  FROM $snap s WHERE NOT EXISTS (
+         |    SELECT 1 FROM $dim d WHERE d.is_current AND d.c_custkey = s.c_custkey
+         |      AND d.seg = s.seg AND d.nat = s.nat))""".stripMargin
+    s"""WITH snap1 AS (SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat
+       |               FROM customer),
+       |snap2 AS (SELECT c_custkey,
+       |            CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE seg END AS seg, nat
+       |          FROM snap1 WHERE c_custkey % 17 <> 0),
+       |snap3 AS (SELECT c_custkey,
+       |            CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE seg END AS seg,
+       |            CASE WHEN c_custkey % 10 = 7 THEN nat + 1 ELSE nat END AS nat
+       |          FROM snap1),
+       |d1 AS (SELECT c_custkey, seg, nat, '2024-01-01' AS effective_from,
+       |         CAST(NULL AS VARCHAR) AS effective_to, true AS is_current
+       |       FROM snap1),
+       |${step("d1", "snap2", "2024-01-02", "d2")},
+       |${step("d2", "snap3", "2024-01-03", "d3")}
+       |SELECT c_custkey, seg, nat, effective_from, effective_to, is_current
+       |FROM d3
+       |ORDER BY c_custkey, effective_from""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -979,6 +1047,7 @@ object Relational {
     QuerySpec("q34_pagerank", q34, Some(q34Sql)),
     QuerySpec("q35_triangle_counts", q35, Some(q35Sql)),
     QuerySpec("q36_funnel_conversion", q36, Some(q36Sql)),
-    QuerySpec("q37_retention_cohorts", q37, Some(q37Sql)))
+    QuerySpec("q37_retention_cohorts", q37, Some(q37Sql)),
+    QuerySpec("q38_scd2_history", q38, Some(q38Sql)))
 
 }

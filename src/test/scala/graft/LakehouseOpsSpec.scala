@@ -46,6 +46,24 @@ class LakehouseOpsSpec extends SparkTestBase {
     assert(dhl === Set(("east", false), ("north", false)))
   }
 
+  test("scd2: a key that disappears and returns re-opens a fresh version") {
+    val d0 = Scd2.init(
+      Seq(("DHL", "east")).toDF("courier", "zone"),
+      "courier", Seq("zone"), "2024-01-01")
+    val d1 = Scd2.apply(d0,
+      Seq.empty[(String, String)].toDF("courier", "zone"),
+      "courier", Seq("zone"), "2024-01-02")
+    val d2 = Scd2.apply(d1,
+      Seq(("DHL", "east")).toDF("courier", "zone"),
+      "courier", Seq("zone"), "2024-01-03")
+    val rows = d2.select("courier", "zone", "effective_from", "effective_to", "is_current")
+      .as[(String, String, String, Option[String], Boolean)].collect().toSet
+    assert(rows === Set(
+      ("DHL", "east", "2024-01-01", Some("2024-01-02"), false),
+      ("DHL", "east", "2024-01-03", None, true)),
+      "the returning key must open a NEW version, not resurrect the closed one")
+  }
+
   test("pipeline rerun for the same load date is idempotent (overwrite-per-partition)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_idem_").toString
     val r1 = graft.Pipeline.run(spark, tmp, "2024-01-01", nShipments = 300L)
