@@ -550,7 +550,21 @@ object Sampling {
       .agg(expr(s"graft_topk($idCol, _negu, $k)").as("tk"))
       .select(col(groupCol), explode(col("tk")).as("_e"))
       .select(col(groupCol), col("_e.neighbor_id").as(idCol))
-    val sample = keyed.join(broadcast(winnerIds), Seq(groupCol, idCol))
+    kmvQuantileEstimates(base, winnerIds, groupCol, idCol, qs)
+  }
+
+  /** Estimate + exact-rank-verify post-pass of [[kmvQuantiles]], split out
+    * so the STREAMING variant (p14) can feed it a winner set selected as
+    * Structured Streaming aggregation state: the bottom-k-by-remix sample
+    * is a pure set function of the input (bottom-k of a union == bottom-k
+    * of the per-part bottom-k's), so batch- and stream-selected winners
+    * coincide and one verification path serves both. `base` must carry
+    * (groupCol, idCol, value) with nulls already dropped; `winnerIds`
+    * carries (groupCol, idCol). */
+  private[graft] def kmvQuantileEstimates(base: DataFrame, winnerIds: DataFrame,
+      groupCol: String, idCol: String, qs: Seq[Double]): DataFrame = {
+    val spark = base.sparkSession
+    val sample = base.join(broadcast(winnerIds), Seq(groupCol, idCol))
     val m = sample.groupBy(col(groupCol)).agg(count(lit(1)).as("msize"))
     val ranked = sample.join(broadcast(m), Seq(groupCol))
       .withColumn("vrk", row_number().over(

@@ -515,6 +515,78 @@ object Domain {
        |FROM agg
        |ORDER BY event_type""".stripMargin
 
+  /** Structured Streaming KMV quantile sketch — the FIFTH summary as
+    * streaming state, extending the family (p10 HLL max-merge, p11 CMS
+    * add-merge, p12 MG propose/dispose, p13 Bloom or-merge) with the
+    * QUANTILE member ([[graft.operators.Sampling.kmvQuantiles]]; Cohen &
+    * Kaplan PODC 2007): the state is each event type's bottom-k event
+    * ids by avalanche remix, kept by the bounded
+    * [[graft.functions.TopK]] heap — and because bottom-k of a union
+    * equals bottom-k of the per-batch bottom-k's, the retained set is a
+    * pure SET function of the stream at any micro-batching (retention is
+    * a ROW property, the exact reason GK/KLL can't be gated). The batch
+    * post-pass prices the sampled ids into per-type value quantiles and
+    * verifies every estimate's exact rank, so stream ≡ batch gates the
+    * ⌈q·m⌉ picks AND the measured rank_err. At 100 TB the artifact a
+    * streaming job ships is k ids per group — independent of stream
+    * length. */
+  private def p14(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
+    val k = 128
+    val u = graft.operators.Sampling.portableUniformFingerprint(
+      concat(lit("kmv-p14:"), col("event_id").cast("string"))).cast("double")
+    val winners = SilverStream.runToMemory(
+      eventsStream(spark, dir)
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .withColumn("_negu", -u)
+        .groupBy(col("event_type"))
+        .agg(expr(s"graft_topk(event_id, _negu, $k)").as("tk")),
+      s"p14_stream_${System.nanoTime()}", "complete")
+      .select(col("event_type"), explode(col("tk")).as("_e"))
+      .select(col("event_type"), col("_e.neighbor_id").as("event_id"))
+    val base = Corpus.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value").cast("double").as("value"))
+      .filter(col("event_id").isNotNull && col("value").isNotNull)
+    graft.operators.Sampling.kmvQuantileEstimates(
+      base, winners, "event_type", "event_id", p14Qs)
+  }
+
+  private val p14Qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  private val p14Sql = {
+    val qRows = p14Qs.map(q => s"(CAST(${java.lang.Double.toString(q)} AS DOUBLE))")
+      .mkString(", ")
+    s"""WITH b AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS value
+       |           FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+       |key AS (SELECT event_type, event_id, value,
+       |          CAST(${Text.mixSql("'kmv-p14:' || CAST(event_id AS VARCHAR)")} AS DOUBLE) AS _u
+       |        FROM b),
+       |s AS (SELECT event_type, event_id, value FROM (
+       |        SELECT key.*, row_number() OVER (PARTITION BY event_type
+       |                        ORDER BY _u, event_id) AS urk
+       |        FROM key) ranked WHERE urk <= 128),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS msize FROM s GROUP BY 1),
+       |o AS (SELECT s.event_type, s.event_id, s.value,
+       |        row_number() OVER (PARTITION BY s.event_type ORDER BY s.value, s.event_id) AS vrk
+       |      FROM s),
+       |est AS (SELECT o.event_type, qq.q, o.value AS est_value, o.event_id AS est_id,
+       |          CAST(o.vrk AS BIGINT) AS sample_rank, m.msize
+       |        FROM o JOIN m USING (event_type)
+       |        JOIN (VALUES $qRows) qq(q)
+       |          ON o.vrk = CAST(ceil(qq.q * m.msize) AS BIGINT)),
+       |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+       |r AS (SELECT e.event_type, e.q, e.est_value, e.sample_rank, e.msize,
+       |        CAST(sum(CASE WHEN b.value < e.est_value
+       |                   OR (b.value = e.est_value AND b.event_id <= e.est_id)
+       |                 THEN 1 ELSE 0 END) AS BIGINT) AS true_rank
+       |      FROM est e JOIN b ON b.event_type = e.event_type
+       |      GROUP BY 1, 2, 3, 4, 5)
+       |SELECT r.event_type, r.q, r.est_value, r.sample_rank, r.msize, r.true_rank, n.n,
+       |  abs(CAST(r.true_rank AS DOUBLE) / CAST(n.n AS DOUBLE) - r.q) AS rank_err
+       |FROM r JOIN n USING (event_type)
+       |ORDER BY r.event_type, r.q""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -528,5 +600,6 @@ object Domain {
     QuerySpec("p10_stream_hll_users", p10, Some(p10Sql)),
     QuerySpec("p11_stream_cms_counts", p11, Some(p11Sql)),
     QuerySpec("p12_stream_mg_heavy", p12, Some(p12Sql)),
-    QuerySpec("p13_stream_bloom_members", p13, Some(p13Sql)))
+    QuerySpec("p13_stream_bloom_members", p13, Some(p13Sql)),
+    QuerySpec("p14_stream_kmv_quantiles", p14, Some(p14Sql)))
 }

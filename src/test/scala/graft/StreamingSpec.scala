@@ -605,6 +605,39 @@ class StreamingSpec extends SparkTestBase {
     assert(cand.size <= 2, s"k-bound violated: $cand")
   }
 
+  test("bottom-k winner set as streaming state ≡ the batch bottom-k (p14 KMV)") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftExpressions.register(spark)
+    val input = MemoryStream[(String, Long, Double)]
+    val agg = input.toDF().toDF("k", "id", "u")
+      .withColumn("_negu", -col("u"))
+      .groupBy(col("k")).agg(expr("graft_topk(id, _negu, 2)").as("tk"))
+    val name = s"kmv_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(("a", 1L, 0.9), ("a", 2L, 0.3), ("b", 7L, 0.5))
+    q.processAllAvailable()
+    // second micro-batch: 0.1 must EVICT 0.9 from a's heap — bottom-k of
+    // the union == bottom-k of the per-batch bottom-k's (a set function
+    // of the stream, the property that makes the sample gateable where
+    // GK/KLL merge-order-dependent retention is not)
+    input.addData(("a", 3L, 0.1), ("b", 8L, 0.7))
+    q.processAllAvailable()
+    q.stop()
+    def winnerIds(df: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] = df
+      .select(col("k"), explode(col("tk")).as("_e"))
+      .select(col("k"), col("_e.neighbor_id"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val streamed = winnerIds(spark.table(name))
+    spark.catalog.dropTempView(name)
+    val batch = winnerIds(
+      Seq(("a", 1L, 0.9), ("a", 2L, 0.3), ("b", 7L, 0.5), ("a", 3L, 0.1), ("b", 8L, 0.7))
+        .toDF("k", "id", "u").withColumn("_negu", -col("u"))
+        .groupBy(col("k")).agg(expr("graft_topk(id, _negu, 2)").as("tk")))
+    assert(streamed === batch)
+    assert(streamed("a") === Set(2L, 3L), "0.9 must be evicted across the batch boundary")
+  }
+
   test("windowed courier KPIs run as a stream over generated bronze") {
     val dir = Files.createTempDirectory("graft_stream_kpi_").toString
     BronzeGenerator.shipments(spark, 300, 42L, "2024-01-01")
