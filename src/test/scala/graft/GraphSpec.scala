@@ -86,4 +86,36 @@ class GraphSpec extends SparkTestBase {
     val many = Graph.triangleCounts(big.repartition(13)).collect().toSeq
     assert(one === many)
   }
+
+  test("kCore: triangle with a tail keeps only the triangle at k=2") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, 2).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a cascading peel empties a pure chain (multi-round fixpoint)") {
+    // removing each endpoint exposes the next — the peel must iterate to
+    // the TRUE fixpoint, not stop after one synchronous round
+    val chain = (1L to 6L).sliding(2).map(p => (p.head, p.last)).toSeq
+      .toDF("src", "dst")
+    assert(Graph.kCore(chain, 2).isEmpty)
+    // and K4 survives k=3 intact while a pendant vertex does not
+    val k4plus = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = Graph.kCore(k4plus, 3).as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore canonicalizes input and is partitioning-invariant") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.kCore(messy, 2).as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val big = (for (a <- 1L to 40L; b <- 1L to 40L if a < b && (a * b) % 5 == 0)
+      yield (a, b)).toDF("src", "dst")
+    val one = Graph.kCore(big, 6).collect().toSeq
+    val many = Graph.kCore(big.repartition(13), 6).collect().toSeq
+    assert(one === many)
+  }
 }
