@@ -253,4 +253,83 @@ object Quality {
       .select(col(groupCol), col("n_ranks"), col("zipf_slope"), col("zipf_intercept"))
       .orderBy(col(groupCol))
   }
+
+  /** Bigram collocation extraction: pointwise mutual information
+    * (Church & Hanks, "Word association norms, mutual information, and
+    * lexicography", Computational Linguistics 1990) and Dunning's
+    * log-likelihood ratio ("Accurate methods for the statistics of
+    * surprise and coincidence", CL 1993) over the 2×2 contingency table
+    * of adjacent-token bigrams, per group — the phrase-mining pass a
+    * tokenizer designer runs before deciding which multi-word units
+    * deserve vocabulary slots.
+    *
+    * Margins come from the bigram table itself (k11 = c(w1,w2), row
+    * margin = c(w1,·), column margin = c(·,w2), N = bigram total), so
+    * one explode feeds all four counts. PMI = ln(c12·N / (cm1·cm2));
+    * LLR = 2·Σ_cells k·ln(k·N / (R·C)) — the observed/expected form,
+    * NOT the textbook Σ k·ln k − Σ margins expansion: that expansion
+    * cancels ~10⁶-scale terms down to an O(1) statistic, amplifying a
+    * single-ulp ln() disagreement between JVM Math.log and DuckDB ln
+    * ~10⁵× (measured 2.3e-10 absolute on an 8.0 statistic — past the
+    * oracle's 10-significant-digit compare), while the per-cell form
+    * keeps every term O(k·ln ratio) with no cancellation, so ulp noise
+    * stays ~1e-14. Each term is a single double expression per row (no
+    * accumulation, no detour needed) with an identical expression tree
+    * on the oracle side.
+    *
+    * Scale shape: the only corpus-scale steps are the bigram explode
+    * and its three partial-aggregated counts; the ≥ minCount filter
+    * shrinks c12 BEFORE the margin joins, margins and totals are
+    * vocab-/group-sized, and the top-N window ranks only surviving
+    * candidates. Nothing corpus-sized is sorted, collected, or joined
+    * n².
+    *
+    * Output: (group, w1, w2, c12, pmi, llr, rnk), rnk 1..topN per group
+    * by (pmi desc, w1, w2), ordered (group, rnk). */
+  def pmiCollocations(docs: DataFrame, groupCol: String, textCol: Column,
+      minCount: Int, topN: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val bg = docs
+      .select(col(groupCol), graft.functions.TextFunctions.tokens(textCol).as("sp"))
+      .filter(size(col("sp")) >= 2)
+      .select(col(groupCol), explode(expr(
+        "transform(sequence(1, size(sp) - 1), j -> struct(sp[j-1] AS w1, sp[j] AS w2))"))
+        .as("b"))
+      .select(col(groupCol), col("b.w1"), col("b.w2"))
+    val c12 = bg.groupBy(col(groupCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val m1 = bg.groupBy(col(groupCol), col("w1")).agg(count(lit(1)).as("cm1"))
+    val m2 = bg.groupBy(col(groupCol), col("w2")).agg(count(lit(1)).as("cm2"))
+    val tot = bg.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    // one contingency cell's k·ln(observed/expected); k, R, C integer
+    // columns so the ratio's numerator/denominator are exact in double
+    def term(k: Column, r: Column, c: Column) =
+      when(k > 0, k.cast("double") *
+        log((k * col("n")).cast("double") / (r * c).cast("double")))
+        .otherwise(lit(0.0))
+    val k12 = col("cm1") - col("c12")
+    val k21 = col("cm2") - col("c12")
+    val k22 = col("n") - col("cm1") - col("cm2") + col("c12")
+    val r2 = col("n") - col("cm1")
+    val cc2 = col("n") - col("cm2")
+    val scored = c12
+      .join(m1, Seq(groupCol, "w1"))
+      .join(m2, Seq(groupCol, "w2"))
+      .join(tot, Seq(groupCol))
+      .withColumn("pmi", log((col("c12") * col("n")).cast("double") /
+        (col("cm1") * col("cm2")).cast("double")))
+      .withColumn("llr", lit(2.0) * (term(col("c12"), col("cm1"), col("cm2"))
+        + term(k12, col("cm1"), cc2) + term(k21, r2, col("cm2"))
+        + term(k22, r2, cc2)))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .filter(col("rnk") <= topN)
+      .select(col(groupCol), col("w1"), col("w2"), col("c12"), col("pmi"),
+        col("llr"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col(groupCol), col("rnk"))
+  }
 }

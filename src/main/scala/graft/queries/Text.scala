@@ -2291,6 +2291,53 @@ object Text {
        |FROM fit
        |ORDER BY lang""".stripMargin
 
+  /** Per-lang bigram collocations by PMI with Dunning LLR
+    * ([[graft.operators.Quality.pmiCollocations]]; Church & Hanks CL
+    * 1990, Dunning CL 1993) — the phrase-mining sweep over adjacent
+    * token pairs, margins and totals all read from one bigram explode.
+    * Every count is exact, PMI/LLR are single double expressions per
+    * candidate (identical trees both engines; ln bit-parity is the t61
+    * precedent), and the top-15 ranking with (pmi desc, w1, w2)
+    * tie-break replays in SQL. */
+  private def t62(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.pmiCollocations(
+      Corpus.documents(spark, dir), "lang", col("text"),
+      minCount = 5, topN = 15)
+
+  private val t62Sql = {
+    // one cell's k·ln(observed/expected) — the cancellation-free LLR form
+    // (see Quality.pmiCollocations: the Σ k·ln k expansion amplifies
+    // single-ulp ln() engine differences past the compare grid)
+    def term(k: String, r: String, c: String) =
+      s"CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) * " +
+        s"ln(CAST(($k) * n AS DOUBLE) / CAST(($r) * ($c) AS DOUBLE)) " +
+        "ELSE CAST(0 AS DOUBLE) END"
+    s"""WITH d AS (SELECT lang, $toksSql AS sp FROM documents),
+       |bg AS (SELECT lang, sp[j] AS w1, sp[j + 1] AS w2
+       |       FROM (SELECT lang, sp, unnest(range(1, len(sp))) AS j
+       |             FROM d WHERE len(sp) >= 2) x),
+       |c AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |      FROM bg GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+       |m1 AS (SELECT lang, w1, CAST(count(*) AS BIGINT) AS cm1 FROM bg GROUP BY 1, 2),
+       |m2 AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS cm2 FROM bg GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1),
+       |k AS (SELECT c.lang, c.w1, c.w2, c.c12, m1.cm1, m2.cm2, t.n,
+       |        ln(CAST(c.c12 * t.n AS DOUBLE) / CAST(m1.cm1 * m2.cm2 AS DOUBLE)) AS pmi
+       |      FROM c JOIN m1 USING (lang, w1) JOIN m2 USING (lang, w2)
+       |      JOIN t USING (lang)),
+       |s AS (SELECT lang, w1, w2, c12, pmi,
+       |        CAST(2.0 AS DOUBLE) * (${term("c12", "cm1", "cm2")}
+       |          + ${term("cm1 - c12", "cm1", "n - cm2")}
+       |          + ${term("cm2 - c12", "n - cm1", "cm2")}
+       |          + ${term("n - cm1 - cm2 + c12", "n - cm1", "n - cm2")}) AS llr
+       |      FROM k),
+       |r AS (SELECT s.*, row_number() OVER (PARTITION BY lang
+       |               ORDER BY pmi DESC, w1, w2) AS rnk FROM s)
+       |SELECT lang, w1, w2, c12, pmi, llr, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 15
+       |ORDER BY lang, rnk""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2352,5 +2399,6 @@ object Text {
     QuerySpec("t58_wordpiece_merges", t58, None),
     QuerySpec("t59_hll_distinct", t59, Some(t59Sql)),
     QuerySpec("t60_kmv_quantiles", t60, Some(t60Sql)),
-    QuerySpec("t61_zipf_fit", t61, Some(t61Sql)))
+    QuerySpec("t61_zipf_fit", t61, Some(t61Sql)),
+    QuerySpec("t62_pmi_collocations", t62, Some(t62Sql)))
 }

@@ -145,4 +145,36 @@ class QualitySpec extends SparkTestBase {
       Quality.zipfFit(df, "lang", "freq", "token", topRanks = 1)
     }
   }
+
+  test("pmiCollocations: a planted collocation dominates, closed form checks out") {
+    // 8 docs "x y", 4 docs "x q y" — bigrams: (x,y)×8, (x,q)×4, (q,y)×4.
+    // N=16, c(x,·)=12, c(·,y)=12 → pmi(x,y) = ln(8·16/144)
+    val docs = (Seq.fill(8)("x y") ++ Seq.fill(4)("x q y"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, "g", t) }
+      .toDF("doc_id", "lang", "text")
+    val got = Quality.pmiCollocations(docs, "lang", col("text"),
+      minCount = 4, topN = 10).collect()
+    assert(got.length === 3)
+    val byPair = got.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r).toMap
+    val xy = byPair(("x", "y"))
+    assert(xy.getAs[Long]("c12") === 8L)
+    assert(math.abs(xy.getAs[Double]("pmi") - math.log(8.0 * 16 / 144)) < 1e-12)
+    // LLR observed/expected closed form for the same cell
+    def t(k: Double, r: Double, c: Double) =
+      if (k > 0) k * math.log(k * 16 / (r * c)) else 0.0
+    val llr = 2.0 * (t(8, 12, 12) + t(4, 12, 4) + t(4, 4, 12) + t(0, 4, 4))
+    assert(math.abs(xy.getAs[Double]("llr") - llr) < 1e-9)
+    // PMI's textbook rare-pair bias, visible in the fixture: (q,·) pairs
+    // score ln(4·16/48) ≈ 0.288 > pmi(x,y) ≈ −0.118 because x and y are
+    // margin-heavy — ties between the two q-pairs break on w1 (q < x)
+    assert(got.sortBy(_.getAs[Long]("rnk")).map(r =>
+      (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq ===
+      Seq(("q", "y"), ("x", "q"), ("x", "y")))
+    // minCount prunes: nothing below 4 observations survives
+    assert(got.forall(_.getAs[Long]("c12") >= 4L))
+    // partitioning invariance
+    val again = Quality.pmiCollocations(docs.repartition(7), "lang", col("text"),
+      minCount = 4, topN = 10).collect()
+    assert(again.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
 }
