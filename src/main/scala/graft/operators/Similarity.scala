@@ -1075,4 +1075,74 @@ object Similarity {
           (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
       k)
   }
+
+  /** Exact maximum-inner-product top-k (the MIPS baseline): score is the
+    * RAW dot product — the recommender-serving objective, where a long
+    * vector beats a well-aligned short one and cosine's normalization is
+    * exactly what must NOT happen. Queries need nrm > 0 only for parity
+    * with [[mipsTopK]]'s augmentation (the zero vector's inner product
+    * with everything is 0 and its "direction" is undefined). Output:
+    * (query_id, rank, neighbor_id, dot). */
+  def mipsExactForQueries(spark: SparkSession, emb: DataFrame,
+      queryPred: Column, k: Int): DataFrame = {
+    GraftExpressions.register(spark)
+    val n = normed(emb)
+    val q = n.filter(queryPred && col("nrm") > 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    topKRank(
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("graft_dot(v, qv)").as("cos_sim")),
+      k).withColumnRenamed("cos_sim", "dot")
+  }
+
+  /** Approximate MIPS via norm augmentation (Bachrach et al., "Speeding
+    * up the Xbox recommender system using a Euclidean transformation for
+    * inner-product spaces", RecSys 2014; Neyshabur & Srebro, "On
+    * symmetric and asymmetric LSHs for inner product search", ICML
+    * 2015 — SIMPLE-LSH): inner product has NO direct LSH family, so the
+    * corpus is lifted one dimension with x̃ = [x/M ; √(1 − ‖x‖²/M²)]
+    * (M = corpus max norm, so ‖x̃‖ = 1) and the query with
+    * q̃ = [q/‖q‖ ; 0]; then cos(q̃, x̃) = ⟨q, x⟩/(M·‖q‖) — ANGULAR
+    * similarity in the lifted space ranks EXACTLY by inner product, and
+    * the existing sign-bit machinery applies unchanged. Candidates
+    * within `maxHamming` of the query's lifted signature are verified
+    * with the exact raw dot, so approximation affects recall only
+    * (measure it: [[withMeasuredRecall]] against
+    * [[mipsExactForQueries]]).
+    *
+    * Scale shape: identical to [[lshTopK]] — M is one scalar aggregate
+    * broadcast back, the lift is a per-row map, and the signature filter
+    * prunes the corpus before any dot is computed. Output: (query_id,
+    * rank, neighbor_id, dot). */
+  def mipsTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      numPlanes: Int = 8, maxHamming: Int = 2): DataFrame = {
+    GraftExpressions.register(spark)
+    require(numPlanes <= 31, "single-band signature packs into an int")
+    val n = normed(emb)
+    val m = n.agg(max(col("nrm")).as("m_norm"))
+    val aug = n.crossJoin(broadcast(m))
+      .withColumn("va", concat(
+        transform(col("v"), x => x / col("m_norm")),
+        array(sqrt(greatest(lit(0.0),
+          lit(1.0) - (col("nrm") / col("m_norm")) * (col("nrm") / col("m_norm")))))))
+      .withColumn("sig",
+        element_at(expr(s"graft_lsh_bands(va, $numPlanes, $numPlanes)"), 1)
+          .cast("long"))
+    val q = n.filter(col("vec_id") < nQueries && col("nrm") > 0)
+      .withColumn("qa", concat(
+        transform(col("v"), x => x / col("nrm")), array(lit(0.0))))
+      .withColumn("qsig",
+        element_at(expr(s"graft_lsh_bands(qa, $numPlanes, $numPlanes)"), 1)
+          .cast("long"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qsig"))
+    topKRank(
+      aug.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id") &&
+          bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("graft_dot(v, qv)").as("cos_sim")),
+      k).withColumnRenamed("cos_sim", "dot")
+  }
 }

@@ -1129,6 +1129,74 @@ object Vectors {
        |FROM sel ORDER BY round""".stripMargin
   }
 
+  /** Approximate maximum-inner-product top-k via norm augmentation
+    * ([[Similarity.mipsTopK]]; Bachrach et al. RecSys 2014, Neyshabur &
+    * Srebro ICML 2015): the corpus lifts to [x/M ; √(1−‖x‖²/M²)], the
+    * query to [q/‖q‖ ; 0], and angular LSH on the LIFTED vectors ranks
+    * by raw inner product — the recommender-serving objective no other
+    * ANN family member covers (cosine deliberately erases the norm).
+    * The oracle replays M (one max), both lifts, the 65-dim plane
+    * signatures, the Hamming-2 candidate filter, the exact-dot top-10,
+    * and the measured recall against the hash-sampled exact MIPS
+    * baseline. */
+  private def v17(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Corpus.embeddings(spark, dir)
+    Similarity.withMeasuredRecall(
+      Similarity.mipsTopK(spark, emb, nQueries = 5, k = 10),
+      Similarity.mipsExactForQueries(spark, emb, recallSample(5), k = 10))
+  }
+
+  private val v17Sql = {
+    val planes = graft.operators.Similarity.flatPlanes(8, 65).grouped(65)
+      .map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH $normedCte,
+       |mm AS (SELECT max(nrm) AS m FROM n),
+       |pl AS (SELECT list_transform($planes,
+       |         p -> list_transform(p, x -> CAST(x AS DOUBLE))) AS planes),
+       |aug AS (SELECT vec_id, v,
+       |          list_append(list_transform(v, x -> x / mm.m),
+       |            sqrt(greatest(CAST(0 AS DOUBLE),
+       |              CAST(1 AS DOUBLE) - (nrm / mm.m) * (nrm / mm.m)))) AS va
+       |        FROM n, mm),
+       |sg AS (SELECT vec_id, v,
+       |         list_transform(planes, p -> ${zipDot("va", "p")} > 0) AS bits
+       |       FROM aug, pl),
+       |q AS (SELECT query_id, qv,
+       |        list_transform(planes, p -> ${zipDot("qa", "p")} > 0) AS qbits
+       |      FROM (SELECT vec_id AS query_id, v AS qv,
+       |              list_append(list_transform(v, x -> x / nrm),
+       |                CAST(0 AS DOUBLE)) AS qa
+       |            FROM n WHERE vec_id < 5 AND nrm > 0), pl),
+       |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+       |        ${zipDot("a.v", "q.qv")} AS dot
+       |      FROM sg a, q
+       |      WHERE a.vec_id <> q.query_id
+       |        AND len(list_filter(range(1, len(a.bits) + 1),
+       |              i -> a.bits[i] <> q.qbits[i])) <= 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY dot DESC, neighbor_id) AS rank FROM s),
+       |approx AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot
+       |           FROM r WHERE rank <= 10),
+       |sq AS (SELECT query_id, qv FROM q WHERE $recallSampleSql),
+       |es AS (SELECT s.query_id, a.vec_id AS neighbor_id,
+       |         ${zipDot("a.v", "s.qv")} AS dot
+       |       FROM n a, sq s WHERE a.vec_id <> s.query_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+       |         FROM es) WHERE rank <= 10),
+       |rc AS (SELECT e.query_id,
+       |         CAST(count(f.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+       |       FROM ex e LEFT JOIN approx f
+       |         ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id
+       |       GROUP BY e.query_id)
+       |SELECT COALESCE(a.query_id, rc.query_id) AS query_id, a.rank,
+       |  a.neighbor_id, a.dot, rc.recall_at_k
+       |FROM approx a FULL OUTER JOIN rc ON a.query_id = rc.query_id
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -1146,6 +1214,7 @@ object Vectors {
     QuerySpec("v14_contrastive_pairs", v14, Some(v14Sql)),
     QuerySpec("v15_lloyd_kmeans", v15, Some(v15Sql)),
     QuerySpec("v16_kmeanspp_seeds", v16, Some(v16Sql)),
+    QuerySpec("v17_mips_topk", v17, Some(v17Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

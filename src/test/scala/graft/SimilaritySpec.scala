@@ -639,4 +639,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(0L) === out(1L), "identical points share a cluster")
     assert(out(2L) !== out(0L), "the far point keeps its own cluster")
   }
+
+  test("MIPS ranks by raw dot where cosine would not; the lift preserves order") {
+    // query 0 = [1, 0]. Neighbor 1 = [0.9, 0] has cosine 1.0 but dot 0.9;
+    // neighbor 2 = [5, 5] has cosine ~0.707 but dot 5.0 — MIPS must put
+    // the long vector first, cosine the aligned one.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.0f)),
+      (2L, Array(5.0f, 5.0f)), (3L, Array(0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.mipsExactForQueries(spark, vecs, col("vec_id") === 0, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(exact.map(r => (r._2, r._3)).toSeq === Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+    assert(math.abs(exact.head._4 - 5.0) < 1e-9)
+    val cosFirst = Similarity.cosineTopKForQueries(spark, vecs, col("vec_id") === 0, k = 1)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(cosFirst._3 === 1L, "cosine prefers the aligned short vector")
+    // the norm-augmented approximate path at full Hamming radius (every
+    // candidate scored) reproduces the exact MIPS ranking — the lift
+    // changed bucketing only, never the verified score
+    val approx = Similarity.mipsTopK(spark, vecs, nQueries = 1, k = 3,
+      numPlanes = 8, maxHamming = 8)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(approx.map(r => (r._2, r._3, r._4)).toSeq ===
+      exact.map(r => (r._2, r._3, r._4)).toSeq)
+    // partitioning invariance of the lift (M is a corpus aggregate)
+    val again = Similarity.mipsTopK(spark, vecs.repartition(3), nQueries = 1,
+      k = 3, numPlanes = 8, maxHamming = 8).collect()
+    assert(again.map(_.toSeq).toSeq === approx.map(v =>
+      Seq(v._1, v._2, v._3, v._4)).toSeq)
+  }
 }
