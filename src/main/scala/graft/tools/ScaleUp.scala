@@ -29,6 +29,17 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1x")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    // arg 3 "shiftParts": also offset l_partkey and replicate part, for
+    // queries where parts play a PAIR-GENERATING role (q39's co-purchase
+    // graph): with partkeys copied through, every replica's orders land
+    // in the SAME part id space, multiplying pair weights N× — an
+    // N×-DENSER graph, not N independent copies (the same character
+    // change the events time-shift avoids). Default false preserves the
+    // layout the recorded r12 scaling tables used.
+    val shiftParts = args.lift(3).contains("shiftParts")
+    // arg 4: optional comma-list restricting which tables are written
+    // (a single-query scale corpus needs only the tables it reads)
+    val tableFilter = args.lift(4).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.configure(
       SparkSession.builder()
@@ -39,14 +50,18 @@ object ScaleUp {
     val OFF = 100000000L
     val reps = spark.range(replicas).select(col("id").as("_r"))
 
+    def wanted(table: String): Boolean = tableFilter.forall(_.contains(table))
+
     def replicate(table: String)(shift: DataFrame => DataFrame): Unit =
-      shift(spark.read.parquet(s"$src/$table.parquet").crossJoin(broadcast(reps)))
-        .drop("_r")
-        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      if (wanted(table))
+        shift(spark.read.parquet(s"$src/$table.parquet").crossJoin(broadcast(reps)))
+          .drop("_r")
+          .write.mode("overwrite").parquet(s"$dst/$table.parquet")
 
     def copy(table: String): Unit =
-      spark.read.parquet(s"$src/$table.parquet")
-        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      if (wanted(table))
+        spark.read.parquet(s"$src/$table.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$table.parquet")
 
     replicate("documents")(df => df
       .withColumn("doc_id", col("doc_id") + col("_r") * OFF)
@@ -71,9 +86,13 @@ object ScaleUp {
     replicate("orders")(df => df
       .withColumn("o_orderkey", col("o_orderkey") + col("_r") * OFF)
       .withColumn("o_custkey", col("o_custkey") + col("_r") * OFF))
-    replicate("lineitem")(df => df
-      .withColumn("l_orderkey", col("l_orderkey") + col("_r") * OFF)
-      .withColumn("l_suppkey", col("l_suppkey") + col("_r") * OFF))
+    replicate("lineitem")(df => {
+      val base = df
+        .withColumn("l_orderkey", col("l_orderkey") + col("_r") * OFF)
+        .withColumn("l_suppkey", col("l_suppkey") + col("_r") * OFF)
+      if (shiftParts) base.withColumn("l_partkey", col("l_partkey") + col("_r") * OFF)
+      else base
+    })
     replicate("customer")(df => df
       .withColumn("c_custkey", col("c_custkey") + col("_r") * OFF))
     // supplier replicates alongside lineitem's shifted l_suppkey so the
@@ -99,7 +118,11 @@ object ScaleUp {
       // to micros on the round trip — the same truncation Corpus.events
       // applies, so query semantics are unchanged)
       .withColumn("ts", expr("ts + make_dt_interval(_r * 3650, 0, 0, 0)")))
-    Seq("nation", "region", "part").foreach(copy)
+    Seq("nation", "region").foreach(copy)
+    if (shiftParts)
+      replicate("part")(df =>
+        df.withColumn("p_partkey", col("p_partkey") + col("_r") * OFF))
+    else copy("part")
     println(s"[scaleup] wrote ${replicas}x $src -> $dst")
     spark.stop()
   }
