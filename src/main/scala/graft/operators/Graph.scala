@@ -198,4 +198,52 @@ object Graph {
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy(col("node"))
   }
+
+  /** Multi-source BFS hop distances (unweighted single/multi-source
+    * shortest paths), the level-synchronous frontier expansion every
+    * distributed graph engine ships as SSSP's unweighted case (Pregel,
+    * GraphX; Malewicz et al. SIGMOD'10).
+    *
+    * Each round is ONE equi-join: the current frontier (node-keyed,
+    * frontier-sized) joins the symmetrized edge list on `src`, and the
+    * discovered `dst`s anti-join the visited set — never a pair set
+    * larger than (frontier out-degree sum). Rounds are bounded by
+    * `maxHops`, so the computation is a pure function of (graph, seeds,
+    * maxHops): real-world graphs sit at small effective diameter, and a
+    * bounded horizon is also what the serving question ("within k
+    * hops") asks. Per-round localCheckpoint cuts the iterative lineage
+    * (the dupClusters lesson); both frontier and visited stay
+    * node-sized.
+    *
+    * Input: edges (src, dst) in any orientation (self-loops and
+    * duplicate/reverse edges are dropped); seeds — one `node` column.
+    * Output: (node, dist) for every node reachable within `maxHops`
+    * (seeds at dist 0, unreachable nodes absent), node order. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+      .union(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var visited = seeds.select(col("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = sym
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .union(frontier.select(col("node"), lit(hop).as("dist")))
+        .localCheckpoint()
+    }
+    visited.orderBy(col("node"))
+  }
 }

@@ -1026,19 +1026,28 @@ object Relational {
     * runs 3 rounds to a 1562-node core; at sf0.1, 6 rounds to an
     * 18-node core (the w ≥ 2 backbone thins as the pair space grows) —
     * both fixpoints replay exactly. */
-  private def q39(spark: SparkSession, dir: String): DataFrame = {
+  /** Co-purchase graph shared by q39/q41: parts paired within an order
+    * (bounded per-order fanout — orders hold ≤7 lineitems), kept when
+    * the pair repeats across at least `minW` orders. q39 peels the
+    * repeat-confirmed graph (minW 2); q41 walks the full pair graph
+    * (minW 1) — at sf0.1 the w≥2 graph thins to near-isolated nodes
+    * while the walk wants a connected component to traverse. */
+  private def copurchaseEdges(spark: SparkSession, dir: String,
+      minW: Int): DataFrame = {
     val li = Corpus.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li.as("l1").join(li.as("l2"),
+    li.as("l1").join(li.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&
         col("l1.l_partkey") < col("l2.l_partkey"))
       .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+      .filter(col("w") >= minW)
       .select(col("src"), col("dst"))
-    graft.operators.Graph.kCore(pairs, k = 2)
   }
+
+  private def q39(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(copurchaseEdges(spark, dir, minW = 2), k = 2)
 
   private val q39Sql =
     s"""WITH RECURSIVE
@@ -1069,6 +1078,34 @@ object Relational {
        |  AND list_contains((SELECT nodes FROM fin), s.dst)
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
+
+  /** Hop distances from the smallest co-purchase node, 4-hop horizon
+    * ([[graft.operators.Graph.bfsHops]] — level-synchronous frontier
+    * expansion; the oracle walks the same horizon as a recursive CTE
+    * and min-groups the (node, dist) closure). */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir, minW = 1)
+    val seeds = edges.agg(min(col("src")).as("node"))
+    graft.operators.Graph.bfsHops(edges, seeds, maxHops = 4)
+  }
+
+  private val q41Sql =
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+       |       FROM lineitem l1 JOIN lineitem l2
+       |         ON l1.l_orderkey = l2.l_orderkey
+       |        AND l1.l_partkey < l2.l_partkey
+       |       GROUP BY 1, 2),
+       |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |seed AS (SELECT min(src) AS node FROM e0),
+       |walk(node, dist) AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM seed
+       |  UNION
+       |  SELECT s.dst AS node, w.dist + 1 AS dist
+       |  FROM walk w JOIN sym s ON s.src = w.node
+       |  WHERE w.dist < 4)
+       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
@@ -1109,6 +1146,7 @@ object Relational {
     QuerySpec("q36_funnel_conversion", q36, Some(q36Sql)),
     QuerySpec("q37_retention_cohorts", q37, Some(q37Sql)),
     QuerySpec("q38_scd2_history", q38, Some(q38Sql)),
-    QuerySpec("q39_kcore_copurchase", q39, Some(q39Sql)))
+    QuerySpec("q39_kcore_copurchase", q39, Some(q39Sql)),
+    QuerySpec("q41_bfs_hops", q41, Some(q41Sql)))
 
 }

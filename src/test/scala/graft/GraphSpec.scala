@@ -118,4 +118,46 @@ class GraphSpec extends SparkTestBase {
     val many = Graph.kCore(big.repartition(13), 6).collect().toSeq
     assert(one === many)
   }
+
+  test("bfsHops walks a chain level by level and stops at the horizon") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(chain, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"nodes 5/6 lie beyond the 3-hop horizon: $got")
+  }
+
+  test("bfsHops keeps the shortest distance when paths of mixed length meet") {
+    // 1-2-3-4 chain plus a 1-4 shortcut: node 4 is 1 hop, node 3 is 2
+    // (via the shortcut), never the chain's 3
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.bfsHops(g, Seq(1L).toDF("node"), maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("bfsHops excludes disconnected components and honors multi-source seeds") {
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val multi = Graph.bfsHops(g, Seq(1L, 10L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(multi === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L, 11L -> 1L))
+    val single = Graph.bfsHops(g, Seq(1L).toDF("node"), maxHops = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(!single.contains(10L) && !single.contains(11L),
+      s"the 10-11 component is unreachable from 1: $single")
+  }
+
+  test("bfsHops canonicalizes edges and is partitioning-invariant") {
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (3L, 3L), (4L, 3L))
+      .toDF("src", "dst")
+    val a = Graph.bfsHops(messy, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().toSeq
+    val b = Graph.bfsHops(messy.repartition(7), Seq(1L).toDF("node"), maxHops = 3)
+      .collect().toSeq
+    assert(a === b)
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }
