@@ -332,4 +332,95 @@ object Quality {
         col("llr"), col("rnk").cast("long").as("rnk"))
       .orderBy(col(groupCol), col("rnk"))
   }
+
+  /** Interpolated Kneser-Ney bigram language model (Kneser & Ney,
+    * ICASSP 1995; Chen & Goodman, "An empirical study of smoothing
+    * techniques for language modeling", Harvard TR-10-98) trained per
+    * group on `train` and scored per document on `heldOut` — the
+    * smoothing family KenLM ships and CCNet's quality buckets are built
+    * on, upgrading the unsmoothed unigram LM of t17 to the standard:
+    *
+    *   P(w₂|w₁) = (max(c(w₁w₂) − D, 0) + D·N₁₊(w₁·)·P_cont(w₂)) / c(w₁·)
+    *   P_cont(w₂) = N₁₊(·w₂) / N₁₊(··)
+    *
+    * where N₁₊ counts distinct bigram TYPES (how many contexts a word
+    * continues — "Francisco" is frequent but follows only "San", so its
+    * continuation probability is tiny; that asymmetry is the whole
+    * point of KN). Absolute discount D = 0.75, the Chen-Goodman
+    * default.
+    *
+    * Scoring of a held-out bigram (w₁, w₂), all cases exercised by the
+    * held-out split by construction:
+    *   - w₂ has no continuation count (never seen as a bigram's second
+    *     element in train) → OOV: excluded from the mean, counted in
+    *     `n_oov` — the KenLM convention of reporting OOVs beside the
+    *     score rather than folding an arbitrary unk-mass into it;
+    *   - w₁ has no context count (unseen, or train-doc-final only) →
+    *     no conditioning mass exists: back off entirely to P_cont(w₂);
+    *   - otherwise the interpolated estimate above (c(w₁w₂) = 0 rides
+    *     the same formula: max(0−D,0) = 0 leaves the continuation
+    *     term).
+    *
+    * Determinism: every per-bigram logp is one double expression over
+    * exact BIGINT counts (IEEE-identical across engines, matching
+    * expression trees — the oracle mirrors the parenthesization); only
+    * the per-document mean crosses an aggregation, and it rides
+    * [[graft.queries.Num.davg]]'s decimal detour. |ln p| terms are O(1)
+    * to O(ln N₁₊(··)) — at or above the 10⁻⁶ grid except where p → 1,
+    * which quantizes to 0 identically in both engines.
+    *
+    * Scale shape: corpus-scale work is two bigram explodes and their
+    * counts (partial-aggregated). The model tables are bigram-TYPE- and
+    * vocab-sized — KenLM-model-sized, NOT corpus-sized, but also not
+    * assumed broadcastable: scoring joins are plain equi-joins on
+    * (group, w1[, w2]) that AQE may broadcast when the model is small
+    * and shuffle when it is not. Nothing collects to the driver.
+    *
+    * Output: (group, doc_id, n_bigrams, n_oov, mean_logp, ppl), one row
+    * per held-out doc with ≥ 2 tokens, ordered (group, doc_id);
+    * `ppl` = exp(−mean_logp), NULL when every bigram was OOV. */
+  def kneserNeyScore(train: DataFrame, heldOut: DataFrame, groupCol: String,
+      idCol: String, textCol: Column, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must sit in (0,1), got $discount")
+    import graft.functions.TextFunctions.tokens
+    def bigrams(docs: DataFrame, extra: Seq[Column]): DataFrame = docs
+      .select(extra :+ col(groupCol) :+ tokens(textCol).as("sp"): _*)
+      .filter(size(col("sp")) >= 2)
+      .select(extra :+ col(groupCol) :+ explode(expr(
+        "transform(sequence(1, size(sp) - 1), j -> struct(sp[j-1] AS w1, sp[j] AS w2))"))
+        .as("b"): _*)
+      .select(extra :+ col(groupCol) :+ col("b.w1") :+ col("b.w2"): _*)
+
+    val c12 = bigrams(train, Seq.empty)
+      .groupBy(col(groupCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val ctx = c12.groupBy(col(groupCol), col("w1"))
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1p1"))
+    val cont = c12.groupBy(col(groupCol), col("w2"))
+      .agg(count(lit(1)).as("n1p2"))
+    val nTypes = c12.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("ntypes"))
+
+    val pcont = col("n1p2").cast("double") / col("ntypes")
+    val interp = (greatest(coalesce(col("c"), lit(0L)).cast("double")
+        - discount, lit(0.0))
+      + (lit(discount) * col("n1p1").cast("double")) * pcont) /
+      col("c1").cast("double")
+    bigrams(heldOut, Seq(col(idCol).as("doc_id")))
+      .join(nTypes, Seq(groupCol))
+      .join(cont, Seq(groupCol, "w2"), "left")
+      .join(ctx, Seq(groupCol, "w1"), "left")
+      .join(c12, Seq(groupCol, "w1", "w2"), "left")
+      .withColumn("logp",
+        when(col("n1p2").isNull, lit(null).cast("double"))
+          .when(col("c1").isNull, log(pcont))
+          .otherwise(log(interp)))
+      .groupBy(col(groupCol), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (count(lit(1)) - count(col("logp"))).as("n_oov"),
+        graft.queries.Num.davg(col("logp")).as("mean_logp"))
+      .withColumn("ppl", exp(-col("mean_logp")))
+      .orderBy(col(groupCol), col("doc_id"))
+  }
 }

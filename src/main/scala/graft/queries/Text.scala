@@ -2338,6 +2338,59 @@ object Text {
        |ORDER BY lang, rnk""".stripMargin
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity
+    * ([[graft.operators.Quality.kneserNeyScore]]): per-language LM
+    * trained on the even doc_ids, every odd doc scored against it —
+    * the even/odd split manufactures real OOV pressure and
+    * unseen-context backoffs so all three scoring branches gate. */
+  private def t63(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    graft.operators.Quality.kneserNeyScore(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "lang", "doc_id", col("text"))
+  }
+
+  private val t63Sql = {
+    // P_cont and the interpolated estimate, parenthesized EXACTLY as the
+    // engine's expression tree (double ops are IEEE-identical only when
+    // the operation order matches)
+    val pcont = "(CAST(ct.n1p2 AS DOUBLE) / nt.ntypes)"
+    val interp = "(greatest(CAST(COALESCE(b.c, 0) AS DOUBLE) - 0.75, 0.0) " +
+      s"+ (0.75 * CAST(r.n1p1 AS DOUBLE)) * $pcont) / CAST(r.c1 AS DOUBLE)"
+    s"""WITH d AS (SELECT doc_id, lang, $toksSql AS sp FROM documents),
+       |tb AS (SELECT lang, sp[j] AS w1, sp[j + 1] AS w2
+       |       FROM (SELECT lang, sp, unnest(range(1, len(sp))) AS j
+       |             FROM d WHERE doc_id % 2 = 0 AND len(sp) >= 2) x),
+       |c12 AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c
+       |        FROM tb GROUP BY 1, 2, 3),
+       |r AS (SELECT lang, w1, CAST(sum(c) AS BIGINT) AS c1,
+       |        CAST(count(*) AS BIGINT) AS n1p1 FROM c12 GROUP BY 1, 2),
+       |ct AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS n1p2
+       |       FROM c12 GROUP BY 1, 2),
+       |nt AS (SELECT lang, CAST(count(*) AS BIGINT) AS ntypes
+       |       FROM c12 GROUP BY 1),
+       |hb AS (SELECT doc_id, lang, sp[j] AS w1, sp[j + 1] AS w2
+       |       FROM (SELECT doc_id, lang, sp, unnest(range(1, len(sp))) AS j
+       |             FROM d WHERE doc_id % 2 = 1 AND len(sp) >= 2) x),
+       |sc AS (SELECT hb.lang, hb.doc_id,
+       |         CASE WHEN ct.n1p2 IS NULL THEN CAST(NULL AS DOUBLE)
+       |              WHEN r.c1 IS NULL THEN ln($pcont)
+       |              ELSE ln($interp) END AS logp
+       |       FROM hb
+       |       JOIN nt ON nt.lang = hb.lang
+       |       LEFT JOIN ct ON ct.lang = hb.lang AND ct.w2 = hb.w2
+       |       LEFT JOIN r ON r.lang = hb.lang AND r.w1 = hb.w1
+       |       LEFT JOIN c12 b ON b.lang = hb.lang AND b.w1 = hb.w1
+       |                      AND b.w2 = hb.w2)
+       |SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(count(*) - count(logp) AS BIGINT) AS n_oov,
+       |  ${Num.davgSql("logp")} AS mean_logp,
+       |  exp(-(${Num.davgSql("logp")})) AS ppl
+       |FROM sc GROUP BY 1, 2
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2400,5 +2453,6 @@ object Text {
     QuerySpec("t59_hll_distinct", t59, Some(t59Sql)),
     QuerySpec("t60_kmv_quantiles", t60, Some(t60Sql)),
     QuerySpec("t61_zipf_fit", t61, Some(t61Sql)),
-    QuerySpec("t62_pmi_collocations", t62, Some(t62Sql)))
+    QuerySpec("t62_pmi_collocations", t62, Some(t62Sql)),
+    QuerySpec("t63_kneser_ney_ppl", t63, Some(t63Sql)))
 }

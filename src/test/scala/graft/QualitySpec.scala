@@ -177,4 +177,78 @@ class QualitySpec extends SparkTestBase {
       minCount = 4, topN = 10).collect()
     assert(again.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
   }
+
+  test("kneserNeyScore: all three scoring branches match hand computation") {
+    // train "a b a c": c(a,b)=c(b,a)=c(a,c)=1; ctx a:(c1=2,n1p1=2),
+    // b:(1,1); cont counts a/b/c = 1 each; 3 bigram types
+    val train = Seq((1L, "xx", "a b a c")).toDF("doc_id", "lang", "text")
+    // held-out "a b z c a" exercises: interpolated (a,b); OOV (b,z) —
+    // z never continues anything; backoff (z,c) — z has no context
+    // counts; backoff (c,a) — c appears only as a continuation
+    val held = Seq((2L, "xx", "a b z c a")).toDF("doc_id", "lang", "text")
+    val row = Quality.kneserNeyScore(train, held, "lang", "doc_id",
+      col("text")).collect().head
+    assert(row.getAs[Long]("n_bigrams") === 4L)
+    assert(row.getAs[Long]("n_oov") === 1L)
+    val pAB = (math.max(1 - 0.75, 0) + 0.75 * 2 * (1.0 / 3)) / 2 // 0.375
+    val expected = (math.log(pAB) + 2 * math.log(1.0 / 3)) / 3
+    // davg quantizes each ln term to the 1e-6 grid before the mean
+    assert(math.abs(row.getAs[Double]("mean_logp") - expected) < 1e-5)
+    assert(math.abs(row.getAs[Double]("ppl")
+      - math.exp(-row.getAs[Double]("mean_logp"))) < 1e-12)
+  }
+
+  test("kneserNeyScore: per-context probabilities sum to 1 over the continuation vocab") {
+    // KN's discount redistributes mass, never creates or destroys it:
+    // for every trained context w1, sum of P(w2|w1) over ALL words with
+    // a continuation count must be exactly 1 (the interpolation
+    // telescopes: (c1 - D*n1p1 + D*n1p1*sum(pcont))/c1 with sum = 1)
+    val train = Seq(
+      (1L, "xx", "a b a c b a c c a b"),
+      (2L, "xx", "c a b b a")).toDF("doc_id", "lang", "text")
+    import graft.functions.TextFunctions.tokens
+    val bgd = train.withColumn("sp", tokens(col("text")))
+      .select(explode(expr(
+        "transform(sequence(1, size(sp) - 1), j -> struct(sp[j-1] AS w1, sp[j] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c12 = bgd.groupBy("w1", "w2").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val contVocab = c12.keys.map(_._2).toSet
+    val ctx = c12.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> (m.values.sum, m.size) }
+    val n1p2 = c12.keys.groupBy(_._2).map { case (w2, ks) => w2 -> ks.size }
+    val nTypes = c12.size.toDouble
+    for ((w1, (c1, n1p1)) <- ctx) {
+      val mass = contVocab.toSeq.map { w2 =>
+        val c = c12.getOrElse((w1, w2), 0L).toDouble
+        (math.max(c - 0.75, 0) + 0.75 * n1p1 * (n1p2(w2) / nTypes)) / c1
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context $w1 mass $mass")
+    }
+    // and the operator agrees with the same closed form on a held doc
+    val held = Seq((9L, "xx", "a b c a")).toDF("doc_id", "lang", "text")
+    val row = Quality.kneserNeyScore(train, held, "lang", "doc_id",
+      col("text")).collect().head
+    def p(w1: String, w2: String) = {
+      val (c1, n1p1) = ctx(w1)
+      (math.max(c12.getOrElse((w1, w2), 0L) - 0.75, 0) +
+        0.75 * n1p1 * (n1p2(w2) / nTypes)) / c1
+    }
+    val exp0 = (math.log(p("a", "b")) + math.log(p("b", "c")) +
+      math.log(p("c", "a"))) / 3
+    assert(row.getAs[Long]("n_oov") === 0L)
+    assert(math.abs(row.getAs[Double]("mean_logp") - exp0) < 1e-5)
+  }
+
+  test("kneserNeyScore: an all-OOV doc keeps its row with NULL mean and ppl") {
+    val train = Seq((1L, "xx", "a b a")).toDF("doc_id", "lang", "text")
+    val held = Seq((2L, "xx", "p q r")).toDF("doc_id", "lang", "text")
+    val row = Quality.kneserNeyScore(train, held, "lang", "doc_id",
+      col("text")).collect().head
+    assert(row.getAs[Long]("n_bigrams") === 2L &&
+      row.getAs[Long]("n_oov") === 2L)
+    assert(row.isNullAt(row.fieldIndex("mean_logp")) &&
+      row.isNullAt(row.fieldIndex("ppl")))
+  }
 }
