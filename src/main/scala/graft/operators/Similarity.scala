@@ -1145,4 +1145,88 @@ object Similarity {
           expr("graft_dot(v, qv)").as("cos_sim")),
       k).withColumnRenamed("cos_sim", "dot")
   }
+
+  /** Top principal component by power iteration on the scatter matrix
+    * (Pearson 1901; Mises & Pollaczek-Geiringer ZAMM 1929) — the
+    * dimensionality-reduction / whitening pass run before ANN indexing
+    * or SemDeDup-style clustering, and the family's first SPECTRAL
+    * member (everything else here is distance- or quantization-based).
+    *
+    * Shape: ONE corpus-scale pass builds the d×d scatter matrix
+    * S = Σ (x−μ)(x−μ)ᵀ — a double posexplode whose n·d² product rows
+    * partial-aggregate map-side, so the shuffle carries only
+    * d²-per-partition buffers and S itself is FIXED-SIZE (the sketch
+    * family's contract; at d in the thousands the same sums would ride
+    * one TypedImperativeAggregate buffer instead of an explode).
+    * Everything after runs on the d²-row table: `iterations` rounds of
+    * vₜ₊₁ = S·vₜ / ‖S·vₜ‖, each one matvec aggregation plus a
+    * d-element driver collect (the bounded vocab-sized-collect class,
+    * like the tokenizer tables).
+    *
+    * Determinism (the oracle replays every round in one recursive
+    * CTE): every cross-engine sum — per-dim means, scatter cells, each
+    * matvec component, the norm, the Rayleigh quotient, the trace —
+    * takes the DECIMAL(30,6) detour; per-row products and the final
+    * divisions/sqrt are single IEEE ops on bit-identical doubles.
+    * Magnitude bound: embedding components are O(0.1–1), so centered
+    * products sit far above the 10⁻⁶ grid. The start vector is the
+    * indicator of the largest-variance dimension (min index on ties) —
+    * a deterministic seed that also pins the eigenvector's sign.
+    *
+    * Output: one row per dimension (dim, loading, lambda, var_frac) —
+    * `loading` the unit eigenvector estimate, `lambda` = vᵀSv/n (the
+    * variance along it), `var_frac` = vᵀSv/tr(S) (fraction of total
+    * variance explained — the number a pipeline reads before deciding
+    * how many components to keep), ordered by dim. */
+  def pcaTopComponent(spark: SparkSession, emb: DataFrame,
+      iterations: Int = 8): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    import spark.implicits._
+    // normed()'s double-widening without its graft_dot norm (unused here)
+    val n = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    val cnt = n.count()
+    require(cnt > 0, "pcaTopComponent needs a non-empty corpus")
+    val d = n.select(size(col("v"))).head().getInt(0)
+    def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val mu = n.select(posexplode(col("v"))).toDF("i", "x")
+      .groupBy(col("i")).agg(dsum(col("x")).as("sx"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1) / cnt).toMap
+    val muLit = array((0 until d).map(i => lit(mu(i))): _*)
+    val scat = n
+      .withColumn("cv", zip_with(col("v"), muLit, (x, m) => x - m))
+      .select(col("cv"), posexplode(col("cv"))).toDF("cv", "i", "xi")
+      .select(col("i"), col("xi"), posexplode(col("cv"))).toDF("i", "xi", "j", "xj")
+      .groupBy(col("i"), col("j"))
+      .agg(dsum(col("xi") * col("xj")).as("sv"))
+      .localCheckpoint()
+    val d0 = scat.filter(col("i") === col("j"))
+      .orderBy(col("sv").desc, col("i")).select(col("i")).head().getInt(0)
+    var vec = Array.tabulate(d)(i => if (i == d0) 1.0 else 0.0)
+    var t = 0
+    while (t < iterations) {
+      val vLit = array(vec.map(lit): _*)
+      val w = scat
+        .groupBy(col("i"))
+        .agg(dsum(col("sv") * element_at(vLit, col("j") + 1)).as("wi"))
+        .localCheckpoint()
+      val nrm = math.sqrt(
+        w.agg(dsum(col("wi") * col("wi"))).head().getDouble(0))
+      val wMap = w.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      vec = Array.tabulate(d)(i => wMap(i) / nrm)
+      t += 1
+    }
+    val vLit = array(vec.map(lit): _*)
+    val rayleigh = scat.agg(dsum(col("sv")
+        * element_at(vLit, col("i") + 1)
+        * element_at(vLit, col("j") + 1)))
+      .head().getDouble(0)
+    val trace = scat.filter(col("i") === col("j"))
+      .agg(dsum(col("sv"))).head().getDouble(0)
+    (0 until d).map(i => (i.toLong, vec(i), rayleigh / cnt, rayleigh / trace))
+      .toDF("dim", "loading", "lambda", "var_frac")
+      .orderBy(col("dim"))
+  }
 }

@@ -1197,6 +1197,55 @@ object Vectors {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Top principal component of the embedding corpus
+    * ([[Similarity.pcaTopComponent]]): scatter matrix, 8 power-iteration
+    * rounds, Rayleigh variance and explained-variance fraction — every
+    * decimal-detoured sum and every round's normalized matvec replayed
+    * by the oracle in one recursive CTE (the v16 recipe on a 64-double
+    * state list instead of a centroid list). */
+  private def v18(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopComponent(spark, Corpus.embeddings(spark, dir))
+
+  private val v18Sql = {
+    val d = 64
+    s"""WITH RECURSIVE
+       |nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nv),
+       |mu AS (SELECT t.i AS i,
+       |         CAST(SUM(CAST(v[t.i + 1] AS DECIMAL(30,6))) AS DOUBLE)
+       |           / (SELECT c FROM cnt) AS m
+       |       FROM nv, range(0, $d) t(i) GROUP BY 1),
+       |ml AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+       |cent AS (SELECT vec_id, list_transform(list_zip(v, ml.ml), p -> p[1] - p[2]) AS cv
+       |         FROM nv, ml),
+       |scat AS (SELECT t.i AS i, u.j AS j,
+       |           CAST(SUM(CAST(cv[t.i + 1] * cv[u.j + 1] AS DECIMAL(30,6))) AS DOUBLE) AS sv
+       |         FROM cent, range(0, $d) t(i), range(0, $d) u(j) GROUP BY 1, 2),
+       |d0 AS (SELECT i FROM scat WHERE i = j ORDER BY sv DESC, i LIMIT 1),
+       |pw AS (
+       |  (SELECT 0 AS it,
+       |     (SELECT list(CASE WHEN t.i = d0.i THEN CAST(1 AS DOUBLE)
+       |                       ELSE CAST(0 AS DOUBLE) END ORDER BY t.i)
+       |      FROM range(0, $d) t(i), d0) AS vec)
+       |  UNION ALL
+       |  (SELECT p.it + 1,
+       |     (SELECT list(w.wi / sqrt((SELECT CAST(SUM(CAST(w2.wi * w2.wi AS DECIMAL(30,6))) AS DOUBLE)
+       |                               FROM (SELECT CAST(SUM(CAST(s2.sv * p.vec[s2.j + 1] AS DECIMAL(30,6))) AS DOUBLE) AS wi
+       |                                     FROM scat s2 GROUP BY s2.i) w2))
+       |                  ORDER BY w.i)
+       |      FROM (SELECT s.i AS i, CAST(SUM(CAST(s.sv * p.vec[s.j + 1] AS DECIMAL(30,6))) AS DOUBLE) AS wi
+       |            FROM scat s GROUP BY s.i) w) AS vec
+       |   FROM pw p WHERE p.it < 8)),
+       |fin AS (SELECT vec FROM pw ORDER BY it DESC LIMIT 1),
+       |ray AS (SELECT CAST(SUM(CAST(s.sv * f.vec[s.i + 1] * f.vec[s.j + 1] AS DECIMAL(30,6))) AS DOUBLE) AS l
+       |        FROM scat s, fin f),
+       |tr AS (SELECT CAST(SUM(CAST(sv AS DECIMAL(30,6))) AS DOUBLE) AS t FROM scat WHERE i = j)
+       |SELECT t.i AS dim, f.vec[t.i + 1] AS loading,
+       |  ray.l / (SELECT c FROM cnt) AS lambda, ray.l / tr.t AS var_frac
+       |FROM range(0, $d) t(i), fin f, ray, tr ORDER BY dim""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -1215,6 +1264,7 @@ object Vectors {
     QuerySpec("v15_lloyd_kmeans", v15, Some(v15Sql)),
     QuerySpec("v16_kmeanspp_seeds", v16, Some(v16Sql)),
     QuerySpec("v17_mips_topk", v17, Some(v17Sql)),
+    QuerySpec("v18_pca_power", v18, Some(v18Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -669,4 +669,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(again.map(_.toSeq).toSeq === approx.map(v =>
       Seq(v._1, v._2, v._3, v._4)).toSeq)
   }
+
+  test("pcaTopComponent recovers a planted dominant direction") {
+    // points at t * u + small orthogonal jitter, u = (3,4)/5: PC1 must
+    // align with u and explain nearly all variance
+    val u = Array(0.6, 0.8)
+    val pts = (-10 to 10).map { t =>
+      val jit = (t % 3) * 0.01 // deterministic tiny off-axis component
+      (t.toLong + 100L,
+        Array((t * u(0) - jit * u(1)).toFloat, (t * u(1) + jit * u(0)).toFloat),
+        0)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.pcaTopComponent(spark, pts, iterations = 12)
+      .collect()
+    assert(rows.length === 2)
+    val loading = rows.map(_.getAs[Double]("loading"))
+    val cosU = math.abs(loading(0) * u(0) + loading(1) * u(1))
+    assert(cosU > 0.9999, s"PC1 must align with the planted axis: $cosU")
+    assert(math.abs(math.sqrt(loading.map(x => x * x).sum) - 1.0) < 1e-9,
+      "loading vector must be unit norm")
+    val varFrac = rows.head.getAs[Double]("var_frac")
+    assert(varFrac > 0.999, s"planted axis carries ~all variance: $varFrac")
+    // lambda is the variance along PC1: for t=-10..10, var(t)=110/3ish
+    // exact population variance of t over 21 points = (2*sum 1..10 of
+    // t^2)/21 = 770/21; jitter adds < 1e-3
+    val lambda = rows.head.getAs[Double]("lambda")
+    assert(math.abs(lambda - 770.0 / 21) < 0.01, s"lambda off: $lambda")
+    // partitioning invariance (every sum rides the decimal detour)
+    val again = Similarity.pcaTopComponent(spark, pts.repartition(5),
+      iterations = 12).collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
 }
