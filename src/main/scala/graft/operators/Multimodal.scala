@@ -791,4 +791,117 @@ object Multimodal {
       }.filter(_.frame_idx % every == 0)
     })(Encoders.product[FrameRow]).toDF()
   }
+
+  final case class ShotVideoRow(video_id: Long, n_shots: Int,
+      frames_per_shot: Int, media: Array[Byte], format: String)
+
+  /** Deterministic video corpus with PLANTED SHOT STRUCTURE — the
+    * fixture for [[shotBoundaries]]: each doc becomes a GVID container
+    * of `2 + id % 3` shots × `2 + id % 2` frames. Every shot holds a
+    * luminance plateau (alternating dark ~20–29 / bright ~110–119
+    * levels, per-shot wiggle from the doubled fold), every frame adds
+    * per-pixel jitter < 5, all three channels equal — so within-shot
+    * frame-mean deltas stay < ~2 gray levels while cut deltas exceed
+    * ~240 (3 channels × ≥81 levels), a separation the detector's
+    * threshold sits inside with an order of magnitude to spare on each
+    * side. The planted truth is derivable: frame f starts a shot iff
+    * f % frames_per_shot == 0. */
+  def toShotVideoCorpus(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ids.map { base =>
+      val w = (8 + base % 5).toInt
+      val h = (6 + base % 4).toInt
+      val rowSize = (3 * w + 3) / 4 * 4
+      val nShots = (2 + base % 3).toInt
+      val fps = (2 + base % 2).toInt
+      def level(s: Int): Int =
+        (20L + doubleMix("shot:", s"shot:$base:$s") % 10L
+          + (if (s % 2 == 1) 90L else 0L)).toInt
+      val frames = (0 until nShots * fps).map { f =>
+        val lv = level(f / fps)
+        val fill = new Array[Byte](rowSize * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val b = (lv + doubleMix("jit:", s"jit:$base:$f:${y * w + x}") % 5L).toByte
+            val o = y * rowSize + 3 * x
+            fill(o) = b; fill(o + 1) = b; fill(o + 2) = b
+            x += 1
+          }
+          y += 1
+        }
+        bmpBytes(w, h, fill)
+      }
+      val buf = ByteBuffer.allocate(8 + frames.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+        .putInt(frames.length)
+      frames.foreach(buf.put)
+      ShotVideoRow(base, nShots, fps, buf.array(), "gvid")
+    }(Encoders.product[ShotVideoRow]).toDF()
+  }
+
+  final case class ShotBoundaryRow(video_id: Long, n_frames: Int,
+      frame_idx: Int, prev_mean: Double, cur_mean: Double, delta: Double)
+
+  /** Shot-boundary detection by frame-mean luminance delta — the
+    * standard hard-cut detector (threshold on successive-frame
+    * intensity difference; Boreczky & Rowe, "Comparison of video shot
+    * boundary detection techniques", SPIE 1996) and the segmentation
+    * pass a video training pipeline runs before picking one keyframe
+    * per shot. Walks each GVID container ONCE (validating magic and
+    * every frame's BMP header), accumulates each frame's exact BIGINT
+    * gray sum (r+g+b per pixel, the [[imageStats]] space), and emits a
+    * row per frame whose mean jumps more than `threshold` from its
+    * predecessor. `mapPartitions`: blobs stay executor-local; only the
+    * boundary rows — a handful of doubles each — leave the scan, which
+    * is what keeps the operator shuffle-free at 100 TB. Integer sums in
+    * any order + one double division per frame keep the means (and so
+    * the verdicts) bit-deterministic. */
+  def shotBoundaries(videos: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val ds = videos.select(col("video_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions(_.flatMap { case (id, media) =>
+      val buf = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      require(media.length >= 8 && buf.get(0) == 'G'.toByte && buf.get(1) == 'V'.toByte &&
+        buf.get(2) == 'I'.toByte && buf.get(3) == 'D'.toByte,
+        s"video $id: not a GVID container")
+      val n = buf.getInt(4)
+      var offset = 8
+      val means = new Array[Double](n)
+      var f = 0
+      while (f < n) {
+        require(media.length >= offset + 54 &&
+          buf.get(offset) == 'B'.toByte && buf.get(offset + 1) == 'M'.toByte,
+          s"video $id: frame $f is not a BMP at offset $offset")
+        val size = buf.getInt(offset + 2)
+        val dataPos = buf.getInt(offset + 10)
+        val w = buf.getInt(offset + 18)
+        val h = math.abs(buf.getInt(offset + 22))
+        val rowSize = (3 * w + 3) / 4 * 4
+        require(media.length >= offset + dataPos + rowSize * h,
+          s"video $id: frame $f truncated")
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = offset + dataPos + y * rowSize + 3 * x
+            sum += (media(o) & 0xff) + (media(o + 1) & 0xff) + (media(o + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        means(f) = sum.toDouble / (w.toLong * h).toDouble
+        offset += size
+        f += 1
+      }
+      (1 until n).iterator
+        .map(i => ShotBoundaryRow(id, n, i, means(i - 1), means(i),
+          math.abs(means(i) - means(i - 1))))
+        .filter(_.delta > threshold)
+    })(Encoders.product[ShotBoundaryRow]).toDF()
+  }
 }

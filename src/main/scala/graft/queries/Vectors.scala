@@ -596,6 +596,51 @@ object Vectors {
        |ORDER BY s.image_id""".stripMargin
   }
 
+  /** Shot-boundary detection over the planted-shot video corpus
+    * ([[Multimodal.shotBoundaries]] at threshold 40 — an order of
+    * magnitude above the jitter noise and below the cut jump). The
+    * oracle predicts every frame's mean luminance from the generation
+    * arithmetic (the m06/m09 double-remix discipline) and replays the
+    * threshold verdicts. */
+  private def m10(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.shotBoundaries(
+      Multimodal.toShotVideoCorpus(Corpus.documents(spark, dir)),
+      threshold = 40.0)
+      .orderBy(col("video_id"), col("frame_idx"))
+
+  private val m10Sql = {
+    val shotFold = Text.mixSql(
+      s"'shot:' || CAST((${Text.mixSql("'shot:' || video_id || ':' || s")}) AS VARCHAR)")
+    val jitFold = Text.mixSql(
+      s"'jit:' || CAST((${Text.mixSql("'jit:' || video_id || ':' || f || ':' || pi")}) AS VARCHAR)")
+    s"""WITH vids AS (SELECT doc_id AS video_id, 8 + doc_id % 5 AS w,
+       |                6 + doc_id % 4 AS h, 2 + doc_id % 3 AS n_shots,
+       |                2 + doc_id % 2 AS fps
+       |              FROM documents),
+       |fr AS (SELECT v.video_id, v.w, v.h,
+       |         CAST(v.n_shots * v.fps AS INT) AS n_frames, ff.f,
+       |         ff.f // v.fps AS s
+       |       FROM vids v,
+       |            LATERAL (SELECT unnest(range(0, v.n_shots * v.fps)) AS f) ff),
+       |lev AS (SELECT fr.*,
+       |          20 + ($shotFold) % 10
+       |             + CASE WHEN s % 2 = 1 THEN 90 ELSE 0 END AS lv
+       |        FROM fr),
+       |mn AS (SELECT video_id, n_frames, f,
+       |         CAST(SUM(3 * (lv + ($jitFold) % 5)) AS DOUBLE)
+       |           / (max(w) * max(h)) AS mean
+       |       FROM lev,
+       |            LATERAL (SELECT unnest(range(0, lev.w * lev.h)) AS pi) pp
+       |       GROUP BY 1, 2, 3),
+       |b AS (SELECT c.video_id, c.n_frames, CAST(c.f AS INT) AS frame_idx,
+       |        p.mean AS prev_mean, c.mean AS cur_mean,
+       |        abs(c.mean - p.mean) AS delta
+       |      FROM mn c JOIN mn p ON p.video_id = c.video_id AND p.f = c.f - 1)
+       |SELECT video_id, n_frames, frame_idx, prev_mean, cur_mean, delta
+       |FROM b WHERE delta > 40.0
+       |ORDER BY video_id, frame_idx""".stripMargin
+  }
+
   /** The IVF fit+probe CTE chain shared verbatim by the v04 and v05
     * oracles: the deterministic Lloyd coarse quantizer
     * ([[Similarity.lloydFit]] — fingerprint-smallest init, 2 rounds,
@@ -1273,5 +1318,6 @@ object Vectors {
     QuerySpec("m06_image_dedup_dhash", m06, Some(m06Sql)),
     QuerySpec("m07_audio_dedup_fingerprint", m07, Some(m07Sql)),
     QuerySpec("m08_video_dedup_frames", m08, Some(m08Sql)),
-    QuerySpec("m09_image_quality_stats", m09, Some(m09Sql)))
+    QuerySpec("m09_image_quality_stats", m09, Some(m09Sql)),
+    QuerySpec("m10_shot_boundaries", m10, Some(m10Sql)))
 }

@@ -369,4 +369,32 @@ class MultimodalSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2))
     assert(again === pairs)
   }
+
+  test("shotBoundaries recovers exactly the planted cuts and nothing else") {
+    val vids = Multimodal.toShotVideoCorpus((0L until 24L).toDF("doc_id"))
+    val got = Multimodal.shotBoundaries(vids, threshold = 40.0)
+      .select(col("video_id"), col("frame_idx"), col("delta"))
+      .as[(Long, Int, Double)].collect()
+    // planted truth: a cut exactly where a new shot starts
+    val planted = (0L until 24L).flatMap { id =>
+      val fps = (2 + id % 2).toInt
+      val nf = (2 + id % 3).toInt * fps
+      (1 until nf).filter(_ % fps == 0).map(f => (id, f))
+    }.toSet
+    assert(got.map(b => (b._1, b._2)).toSet === planted)
+    // cut deltas dwarf the threshold (>= 3 channels x 81-level jump
+    // minus jitter); within-shot deltas never fire at 40
+    assert(got.forall(_._3 > 200.0), s"weak cut: ${got.minBy(_._3)}")
+    // an absurd threshold finds nothing; a sub-jitter threshold fires
+    // on within-shot frames too (the detector measures, not memorizes)
+    assert(Multimodal.shotBoundaries(vids, threshold = 1e6).isEmpty)
+    val loose = Multimodal.shotBoundaries(vids, threshold = 1e-9)
+      .count()
+    assert(loose > got.length, "jitter must be visible below the noise floor")
+    // partitioning invariance
+    val again = Multimodal.shotBoundaries(vids.repartition(5), threshold = 40.0)
+      .select(col("video_id"), col("frame_idx"), col("delta"))
+      .as[(Long, Int, Double)].collect()
+    assert(again.sortBy(b => (b._1, b._2)).toSeq === got.sortBy(b => (b._1, b._2)).toSeq)
+  }
 }
