@@ -56,6 +56,43 @@ object Merge {
     (plan.before, after, plan.matchedKeys, plan.updateKeys - plan.matchedKeys)
   }
 
+  /** Conditional MERGE, last-writer-wins (the CDC-apply flavor of
+    * `MERGE INTO ... WHEN MATCHED AND source.ts > target.ts`): the
+    * target keeps, per key, the single row winning the `ordCols`
+    * ordering across target ∪ updates — so replaying stale changes can
+    * never regress a newer row, and applying the same batch twice is a
+    * no-op (idempotent upsert). `ordCols` must totally order rows
+    * within a key (end with a unique column, e.g. the event id);
+    * that's also what makes the final state independent of HOW changes
+    * were batched: per-key argmax is associative and commutative, so
+    * any batching of the same change set converges to the same table —
+    * the property the p15 stream≡batch gate checks.
+    *
+    * One shuffle on the key per apply; the rewrite is copy-on-write via
+    * the same atomic temp+rename as [[upsertParquet]]. A missing target
+    * bootstraps from the updates alone (first micro-batch). */
+  def lwwUpsertParquet(spark: SparkSession, targetDir: String,
+      updates: DataFrame, key: String, ordCols: Seq[String]): Unit = {
+    require(ordCols.nonEmpty, "lww merge needs at least one ordering column")
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(path)
+    val combined =
+      if (exists) {
+        val target = spark.read.parquet(targetDir)
+        require(target.columns.toSet == updates.columns.toSet,
+          s"schema mismatch: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+        target.unionByName(updates.select(target.columns.map(col): _*))
+      } else updates
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(ordCols.map(col(_).desc): _*)
+    val merged = combined
+      .withColumn("_lww_rn", row_number().over(w))
+      .filter(col("_lww_rn") === 1).drop("_lww_rn")
+    if (exists) swapInto(spark, targetDir, merged, suffix = "_lww")
+    else merged.write.mode(SaveMode.Overwrite).parquet(targetDir)
+  }
+
   /** Writes `df` to a temp sibling then swaps it into `dir`, checking
     * every filesystem step. Stale temp/backup dirs from a crashed prior
     * run are cleaned first — otherwise their presence makes rename

@@ -587,6 +587,37 @@ object Domain {
        |ORDER BY r.event_type, r.q""".stripMargin
   }
 
+  /** Streaming CDC upsert: the event stream last-writer-wins-merges
+    * into a keyed parquet table per micro-batch
+    * ([[SilverStream.cdcUpsertSink]] → [[graft.io.Merge.lwwUpsertParquet]]);
+    * the converged table must equal the batch per-user argmax — the
+    * stream≡batch equivalence gate applied to a WRITE loop (every other
+    * p-stream gates a read-side aggregation). Batch-boundary
+    * independence of the same merge is property-tested in StreamingSpec
+    * across arrival-order permutations. */
+  private def p15(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_p15_").toString + "/state"
+    val ck = java.nio.file.Files.createTempDirectory("graft_p15_ck_").toString
+    val src = eventsStream(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val q = SilverStream.cdcUpsertSink(src, out, "user_id", Seq("ts", "event_id"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy(col("user_id"))
+  }
+
+  private val p15Sql =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE user_id IS NOT NULL) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -601,5 +632,6 @@ object Domain {
     QuerySpec("p11_stream_cms_counts", p11, Some(p11Sql)),
     QuerySpec("p12_stream_mg_heavy", p12, Some(p12Sql)),
     QuerySpec("p13_stream_bloom_members", p13, Some(p13Sql)),
-    QuerySpec("p14_stream_kmv_quantiles", p14, Some(p14Sql)))
+    QuerySpec("p14_stream_kmv_quantiles", p14, Some(p14Sql)),
+    QuerySpec("p15_stream_cdc_upsert", p15, Some(p15Sql)))
 }

@@ -72,6 +72,20 @@ object SilverStream {
       partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(outDir)
     }
 
+  /** foreachBatch CDC apply: every micro-batch last-writer-wins-upserts
+    * into the keyed parquet table at `dir`
+    * ([[graft.io.Merge.lwwUpsertParquet]]). Because the per-key argmax
+    * is associative, the converged table is independent of micro-batch
+    * boundaries AND of failure-replayed epochs (re-applying a batch is
+    * a no-op) — the streaming CDC pattern that needs no _epoch dedup
+    * column, unlike [[appendSink]]'s at-least-once append. */
+  def cdcUpsertSink(df: DataFrame, outDir: String, key: String,
+      ordCols: Seq[String]): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.io.Merge.lwwUpsertParquet(batch.sparkSession, outDir, batch,
+        key, ordCols)
+    }
+
   /** Runs a streaming frame to completion against a memory sink and
     * returns the materialized result — used by tests and the stream/batch
     * equivalence oracle query.
