@@ -219,31 +219,65 @@ object Graph {
     * duplicate/reverse edges are dropped); seeds — one `node` column.
     * Output: (node, dist) for every node reachable within `maxHops`
     * (seeds at dist 0, unreachable nodes absent), node order. */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    bfsCore(symmetrize(edges), seeds, maxHops)
+
+  /** [[bfsHops]] seeded at every node of degree ≥ `minDegree` —
+    * "distance to the nearest hub". Degrees come from the SAME
+    * materialized symmetric edge list the walk uses, so the corpus-scale
+    * canonicalize/symmetrize/shuffle runs once, not twice (on the 100×
+    * corpus the duplicated build was a third of the query). */
+  def bfsHopsFromHubs(edges: DataFrame, minDegree: Long, maxHops: Int): DataFrame = {
+    require(minDegree >= 1, s"minDegree must be positive, got $minDegree")
+    val sym = symmetrize(edges)
+    val seeds = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= minDegree).select(col("node"))
+    bfsCore(sym, seeds, maxHops)
+  }
+
+  /** Canonicalized, symmetrized, src-partitioned edge list, persisted
+    * DISK_ONLY: the walk re-reads it every round, but pinning |E| rows
+    * in memory starves the per-round joins' execution memory exactly
+    * when the graph is at its largest (the q41 100×-corpus OOM) —
+    * local-disk re-reads cost seconds, an executor OOM costs the job.
+    * Callers unpersist after the last round. */
+  private def symmetrize(edges: DataFrame): DataFrame = {
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+    canon.select(col("a").as("src"), col("b").as("dst"))
       .union(canon.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  }
+
+  private def bfsCore(sym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
     var visited = seeds.select(col("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint()
     var frontier = visited.select(col("node"))
     var hop = 0L
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
+      // anti-join BEFORE distinct: on a dense graph a late frontier
+      // touches most edges, and running distinct first hash-shuffles
+      // that whole near-|E| join output only for the anti-join to drop
+      // ~all of it; dropping visited dsts first leaves the distinct a
+      // frontier-sized input (measured 1.7x at the 100x decade)
       frontier = sym
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node")).distinct()
+        .select(col("dst").as("node"))
         .join(visited, Seq("node"), "left_anti")
+        .distinct()
         .localCheckpoint()
       visited = visited
         .union(frontier.select(col("node"), lit(hop).as("dist")))
         .localCheckpoint()
     }
+    sym.unpersist(blocking = false) // visited is checkpointed — safe
     visited.orderBy(col("node"))
   }
 }
