@@ -90,7 +90,16 @@ object Merge {
       .withColumn("_lww_rn", row_number().over(w))
       .filter(col("_lww_rn") === 1).drop("_lww_rn")
     if (exists) swapInto(spark, targetDir, merged, suffix = "_lww")
-    else merged.write.mode(SaveMode.Overwrite).parquet(targetDir)
+    else {
+      // bootstrap through the same temp+rename: a crash mid-write must
+      // leave targetDir ABSENT (so the replayed epoch bootstraps again),
+      // never half-committed (which would wedge every later read)
+      val tmp = new org.apache.hadoop.fs.Path(targetDir + "_lww")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      require(fs.rename(tmp, path),
+        s"bootstrap failed: could not move $tmp into place")
+    }
   }
 
   /** Writes `df` to a temp sibling then swaps it into `dir`, checking

@@ -169,14 +169,7 @@ object Graph {
     * core, node order; empty when the whole graph peels away. */
   def kCore(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
-    var sym = canon.select(col("a").as("src"), col("b").as("dst"))
-      .union(canon.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).localCheckpoint()
+    var sym = canonSym(edges).localCheckpoint()
     var stable = false
     while (!stable) {
       val degs = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -236,13 +229,13 @@ object Graph {
     bfsCore(sym, seeds, maxHops)
   }
 
-  /** Canonicalized, symmetrized, src-partitioned edge list, persisted
-    * DISK_ONLY: the walk re-reads it every round, but pinning |E| rows
-    * in memory starves the per-round joins' execution memory exactly
-    * when the graph is at its largest (the q41 100×-corpus OOM) —
-    * local-disk re-reads cost seconds, an executor OOM costs the job.
-    * Callers unpersist after the last round. */
-  private def symmetrize(edges: DataFrame): DataFrame = {
+  /** Canonicalized (least/greatest, self-loops and nulls dropped,
+    * deduped), symmetrized, src-partitioned edge list — the ONE
+    * normalization every undirected iterative operator here starts
+    * from, unpersisted so each caller picks its storage: kCore
+    * localCheckpoints (its graph shrinks every round), the BFS walk
+    * persists DISK_ONLY (see [[symmetrize]]). */
+  private def canonSym(edges: DataFrame): DataFrame = {
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -251,8 +244,16 @@ object Graph {
     canon.select(col("a").as("src"), col("b").as("dst"))
       .union(canon.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
   }
+
+  /** [[canonSym]] persisted DISK_ONLY: the walk re-reads it every
+    * round, but pinning |E| rows in memory starves the per-round
+    * joins' execution memory exactly when the graph is at its largest
+    * (the q41 100×-corpus OOM) — local-disk re-reads cost seconds, an
+    * executor OOM costs the job. Callers unpersist after the last
+    * round. */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    canonSym(edges).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   private def bfsCore(sym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")

@@ -407,8 +407,12 @@ object Quality {
         - discount, lit(0.0))
       + (lit(discount) * col("n1p1").cast("double")) * pcont) /
       col("c1").cast("double")
+    // left joins throughout: a held-out doc whose group has NO training
+    // bigrams at all must still emit its all-OOV row (n_oov = n_bigrams,
+    // NULL mean/ppl), not vanish — an inner join on the model tables
+    // would silently drop exactly the docs the OOV convention exists for
     bigrams(heldOut, Seq(col(idCol).as("doc_id")))
-      .join(nTypes, Seq(groupCol))
+      .join(nTypes, Seq(groupCol), "left")
       .join(cont, Seq(groupCol, "w2"), "left")
       .join(ctx, Seq(groupCol, "w1"), "left")
       .join(c12, Seq(groupCol, "w1", "w2"), "left")

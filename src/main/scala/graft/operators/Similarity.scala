@@ -1214,6 +1214,8 @@ object Similarity {
         .localCheckpoint()
       val nrm = math.sqrt(
         w.agg(dsum(col("wi") * col("wi"))).head().getDouble(0))
+      require(nrm > 0,
+        "pcaTopComponent: zero-variance corpus (all vectors identical) has no principal direction")
       val wMap = w.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       vec = Array.tabulate(d)(i => wMap(i) / nrm)
       t += 1

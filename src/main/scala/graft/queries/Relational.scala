@@ -1025,29 +1025,37 @@ object Relational {
     * survivor and its within-core degree hash-gate. At sf0.01 the peel
     * runs 3 rounds to a 1562-node core; at sf0.1, 6 rounds to an
     * 18-node core (the w ≥ 2 backbone thins as the pair space grows) —
-    * both fixpoints replay exactly. */
+    * both fixpoints replay exactly.
+    *
+    * Shares [[copurchaseEdges]] with q41. */
+  private def q39(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(copurchaseEdges(spark, dir, minW = 2), k = 2)
+
   /** Co-purchase graph shared by q39/q41: parts paired within an order
     * (bounded per-order fanout — orders hold ≤7 lineitems), kept when
     * the pair repeats across at least `minW` orders. q39 peels the
     * repeat-confirmed graph (minW 2); q41 walks the full pair graph
     * (minW 1) — at sf0.1 the w≥2 graph thins to near-isolated nodes
-    * while the walk wants a connected component to traverse. */
+    * while the walk wants a connected component to traverse. At
+    * minW 1 the count/filter keeps everything, so the corpus-scale
+    * groupBy would be a pure dedup — skipped: the graph operators
+    * canonicalize-and-distinct their input anyway, making them the
+    * single dedup point (one full shuffle saved per q41 run). */
   private def copurchaseEdges(spark: SparkSession, dir: String,
       minW: Int): DataFrame = {
     val li = Corpus.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    li.as("l1").join(li.as("l2"),
+    val pairs = li.as("l1").join(li.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&
         col("l1.l_partkey") < col("l2.l_partkey"))
       .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
+    if (minW <= 1) pairs
+    else pairs
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minW)
       .select(col("src"), col("dst"))
   }
-
-  private def q39(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.kCore(copurchaseEdges(spark, dir, minW = 2), k = 2)
 
   private val q39Sql =
     s"""WITH RECURSIVE

@@ -2378,7 +2378,7 @@ object Text {
        |              WHEN r.c1 IS NULL THEN ln($pcont)
        |              ELSE ln($interp) END AS logp
        |       FROM hb
-       |       JOIN nt ON nt.lang = hb.lang
+       |       LEFT JOIN nt ON nt.lang = hb.lang
        |       LEFT JOIN ct ON ct.lang = hb.lang AND ct.w2 = hb.w2
        |       LEFT JOIN r ON r.lang = hb.lang AND r.w1 = hb.w1
        |       LEFT JOIN c12 b ON b.lang = hb.lang AND b.w1 = hb.w1

@@ -251,4 +251,19 @@ class QualitySpec extends SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("mean_logp")) &&
       row.isNullAt(row.fieldIndex("ppl")))
   }
+
+  test("kneserNeyScore: a group with no training data still emits all-OOV rows") {
+    // 'yy' never appears in train — its held-out doc must surface as
+    // fully OOV, not silently vanish through an inner model join
+    val train = Seq((1L, "xx", "a b a")).toDF("doc_id", "lang", "text")
+    val held = Seq(
+      (2L, "xx", "a b"),
+      (3L, "yy", "a b c")).toDF("doc_id", "lang", "text")
+    val rows = Quality.kneserNeyScore(train, held, "lang", "doc_id",
+      col("text")).collect()
+    assert(rows.length === 2, s"the train-less group must keep its row: ${rows.toSeq}")
+    val yy = rows.find(_.getAs[String]("lang") == "yy").get
+    assert(yy.getAs[Long]("n_bigrams") === 2L && yy.getAs[Long]("n_oov") === 2L)
+    assert(yy.isNullAt(yy.fieldIndex("mean_logp")))
+  }
 }

@@ -700,4 +700,15 @@ class SimilaritySpec extends SparkTestBase {
       iterations = 12).collect()
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
   }
+
+  test("pcaTopComponent fails fast on a zero-variance corpus instead of emitting NaNs") {
+    val flat = Seq(
+      (1L, Array(0.5f, 0.5f), 0),
+      (2L, Array(0.5f, 0.5f), 0),
+      (3L, Array(0.5f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaTopComponent(spark, flat, iterations = 2).collect()
+    }
+    assert(e.getMessage.contains("zero-variance"))
+  }
 }
