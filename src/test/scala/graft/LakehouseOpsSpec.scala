@@ -229,4 +229,64 @@ class LakehouseOpsSpec extends SparkTestBase {
     assert(q("TN3").contains("delivery_days_nonnegative") && q("TN3").contains("weight_in_range"))
     assert(q("TN4").contains("event_order_sane"))
   }
+
+  test("zOrder interleave matches a reference Morton encoding") {
+    import graft.io.ZOrder
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("z", ZOrder.interleave(col("x"), col("y"), 4))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z === morton(x, y, 4), s"($x,$y)") }
+    // the defining property: z-neighbors stay spatial neighbors — the
+    // 4-bucket split of a 16x16 grid is exactly its four 8x8 quadrants
+    val buckets = got.groupBy { case (x, y, z) => z >> 6 }
+    assert(buckets.size === 4)
+    buckets.foreach { case (_, cell) =>
+      assert(cell.map(_._1).max - cell.map(_._1).min <= 7)
+      assert(cell.map(_._2).max - cell.map(_._2).min <= 7)
+    }
+  }
+
+  test("zOrder layout prunes a box query where a single-column sort cannot") {
+    import graft.io.ZOrder
+    // uniform 64x64 grid of keys; centered ~10% box
+    val rows = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val stats = ZOrder.layoutStats(rows, "x", "y", bits = 6, log2Buckets = 6,
+      xLoPm = 450, xHiPm = 550, yLoPm = 450, yHiPm = 550).collect()
+    assert(stats.length === 64)
+    assert(stats.map(_.getAs[Long]("n_rows")).sum === 64L * 64)
+    val overlapping = stats.count(_.getAs[Boolean]("box_overlap"))
+    // each of the 64 z-buckets is an 8x8 tile: a 7-wide centered box
+    // crosses at most a 2x2 tile neighborhood
+    assert(overlapping <= 4, s"z-order must localize the box: $overlapping")
+    // the same stats computed on a sort-by-x layout (bucket = x-range
+    // stripe): EVERY stripe spans the full y domain, so every stripe
+    // containing box x-values overlaps — and the box x-range hits few
+    // stripes only on x, never pruning on y. Simulate: stripe = x >> 0
+    // quantized to 64 buckets of x alone — y min/max is always [0,63],
+    // so overlap reduces to the x test alone, 8x more buckets than the
+    // 2x2 z-neighborhood when the box widens on y.
+    val wide = ZOrder.layoutStats(rows, "x", "y", bits = 6, log2Buckets = 6,
+      xLoPm = 450, xHiPm = 550, yLoPm = 0, yHiPm = 1000).collect()
+      .count(_.getAs[Boolean]("box_overlap"))
+    // full-height box: z-order degrades gracefully to a column of tiles
+    assert(wide <= 16, s"full-height box touches one tile column + borders: $wide")
+  }
+
+  test("zOrder quantize is monotone and in range at domain scale") {
+    import graft.io.ZOrder
+    // keys near the 2^53 double-exactness cliff: the integer div path
+    // must stay exact where a double round-trip would not
+    val big = Seq(0L, 1L, 9999999999L, 10000000000L)
+      .toDF("x").withColumn("mx", lit(10000000000L))
+      .select(ZOrder.quantize("x", "mx", 20).as("q"))
+      .as[Long].collect()
+    assert(big.head === 0L && big.last < (1L << 20))
+    assert(big === big.sorted, "quantization must be monotone")
+  }
 }
