@@ -749,42 +749,14 @@ object Relational {
     graft.operators.Graph.pageRank(edges, iterations = 5, damping = 0.85)
   }
 
-  private val q34Sql = {
-    // constants interpolated from the SAME Scala doubles the operator
-    // uses (the BM25 discipline): (1.0 - 0.85) is NOT decimal 0.15, and
-    // all divisions must run in DOUBLE, never DuckDB's decimal division
-    val oneMinusD = java.lang.Double.toString(1.0 - 0.85)
-    // one iteration: rank joins out-degrees, contributions sum per dst
-    // through the decimal detour, sink-restoring left join from nodes
-    def step(prev: String, next: String) =
-      s"""$next AS (
-         |  SELECT n.node,
-         |    (CAST($oneMinusD AS DOUBLE) / (SELECT n FROM nn))
-         |      + 0.85 * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS pagerank
-         |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst,
-         |      CAST(SUM(CAST((p.pagerank / od.outdeg) AS DECIMAL(38,18))) AS DOUBLE) AS mass
-         |    FROM $prev p JOIN od ON p.node = od.src
-         |      JOIN e ON p.node = e.src
-         |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+  private val q34Sql =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
        |e AS (SELECT cust AS src, supp AS dst FROM pairs
        |      UNION ALL SELECT supp AS src, cust AS dst FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS node FROM e
-       |          UNION SELECT DISTINCT dst AS node FROM e),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
-       |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pagerank
-       |       FROM nodes),
-       |${step("p0", "p1")},
-       |${step("p1", "p2")},
-       |${step("p2", "p3")},
-       |${step("p3", "p4")},
-       |${step("p4", "p5")}
+       |${GraphSql.pageRankChainSql(iterations = 5, damping = 0.85)}
        |SELECT node, pagerank FROM p5 ORDER BY node""".stripMargin
-  }
 
   /** Per-user triangle counts in the event co-occurrence graph
     * ([[graft.operators.Graph.triangleCounts]]; Schank & Wagner WEA
@@ -1119,6 +1091,42 @@ object Relational {
        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Z-order layout statistics over lineitem's (l_partkey, l_suppkey)
+    * ([[graft.io.ZOrder.layoutStats]]): Morton-bucket the fact table at
+    * 10 bits per dimension into 64 buckets and gate every bucket's
+    * min/max footer statistics plus its prune verdict against a
+    * centered 10%×10% box query — the Delta/Iceberg OPTIMIZE ZORDER
+    * capability expressed as exact integer arithmetic both engines
+    * replay. The measured point (visible in the gated rows): the box
+    * touches a handful of rectangle-shaped buckets, where a
+    * single-column sort layout would leave every bucket overlapping on
+    * the other dimension. */
+  private def q42(spark: SparkSession, dir: String): DataFrame =
+    graft.io.ZOrder.layoutStats(
+      Corpus.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey", bits = 10, log2Buckets = 6,
+      xLoPm = 450, xHiPm = 550, yLoPm = 450, yHiPm = 550)
+
+  private val q42Sql = {
+    import graft.io.ZOrder.{interleaveSql, quantizeSql}
+    val z = interleaveSql(quantizeSql("l_partkey", "mxp", 10),
+      quantizeSql("l_suppkey", "mxs", 10), 10)
+    s"""WITH mx AS (SELECT max(l_partkey) AS mxp, max(l_suppkey) AS mxs
+       |            FROM lineitem),
+       |zt AS (SELECT l_partkey AS x, l_suppkey AS y,
+       |         ($z) >> 14 AS bucket,
+       |         ((mxp + 1) * 450) // 1000 AS xlo,
+       |         ((mxp + 1) * 550) // 1000 AS xhi,
+       |         ((mxs + 1) * 450) // 1000 AS ylo,
+       |         ((mxs + 1) * 550) // 1000 AS yhi
+       |       FROM lineitem, mx)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+       |  (min(x) <= max(xhi) AND max(x) >= max(xlo) AND
+       |   min(y) <= max(yhi) AND max(y) >= max(ylo)) AS box_overlap
+       |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -1159,6 +1167,7 @@ object Relational {
     QuerySpec("q37_retention_cohorts", q37, Some(q37Sql)),
     QuerySpec("q38_scd2_history", q38, Some(q38Sql)),
     QuerySpec("q39_kcore_copurchase", q39, Some(q39Sql)),
-    QuerySpec("q41_bfs_hops", q41, Some(q41Sql)))
+    QuerySpec("q41_bfs_hops", q41, Some(q41Sql)),
+    QuerySpec("q42_zorder_layout", q42, Some(q42Sql)))
 
 }

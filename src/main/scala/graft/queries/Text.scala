@@ -2391,6 +2391,74 @@ object Text {
        |ORDER BY lang, doc_id""".stripMargin
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Texts", EMNLP 2004): PageRank over the
+    * undirected adjacent-token co-occurrence graph, top-10 words per
+    * language — the unsupervised keyword pass run before building
+    * topic taxonomies or prompt seeds. Composes two gated pieces:
+    * t62's bigram extraction shape and q34's
+    * [[graft.operators.Graph.pageRank]] (per-language graphs ride ONE
+    * PageRank run on "lang:word" composite nodes — languages cannot
+    * leak mass into each other because no edge crosses a language).
+    * The oracle replays the full 5-iteration chain via the shared
+    * [[GraphSql.pageRankChainSql]] recipe and the same composite-node
+    * split. Only the bigram extraction is corpus-scale; the graph is
+    * vocab-sized. */
+  private def t64(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Corpus.documents(spark, dir)
+      .select(col("lang"), tokens(col("text")).as("sp"))
+      .filter(size(col("sp")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(sp) - 1), j -> struct(sp[j-1] AS w1, sp[j] AS w2))"))
+        .as("b"))
+      .filter(col("b.w1") =!= col("b.w2"))
+      .select(
+        least(concat(col("lang"), lit(":"), col("b.w1")),
+          concat(col("lang"), lit(":"), col("b.w2"))).as("a"),
+        greatest(concat(col("lang"), lit(":"), col("b.w1")),
+          concat(col("lang"), lit(":"), col("b.w2"))).as("c"))
+      .distinct()
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val pr = graft.operators.Graph.pageRank(edges, iterations = 5, damping = 0.85)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pagerank").desc, col("word"))
+    pr
+      .withColumn("lang", expr("substring(node, 1, locate(':', node) - 1)"))
+      .withColumn("word", expr("substring(node, locate(':', node) + 1)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("word"), col("pagerank"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  private val t64Sql =
+    s"""WITH d AS (SELECT lang, $toksSql AS sp FROM documents),
+       |bg AS (SELECT lang, sp[j] AS w1, sp[j + 1] AS w2
+       |       FROM (SELECT lang, sp, unnest(range(1, len(sp))) AS j
+       |             FROM d WHERE len(sp) >= 2) x
+       |       WHERE sp[j] <> sp[j + 1]),
+       |pairs AS (SELECT DISTINCT
+       |            least(lang || ':' || w1, lang || ':' || w2) AS a,
+       |            greatest(lang || ':' || w1, lang || ':' || w2) AS c
+       |          FROM bg),
+       |e AS (SELECT a AS src, c AS dst FROM pairs
+       |      UNION ALL SELECT c AS src, a AS dst FROM pairs),
+       |${GraphSql.pageRankChainSql(iterations = 5, damping = 0.85)},
+       |sp AS (SELECT substring(node, 1, strpos(node, ':') - 1) AS lang,
+       |         substring(node, strpos(node, ':') + 1) AS word, pagerank
+       |       FROM p5),
+       |r AS (SELECT lang, word, pagerank,
+       |        row_number() OVER (PARTITION BY lang
+       |                           ORDER BY pagerank DESC, word) AS rnk
+       |      FROM sp)
+       |SELECT lang, word, pagerank, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 10
+       |ORDER BY lang, rnk""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2454,5 +2522,6 @@ object Text {
     QuerySpec("t60_kmv_quantiles", t60, Some(t60Sql)),
     QuerySpec("t61_zipf_fit", t61, Some(t61Sql)),
     QuerySpec("t62_pmi_collocations", t62, Some(t62Sql)),
-    QuerySpec("t63_kneser_ney_ppl", t63, Some(t63Sql)))
+    QuerySpec("t63_kneser_ney_ppl", t63, Some(t63Sql)),
+    QuerySpec("t64_textrank_keywords", t64, Some(t64Sql)))
 }
