@@ -842,6 +842,115 @@ object Multimodal {
     }(Encoders.product[ShotVideoRow]).toDF()
   }
 
+  final case class SpeechAudioRow(audio_id: Long, n_speech: Int,
+      media: Array[Byte], format: String)
+
+  /** Deterministic audio corpus with PLANTED SPEECH/SILENCE structure —
+    * the fixture for [[vadSegments]]: each doc becomes a mono 16-bit
+    * WAV laid out as 80 samples of leading silence, then `2 + id % 3`
+    * speech bursts separated by silence gaps, ending in speech (so
+    * detection is exercised at both signal edges). Speech samples draw
+    * |s| up to 8000 from the doubled fold, silence keeps a realistic
+    * noise floor of |s| ≤ 30 — two orders of magnitude apart, with the
+    * detector threshold in between. Every region length is a multiple
+    * of the 40-sample analysis frame, so each frame is purely one kind
+    * and the planted truth is derivable sample-by-sample. */
+  def toSpeechAudioCorpus(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val ids = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ids.map { base =>
+      val nSeg = (2 + base % 3).toInt
+      def speechLen(k: Int): Int =
+        40 * (3 + doubleMix("len:", s"len:$base:$k") % 2L).toInt
+      def gapLen(k: Int): Int =
+        40 * (2 + doubleMix("gap:", s"gap:$base:$k") % 2L).toInt
+      // region list: (isSpeech, length)
+      val regions = (false, 80) +: (0 until nSeg).flatMap { k =>
+        val sp = (true, speechLen(k))
+        if (k < nSeg - 1) Seq(sp, (false, gapLen(k))) else Seq(sp)
+      }
+      val n = regions.map(_._2).sum
+      val bytes = new Array[Byte](n * 2)
+      var i = 0
+      regions.foreach { case (isSpeech, len) =>
+        var j = 0
+        while (j < len) {
+          val s =
+            if (isSpeech) (doubleMix("sp:", s"sp:$base:$i") % 16000L - 8000L).toInt
+            else (doubleMix("sil:", s"sil:$base:$i") % 60L - 30L).toInt
+          bytes(2 * i) = (s & 0xff).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1; j += 1
+        }
+      }
+      SpeechAudioRow(base, nSeg, wavBytes(sampleRate, n, bytes), "wav")
+    }(Encoders.product[SpeechAudioRow]).toDF()
+  }
+
+  final case class VadSegmentRow(audio_id: Long, seg_idx: Int,
+      start_frame: Int, end_frame: Int, n_frames: Int, sum_abs: Long)
+
+  /** Energy-threshold voice-activity detection / silence segmentation —
+    * the split-long-audio-on-silence pass a speech training pipeline
+    * runs before windowing clips (the energy detector of Rabiner &
+    * Sambur, Bell Syst. Tech. J. 1975). Walks each WAV's chunk list to
+    * the PCM, classifies consecutive `frameSamples`-sample frames as
+    * silent iff Σ|s| < silenceMeanAbs·frameSamples (exact integer
+    * arithmetic end to end — the verdicts replay bit-identically), and
+    * emits one row per maximal run of non-silent frames with its frame
+    * bounds and total absolute energy. A trailing partial frame is
+    * ignored. `mapPartitions`: blobs stay executor-local, only
+    * segment rows — a handful of integers each — leave the scan. */
+  def vadSegments(audio: DataFrame, frameSamples: Int,
+      silenceMeanAbs: Int): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
+    require(silenceMeanAbs > 0, s"silenceMeanAbs must be positive, got $silenceMeanAbs")
+    val ds = audio.select(col("audio_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions(_.flatMap { case (id, media) =>
+      val buf = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      require(media.length >= 44 &&
+        buf.getInt(0) == 0x46464952 && buf.getInt(8) == 0x45564157,
+        s"audio $id: not a WAV payload")
+      var pos = 12
+      var dataPos = -1; var dataSize = -1
+      while (pos + 8 <= media.length && dataSize < 0) {
+        val cid = buf.getInt(pos); val size = buf.getInt(pos + 4)
+        require(size >= 0, s"audio $id: corrupt WAV chunk size $size")
+        if (cid == 0x61746164) { dataPos = pos + 8; dataSize = size } // "data"
+        pos += 8 + size + (size & 1)
+      }
+      require(dataPos >= 0 && media.length >= dataPos + dataSize,
+        s"audio $id: WAV missing or truncated data chunk")
+      val nFrames = dataSize / 2 / frameSamples
+      val out = Seq.newBuilder[VadSegmentRow]
+      var segStart = -1
+      var segSum = 0L
+      var segIdx = 0
+      var f = 0
+      while (f < nFrames) {
+        var sum = 0L
+        var j = 0
+        while (j < frameSamples) {
+          sum += math.abs(buf.getShort(dataPos + 2 * (f * frameSamples + j)).toLong)
+          j += 1
+        }
+        val silent = sum < silenceMeanAbs.toLong * frameSamples
+        if (!silent) {
+          if (segStart < 0) { segStart = f; segSum = 0L }
+          segSum += sum
+        } else if (segStart >= 0) {
+          out += VadSegmentRow(id, segIdx, segStart, f - 1, f - segStart, segSum)
+          segIdx += 1; segStart = -1
+        }
+        f += 1
+      }
+      if (segStart >= 0)
+        out += VadSegmentRow(id, segIdx, segStart, nFrames - 1,
+          nFrames - segStart, segSum)
+      out.result()
+    })(Encoders.product[VadSegmentRow]).toDF()
+  }
+
   final case class ShotBoundaryRow(video_id: Long, n_frames: Int,
       frame_idx: Int, prev_mean: Double, cur_mean: Double, delta: Double)
 

@@ -1291,6 +1291,62 @@ object Vectors {
        |FROM range(0, $d) t(i), fin f, ray, tr ORDER BY dim""".stripMargin
   }
 
+  /** Voice-activity segmentation over the planted speech/silence corpus
+    * ([[Multimodal.vadSegments]] at 40-sample frames, mean-|s| threshold
+    * 500 — two orders of magnitude between the planted noise floor and
+    * speech energy). The oracle rebuilds every region, sample, frame
+    * energy, and gaps-and-islands segment from the generation
+    * arithmetic and replays the exact integer verdicts. */
+  private def m11(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.vadSegments(
+      Multimodal.toSpeechAudioCorpus(Corpus.documents(spark, dir)),
+      frameSamples = 40, silenceMeanAbs = 500)
+      .orderBy(col("audio_id"), col("seg_idx"))
+
+  private val m11Sql = {
+    def fold(salt: String, inner: String) = Text.mixSql(
+      s"'$salt:' || CAST((${Text.mixSql(s"'$salt:' || $inner")}) AS VARCHAR)")
+    val lenFold = fold("len", "audio_id || ':' || k")
+    val gapFold = fold("gap", "audio_id || ':' || k")
+    val spFold = fold("sp", "audio_id || ':' || i")
+    val silFold = fold("sil", "audio_id || ':' || i")
+    s"""WITH a AS (SELECT doc_id AS audio_id, 2 + doc_id % 3 AS nseg
+       |           FROM documents),
+       |reg0 AS (
+       |  SELECT audio_id, 0 AS r, FALSE AS sp, CAST(80 AS BIGINT) AS len FROM a
+       |  UNION ALL
+       |  SELECT audio_id, 2 * k + 1, TRUE, 40 * (3 + ($lenFold) % 2)
+       |  FROM a, LATERAL (SELECT unnest(range(0, a.nseg)) AS k) kk
+       |  UNION ALL
+       |  SELECT audio_id, 2 * k + 2, FALSE, 40 * (2 + ($gapFold) % 2)
+       |  FROM a, LATERAL (SELECT unnest(range(0, a.nseg - 1)) AS k) kk),
+       |reg AS (SELECT audio_id, r, sp, len,
+       |          CAST(COALESCE(SUM(len) OVER (PARTITION BY audio_id ORDER BY r
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |        FROM reg0),
+       |smp AS (SELECT audio_id, sp, st + j AS i
+       |        FROM reg, LATERAL (SELECT unnest(range(0, reg.len)) AS j) jj),
+       |sv AS (SELECT audio_id, i // 40 AS f,
+       |         CASE WHEN sp THEN ($spFold) % 16000 - 8000
+       |              ELSE ($silFold) % 60 - 30 END AS s
+       |       FROM smp),
+       |fr AS (SELECT audio_id, f, CAST(SUM(abs(s)) AS BIGINT) AS sum_abs
+       |       FROM sv GROUP BY 1, 2),
+       |ns AS (SELECT audio_id, f, sum_abs FROM fr WHERE sum_abs >= 500 * 40),
+       |g AS (SELECT audio_id, f, sum_abs,
+       |        f - row_number() OVER (PARTITION BY audio_id ORDER BY f) AS grp
+       |      FROM ns),
+       |seg AS (SELECT audio_id, grp, min(f) AS sf, max(f) AS ef,
+       |          count(*) AS nf, CAST(SUM(sum_abs) AS BIGINT) AS sum_abs
+       |        FROM g GROUP BY 1, 2)
+       |SELECT audio_id,
+       |  CAST(row_number() OVER (PARTITION BY audio_id ORDER BY sf) - 1 AS INT) AS seg_idx,
+       |  CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
+       |  CAST(nf AS INT) AS n_frames, sum_abs
+       |FROM seg
+       |ORDER BY audio_id, seg_idx""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -1319,5 +1375,6 @@ object Vectors {
     QuerySpec("m07_audio_dedup_fingerprint", m07, Some(m07Sql)),
     QuerySpec("m08_video_dedup_frames", m08, Some(m08Sql)),
     QuerySpec("m09_image_quality_stats", m09, Some(m09Sql)),
-    QuerySpec("m10_shot_boundaries", m10, Some(m10Sql)))
+    QuerySpec("m10_shot_boundaries", m10, Some(m10Sql)),
+    QuerySpec("m11_vad_segments", m11, Some(m11Sql)))
 }

@@ -397,4 +397,38 @@ class MultimodalSpec extends SparkTestBase {
       .as[(Long, Int, Double)].collect()
     assert(again.sortBy(b => (b._1, b._2)).toSeq === got.sortBy(b => (b._1, b._2)).toSeq)
   }
+
+  test("vadSegments recovers exactly the planted speech bursts") {
+    val aud = Multimodal.toSpeechAudioCorpus((0L until 20L).toDF("doc_id"))
+    val segs = Multimodal.vadSegments(aud, frameSamples = 40, silenceMeanAbs = 500)
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for (id <- 0L until 20L) {
+      val got = segs(id)
+      assert(got.length === (2 + id % 3).toInt, s"audio $id segment count")
+      // segments are separated by >= 2 silent frames (gap >= 80 samples)
+      // and the first starts after the 2-frame leading silence
+      assert(got.head._3 === 2, s"audio $id first segment after lead-in")
+      got.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._4 >= 3, s"audio $id gap")
+        case _ =>
+      }
+      // frame bounds consistent and speech energy well above threshold
+      got.foreach { s =>
+        assert(s._5 === s._4 - s._3 + 1)
+        assert(s._6 / s._5 > 40L * 2000, s"audio $id segment energy: $s")
+      }
+    }
+    // a sky-high threshold silences everything; a zero-floor one merges
+    // the whole signal into a single segment per audio
+    assert(Multimodal.vadSegments(aud, 40, 1000000).isEmpty)
+    val merged = Multimodal.vadSegments(aud, 40, 1)
+      .groupBy(col("audio_id")).count().as[(Long, Long)].collect()
+    assert(merged.forall(_._2 === 1L), "noise floor is nonzero everywhere")
+    // partitioning invariance
+    val again = Multimodal.vadSegments(aud.repartition(7), 40, 500)
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+      .sortBy(s => (s._1, s._2)).toSeq
+    assert(again === segs.values.flatten.toSeq.sortBy(s => (s._1, s._2)))
+  }
 }
