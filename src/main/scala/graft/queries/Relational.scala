@@ -1127,6 +1127,89 @@ object Relational {
        |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Time-weighted average of each user's event `value` — the TWAP /
+    * step-function mean of temporal analytics (a plain AVG over
+    * irregular observations is biased toward bursts; weighting each
+    * value by its holding duration `lead(ts) − ts` is the standard
+    * correction). One key-partitioned sort supplies the lead; products
+    * `value · duration_us` are single double ops over exact integer
+    * micros, and only their Σ crosses the shuffle (decimal detour —
+    * summands are O(value·duration) ≫ the 10⁻⁶ grid). Users with one
+    * event carry no duration and are excluded, as in any TWAP. */
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Corpus.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("window_us"),
+        (Num.dsum(col("value") * col("dur_us").cast("double"))
+          / sum(col("dur_us")).cast("double")).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  /** CMS join-cardinality estimate
+    * ([[graft.operators.Frequency.cmsJoinSize]]): |R-slice ⋈ A-slice|
+    * of lineitem on l_suppkey from two 4×8192 Count-Min matrices — the
+    * pre-join planner statistic, gated beside its exact ground truth
+    * so the estimator's bias is data. The oracle rebuilds both
+    * matrices cell by cell (the t55 chain, twice) and replays every
+    * row-wise inner product, the min, and the exact Σ f_R·f_A. */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(spark, dir)
+    graft.operators.Frequency.cmsJoinSize(
+      li.filter(col("l_returnflag") === "R"),
+      li.filter(col("l_returnflag") === "A"),
+      col("l_suppkey"), depth = 4, width = 8192)
+  }
+
+  private val q44Sql = {
+    def cellOf(r: String) =
+      s"(${Text.foldSql(s"'cms:' || $r || ':' || k")}) % 8192"
+    def chain(src: String, flag: String, pfx: String) =
+      s"""${pfx}k AS (SELECT CAST(l_suppkey AS VARCHAR) AS k
+         |        FROM $src WHERE l_returnflag = '$flag'),
+         |${pfx}f AS (SELECT k, CAST(count(*) AS BIGINT) AS freq FROM ${pfx}k GROUP BY k),
+         |${pfx}c AS (SELECT CAST(r AS INT) AS row, ${cellOf("r")} AS cell,
+         |          CAST(sum(freq) AS BIGINT) AS cnt
+         |        FROM ${pfx}f, LATERAL (SELECT unnest(range(0, 4)) AS r) rr
+         |        GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${chain("lineitem", "R", "a")},
+       |${chain("lineitem", "A", "b")},
+       |ip AS (SELECT t.r AS row,
+       |         CAST(COALESCE(SUM(ac.cnt * bc.cnt), 0) AS BIGINT) AS "inner"
+       |       FROM (SELECT unnest(range(0, 4)) AS r) t
+       |       LEFT JOIN ac ON ac.row = t.r
+       |       LEFT JOIN bc ON bc.row = t.r AND bc.cell = ac.cell
+       |       GROUP BY 1),
+       |ts AS (SELECT CAST(COALESCE(SUM(af.freq * bf.freq), 0) AS BIGINT) AS true_size
+       |       FROM af JOIN bf USING (k)),
+       |es AS (SELECT min("inner") AS est FROM ip)
+       |SELECT CAST(ip.row AS INT) AS row, ip."inner", ts.true_size, es.est,
+       |  es.est - ts.true_size AS overestimate
+       |FROM ip, ts, es ORDER BY row""".stripMargin
+  }
+
+  private val q43Sql =
+    s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+       |           FROM events
+       |           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       |d AS (SELECT user_id, value,
+       |        lead(ts_us, 1) OVER (PARTITION BY user_id
+       |                             ORDER BY ts_us, event_id) - ts_us AS dur_us
+       |      FROM e)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       |  CAST(sum(dur_us) AS BIGINT) AS window_us,
+       |  ${Num.dsumSql("value * CAST(dur_us AS DOUBLE)")}
+       |    / CAST(sum(dur_us) AS DOUBLE) AS twap
+       |FROM d WHERE dur_us IS NOT NULL
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -1168,6 +1251,8 @@ object Relational {
     QuerySpec("q38_scd2_history", q38, Some(q38Sql)),
     QuerySpec("q39_kcore_copurchase", q39, Some(q39Sql)),
     QuerySpec("q41_bfs_hops", q41, Some(q41Sql)),
-    QuerySpec("q42_zorder_layout", q42, Some(q42Sql)))
+    QuerySpec("q42_zorder_layout", q42, Some(q42Sql)),
+    QuerySpec("q43_time_weighted_avg", q43, Some(q43Sql)),
+    QuerySpec("q44_cms_join_size", q44, Some(q44Sql)))
 
 }
