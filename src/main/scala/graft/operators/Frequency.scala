@@ -107,6 +107,54 @@ object Frequency {
       .orderBy(col("freq").desc, col("token"))
   }
 
+  /** Join-size estimation from two Count-Min sketches (Cormode &
+    * Muthukrishnan, J. Algorithms 2005 §4.2 — the sketch form of the
+    * AGMS inner-product estimator): |A ⋈_k B| = Σ_v f_A(v)·f_B(v), and
+    * the row-wise inner product of the two matrices min'd over rows
+    * estimates it from above — the cardinality statistic a query
+    * planner consults BEFORE choosing a join strategy, computed from
+    * two fixed-size summaries instead of either table.
+    *
+    * Scale shape: each side is one scan into a depth×width
+    * TypedImperativeAggregate (map-side partials, element-wise merge);
+    * the inner products run on the two collected matrices —
+    * fixed-size, the bounded-collect class. The exact ground truth
+    * (one aggregation per side + a key join of the two frequency
+    * tables) is computed alongside and gated WITH the estimate, so the
+    * estimator's bias is data, not a claim.
+    *
+    * Output: one row per sketch row r — (row, inner = Σ_c A[r,c]·B[r,c],
+    * true_size, est = min_r inner, overestimate = est − true_size ≥ 0
+    * by construction), ordered by row. All exact integers. */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, key: org.apache.spark.sql.Column,
+      depth: Int, width: Int): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    require(width > 1, s"width must exceed 1, got $width")
+    val spark = a.sparkSession
+    GraftExpressions.register(spark)
+    import spark.implicits._
+    def matrix(df: DataFrame): Seq[Long] = df
+      .select(key.cast("string").as("k"))
+      .agg(expr(s"graft_cms_sketch(k, $depth, $width)").as("m"))
+      .head().getSeq[Long](0)
+    val ma = matrix(a)
+    val mb = matrix(b)
+    val inner = (0 until depth).map { r =>
+      (0 until width).map(c => ma(r * width + c) * mb(r * width + c)).sum
+    }
+    val est = inner.min
+    val fa = a.select(key.cast("string").as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("ca"))
+    val fb = b.select(key.cast("string").as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("cb"))
+    val trueSize = fa.join(fb, Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).head().getLong(0)
+    inner.zipWithIndex
+      .map { case (ip, r) => (r, ip, trueSize, est, est - trueSize) }
+      .toDF("row", "inner", "true_size", "est", "overestimate")
+      .orderBy(col("row"))
+  }
+
   /** `alpha_m · m²` for HLL precision p — the Flajolet et al. (2007)
     * bias constants. A Scala-computed double, INLINED into the SQL
     * mirror via Double.toString, so both engines use the identical

@@ -1146,6 +1146,66 @@ object Similarity {
       k).withColumnRenamed("cos_sim", "dot")
   }
 
+  /** Achlioptas ±1 sign matrix for the JL projection (outDims × dim),
+    * fixed-seed like [[planeLiteral]] — a shared cross-engine CONSTANT
+    * interpolated into both the Spark literals and the SQL oracle. */
+  private[graft] def jlSigns(outDims: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(7L)
+    Array.fill(outDims, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Johnson-Lindenstrauss random projection with MEASURED distortion
+    * (Johnson & Lindenstrauss 1984; Achlioptas, "Database-friendly
+    * random projections", JCSS 2003): project d-dim embeddings to
+    * `outDims` via a ±1 sign matrix scaled by 1/√outDims — the
+    * dimensionality-reduction pass that makes downstream
+    * all-pairs/LSH/clustering 4× cheaper per halving while provably
+    * preserving pairwise L2 up to 1 ± O(1/√outDims) — and gate the
+    * theorem AS DATA: every pair among the first `nSample` vectors
+    * carries its original distance², projected distance², and ratio.
+    *
+    * Scale shape: the projection is one per-row expression chain (a
+    * zip_with fold per output dim — codegen'd, no aggregation, no
+    * shuffle); only the bounded nSample² distortion audit joins. On a
+    * full corpus a caller uses the same projection column and keeps
+    * the audit sampled exactly as here.
+    *
+    * Determinism: the sign matrix is a fixed-seed constant shared with
+    * the oracle; per-row folds follow the [[fullL2]] sequential-fold
+    * contract, so distances and ratios replay bit-identically.
+    *
+    * Output: (vec_id_a, vec_id_b, d2_orig, d2_proj, ratio), pairs with
+    * d2_orig > 0 among vec_id < nSample, ordered. */
+  def jlDistortion(spark: SparkSession, emb: DataFrame, outDims: Int,
+      nSample: Int): DataFrame = {
+    require(outDims >= 1, s"outDims must be positive, got $outDims")
+    require(nSample >= 2, s"nSample needs at least one pair, got $nSample")
+    val sub = emb
+      .filter(col("vec_id") < nSample)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    val d = sub.select(size(col("v"))).head().getInt(0)
+    val signs = jlSigns(outDims, d)
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val proj = sub.withColumn("y", array(signs.map { row =>
+      aggregate(
+        zip_with(col("v"), array(row.map(lit): _*), (x, s) => x * s),
+        lit(0.0), (acc, t) => acc + t) * lit(scale)
+    }: _*))
+    val a = proj.select(col("vec_id").as("vec_id_a"), col("v").as("va"),
+      col("y").as("ya"))
+    val b = proj.select(col("vec_id").as("vec_id_b"), col("v").as("vb"),
+      col("y").as("yb"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .withColumn("d2_orig", fullL2(col("va"), col("vb")))
+      .withColumn("d2_proj", fullL2(col("ya"), col("yb")))
+      .filter(col("d2_orig") > 0)
+      .select(col("vec_id_a"), col("vec_id_b"), col("d2_orig"),
+        col("d2_proj"), (col("d2_proj") / col("d2_orig")).as("ratio"))
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+
   /** Top principal component by power iteration on the scatter matrix
     * (Pearson 1901; Mises & Pollaczek-Geiringer ZAMM 1929) — the
     * dimensionality-reduction / whitening pass run before ANN indexing

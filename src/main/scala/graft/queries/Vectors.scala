@@ -1291,6 +1291,42 @@ object Vectors {
        |FROM range(0, $d) t(i), fin f, ray, tr ORDER BY dim""".stripMargin
   }
 
+  /** Johnson-Lindenstrauss ±1 projection 64 → 16 dims with the theorem
+    * gated as data ([[Similarity.jlDistortion]]): all 190 pairs among
+    * the first 20 vectors carry original/projected distance² and the
+    * ratio (concentrated 1 ± O(1/√16)). The fixed-seed sign matrix is
+    * interpolated into BOTH engines as a literal (the v17 planes
+    * idiom); folds follow the proven list_sum contract. */
+  private def v19(spark: SparkSession, dir: String): DataFrame =
+    Similarity.jlDistortion(spark, Corpus.embeddings(spark, dir),
+      outDims = 16, nSample = 20)
+
+  private val v19Sql = {
+    val signs = Similarity.jlSigns(16, 64)
+      .map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val scale = java.lang.Double.toString(1.0 / math.sqrt(16.0))
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    s"""WITH nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |            FROM embeddings WHERE vec_id < 20),
+       |sg AS (SELECT list_transform($signs,
+       |         srow -> list_transform(srow, x -> CAST(x AS DOUBLE))) AS signs),
+       |pj AS (SELECT vec_id, v,
+       |         list_transform(sg.signs, srow ->
+       |           list_sum(list_transform(list_zip(v, srow), z -> z[1] * z[2]))
+       |             * CAST($scale AS DOUBLE)) AS y
+       |       FROM nv, sg),
+       |pr AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       |         ${l2("a.v", "b.v")} AS d2_orig,
+       |         ${l2("a.y", "b.y")} AS d2_proj
+       |       FROM pj a JOIN pj b ON a.vec_id < b.vec_id)
+       |SELECT vec_id_a, vec_id_b, d2_orig, d2_proj,
+       |  d2_proj / d2_orig AS ratio
+       |FROM pr WHERE d2_orig > 0
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+  }
+
   /** Voice-activity segmentation over the planted speech/silence corpus
     * ([[Multimodal.vadSegments]] at 40-sample frames, mean-|s| threshold
     * 500 — two orders of magnitude between the planted noise floor and
@@ -1366,6 +1402,7 @@ object Vectors {
     QuerySpec("v16_kmeanspp_seeds", v16, Some(v16Sql)),
     QuerySpec("v17_mips_topk", v17, Some(v17Sql)),
     QuerySpec("v18_pca_power", v18, Some(v18Sql)),
+    QuerySpec("v19_jl_distortion", v19, Some(v19Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -183,4 +183,34 @@ class FrequencySpec extends SparkTestBase {
     val b = Frequency.cmsEstimates(many, 4, 16).collect().toSeq
     assert(a === b, "merge order cannot change a sum-structured sketch")
   }
+
+  test("cmsJoinSize: exact at wide width, one-sided at narrow, hand-checked truth") {
+    // A: key k1 x3, k2 x2, k3 x1; B: k1 x2, k3 x4, k9 x5
+    // true |A join B| = 3*2 + 1*4 = 10 (k2 and k9 match nothing)
+    def tbl(rows: Seq[(String, Int)]) = rows
+      .flatMap { case (k, n) => Seq.fill(n)(k) }.zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val aT = tbl(Seq("k1" -> 3, "k2" -> 2, "k3" -> 1))
+    val bT = tbl(Seq("k1" -> 2, "k3" -> 4, "k9" -> 5))
+    val wide = Frequency.cmsJoinSize(aT, bT, col("k"), depth = 4, width = 1024)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(wide.length === 4)
+    assert(wide.forall(_._3 === 10L), "hand-computed true size")
+    assert(wide.forall(r => r._4 === r._5 + 10L))
+    // 4 keys in 1024 cells: no collisions, the estimate is exact
+    assert(wide.head._4 === 10L, s"wide-width estimate must be exact: ${wide.head}")
+    // width 2 forces collisions: every row's inner product >= truth,
+    // and the min keeps the one-sided guarantee
+    val narrow = Frequency.cmsJoinSize(aT, bT, col("k"), depth = 4, width = 2)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(narrow.forall(r => r._2 >= 10L), "inner products never undershoot")
+    assert(narrow.forall(r => r._4 >= 10L && r._5 >= 0L))
+    // disjoint keys: estimate may collide upward but truth is 0 and the
+    // frame still carries all depth rows
+    val disj = Frequency.cmsJoinSize(aT,
+      tbl(Seq("z1" -> 2, "z2" -> 2)), col("k"), depth = 4, width = 1024)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(disj.length === 4 && disj.forall(_._3 === 0L))
+    assert(disj.head._4 === 0L, "no shared cells at wide width")
+  }
 }

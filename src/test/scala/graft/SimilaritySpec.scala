@@ -701,6 +701,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
   }
 
+  test("jlDistortion preserves one-hot norms exactly and centers ratios on 1") {
+    // Projecting a one-hot vector: y_j = ±1/sqrt(k), so ||y||^2 =
+    // k * (1/k) = 1 EXACTLY (sums of 1/16 are exact in binary) — the
+    // hand-checkable corner of the JL lemma. Pair each e_i with the
+    // zero vector: d2_orig = d2_proj = 1, ratio = 1.0 bit-exactly.
+    val oneHots = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(16)(j => if (j == i) 1.0f else 0.0f), 0)
+    } :+ ((8L, Array.fill(16)(0.0f), 0))
+    val got = graft.operators.Similarity.jlDistortion(
+        spark, oneHots.toDF("vec_id", "embedding", "label"),
+        outDims = 16, nSample = 9)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val vsZero = got.filter(_._2 == 8L)
+    assert(vsZero.length === 8)
+    vsZero.foreach { p =>
+      assert(p._3 === 1.0 && p._4 === 1.0 && p._5 === 1.0, s"one-hot pair $p")
+    }
+    // e_i vs e_j distances: orig exactly 2; projected ratios average ~1
+    val cross = got.filter(_._2 < 8L)
+    assert(cross.forall(_._3 === 2.0))
+    val meanRatio = cross.map(_._5).sum / cross.length
+    assert(math.abs(meanRatio - 1.0) < 0.35, s"JL mean ratio: $meanRatio")
+    // partitioning invariance (pure per-row expressions + a sample join)
+    val again = graft.operators.Similarity.jlDistortion(
+        spark, oneHots.toDF("vec_id", "embedding", "label").repartition(5),
+        outDims = 16, nSample = 9)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(again.sortBy(p => (p._1, p._2)).toSeq === got.sortBy(p => (p._1, p._2)).toSeq)
+  }
+
   test("pcaTopComponent fails fast on a zero-variance corpus instead of emitting NaNs") {
     val flat = Seq(
       (1L, Array(0.5f, 0.5f), 0),
