@@ -951,6 +951,91 @@ object Multimodal {
     })(Encoders.product[VadSegmentRow]).toDF()
   }
 
+  final case class KeyframeRow(video_id: Long, shot_idx: Int,
+      start_frame: Int, end_frame: Int, n_frames: Int, keyframe: Int,
+      key_sharpness: Long)
+
+  /** Per-shot keyframe selection — the segmentation-then-sampling pass
+    * that turns raw video into training frames: segment each GVID
+    * container at mean-luminance cuts (the [[shotBoundaries]] detector)
+    * and pick, per shot, the SHARPEST frame (max horizontal gradient
+    * energy, the [[imageStats]] blur proxy; ties to the earliest
+    * frame) — one representative image per shot instead of
+    * all-frames-equal sampling. One container walk computes both the
+    * frame means (for cuts) and gradients (for selection); only
+    * shot-count rows leave the scan. Exact integer sums end to end —
+    * segmentation and selection replay bit-identically. */
+  def shotKeyframes(videos: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val ds = videos.select(col("video_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions(_.flatMap { case (id, media) =>
+      val buf = ByteBuffer.wrap(media).order(ByteOrder.LITTLE_ENDIAN)
+      require(media.length >= 8 && buf.get(0) == 'G'.toByte && buf.get(1) == 'V'.toByte &&
+        buf.get(2) == 'I'.toByte && buf.get(3) == 'D'.toByte,
+        s"video $id: not a GVID container")
+      val n = buf.getInt(4)
+      var offset = 8
+      val means = new Array[Double](n)
+      val grads = new Array[Long](n)
+      var f = 0
+      while (f < n) {
+        require(media.length >= offset + 54 &&
+          buf.get(offset) == 'B'.toByte && buf.get(offset + 1) == 'M'.toByte,
+          s"video $id: frame $f is not a BMP at offset $offset")
+        val size = buf.getInt(offset + 2)
+        val dataPos = buf.getInt(offset + 10)
+        val w = buf.getInt(offset + 18)
+        val h = math.abs(buf.getInt(offset + 22))
+        val rowSize = (3 * w + 3) / 4 * 4
+        require(media.length >= offset + dataPos + rowSize * h,
+          s"video $id: frame $f truncated")
+        var sum = 0L
+        var grad = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          var prev = -1
+          while (x < w) {
+            val o = offset + dataPos + y * rowSize + 3 * x
+            val g = (media(o) & 0xff) + (media(o + 1) & 0xff) + (media(o + 2) & 0xff)
+            sum += g
+            if (prev >= 0) grad += math.abs(g - prev)
+            prev = g
+            x += 1
+          }
+          y += 1
+        }
+        means(f) = sum.toDouble / (w.toLong * h).toDouble
+        grads(f) = grad
+        offset += size
+        f += 1
+      }
+      val out = Seq.newBuilder[KeyframeRow]
+      var shotStart = 0
+      var shotIdx = 0
+      def close(endExclusive: Int): Unit = {
+        var best = shotStart
+        var bf = shotStart + 1
+        while (bf < endExclusive) {
+          if (grads(bf) > grads(best)) best = bf
+          bf += 1
+        }
+        out += KeyframeRow(id, shotIdx, shotStart, endExclusive - 1,
+          endExclusive - shotStart, best, grads(best))
+        shotIdx += 1
+        shotStart = endExclusive
+      }
+      var i = 1
+      while (i < n) {
+        if (math.abs(means(i) - means(i - 1)) > threshold) close(i)
+        i += 1
+      }
+      if (n > 0) close(n)
+      out.result()
+    })(Encoders.product[KeyframeRow]).toDF()
+  }
+
   final case class ShotBoundaryRow(video_id: Long, n_frames: Int,
       frame_idx: Int, prev_mean: Double, cur_mean: Double, delta: Double)
 

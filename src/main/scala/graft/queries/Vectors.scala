@@ -1383,6 +1383,68 @@ object Vectors {
        |ORDER BY audio_id, seg_idx""".stripMargin
   }
 
+  /** Per-shot keyframe selection over the planted-shot corpus
+    * ([[Multimodal.shotKeyframes]]): m10's cut detector + the m09
+    * sharpness proxy — one row per shot carrying its bounds and the
+    * argmax-gradient frame. The oracle rebuilds every pixel, frame
+    * mean, gradient, cut verdict, cumulative shot id, and per-shot
+    * argmax from the generation arithmetic. */
+  private def m12(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.shotKeyframes(
+      Multimodal.toShotVideoCorpus(Corpus.documents(spark, dir)),
+      threshold = 40.0)
+      .orderBy(col("video_id"), col("shot_idx"))
+
+  private val m12Sql = {
+    val shotFold = Text.mixSql(
+      s"'shot:' || CAST((${Text.mixSql("'shot:' || video_id || ':' || s")}) AS VARCHAR)")
+    val jitFold = Text.mixSql(
+      s"'jit:' || CAST((${Text.mixSql("'jit:' || video_id || ':' || f || ':' || pi")}) AS VARCHAR)")
+    s"""WITH vids AS (SELECT doc_id AS video_id, 8 + doc_id % 5 AS w,
+       |                6 + doc_id % 4 AS h, 2 + doc_id % 3 AS n_shots,
+       |                2 + doc_id % 2 AS fps
+       |              FROM documents),
+       |fr AS (SELECT v.video_id, v.w, v.h, ff.f, ff.f // v.fps AS s
+       |       FROM vids v,
+       |            LATERAL (SELECT unnest(range(0, v.n_shots * v.fps)) AS f) ff),
+       |lev AS (SELECT fr.*,
+       |          20 + ($shotFold) % 10
+       |             + CASE WHEN s % 2 = 1 THEN 90 ELSE 0 END AS lv
+       |        FROM fr),
+       |px AS (SELECT video_id, w, h, f,
+       |         lv + ($jitFold) % 5 AS b, pi // w AS y, pi % w AS x
+       |       FROM lev,
+       |            LATERAL (SELECT unnest(range(0, lev.w * lev.h)) AS pi) pp),
+       |mn AS (SELECT video_id, f,
+       |         CAST(SUM(3 * b) AS DOUBLE) / (max(w) * max(h)) AS mean
+       |       FROM px GROUP BY 1, 2),
+       |gr AS (SELECT l.video_id, l.f,
+       |         CAST(SUM(3 * abs(r.b - l.b)) AS BIGINT) AS grad
+       |       FROM px l JOIN px r ON r.video_id = l.video_id AND r.f = l.f
+       |            AND r.y = l.y AND r.x = l.x + 1
+       |       GROUP BY 1, 2),
+       |cut AS (SELECT c.video_id, c.f,
+       |          CASE WHEN p.mean IS NOT NULL
+       |                AND abs(c.mean - p.mean) > 40.0 THEN 1 ELSE 0 END AS is_cut
+       |        FROM mn c LEFT JOIN mn p
+       |          ON p.video_id = c.video_id AND p.f = c.f - 1),
+       |sh AS (SELECT video_id, f,
+       |         CAST(SUM(is_cut) OVER (PARTITION BY video_id ORDER BY f
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot
+       |       FROM cut),
+       |jf AS (SELECT sh.video_id, sh.shot, sh.f, gr.grad,
+       |         row_number() OVER (PARTITION BY sh.video_id, sh.shot
+       |                            ORDER BY gr.grad DESC, sh.f) AS rk
+       |       FROM sh JOIN gr ON gr.video_id = sh.video_id AND gr.f = sh.f)
+       |SELECT video_id, CAST(shot AS INT) AS shot_idx,
+       |  CAST(min(f) AS INT) AS start_frame, CAST(max(f) AS INT) AS end_frame,
+       |  CAST(count(*) AS INT) AS n_frames,
+       |  CAST(min(CASE WHEN rk = 1 THEN f END) AS INT) AS keyframe,
+       |  min(CASE WHEN rk = 1 THEN grad END) AS key_sharpness
+       |FROM jf GROUP BY 1, 2
+       |ORDER BY video_id, shot_idx""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("v01_cosine_topk", v01, Some(v01Sql)),
     QuerySpec("v02_embedding_neardups", v02, Some(v02Sql)),
@@ -1413,5 +1475,6 @@ object Vectors {
     QuerySpec("m08_video_dedup_frames", m08, Some(m08Sql)),
     QuerySpec("m09_image_quality_stats", m09, Some(m09Sql)),
     QuerySpec("m10_shot_boundaries", m10, Some(m10Sql)),
-    QuerySpec("m11_vad_segments", m11, Some(m11Sql)))
+    QuerySpec("m11_vad_segments", m11, Some(m11Sql)),
+    QuerySpec("m12_shot_keyframes", m12, Some(m12Sql)))
 }

@@ -398,6 +398,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(again.sortBy(b => (b._1, b._2)).toSeq === got.sortBy(b => (b._1, b._2)).toSeq)
   }
 
+  test("shotKeyframes picks the max-gradient frame of each planted shot") {
+    val vids = Multimodal.toShotVideoCorpus((0L until 15L).toDF("doc_id"))
+    val got = Multimodal.shotKeyframes(vids, threshold = 40.0)
+      .as[(Long, Int, Int, Int, Int, Int, Long)].collect()
+      .sortBy(k => (k._1, k._2))
+    // shot structure identical to the planted one (and to m10's cuts)
+    for (id <- 0L until 15L) {
+      val shots = got.filter(_._1 == id)
+      val fps = (2 + id % 2).toInt
+      assert(shots.length === (2 + id % 3).toInt, s"video $id shot count")
+      shots.foreach { s =>
+        assert(s._3 % fps === 0 && s._5 === fps, s"video $id frame-aligned shot: $s")
+        assert(s._6 >= s._3 && s._6 <= s._4)
+      }
+    }
+    // independent recomputation: per-frame sharpness via the imageStats
+    // decoder over the exploded frames must agree with the selection
+    val frameStats = Multimodal.imageStats(
+        Multimodal.videoFrameMedia(
+          vids.select(col("video_id"), col("media")))
+          .withColumnRenamed("doc_id", "image_id"))
+      .select(col("image_id"), col("sharpness"))
+      .as[(Long, Long)].collect()
+      .map { case (cid, g) => (cid / 16, (cid % 16).toInt) -> g }.toMap
+    got.foreach { s =>
+      val inShot = (s._3 to s._4).map(f => f -> frameStats((s._1, f)))
+      val best = inShot.maxBy { case (f, g) => (g, -f) }
+      assert(best._1 === s._6 && best._2 === s._7,
+        s"video ${s._1} shot ${s._2}: expected $best, got (${s._6}, ${s._7})")
+    }
+  }
+
   test("vadSegments recovers exactly the planted speech bursts") {
     val aud = Multimodal.toSpeechAudioCorpus((0L until 20L).toDF("doc_id"))
     val segs = Multimodal.vadSegments(aud, frameSamples = 40, silenceMeanAbs = 500)

@@ -373,4 +373,27 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"winner ids / estimates must broadcast back, never shuffle the corpus:\n$plan")
   }
+
+  test("q42 z-order: codegen'd bit arithmetic, pruned scan, map-side bucket agg") {
+    val plan = planOf("q42_zorder_layout")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"the Morton interleave must stay built-in shift/mask expressions:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_extendedprice"),
+      "the layout pass must read only the two clustered columns")
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"bucket stats must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the two column maxima must broadcast, never shuffle the fact table:\n$plan")
+  }
+
+  test("q43 TWAP: one key shuffle feeds both the window and the aggregation") {
+    val plan = planOf("q43_time_weighted_avg")
+    // lead() needs (user_id) hash partitioning + in-partition sort; the
+    // groupBy(user_id) that follows must reuse that partitioning rather
+    // than shuffle again — one hashpartitioning on user_id in the plan
+    val shuffles = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(shuffles === 1,
+      s"expected the window's partitioning to serve the aggregation, found $shuffles:\n$plan")
+    assert(plan.contains("Window"), s"lead() must run as a window:\n$plan")
+  }
 }
