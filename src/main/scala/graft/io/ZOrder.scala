@@ -77,17 +77,24 @@ object ZOrder {
     require(0 <= xLoPm && xLoPm <= xHiPm && xHiPm <= 1000 &&
       0 <= yLoPm && yLoPm <= yHiPm && yHiPm <= 1000,
       "box bounds are per-mille fractions with lo <= hi")
-    val mx = df.agg(max(col(xCol)).as("_mx"), max(col(yCol)).as("_my"))
-    def bound(pm: Int, m: String): Column =
-      expr(s"((($m + 1L) * ${pm}L) div 1000L)")
+    val mxRow = df.agg(max(col(xCol)), max(col(yCol))).head()
+    require(!mxRow.isNullAt(0), "layoutStats needs a non-empty input")
+    val (mx, my) = (mxRow.getLong(0), mxRow.getLong(1))
+    // the quantizer multiplies by 2^bits and the bounds by 1000 BEFORE
+    // dividing — guard the headroom or the exact-integer path itself
+    // silently wraps at exactly the key scales it exists for
+    val headroom = math.min(Long.MaxValue >> bits, Long.MaxValue / 1000 - 1)
+    require(mx >= 0 && my >= 0 && mx <= headroom && my <= headroom,
+      s"key domain [$mx, $my] overflows the ${bits}-bit quantizer's Long headroom $headroom")
+    def bound(pm: Int, m: Long): Column = lit((m + 1L) * pm / 1000L)
     val z = interleave(
-      quantize(xCol, "_mx", bits), quantize(yCol, "_my", bits), bits)
-    df.crossJoin(broadcast(mx))
+      quantize(xCol, mx.toString, bits), quantize(yCol, my.toString, bits), bits)
+    df
       .withColumn("bucket", shiftrightunsigned(z, 2 * bits - log2Buckets))
-      .withColumn("_xlo", bound(xLoPm, "_mx"))
-      .withColumn("_xhi", bound(xHiPm, "_mx"))
-      .withColumn("_ylo", bound(yLoPm, "_my"))
-      .withColumn("_yhi", bound(yHiPm, "_my"))
+      .withColumn("_xlo", bound(xLoPm, mx))
+      .withColumn("_xhi", bound(xHiPm, mx))
+      .withColumn("_ylo", bound(yLoPm, my))
+      .withColumn("_yhi", bound(yHiPm, my))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),

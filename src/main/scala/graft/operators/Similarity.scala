@@ -1185,7 +1185,14 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .localCheckpoint()
+    require(!sub.isEmpty,
+      s"jlDistortion: no vectors with vec_id < $nSample to audit")
     val d = sub.select(size(col("v"))).head().getInt(0)
+    // the sample is bounded, so the raggedness check is cheap — a short
+    // row would otherwise null-pad through zip_with and surface as a
+    // silently-null projected distance instead of an error
+    require(sub.filter(size(col("v")) =!= d).isEmpty,
+      s"jlDistortion: ragged embedding lengths in the sample (expected $d)")
     val signs = jlSigns(outDims, d)
     val scale = 1.0 / math.sqrt(outDims.toDouble)
     val proj = sub.withColumn("y", array(signs.map { row =>

@@ -7,7 +7,10 @@ package graft.queries
   * table. Splices as a comma-terminated run of CTEs; the final rank
   * table is `p<iterations>` (node, pagerank). Shared by the q34
   * entity-graph and t64 word-graph oracles — ONE definition of the
-  * replay, so a damping or detour change cannot silently diverge. */
+  * replay, so a damping or detour change cannot silently diverge.
+  * `e` is deduplicated up front (the `ed` CTE), mirroring
+  * [[graft.operators.Graph.pageRank]]'s internal `.distinct()` — a
+  * caller whose `e` is a multigraph still converges to the operator. */
 private[queries] object GraphSql {
 
   def pageRankChainSql(iterations: Int, damping: Double): String = {
@@ -24,17 +27,18 @@ private[queries] object GraphSql {
          |    (CAST($oneMinusD AS DOUBLE) / (SELECT n FROM nn))
          |      + CAST($d AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS pagerank
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst,
+         |    SELECT ed.dst,
          |      CAST(SUM(CAST((p.pagerank / od.outdeg) AS DECIMAL(38,18))) AS DOUBLE) AS mass
          |    FROM $prev p JOIN od ON p.node = od.src
-         |      JOIN e ON p.node = e.src
-         |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+         |      JOIN ed ON p.node = ed.src
+         |    GROUP BY ed.dst) m ON n.node = m.dst)""".stripMargin
     val chain = (1 to iterations)
       .map(i => step(s"p${i - 1}", s"p$i")).mkString(",\n")
-    s"""nodes AS (SELECT DISTINCT src AS node FROM e
-       |          UNION SELECT DISTINCT dst AS node FROM e),
+    s"""ed AS (SELECT DISTINCT src, dst FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed
+       |          UNION SELECT DISTINCT dst AS node FROM ed),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY src),
        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pagerank
        |       FROM nodes),
        |$chain""".stripMargin

@@ -608,15 +608,21 @@ object Vectors {
       threshold = 40.0)
       .orderBy(col("video_id"), col("frame_idx"))
 
-  private val m10Sql = {
+  /** Shared replay prefix for the planted-shot video corpus
+    * ([[Multimodal.toShotVideoCorpus]]): vids/fr/lev/px/mn CTEs
+    * predicting every pixel byte and frame mean from the generation
+    * arithmetic — ONE definition spliced by both the m10 and m12
+    * oracles, so a corpus change cannot silently diverge them (the
+    * GraphSql lesson applied to the multimodal family). */
+  private val shotCorpusCtes = {
     val shotFold = Text.mixSql(
       s"'shot:' || CAST((${Text.mixSql("'shot:' || video_id || ':' || s")}) AS VARCHAR)")
     val jitFold = Text.mixSql(
       s"'jit:' || CAST((${Text.mixSql("'jit:' || video_id || ':' || f || ':' || pi")}) AS VARCHAR)")
-    s"""WITH vids AS (SELECT doc_id AS video_id, 8 + doc_id % 5 AS w,
-       |                6 + doc_id % 4 AS h, 2 + doc_id % 3 AS n_shots,
-       |                2 + doc_id % 2 AS fps
-       |              FROM documents),
+    s"""vids AS (SELECT doc_id AS video_id, 8 + doc_id % 5 AS w,
+       |           6 + doc_id % 4 AS h, 2 + doc_id % 3 AS n_shots,
+       |           2 + doc_id % 2 AS fps
+       |         FROM documents),
        |fr AS (SELECT v.video_id, v.w, v.h,
        |         CAST(v.n_shots * v.fps AS INT) AS n_frames, ff.f,
        |         ff.f // v.fps AS s
@@ -626,12 +632,17 @@ object Vectors {
        |          20 + ($shotFold) % 10
        |             + CASE WHEN s % 2 = 1 THEN 90 ELSE 0 END AS lv
        |        FROM fr),
-       |mn AS (SELECT video_id, n_frames, f,
-       |         CAST(SUM(3 * (lv + ($jitFold) % 5)) AS DOUBLE)
-       |           / (max(w) * max(h)) AS mean
+       |px AS (SELECT video_id, n_frames, w, h, f,
+       |         lv + ($jitFold) % 5 AS b, pi // w AS y, pi % w AS x
        |       FROM lev,
-       |            LATERAL (SELECT unnest(range(0, lev.w * lev.h)) AS pi) pp
-       |       GROUP BY 1, 2, 3),
+       |            LATERAL (SELECT unnest(range(0, lev.w * lev.h)) AS pi) pp),
+       |mn AS (SELECT video_id, max(n_frames) AS n_frames, f,
+       |         CAST(SUM(3 * b) AS DOUBLE) / (max(w) * max(h)) AS mean
+       |       FROM px GROUP BY video_id, f)""".stripMargin
+  }
+
+  private val m10Sql =
+    s"""WITH $shotCorpusCtes,
        |b AS (SELECT c.video_id, c.n_frames, CAST(c.f AS INT) AS frame_idx,
        |        p.mean AS prev_mean, c.mean AS cur_mean,
        |        abs(c.mean - p.mean) AS delta
@@ -639,7 +650,6 @@ object Vectors {
        |SELECT video_id, n_frames, frame_idx, prev_mean, cur_mean, delta
        |FROM b WHERE delta > 40.0
        |ORDER BY video_id, frame_idx""".stripMargin
-  }
 
   /** The IVF fit+probe CTE chain shared verbatim by the v04 and v05
     * oracles: the deterministic Lloyd coarse quantizer
@@ -1396,28 +1406,7 @@ object Vectors {
       .orderBy(col("video_id"), col("shot_idx"))
 
   private val m12Sql = {
-    val shotFold = Text.mixSql(
-      s"'shot:' || CAST((${Text.mixSql("'shot:' || video_id || ':' || s")}) AS VARCHAR)")
-    val jitFold = Text.mixSql(
-      s"'jit:' || CAST((${Text.mixSql("'jit:' || video_id || ':' || f || ':' || pi")}) AS VARCHAR)")
-    s"""WITH vids AS (SELECT doc_id AS video_id, 8 + doc_id % 5 AS w,
-       |                6 + doc_id % 4 AS h, 2 + doc_id % 3 AS n_shots,
-       |                2 + doc_id % 2 AS fps
-       |              FROM documents),
-       |fr AS (SELECT v.video_id, v.w, v.h, ff.f, ff.f // v.fps AS s
-       |       FROM vids v,
-       |            LATERAL (SELECT unnest(range(0, v.n_shots * v.fps)) AS f) ff),
-       |lev AS (SELECT fr.*,
-       |          20 + ($shotFold) % 10
-       |             + CASE WHEN s % 2 = 1 THEN 90 ELSE 0 END AS lv
-       |        FROM fr),
-       |px AS (SELECT video_id, w, h, f,
-       |         lv + ($jitFold) % 5 AS b, pi // w AS y, pi % w AS x
-       |       FROM lev,
-       |            LATERAL (SELECT unnest(range(0, lev.w * lev.h)) AS pi) pp),
-       |mn AS (SELECT video_id, f,
-       |         CAST(SUM(3 * b) AS DOUBLE) / (max(w) * max(h)) AS mean
-       |       FROM px GROUP BY 1, 2),
+    s"""WITH $shotCorpusCtes,
        |gr AS (SELECT l.video_id, l.f,
        |         CAST(SUM(3 * abs(r.b - l.b)) AS BIGINT) AS grad
        |       FROM px l JOIN px r ON r.video_id = l.video_id AND r.f = l.f

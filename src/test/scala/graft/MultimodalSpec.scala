@@ -416,9 +416,7 @@ class MultimodalSpec extends SparkTestBase {
     // independent recomputation: per-frame sharpness via the imageStats
     // decoder over the exploded frames must agree with the selection
     val frameStats = Multimodal.imageStats(
-        Multimodal.videoFrameMedia(
-          vids.select(col("video_id"), col("media")))
-          .withColumnRenamed("doc_id", "image_id"))
+        Multimodal.videoFrameMedia(vids.select(col("video_id"), col("media"))))
       .select(col("image_id"), col("sharpness"))
       .as[(Long, Long)].collect()
       .map { case (cid, g) => (cid / 16, (cid % 16).toInt) -> g }.toMap

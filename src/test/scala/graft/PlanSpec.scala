@@ -382,8 +382,10 @@ class PlanSpec extends SparkTestBase {
       "the layout pass must read only the two clustered columns")
     assert(plan.contains("partial_min") && plan.contains("partial_max"),
       s"bucket stats must partial-aggregate map-side:\n$plan")
-    assert(plan.contains("BroadcastExchange"),
-      s"the two column maxima must broadcast, never shuffle the fact table:\n$plan")
+    // the column maxima fold into LITERALS (collected once, guarded for
+    // overflow): the layout pass has no join of any kind
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"the maxima must fold into literals, never join the fact table:\n$plan")
   }
 
   test("q43 TWAP: one key shuffle feeds both the window and the aggregation") {
