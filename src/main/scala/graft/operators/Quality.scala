@@ -333,6 +333,56 @@ object Quality {
       .orderBy(col(groupCol), col("rnk"))
   }
 
+  /** Good-Turing frequency re-estimation (Good, Biometrika 1953; the
+    * count-of-counts table behind Katz backoff and the classic "how
+    * much probability mass belongs to unseen words" answer): per
+    * group, tabulate N_r = #{words seen exactly r times}, the Turing
+    * estimate r* = (r+1)·N_{r+1}/N_r, and the unseen mass p₀ = N_1/N —
+    * the diagnostic read before choosing vocabulary cutoffs or
+    * smoothing discounts (and the honest companion to
+    * [[kneserNeyScore]]'s fixed absolute discount).
+    *
+    * Simple (unsmoothed) Good-Turing: where N_{r+1} = 0 the estimate
+    * is NULL rather than an extrapolation — the operator reports the
+    * raw table, not a fitted curve (t61's Zipf fit is the curve
+    * family's member). Everything is exact integer counting plus one
+    * double division per row, so the table replays bit-identically.
+    *
+    * Scale shape: one corpus-scale token count, one vocab-sized
+    * frequency-of-frequencies aggregation, both partial-aggregated;
+    * the output is maxR rows per group.
+    *
+    * Input: `unitsCol` — an ARRAY column of the units to count (word
+    * tokens, bigrams, n-grams: the caller picks the event space).
+    * Output: (group, r, n_r, r_star, n_tokens, p_unseen), r = 1..maxR,
+    * ordered (group, r). */
+  def goodTuring(docs: DataFrame, groupCol: String, unitsCol: Column,
+      maxR: Int): DataFrame = {
+    require(maxR >= 1, s"maxR must be positive, got $maxR")
+    val freq = docs
+      .select(col(groupCol), explode(unitsCol).as("w"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("r"))
+    val nr = freq.groupBy(col(groupCol), col("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = freq.groupBy(col(groupCol))
+      .agg(sum(col("r")).as("n_tokens"))
+    val nextNr = nr.select(col(groupCol), (col("r") - 1).as("r"),
+      col("n_r").as("n_r1"))
+    nr.filter(col("r") <= maxR)
+      .join(nextNr, Seq(groupCol, "r"), "left")
+      .join(tot, Seq(groupCol))
+      .select(col(groupCol), col("r"), col("n_r"),
+        ((col("r") + 1).cast("double") * col("n_r1").cast("double")
+          / col("n_r").cast("double")).as("r_star"),
+        col("n_tokens"),
+        (when(col("r") === 1, col("n_r")).otherwise(lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("p_unseen"))
+      .withColumn("p_unseen",
+        max(col("p_unseen")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))))
+      .orderBy(col(groupCol), col("r"))
+  }
+
   /** Interpolated Kneser-Ney bigram language model (Kneser & Ney,
     * ICASSP 1995; Chen & Goodman, "An empirical study of smoothing
     * techniques for language modeling", Harvard TR-10-98) trained per

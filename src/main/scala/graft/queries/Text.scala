@@ -2459,6 +2459,43 @@ object Text {
        |FROM r WHERE rnk <= 10
        |ORDER BY lang, rnk""".stripMargin
 
+  /** Good-Turing count-of-counts table
+    * ([[graft.operators.Quality.goodTuring]]) over adjacent BIGRAMS
+    * (the unit with real hapax pressure on this corpus — every single
+    * word repeats far past the r ≤ 10 band): per-language N_r, Turing
+    * estimates r* = (r+1)·N_{r+1}/N_r, and the unseen mass N_1/N —
+    * exact integer counting plus one double division per cell,
+    * replayed verbatim. */
+  private def t65(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+      .withColumn("sp", tokens(col("text")))
+      .filter(size(col("sp")) >= 2)
+      .withColumn("units", expr(
+        "transform(sequence(1, size(sp) - 1), j -> concat(sp[j-1], ' ', sp[j]))"))
+    graft.operators.Quality.goodTuring(docs, "lang", col("units"), maxR = 10)
+  }
+
+  private val t65Sql =
+    s"""WITH d AS (SELECT lang, $toksSql AS sp FROM documents),
+       |w AS (SELECT lang, sp[j] || ' ' || sp[j + 1] AS w
+       |      FROM (SELECT lang, sp, unnest(range(1, len(sp))) AS j
+       |            FROM d WHERE len(sp) >= 2) x),
+       |f AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS r FROM w GROUP BY 1, 2),
+       |nr AS (SELECT lang, r, CAST(count(*) AS BIGINT) AS n_r FROM f GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(r) AS BIGINT) AS n_tokens FROM f GROUP BY 1)
+       |SELECT nr.lang, nr.r, nr.n_r,
+       |  CAST(nr.r + 1 AS DOUBLE) * CAST(n2.n_r AS DOUBLE)
+       |    / CAST(nr.n_r AS DOUBLE) AS r_star,
+       |  tot.n_tokens,
+       |  COALESCE((SELECT CAST(x.n_r AS DOUBLE) FROM nr x
+       |            WHERE x.lang = nr.lang AND x.r = 1), 0.0)
+       |    / CAST(tot.n_tokens AS DOUBLE) AS p_unseen
+       |FROM nr
+       |LEFT JOIN nr n2 ON n2.lang = nr.lang AND n2.r = nr.r + 1
+       |JOIN tot ON tot.lang = nr.lang
+       |WHERE nr.r <= 10
+       |ORDER BY nr.lang, nr.r""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2523,5 +2560,6 @@ object Text {
     QuerySpec("t61_zipf_fit", t61, Some(t61Sql)),
     QuerySpec("t62_pmi_collocations", t62, Some(t62Sql)),
     QuerySpec("t63_kneser_ney_ppl", t63, Some(t63Sql)),
-    QuerySpec("t64_textrank_keywords", t64, Some(t64Sql)))
+    QuerySpec("t64_textrank_keywords", t64, Some(t64Sql)),
+    QuerySpec("t65_good_turing", t65, Some(t65Sql)))
 }

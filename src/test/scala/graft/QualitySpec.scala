@@ -241,6 +241,33 @@ class QualitySpec extends SparkTestBase {
     assert(math.abs(row.getAs[Double]("mean_logp") - exp0) < 1e-5)
   }
 
+  test("goodTuring matches the textbook table on a hand corpus") {
+    // units a,a,a,b,b,c: N_1=N_2=N_3=1, N=6
+    // r*(1) = 2*N_2/N_1 = 2; r*(2) = 3*N_3/N_2 = 3; r*(3) NULL (N_4=0)
+    val docs = Seq(("g", Seq("a", "a", "a", "b", "b", "c")))
+      .toDF("lang", "units")
+    val got = Quality.goodTuring(docs, "lang", col("units"), maxR = 10)
+      .collect().sortBy(_.getAs[Long]("r"))
+    assert(got.length === 3)
+    assert(got.map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"))).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    assert(got(0).getAs[Double]("r_star") === 2.0)
+    assert(got(1).getAs[Double]("r_star") === 3.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("r_star")),
+      "simple GT reports NULL where N_{r+1} = 0, never an extrapolation")
+    assert(got.forall(_.getAs[Long]("n_tokens") === 6L))
+    assert(got.forall(r => math.abs(r.getAs[Double]("p_unseen") - 1.0 / 6) < 1e-15))
+    // no hapaxes -> zero unseen mass
+    val noHapax = Quality.goodTuring(
+      Seq(("g", Seq("a", "a", "b", "b"))).toDF("lang", "units"),
+      "lang", col("units"), maxR = 10).collect()
+    assert(noHapax.forall(_.getAs[Double]("p_unseen") === 0.0))
+    // partitioning invariance
+    val again = Quality.goodTuring(docs.repartition(5), "lang",
+      col("units"), maxR = 10).collect().sortBy(_.getAs[Long]("r"))
+    assert(again.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
   test("kneserNeyScore: an all-OOV doc keeps its row with NULL mean and ppl") {
     val train = Seq((1L, "xx", "a b a")).toDF("doc_id", "lang", "text")
     val held = Seq((2L, "xx", "p q r")).toDF("doc_id", "lang", "text")
