@@ -205,12 +205,15 @@ object Bench {
       // per-run suite totals (run1, run2, ...) so the paired evidence is
       // native to the artifact, not just the stderr tail; gc_totals is
       // the same per-run sum over the GC deltas — a pressure window
-      // shows up as a lopsided pair here
+      // shows up as a lopsided pair here. Restricted to queries present
+      // in "queries" (all-failed ones excluded) so every total in the
+      // line describes the same query set.
+      val countedRuns = allRuns.view.filterKeys(results.contains).values.toSeq
       val runTotals = (0 until runsPerQuery).map { i =>
-        f"${allRuns.values.map(rs => rs.lift(i).map(_.elapsed).getOrElse(0.0)).sum}%.2f"
+        f"${countedRuns.map(rs => rs.lift(i).map(_.elapsed).getOrElse(0.0)).sum}%.2f"
       }.mkString("[", ",", "]")
       val gcTotals = (0 until runsPerQuery).map { i =>
-        f"${allRuns.values.map(rs => rs.lift(i).map(_.gcSec).getOrElse(0.0)).sum}%.2f"
+        f"${countedRuns.map(rs => rs.lift(i).map(_.gcSec).getOrElse(0.0)).sum}%.2f"
       }.mkString("[", ",", "]")
       val failedField =
         if (failed.isEmpty) ""

@@ -48,12 +48,34 @@ object Merge {
       targetDir: String,
       updates: DataFrame,
       key: String): (Long, Long, Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCrashedSwap(fs, targetDir)
     val target = spark.read.parquet(targetDir)
     val plan = mergePlan(target, updates, key)
     swapInto(spark, targetDir, plan.merged, suffix = "_merging")
     plan.cached.unpersist()
     val after = spark.read.parquet(targetDir).count()
     (plan.before, after, plan.matchedKeys, plan.updateKeys - plan.matchedKeys)
+  }
+
+  /** Restores a swap that crashed between [[swapInto]]'s two renames:
+    * `dir` absent but its `_old` backup present means the old table was
+    * moved aside and the new one never landed — without this repair the
+    * next apply would take the bootstrap branch and silently rebuild the
+    * table from one replayed micro-batch, losing every earlier epoch's
+    * keys (the `_old` backup is then deleted by the next swap, so the
+    * loss is permanent). Rename the backup home so the apply merges
+    * against the pre-crash table. Returns true iff a repair happened. */
+  private[io] def recoverCrashedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(dir + "_old")
+    if (!fs.exists(path) && fs.exists(bak)) {
+      require(fs.rename(bak, path),
+        s"crash recovery failed: could not restore $bak to $dir")
+      true
+    } else false
   }
 
   /** Conditional MERGE, last-writer-wins (the CDC-apply flavor of
@@ -76,6 +98,7 @@ object Merge {
     require(ordCols.nonEmpty, "lww merge needs at least one ordering column")
     val path = new org.apache.hadoop.fs.Path(targetDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCrashedSwap(fs, targetDir)
     val exists = fs.exists(path)
     val combined =
       if (exists) {
@@ -100,6 +123,149 @@ object Merge {
       require(fs.rename(tmp, path),
         s"bootstrap failed: could not move $tmp into place")
     }
+  }
+
+  /** Bucket count the table at `dir` was laid out with, from the JSON
+    * side file written at bootstrap — re-read per apply (microseconds,
+    * no Spark job) so an apply against a table built with a different
+    * bucket count fails loudly instead of scattering keys across two
+    * incompatible layouts where half the probes silently miss. */
+  private def readBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      targetDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(targetDir + "_buckets.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      "\"num_buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    }
+  }
+
+  private def writeBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      targetDir: String, n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(targetDir + "_buckets.json")
+    val out = fs.create(p, true)
+    try out.write(s"""{"num_buckets":$n}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Repairs bucket swaps crashed between their two renames: any bucket
+    * present under the `_bak` root whose home directory is absent was
+    * moved aside and never replaced — rename it home (the bucket-level
+    * [[recoverCrashedSwap]]). Backups whose home EXISTS are stale
+    * leftovers of a crash after the rename-in, deleted. Runs at the top
+    * of every bucketed apply, so a restarted stream heals the table
+    * before merging its replayed epoch into it. */
+  private def recoverCrashedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      targetDir: String): Unit = {
+    val bakRoot = new org.apache.hadoop.fs.Path(targetDir + "_bak")
+    if (!fs.exists(bakRoot)) return
+    fs.listStatus(bakRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_bucket=")) {
+        val home = new org.apache.hadoop.fs.Path(s"$targetDir/$name")
+        if (!fs.exists(home))
+          require(fs.rename(st.getPath, home),
+            s"crash recovery failed: could not restore ${st.getPath} to $home")
+        else fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** The scale-safe [[lwwUpsertParquet]]: the target is laid out as
+    * `numBuckets` hash partitions of the key (`_bucket =
+    * pmod(xxhash64(key), n)`, a parquet partition column), and each
+    * apply reads, merges, and rewrites ONLY the buckets containing
+    * updated keys — per-apply cost is O(dirty buckets) ≈ O(batch), not
+    * O(target), which is what lets a long-running CDC stream apply
+    * small batches against a 100 TB table (the full-table copy-on-write
+    * of [[lwwUpsertParquet]] is the right shape only when updates ≈
+    * target). Same LWW semantics: per key, the row winning the
+    * `ordCols` ordering across target ∪ updates survives, so replays
+    * and re-batchings converge identically (a key hashes to exactly one
+    * bucket, so per-bucket merges see every row of their keys).
+    *
+    * Each dirty bucket rewrites through its own temp + rename-aside +
+    * rename-in (backups live under `<dir>_bak`, OUTSIDE the table root,
+    * so partition discovery never reads them); a crash at any point is
+    * healed by [[recoverCrashedBuckets]] at the next apply, and
+    * re-applying the interrupted batch is a no-op by LWW idempotence.
+    * Single-writer: two concurrent appliers race the bucket renames and
+    * the loser's `require` fires loudly (MergeSpec pins this).
+    *
+    * Readers see `_bucket` as an extra trailing partition column —
+    * `SELECT`s should name their columns. Returns the dirty bucket ids
+    * (the touched-partition count the StreamingSpec scale assertion
+    * checks). */
+  def lwwUpsertParquetBucketed(spark: SparkSession, targetDir: String,
+      updates: DataFrame, key: String, ordCols: Seq[String],
+      numBuckets: Int = 16): Seq[Int] = {
+    require(ordCols.nonEmpty, "lww merge needs at least one ordering column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCrashedBuckets(fs, targetDir)
+    val u = updates
+      .withColumn("_bucket",
+        pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+      .cache()
+    // ≤ numBuckets small ints — the one driver collect, and the point:
+    // the apply must know which partitions to touch without scanning any
+    val dirty = u.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(ordCols.map(col(_).desc): _*)
+    def lww(df: DataFrame): DataFrame = df
+      .withColumn("_lww_rn", row_number().over(w))
+      .filter(col("_lww_rn") === 1).drop("_lww_rn")
+    if (dirty.isEmpty) { u.unpersist(); return dirty } // empty micro-batch
+    if (!fs.exists(path)) {
+      // bootstrap: same temp+rename discipline as the unbucketed path —
+      // a crash mid-write leaves targetDir absent, never half-committed
+      val tmp = new org.apache.hadoop.fs.Path(targetDir + "_lww")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      lww(u).write.partitionBy("_bucket")
+        .mode(SaveMode.Overwrite).parquet(tmp.toString)
+      require(fs.rename(tmp, path),
+        s"bootstrap failed: could not move $tmp into place")
+      writeBucketCount(fs, targetDir, numBuckets)
+    } else {
+      readBucketCount(fs, targetDir).foreach { n =>
+        require(n == numBuckets,
+          s"bucket-count mismatch: table at $targetDir has $n buckets, apply used $numBuckets")
+      }
+      val target = spark.read.parquet(targetDir)
+      require(target.columns.toSet == u.columns.toSet,
+        s"schema mismatch: ${target.columns.mkString(",")} vs ${u.columns.mkString(",")}")
+      // partition-pruned: only the dirty buckets' files are read
+      val scoped = target.filter(col("_bucket")
+        .isin(dirty.map(Int.box): _*))
+      val merged = lww(scoped.unionByName(u.select(target.columns.map(col): _*)))
+      val tmp = new org.apache.hadoop.fs.Path(targetDir + "_lww")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      merged.write.partitionBy("_bucket")
+        .mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val bakRoot = new org.apache.hadoop.fs.Path(targetDir + "_bak")
+      if (!fs.exists(bakRoot)) fs.mkdirs(bakRoot)
+      dirty.foreach { b =>
+        val home = new org.apache.hadoop.fs.Path(s"$targetDir/_bucket=$b")
+        val fresh = new org.apache.hadoop.fs.Path(s"$tmp/_bucket=$b")
+        val bak = new org.apache.hadoop.fs.Path(s"$bakRoot/_bucket=$b")
+        // every dirty bucket has ≥1 update row, so lww kept ≥1 row and
+        // the fresh partition dir exists
+        require(fs.exists(fresh), s"merge wrote no partition for dirty bucket $b")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(home))
+          require(fs.rename(home, bak), s"swap failed: could not move $home aside")
+        require(fs.rename(fresh, home), s"swap failed: could not move $fresh into place")
+        fs.delete(bak, true)
+      }
+      fs.delete(tmp, true)
+    }
+    u.unpersist()
+    dirty
   }
 
   /** Writes `df` to a temp sibling then swaps it into `dir`, checking

@@ -607,7 +607,11 @@ object Domain {
       .option("checkpointLocation", ck)
       .start()
     q.awaitTermination()
-    spark.read.parquet(out).orderBy(col("user_id"))
+    // name the columns: the bucketed target carries a trailing _bucket
+    // partition column (layout, not data — the oracle never sees it)
+    spark.read.parquet(out)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy(col("user_id"))
   }
 
   private val p15Sql =

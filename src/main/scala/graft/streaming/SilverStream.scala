@@ -74,16 +74,33 @@ object SilverStream {
 
   /** foreachBatch CDC apply: every micro-batch last-writer-wins-upserts
     * into the keyed parquet table at `dir`
-    * ([[graft.io.Merge.lwwUpsertParquet]]). Because the per-key argmax
-    * is associative, the converged table is independent of micro-batch
-    * boundaries AND of failure-replayed epochs (re-applying a batch is
-    * a no-op) — the streaming CDC pattern that needs no _epoch dedup
-    * column, unlike [[appendSink]]'s at-least-once append. */
+    * ([[graft.io.Merge.lwwUpsertParquetBucketed]]). Because the per-key
+    * argmax is associative, the converged table is independent of
+    * micro-batch boundaries AND of failure-replayed epochs (re-applying
+    * a batch is a no-op) — the streaming CDC pattern that needs no
+    * _epoch dedup column, unlike [[appendSink]]'s at-least-once append.
+    *
+    * The target is hash-bucketed on the key (`numBuckets` parquet
+    * partitions) and each apply rewrites ONLY the buckets its batch
+    * touches, so per-batch cost tracks the batch, not the table — the
+    * shape that survives a long-running stream against a 100 TB target.
+    * `numBuckets = None` selects the whole-table copy-on-write path
+    * ([[graft.io.Merge.lwwUpsertParquet]]), right only when each batch
+    * rewrites most keys anyway. Bucketed readers see a trailing
+    * `_bucket` partition column — SELECTs should name their columns. */
   def cdcUpsertSink(df: DataFrame, outDir: String, key: String,
-      ordCols: Seq[String]): DataStreamWriter[Row] =
+      ordCols: Seq[String],
+      numBuckets: Option[Int] = Some(16)): DataStreamWriter[Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.io.Merge.lwwUpsertParquet(batch.sparkSession, outDir, batch,
-        key, ordCols)
+      numBuckets match {
+        case Some(n) =>
+          graft.io.Merge.lwwUpsertParquetBucketed(
+            batch.sparkSession, outDir, batch, key, ordCols, n)
+          ()
+        case None =>
+          graft.io.Merge.lwwUpsertParquet(
+            batch.sparkSession, outDir, batch, key, ordCols)
+      }
     }
 
   /** Runs a streaming frame to completion against a memory sink and

@@ -98,7 +98,9 @@ object ScaleUp {
     // supplier replicates alongside lineitem's shifted l_suppkey so the
     // FK relationship replicates too (a copied-through supplier would
     // leave replica r > 0 probes dangling and change join selectivity
-    // 10x); l_partkey stays unshifted against the copied-through part
+    // 10x); without shiftParts, l_partkey stays unshifted against the
+    // copied-through part (with shiftParts, part replicates and
+    // l_partkey shifts with it — see the lineitem branch above)
     replicate("supplier")(df => df
       .withColumn("s_suppkey", col("s_suppkey") + col("_r") * OFF))
     // events: TIMESTAMP(NANOS) reads as int64 nanos under the session's

@@ -289,4 +289,115 @@ class LakehouseOpsSpec extends SparkTestBase {
     assert(big.head === 0L && big.last < (1L << 20))
     assert(big === big.sorted, "quantization must be monotone")
   }
+
+  // ---- bucketed LWW CDC merge (the scale-safe p15 target layout) ----
+
+  private def lwwCols(dir: String) = spark.read.parquet(dir)
+    .select("k", "name", "v")
+
+  /** (file name, length, mtime) signature of every file under each
+    * `_bucket=K` dir — byte-level "was this partition touched" probe. */
+  private def bucketSignatures(dir: String): Map[String, Set[(String, Long, Long)]] = {
+    val root = new java.io.File(dir)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+  }
+
+  test("bucketed lww upsert: converges to the per-key argmax and only dirty buckets rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blww_").toString + "/t"
+    // enough keys that most of the 16 buckets are populated
+    val base = (1L to 200L).map(k => (k, s"n$k", 1L)).toDF("k", "name", "v")
+    val d0 = Merge.lwwUpsertParquetBucketed(spark, dir, base, "k", Seq("v"))
+    assert(d0.nonEmpty && spark.read.parquet(dir).count() === 200)
+    val before = bucketSignatures(dir)
+    assert(before.size > 8, s"200 keys should populate most buckets, got ${before.size}")
+    // small batch: 2 keys (one stale change that must NOT regress k=7)
+    val batch = Seq((7L, "new7", 5L), (7L, "stale7", 0L), (8L, "new8", 3L))
+      .toDF("k", "name", "v")
+    val dirty = Merge.lwwUpsertParquetBucketed(spark, dir, batch, "k", Seq("v"))
+    // touched-partition count ∝ distinct update buckets, NOT target size
+    assert(dirty.size <= 2, s"2 update keys must touch <= 2 buckets, got $dirty")
+    val after = bucketSignatures(dir)
+    val untouched = before.keySet.filterNot(n =>
+      dirty.map(b => s"_bucket=$b").contains(n))
+    untouched.foreach { n =>
+      assert(after(n) === before(n), s"clean bucket $n was rewritten")
+    }
+    dirty.foreach { b =>
+      assert(after(s"_bucket=$b") !== before.getOrElse(s"_bucket=$b", Set.empty),
+        s"dirty bucket $b was not rewritten")
+    }
+    // LWW semantics across the merge: max-v row wins per key
+    def asMap() = lwwCols(dir).as[(Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val got = asMap()
+    assert(got(7L) === (("new7", 5L)) && got(8L) === (("new8", 3L)))
+    assert(got(9L) === (("n9", 1L)), "untouched key must survive")
+    assert(got.size === 200)
+    // replaying the batch is a no-op (at-least-once tolerance)
+    Merge.lwwUpsertParquetBucketed(spark, dir, batch, "k", Seq("v"))
+    assert(asMap() === got)
+    // bucket-count mismatch fails loudly, never a second layout
+    intercept[IllegalArgumentException] {
+      Merge.lwwUpsertParquetBucketed(spark, dir, batch, "k", Seq("v"), numBuckets = 8)
+    }
+  }
+
+  test("bucketed lww upsert equals the unbucketed merge on the same change set") {
+    val dirB = java.nio.file.Files.createTempDirectory("graft_blww_eq_").toString + "/b"
+    val dirU = java.nio.file.Files.createTempDirectory("graft_blww_eq_").toString + "/u"
+    val batches = Seq(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 1L)),
+      Seq((2L, "b2", 5L), (4L, "d", 1L)),
+      Seq((1L, "stale", 0L), (3L, "c2", 9L)))
+    batches.foreach { b =>
+      val df = b.toDF("k", "name", "v")
+      Merge.lwwUpsertParquetBucketed(spark, dirB, df, "k", Seq("v", "name"), numBuckets = 4)
+      Merge.lwwUpsertParquet(spark, dirU, df, "k", Seq("v", "name"))
+    }
+    assert(lwwCols(dirB).as[(Long, String, Long)].collect().sorted.toSeq ===
+      spark.read.parquet(dirU).select("k", "name", "v")
+        .as[(Long, String, Long)].collect().sorted.toSeq)
+  }
+
+  test("lww crash recovery: a swap crashed between renames restores the backup, not bootstrap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lww_cr_").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Merge.lwwUpsertParquet(spark, dir,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "name", "v"), "k", Seq("v"))
+    // simulate the crash window: target moved aside, replacement never landed
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_old")))
+    Merge.lwwUpsertParquet(spark, dir,
+      Seq((3L, "c", 1L)).toDF("k", "name", "v"), "k", Seq("v"))
+    // without recovery this bootstraps from the one replayed batch and
+    // silently loses keys 1 and 2
+    assert(spark.read.parquet(dir).select("k").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+  }
+
+  test("bucketed lww crash recovery: a bucket stranded in _bak is restored before the apply") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blww_cr_").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = (1L to 50L).map(k => (k, s"n$k", 1L)).toDF("k", "name", "v")
+    Merge.lwwUpsertParquetBucketed(spark, dir, base, "k", Seq("v"), numBuckets = 8)
+    val buckets = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_bucket=")).map(_.getName)
+    val victim = buckets.head
+    val victimKeys = spark.read.parquet(s"$dir/$victim").select("k").as[Long].collect().toSet
+    // crash window: victim bucket moved aside, fresh copy never landed
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "_bak"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$victim"),
+      new org.apache.hadoop.fs.Path(s"${dir}_bak/$victim")))
+    Merge.lwwUpsertParquetBucketed(spark, dir,
+      Seq((999L, "z", 1L)).toDF("k", "name", "v"), "k", Seq("v"), numBuckets = 8)
+    val keys = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(victimKeys.subsetOf(keys), "stranded bucket's keys must be restored, not lost")
+    assert(keys.contains(999L))
+  }
 }

@@ -686,4 +686,47 @@ class StreamingSpec extends SparkTestBase {
     // replaying the final batch is a no-op (at-least-once tolerance)
     assert(runWith(changes.map(Seq(_)) :+ Seq(changes.last)) === expected)
   }
+
+  test("cdcUpsertSink per-batch work tracks the BATCH, not the table (dirty buckets only)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("graft_cdc_scale_").toString + "/state"
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val q = SilverStream.cdcUpsertSink(
+        input.toDF().toDF("user_id", "event_id", "ts", "event_type", "value"),
+        dir, "user_id", Seq("ts", "event_id"))
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdc_scale_ck_").toString)
+      .start()
+    // batch 1: 300 users spread across all 16 buckets
+    input.addData((1L to 300L).map(u =>
+      (u, u, t("2024-01-01 10:00:00"), "a", 1.0)): _*)
+    q.processAllAvailable()
+    def sigs(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.isFile)
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet
+        }.toMap
+    }
+    val before = sigs()
+    assert(before.size === 16, "300 keys must populate all 16 buckets")
+    // batch 2: ONE user updates — exactly one bucket may rewrite
+    input.addData((7L, 1000L, t("2024-01-01 11:00:00"), "b", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = sigs()
+    val changed = before.keySet.filter(n => after(n) != before(n))
+    assert(changed.size === 1,
+      s"a 1-key batch must rewrite exactly 1 of 16 buckets, rewrote $changed")
+    // and the table is still the converged per-key argmax
+    val row7 = spark.read.parquet(dir)
+      .filter(col("user_id") === 7L)
+      .select("event_id", "event_type").as[(Long, String)].collect()
+    assert(row7.toSeq === Seq((1000L, "b")))
+    assert(spark.read.parquet(dir).count() === 300)
+  }
+
 }
