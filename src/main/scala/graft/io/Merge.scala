@@ -223,10 +223,15 @@ object Merge {
     if (dirty.isEmpty) { u.unpersist(); return dirty } // empty micro-batch
     if (!fs.exists(path)) {
       // bootstrap: same temp+rename discipline as the unbucketed path —
-      // a crash mid-write leaves targetDir absent, never half-committed
+      // a crash mid-write leaves targetDir absent, never half-committed.
+      // Repartition on _bucket so each bucket lands as ~one file instead
+      // of one-per-(task × bucket) — at numBuckets sized for ~1 GB
+      // buckets that is the layout a 100 TB table needs, and it makes
+      // touched-FILE count track dirty buckets on later applies.
       val tmp = new org.apache.hadoop.fs.Path(targetDir + "_lww")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      lww(u).write.partitionBy("_bucket")
+      lww(u).repartition(numBuckets, col("_bucket"))
+        .write.partitionBy("_bucket")
         .mode(SaveMode.Overwrite).parquet(tmp.toString)
       require(fs.rename(tmp, path),
         s"bootstrap failed: could not move $tmp into place")
@@ -245,7 +250,8 @@ object Merge {
       val merged = lww(scoped.unionByName(u.select(target.columns.map(col): _*)))
       val tmp = new org.apache.hadoop.fs.Path(targetDir + "_lww")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      merged.write.partitionBy("_bucket")
+      merged.repartition(dirty.size, col("_bucket"))
+        .write.partitionBy("_bucket")
         .mode(SaveMode.Overwrite).parquet(tmp.toString)
       val bakRoot = new org.apache.hadoop.fs.Path(targetDir + "_bak")
       if (!fs.exists(bakRoot)) fs.mkdirs(bakRoot)

@@ -710,6 +710,61 @@ object Multimodal {
     }(Encoders.product[VideoRow]).toDF()
   }
 
+  /** Deterministic video corpus with NEAR-THRESHOLD planted duplicates
+    * — the recall fixture for [[bandNearDups]]'s `wideBands` bet (the
+    * m06/m07/m08 corpora plant only Hamming-0 invariance classes, for
+    * which any band scheme has recall 1 by construction): every doc
+    * gets a PERTURBED copy (video_id + 1,000,000) whose frames have
+    * `3 + doc_id % 8` dHash grid cells overwritten with saturated
+    * white (765 gray) at exactly the pixels [[dhashBands]] samples —
+    * each hit cell flips 0–2 of the 64 hash bits, landing the pair at
+    * a data-dependent frame Hamming distance in the near-threshold
+    * 2–12 range where the narrow-vs-wide band recall difference
+    * actually lives. Cell choice derives from the double-remixed fold,
+    * so an oracle replays the exact perturbation, hash, and every
+    * band-collision verdict. */
+  def toPerturbedVideoCorpus(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ids.flatMap { base =>
+      val w = (9 + base % 8).toInt
+      val h = (8 + base % 5).toInt
+      val rowSize = (3 * w + 3) / 4 * 4
+      val n = rowSize * h
+      val nFrames = (2 + base % 4).toInt
+      def pixels(f: Int): Array[Byte] =
+        Array.tabulate(n)(i =>
+          (doubleMix("vid:", s"vid:$base:$f:$i") % 200L).toByte)
+      def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+        val buf = ByteBuffer.allocate(8 + frames.map(_.length).sum)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        buf.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+          .putInt(frames.size)
+        frames.foreach(buf.put)
+        buf.array()
+      }
+      val baseFrames = (0 until nFrames).map(f => bmpBytes(w, h, pixels(f)))
+      val k = (3 + base % 8).toInt
+      val pertFrames = (0 until nFrames).map { f =>
+        val data = pixels(f)
+        (0 until k).foreach { j =>
+          val c = (doubleMix("pert:", s"pert:$base:$f:$j") % 72L).toInt
+          val gy = c / 9
+          val gx = c % 9
+          // the exact byte dhashBands samples for grid cell (gy, gx):
+          // bottom-up row order, same integer grid walk
+          val o = (h - 1 - gy * h / 8) * rowSize + 3 * (gx * w / 9)
+          data(o) = 0xff.toByte
+          data(o + 1) = 0xff.toByte
+          data(o + 2) = 0xff.toByte
+        }
+        bmpBytes(w, h, data)
+      }
+      Seq(
+        VideoRow(base, base, "base", container(baseFrames), "gvid"),
+        VideoRow(1000000L + base, base, "perturb", container(pertFrames), "gvid"))
+    }(Encoders.product[VideoRow]).toDF()
+  }
+
   /** Walks each GVID container and emits every frame as a standalone
     * BMP media row with the composite id `video_id * 16 + frame_idx`
     * (frame counts are < 16 by construction, enforced) — the adapter

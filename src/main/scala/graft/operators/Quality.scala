@@ -359,9 +359,16 @@ object Quality {
   def goodTuring(docs: DataFrame, groupCol: String, unitsCol: Column,
       maxR: Int): DataFrame = {
     require(maxR >= 1, s"maxR must be positive, got $maxR")
+    // The unit string never reaches the output (only its frequency
+    // does), so reduce it to an 8-byte xxhash64 key BEFORE the
+    // corpus-scale count shuffle — the t23/t26 discipline: raw n-gram
+    // strings are the dominant wire bytes, and the count table is
+    // identical absent a 64-bit collision (which the oracle hash gate,
+    // grouping by the RAW strings, would surface as a count mismatch).
     val freq = docs
       .select(col(groupCol), explode(unitsCol).as("w"))
-      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("r"))
+      .groupBy(col(groupCol), xxhash64(col("w")).as("w"))
+      .agg(count(lit(1)).as("r"))
     val nr = freq.groupBy(col(groupCol), col("r"))
       .agg(count(lit(1)).as("n_r"))
     val tot = freq.groupBy(col(groupCol))

@@ -525,6 +525,106 @@ object Vectors {
        |ORDER BY v.id_a, v.id_b""".stripMargin
   }
 
+  /** Band-scheme recall at NEAR-THRESHOLD Hamming distances — the
+    * measurement that turns m08's "the recall bet narrows with wider
+    * bands" claim into gated data. The m06–m08 corpora plant only
+    * Hamming-0 invariance classes (any band scheme catches those by
+    * construction); [[Multimodal.toPerturbedVideoCorpus]] instead
+    * plants copies whose frames differ by 0–2 flipped hash bits per
+    * perturbed grid cell, landing each ground-truth pair at a
+    * data-dependent frame Hamming in the 1–12 range. For every pair
+    * the exact 64-bit Hamming, the narrow verdict (any of four 16-bit
+    * bands untouched) and the wide verdict (any of two 32-bit bands
+    * untouched — m08's `wideBands` production setting) are computed;
+    * per Hamming bucket the two recalls land as columns. Wide ⊆
+    * narrow by construction (a wide band equal needs both its halves
+    * equal), so recall_wide ≤ recall_narrow row by row — the price
+    * paid for the 100×-measured candidate-blowup fix, now a number. */
+  private def m13(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.toPerturbedVideoCorpus(Corpus.documents(spark, dir))
+    val fps = Multimodal.dhashBands(Multimodal.videoFrameMedia(corpus))
+    val a = fps.toDF("fid", "a0", "a1", "a2", "a3").filter(col("fid") < 16000000L)
+    val b = fps.toDF("bfid", "c0", "c1", "c2", "c3").filter(col("bfid") >= 16000000L)
+    a.join(b, col("bfid") === col("fid") + 16000000L)
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)")
+        .cast("long"))
+      .withColumn("narrow_hit",
+        (col("a0") === col("c0") || col("a1") === col("c1") ||
+          col("a2") === col("c2") || col("a3") === col("c3")).cast("long"))
+      .withColumn("wide_hit",
+        ((col("a0").cast("long") * 65536L + col("a1")) ===
+            (col("c0").cast("long") * 65536L + col("c1")) ||
+          (col("a2").cast("long") * 65536L + col("a3")) ===
+            (col("c2").cast("long") * 65536L + col("c3"))).cast("long"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("narrow_hit")).as("narrow_caught"),
+        sum(col("wide_hit")).as("wide_caught"))
+      .withColumn("recall_narrow",
+        col("narrow_caught").cast("double") / col("n_pairs").cast("double"))
+      .withColumn("recall_wide",
+        col("wide_caught").cast("double") / col("n_pairs").cast("double"))
+      .orderBy(col("hamming"))
+  }
+
+  private val m13Sql = {
+    val pixFold = Text.mixSql(
+      s"'vid:' || CAST((${Text.mixSql("'vid:' || base_id || ':' || f || ':' || bi")}) AS VARCHAR)")
+    val pertFold = Text.mixSql(
+      s"'pert:' || CAST((${Text.mixSql("'pert:' || base_id || ':' || f || ':' || j")}) AS VARCHAR)")
+    s"""WITH vids AS (SELECT doc_id AS base_id, 2 + doc_id % 4 AS nf,
+       |                3 + doc_id % 8 AS nk
+       |              FROM documents),
+       |dims AS (SELECT base_id, f, nk,
+       |           9 + base_id % 8 AS w, 8 + base_id % 5 AS h,
+       |           (3 * (9 + base_id % 8) + 3) // 4 * 4 AS row_size
+       |         FROM vids, LATERAL (SELECT unnest(range(0, nf)) AS f) ff),
+       |pert AS (SELECT DISTINCT base_id, f, ($pertFold) % 72 AS c
+       |         FROM dims, LATERAL (SELECT unnest(range(0, nk)) AS j) jj),
+       |cells AS (SELECT d.base_id, d.f, gy, gx,
+       |            (d.h - 1 - (gy * d.h) // 8) * d.row_size + 3 * ((gx * d.w) // 9) AS o
+       |          FROM dims d,
+       |               LATERAL (SELECT unnest(range(0, 8)) AS gy) yy,
+       |               LATERAL (SELECT unnest(range(0, 9)) AS gx) xx),
+       |pix AS (SELECT base_id, f, gy, gx, sum(($pixFold) % 200) AS g
+       |        FROM (SELECT *, o + j AS bi FROM cells,
+       |              LATERAL (SELECT unnest(range(0, 3)) AS j) jj)
+       |        GROUP BY 1, 2, 3, 4),
+       |gray AS (SELECT x.base_id, x.f, x.gy, x.gx, x.g AS gb,
+       |           CASE WHEN p.c IS NOT NULL THEN 765 ELSE x.g END AS gp
+       |         FROM pix x LEFT JOIN pert p ON p.base_id = x.base_id
+       |              AND p.f = x.f AND p.c = x.gy * 9 + x.gx),
+       |bits AS (SELECT l.base_id, l.f, l.gy, l.gx,
+       |           CASE WHEN r.gb > l.gb THEN 1 ELSE 0 END AS bitb,
+       |           CASE WHEN r.gp > l.gp THEN 1 ELSE 0 END AS bitp
+       |         FROM gray l JOIN gray r ON r.base_id = l.base_id AND r.f = l.f
+       |              AND r.gy = l.gy AND r.gx = l.gx + 1
+       |         WHERE l.gx < 8),
+       |bands AS (SELECT base_id, f, gy // 2 AS k,
+       |            CAST(sum(bitb * (1 << ((gy % 2) * 8 + gx))) AS BIGINT) AS vb,
+       |            CAST(sum(bitp * (1 << ((gy % 2) * 8 + gx))) AS BIGINT) AS vp
+       |          FROM bits GROUP BY 1, 2, 3),
+       |pairm AS (SELECT base_id, f,
+       |            CAST(sum(bit_count(xor(vb, vp))) AS BIGINT) AS hamming,
+       |            max(CASE WHEN vb = vp THEN 1 ELSE 0 END) AS narrow_hit
+       |          FROM bands GROUP BY 1, 2),
+       |widem AS (SELECT base_id, f,
+       |            max(CASE WHEN wvb = wvp THEN 1 ELSE 0 END) AS wide_hit
+       |          FROM (SELECT base_id, f, k // 2 AS k2,
+       |                  sum(CASE WHEN k % 2 = 0 THEN vb * 65536 ELSE vb END) AS wvb,
+       |                  sum(CASE WHEN k % 2 = 0 THEN vp * 65536 ELSE vp END) AS wvp
+       |                FROM bands GROUP BY 1, 2, 3) z
+       |          GROUP BY 1, 2)
+       |SELECT p.hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(p.narrow_hit) AS BIGINT) AS narrow_caught,
+       |  CAST(sum(w.wide_hit) AS BIGINT) AS wide_caught,
+       |  CAST(sum(p.narrow_hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_narrow,
+       |  CAST(sum(w.wide_hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_wide
+       |FROM pairm p JOIN widem w ON w.base_id = p.base_id AND w.f = p.f
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-image quality statistics ([[Multimodal.imageStats]]) over the
     * planted image corpus: mean/variance of the B+G+R luminance and
     * horizontal gradient energy (sharpness — the standard no-reference
@@ -1465,5 +1565,6 @@ object Vectors {
     QuerySpec("m09_image_quality_stats", m09, Some(m09Sql)),
     QuerySpec("m10_shot_boundaries", m10, Some(m10Sql)),
     QuerySpec("m11_vad_segments", m11, Some(m11Sql)),
-    QuerySpec("m12_shot_keyframes", m12, Some(m12Sql)))
+    QuerySpec("m12_shot_keyframes", m12, Some(m12Sql)),
+    QuerySpec("m13_band_recall", m13, Some(m13Sql)))
 }

@@ -461,4 +461,35 @@ class MultimodalSpec extends SparkTestBase {
       .sortBy(s => (s._1, s._2)).toSeq
     assert(again === segs.values.flatten.toSeq.sortBy(s => (s._1, s._2)))
   }
+
+  test("perturbed video corpus lands pairs at near-threshold Hamming; wide bands never beat narrow") {
+    val corpus = Multimodal.toPerturbedVideoCorpus((0L until 40L).toDF("doc_id"))
+    val fps = Multimodal.dhashBands(Multimodal.videoFrameMedia(corpus))
+      .as[(Long, Int, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val pairs = fps.keys.filter(_ < 16000000L).toSeq.sorted.map { fid =>
+      val (a0, a1, a2, a3) = fps(fid)
+      val (c0, c1, c2, c3) = fps(fid + 16000000L)
+      val hamming = Integer.bitCount(a0 ^ c0) + Integer.bitCount(a1 ^ c1) +
+        Integer.bitCount(a2 ^ c2) + Integer.bitCount(a3 ^ c3)
+      val narrow = a0 == c0 || a1 == c1 || a2 == c2 || a3 == c3
+      val wide = (a0.toLong * 65536L + a1) == (c0.toLong * 65536L + c1) ||
+        (a2.toLong * 65536L + a3) == (c2.toLong * 65536L + c3)
+      (hamming, narrow, wide)
+    }
+    // every base frame has its perturbed sibling, and the perturbation
+    // really moves hashes: the distribution must reach past Hamming 4
+    assert(pairs.nonEmpty && pairs.exists(_._1 >= 5),
+      s"perturbation too weak: max hamming ${pairs.map(_._1).max}")
+    assert(pairs.exists(_._1 >= 1), "at least some pairs must differ")
+    // wide-band hit implies narrow-band hit (a 32-bit band equal needs
+    // both 16-bit halves equal) — the invariant behind recall_wide <=
+    // recall_narrow in every m13 bucket
+    pairs.foreach { case (h, narrow, wide) =>
+      assert(!wide || narrow, s"wide hit without narrow hit at hamming $h")
+    }
+    // hamming 0 pairs are caught by both schemes
+    pairs.filter(_._1 == 0).foreach { case (_, narrow, wide) =>
+      assert(narrow && wide)
+    }
+  }
 }
