@@ -622,6 +622,37 @@ object Domain {
       |  FROM events WHERE user_id IS NOT NULL) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Streaming SCD2: q38's three day-stamped snapshots stream through
+    * [[SilverStream.scd2Sink]] → [[graft.io.Scd2Table]] and the
+    * converged history table must equal the batch day-by-day
+    * application — stream ≡ batch for the HISTORY-keeping half of the
+    * CDC pair (p15 gated the latest-row half). Same fixture, same
+    * oracle as q38: the gate proves the streamed apply reproduces the
+    * batch chain bit for bit. Reordered/replayed/split micro-batch
+    * schedules are property-tested in StreamingSpec. */
+  private def p16(spark: SparkSession, dir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft_p16_in_").toString + "/snaps"
+    val out = java.nio.file.Files.createTempDirectory("graft_p16_").toString + "/dim"
+    val ck = java.nio.file.Files.createTempDirectory("graft_p16_ck_").toString
+    Relational.scd2Snapshots(spark, dir)
+      .map { case (d, df) => df.withColumn("_day", lit(d)) }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(in)
+    val src = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .parquet(in)
+    val q = SilverStream.scd2Sink(src, out, "c_custkey", Seq("seg", "nat"), "_day")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select("c_custkey", "seg", "nat", "effective_from", "effective_to", "is_current")
+      .orderBy(col("c_custkey"), col("effective_from"))
+  }
+
+  private val p16Sql = Relational.q38Sql
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -637,5 +668,6 @@ object Domain {
     QuerySpec("p12_stream_mg_heavy", p12, Some(p12Sql)),
     QuerySpec("p13_stream_bloom_members", p13, Some(p13Sql)),
     QuerySpec("p14_stream_kmv_quantiles", p14, Some(p14Sql)),
-    QuerySpec("p15_stream_cdc_upsert", p15, Some(p15Sql)))
+    QuerySpec("p15_stream_cdc_upsert", p15, Some(p15Sql)),
+    QuerySpec("p16_stream_scd2_history", p16, Some(p16Sql)))
 }

@@ -924,7 +924,14 @@ object Relational {
     * re-opened keys, and unchanged carries all hash-gate. Scale shape:
     * each apply is three key-equi joins against the current slice —
     * never history — plus a union; history accumulates append-only. */
-  private def q38(spark: SparkSession, dir: String): DataFrame = {
+  /** The three day-stamped customer snapshots behind q38 (batch SCD2)
+    * and p16 (the SAME change set streamed through
+    * [[graft.streaming.SilverStream.scd2Sink]] — one fixture, two
+    * application paths, one oracle): day 2 drops every 17th key
+    * (closures) and moves segment for key%10==3; day 3 restores the
+    * dropped keys and also bumps nation for key%10==7. */
+  private[queries] def scd2Snapshots(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
     val snap1 = Corpus.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
         col("c_nationkey").as("nat"))
@@ -936,13 +943,18 @@ object Relational {
         when(col("c_custkey") % 10 === 3, lit("MOVED")).otherwise(col("seg")))
       .withColumn("nat",
         when(col("c_custkey") % 10 === 7, col("nat") + 1).otherwise(col("nat")))
-    val d1 = graft.gold.Scd2.init(snap1, "c_custkey", Seq("seg", "nat"), "2024-01-01")
-    val d2 = graft.gold.Scd2(d1, snap2, "c_custkey", Seq("seg", "nat"), "2024-01-02")
-    val d3 = graft.gold.Scd2(d2, snap3, "c_custkey", Seq("seg", "nat"), "2024-01-03")
+    Seq("2024-01-01" -> snap1, "2024-01-02" -> snap2, "2024-01-03" -> snap3)
+  }
+
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val Seq((d1s, snap1), (d2s, snap2), (d3s, snap3)) = scd2Snapshots(spark, dir)
+    val d1 = graft.gold.Scd2.init(snap1, "c_custkey", Seq("seg", "nat"), d1s)
+    val d2 = graft.gold.Scd2(d1, snap2, "c_custkey", Seq("seg", "nat"), d2s)
+    val d3 = graft.gold.Scd2(d2, snap3, "c_custkey", Seq("seg", "nat"), d3s)
     d3.orderBy(col("c_custkey"), col("effective_from"))
   }
 
-  private val q38Sql = {
+  private[queries] val q38Sql = {
     // one generic apply() mirror per day: history carry + unchanged
     // (semi) + closed (anti) + opened (snapshot anti current)
     def step(dim: String, snap: String, asOf: String, out: String) =

@@ -103,6 +103,24 @@ object SilverStream {
       }
     }
 
+  /** foreachBatch SCD2 apply: day-stamped snapshot rows stream into a
+    * persisted attribute-HISTORY dimension
+    * ([[graft.io.Scd2Table.applyDays]] → the batch
+    * [[graft.gold.Scd2]]) — the history-keeping sibling of
+    * [[cdcUpsertSink]]'s latest-row upsert, closing the lakehouse CDC
+    * pair. Whole days may arrive grouped into micro-batches in any way
+    * (each batch applies its days in ascending order); replayed or
+    * out-of-order stale days are no-ops (SCD2 idempotence + the
+    * last-applied-day guard), so at-least-once delivery converges to
+    * the exact batch-applied history. */
+  def scd2Sink(df: DataFrame, outDir: String, key: String,
+      attrs: Seq[String], dayCol: String): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.io.Scd2Table.applyDays(batch.sparkSession, outDir, batch,
+        key, attrs, dayCol)
+      ()
+    }
+
   /** Runs a streaming frame to completion against a memory sink and
     * returns the materialized result — used by tests and the stream/batch
     * equivalence oracle query.

@@ -687,6 +687,52 @@ class StreamingSpec extends SparkTestBase {
     assert(runWith(changes.map(Seq(_)) :+ Seq(changes.last)) === expected)
   }
 
+  test("scd2Sink converges to the batch history under any day grouping, replay, or stale delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    // three days of snapshots: key 1 changes on day 2, key 2 disappears
+    // on day 2 (closure) and returns on day 3, key 3 never changes
+    val day1 = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    val day2 = Seq((1L, "a2"), (3L, "c"))
+    val day3 = Seq((1L, "a2"), (2L, "b3"), (3L, "c"))
+    val snaps = Map("2024-01-01" -> day1, "2024-01-02" -> day2, "2024-01-03" -> day3)
+    def expected: Set[(Long, String, String, Option[String], Boolean)] = {
+      import spark.implicits._
+      val d1 = graft.gold.Scd2.init(day1.toDF("k", "attr"), "k", Seq("attr"), "2024-01-01")
+      val d2 = graft.gold.Scd2(d1, day2.toDF("k", "attr"), "k", Seq("attr"), "2024-01-02")
+      graft.gold.Scd2(d2, day3.toDF("k", "attr"), "k", Seq("attr"), "2024-01-03")
+        .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    }
+    def runWith(batches: Seq[Seq[String]]): Set[(Long, String, String, Option[String], Boolean)] = {
+      val dir = Files.createTempDirectory("graft_scd2s_").toString + "/dim"
+      val input = MemoryStream[(Long, String, String)]
+      val q = SilverStream.scd2Sink(
+          input.toDF().toDF("k", "attr", "_day"), dir, "k", Seq("attr"), "_day")
+        .trigger(Trigger.ProcessingTime(0))
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_scd2s_ck_").toString)
+        .start()
+      batches.foreach { days =>
+        input.addData(days.flatMap(d => snaps(d).map { case (k, a) => (k, a, d) }): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.read.parquet(dir)
+        .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    }
+    val exp = expected
+    // all days in one batch; one day per batch; days 1+2 then 3
+    assert(runWith(Seq(Seq("2024-01-01", "2024-01-02", "2024-01-03"))) === exp)
+    assert(runWith(Seq(Seq("2024-01-01"), Seq("2024-01-02"), Seq("2024-01-03"))) === exp)
+    assert(runWith(Seq(Seq("2024-01-01", "2024-01-02"), Seq("2024-01-03"))) === exp)
+    // at-least-once: the last day replays after being applied — no-op
+    assert(runWith(Seq(Seq("2024-01-01"), Seq("2024-01-02"), Seq("2024-01-03"),
+      Seq("2024-01-03"))) === exp)
+    // a STALE day arrives after newer ones — skipped by the
+    // last-applied-day guard, must not regress history
+    assert(runWith(Seq(Seq("2024-01-01"), Seq("2024-01-02"), Seq("2024-01-03"),
+      Seq("2024-01-01"))) === exp)
+  }
+
   test("cdcUpsertSink per-batch work tracks the BATCH, not the table (dirty buckets only)") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
