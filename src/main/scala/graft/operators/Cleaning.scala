@@ -80,4 +80,43 @@ object Cleaning {
           transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
             s => s.getField("line")), "\n").as("clean_text"))
       .orderBy(col("doc_id"))
+
+  /** Email pattern shared by [[piiScan]] and its oracle — restricted to
+    * the Java-regex ∩ RE2 common subset (no lookaround, no backrefs,
+    * greedy quantifiers only) so Spark and DuckDB match identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone pattern (NNN-NNN-NNNN with word boundaries), same subset. */
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scan + redaction — the privacy pass every LLM training-data
+    * pipeline runs before export (the C4/Gopher pipelines drop or mask
+    * documents with detectable personal identifiers): counts email and
+    * phone matches per document and rewrites the text with `<EMAIL>` /
+    * `<PHONE>` placeholders, emails masked first (the composition order
+    * is part of the contract — a phone-shaped digit run inside an
+    * already-masked email must not double-count). Pure per-row regex
+    * work over codegen'd `regexp_extract_all` / `regexp_replace`: no
+    * shuffle at all, the ideal 100 TB shape (a masking pass is
+    * scan-bound, and this plan IS one scan).
+    *
+    * Output: (doc_id, n_emails, n_phones, masked), ascending doc_id —
+    * the masked text itself is gated byte-exact (the t43 discipline),
+    * not just the counts. */
+  def piiScan(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      // regexp_extract_all/regexp_replace take the pattern as a literal
+      // Column/String, NOT through the SQL parser — an expr() string
+      // literal would eat the regex backslashes (the '\d' → 'd' parser
+      // trap) and silently diverge from the oracle's RE2 read
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("_t"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("_m1", regexp_replace(col("_t"), EmailRe, "<EMAIL>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("_m1"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("masked", regexp_replace(col("_m1"), PhoneRe, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("masked"))
+      .orderBy(col("doc_id"))
 }

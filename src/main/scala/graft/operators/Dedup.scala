@@ -841,6 +841,60 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric CONTAINMENT near-dups (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES 1997 §2 — the neglected half
+    * of the resemblance/containment pair every Jaccard dedup implements
+    * only one side of): c(A,B) = |S(A)∩S(B)| / |S(A)| finds documents
+    * swallowed whole by larger ones — quoted posts, boilerplate-wrapped
+    * articles, aggregator pages — where Jaccard sits near |A|/|B| and
+    * sails under every resemblance threshold. A pair is reported when
+    * EITHER direction's containment clears `minContainment`; both
+    * directions and the Jaccard ride along as data, so the asymmetry
+    * is visible per pair.
+    *
+    * Candidates via the t48 rare-gram discipline: only shingles with
+    * document frequency in [2, maxDf] generate pairs (fanout bounded by
+    * df² per shingle, never n²), then the EXACT count-based verify over
+    * the full shingle sets. The recall bet: a contained doc must carry
+    * at least one non-ubiquitous shingle — a doc made entirely of
+    * corpus-common boilerplate is exactly what the containment pass
+    * exists to DROP anyway, and the oracle mirrors the blocking so the
+    * bet is gated, not hidden. One shuffle keys shingle strings;
+    * verify joins are id-keyed.
+    *
+    * Output: (doc_a, doc_b, sza, szb, inter, cont_a_in_b, cont_b_in_a,
+    * jaccard), doc_a < doc_b, ordered. */
+  def containmentPairs(docs: DataFrame, shingleSize: Int = 3, maxDf: Int = 8,
+      minContainment: Double = 0.9): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must sit in (0,1], got $minContainment")
+    val ex = tracked(withShingles(docs, shingleSize)
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("sh")))
+    val rare = ex.join(
+      ex.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= 2 && col("_df") <= maxDf)
+        .select(col("sh")),
+      "sh")
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("sh")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_a_in_b", col("inter").cast("double") / col("sza").cast("double"))
+      .withColumn("cont_b_in_a", col("inter").cast("double") / col("szb").cast("double"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("sza"), col("szb"), col("inter"),
+        col("cont_a_in_b"), col("cont_b_in_a"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Number of hash bits in a SimHash signature. 63, not 64: the token
     * hash is assembled from two md5 halves as (hi mod 2³¹)·2³² + lo so it
     * stays non-negative in every engine's signed-64 arithmetic — the

@@ -109,11 +109,17 @@ object Graph {
     * duplicates (either direction) are dropped. Output: (node,
     * n_triangles) for every node in ≥ 1 triangle, node order. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // DISK_ONLY, not localCheckpoint: both edge-sized frames are
+    // re-read by multiple joins below, and pinning 2·|E| rows in
+    // memory starves the wedge join's execution memory — the exact
+    // q41 failure mode, reproduced here as a real OOM at the 300×
+    // scale point before this change
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -129,7 +135,11 @@ object Graph {
           struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddeg")))
         .as("e"))
       .select(col("e.src"), col("e.dst"), col("e.ddeg"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // materialize oriented, then release canon: only ONE edge-sized
+    // frame stays resident through the wedge phase
+    oriented.count()
+    canon.unpersist()
     val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
       .join(oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")),
         Seq("src"))
@@ -140,6 +150,50 @@ object Graph {
     tri.select(explode(array(col("x"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("node"))
+  }
+
+  /** Synchronous label propagation communities (Raghavan, Albert &
+    * Kumara, "Near linear time algorithm to detect community structures
+    * in large-scale networks", Phys. Rev. E 76, 2007) — the
+    * connectivity-blind sibling of the CC min-label loop
+    * (`Dedup.dupClusters` finds components; this finds DENSER-THAN-CUT
+    * groups inside them): every node starts as its own label, and each
+    * round adopts the most frequent label among its neighbors. The
+    * published algorithm breaks frequency ties randomly and runs
+    * asynchronously; here both choices are pinned deterministic —
+    * synchronous rounds, ties to the SMALLEST label, fixed round count
+    * — so the labeling is a pure function of the graph at any
+    * partitioning and the whole evolution replays as chained SQL (the
+    * q34 discipline; randomized/async LPA could only be rows-gated).
+    *
+    * Scale shape: per round one labels⋈edges join over the
+    * src-partitioned symmetric edge list (the label table is the
+    * node-sized side — one-sided exchange, the pageRank layout) + one
+    * (node, label) count and an argmax window over the count table
+    * (node-sized × distinct neighbor labels, shrinking as labels
+    * coalesce). Generations localCheckpoint'd (node-sized).
+    *
+    * Output: (node, label), one row per node. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val sym = canonSym(edges).localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    var i = 0
+    while (i < rounds) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+      labels = sym
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels.orderBy(col("node"))
   }
 
   /** k-core of an undirected graph (Seidman, "Network structure and

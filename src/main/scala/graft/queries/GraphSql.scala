@@ -43,4 +43,36 @@ private[queries] object GraphSql {
        |       FROM nodes),
        |$chain""".stripMargin
   }
+
+  /** Shared DuckDB CTE chain replaying
+    * [[graft.operators.Graph.labelPropagation]] over an in-scope CTE
+    * `e` (src, dst): mirrors the operator's canonSym normalization
+    * (least/greatest dedup, self-loops and NULLs dropped, symmetrized)
+    * then chains `rounds` synchronous adopt-the-most-frequent-neighbor-
+    * label steps with the deterministic (count DESC, label ASC)
+    * tie-break. The final labeling is `l<rounds>` (node, label). */
+  def labelPropChainSql(rounds: Int): String = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    def step(prev: String, next: String) =
+      s"""$next AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node
+         |                         ORDER BY c DESC, label) AS rn
+         |    FROM (SELECT se.dst AS node, l.label,
+         |            CAST(count(*) AS BIGINT) AS c
+         |          FROM se JOIN $prev l ON l.node = se.src
+         |          GROUP BY 1, 2) t) r
+         |  WHERE rn = 1)""".stripMargin
+    val chain = (1 to rounds)
+      .map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM e
+       |       WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL),
+       |se AS (SELECT a AS src, b AS dst FROM ce
+       |       UNION ALL SELECT b AS src, a AS dst FROM ce),
+       |lnodes AS (SELECT DISTINCT src AS node FROM se),
+       |l0 AS (SELECT node, node AS label FROM lnodes),
+       |$chain""".stripMargin
+  }
 }

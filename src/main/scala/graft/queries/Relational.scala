@@ -749,6 +749,44 @@ object Relational {
     graft.operators.Graph.pageRank(edges, iterations = 5, damping = 0.85)
   }
 
+  /** Label-propagation communities on the customer–supplier trade
+    * graph ([[graft.operators.Graph.labelPropagation]]; Raghavan et
+    * al. Phys. Rev. E 2007) — the sixth graph-family member and the
+    * community-structure complement of q34's centrality and t13's
+    * connectivity: five synchronous adopt-the-majority-neighbor-label
+    * rounds with the deterministic (count DESC, label ASC) tie-break
+    * that makes the labeling a pure function of the graph (published
+    * LPA breaks ties randomly — that variant could only be
+    * rows-gated). The oracle replays every round's neighbor-label
+    * histogram and argmax via the shared
+    * [[GraphSql.labelPropChainSql]]; community sizes ride along so
+    * the coalescence is visible as data. */
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Corpus.lineitem(spark, dir)
+      .join(Corpus.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val lbl = graft.operators.Graph.labelPropagation(pairs, rounds = 5)
+    lbl.join(lbl.groupBy(col("label")).agg(count(lit(1)).as("community_size")),
+        Seq("label"))
+      .select(col("node"), col("label"), col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  private val q45Sql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT cust AS src, supp AS dst FROM pairs),
+       |${GraphSql.labelPropChainSql(rounds = 5)},
+       |cs AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM l5 GROUP BY 1)
+       |SELECT l.node, l.label, cs.community_size
+       |FROM l5 l JOIN cs ON cs.label = l.label
+       |ORDER BY l.node""".stripMargin
+
   private val q34Sql =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
@@ -770,11 +808,14 @@ object Relational {
     * structurally different algorithms hash-agreeing on every per-node
     * count is the gate. */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
+    // DISK_ONLY (the q41 lesson, confirmed by q35's own 300× OOM): the
+    // distinct triple frame feeds both sides of the co-occurrence
+    // self-join; pinning it in memory starves the join at scale
     val b = Corpus.events(spark, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
         col("user_id"))
       .distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val pairs = b.as("b1").join(b.as("b2"),
         col("b1.event_type") === col("b2.event_type") &&
         col("b1.h") === col("b2.h") &&
@@ -1265,6 +1306,7 @@ object Relational {
     QuerySpec("q41_bfs_hops", q41, Some(q41Sql)),
     QuerySpec("q42_zorder_layout", q42, Some(q42Sql)),
     QuerySpec("q43_time_weighted_avg", q43, Some(q43Sql)),
-    QuerySpec("q44_cms_join_size", q44, Some(q44Sql)))
+    QuerySpec("q44_cms_join_size", q44, Some(q44Sql)),
+    QuerySpec("q45_label_propagation", q45, Some(q45Sql)))
 
 }

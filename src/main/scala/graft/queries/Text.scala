@@ -2496,6 +2496,112 @@ object Text {
        |WHERE nr.r <= 10
        |ORDER BY nr.lang, nr.r""".stripMargin
 
+  /** PII scan + redaction ([[graft.operators.Cleaning.piiScan]]): the
+    * privacy pass a training-data pipeline runs before export. The
+    * fixture corpus carries no real PII, so the query PLANTS it with
+    * exact string arithmetic both engines share — every 7th doc gets a
+    * doc-id-derived email appended, every 11th a doc-id-derived
+    * NNN-NNN-NNNN phone — then counts matches and masks, emails first.
+    * The masked text is gated BYTE-EXACT (the t43 discipline), which
+    * pins the regex dialect bet: both patterns live in the Java-regex ∩
+    * RE2 common subset, and any divergence in match semantics surfaces
+    * as a text hash mismatch, not a silent miscount. Scan shape: pure
+    * per-row codegen'd regex work, zero shuffles — at 100 TB a masking
+    * pass is scan-bound and this plan IS one scan. */
+  private def t66(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Corpus.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" or call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+    graft.operators.Cleaning.piiScan(planted)
+  }
+
+  private val t66Sql = {
+    import graft.operators.Cleaning.{EmailRe, PhoneRe}
+    s"""WITH p AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN ' or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |              || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END AS t
+       |  FROM documents),
+       |m1 AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |    regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1
+       |  FROM p)
+       |SELECT doc_id, n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  regexp_replace(t1, '$PhoneRe', '<PHONE>', 'g') AS masked
+       |FROM m1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Asymmetric containment dedup
+    * ([[graft.operators.Dedup.containmentPairs]]; Broder SEQUENCES'97
+    * §2): finds documents swallowed whole by larger ones — the
+    * quoted-post/boilerplate-wrapper class every resemblance (Jaccard)
+    * threshold misses because j ≈ |A|/|B| for a small doc inside a big
+    * one. The fixture corpus has no containment pairs, so the query
+    * PLANTS them with exact string arithmetic both engines share: every
+    * 13th doc gets a wrapper sibling (id + 3,000,000) whose text is the
+    * original followed by its successor doc's text — contained doc's
+    * shingles ⊂ wrapper's by construction, Jaccard ≈ sza/szb. The
+    * oracle replays the rare-shingle blocking (df ∈ [2, 8] — the bet is
+    * gated, not hidden) and every count/ratio; the gate shows pairs
+    * passing at containment ≥ 0.9 whose Jaccard sits far below the 0.8
+    * dedup threshold — the asymmetry as data. */
+  private def t67(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir).select(col("doc_id"), col("text"))
+    val wrapped = docs.filter(col("doc_id") % 13 === 0)
+      .join(docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("_t2")),
+        Seq("doc_id"))
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("_t2")).as("text"))
+    graft.operators.Dedup.containmentPairs(docs.unionByName(wrapped),
+      shingleSize = 3, maxDf = 8, minContainment = 0.9)
+  }
+
+  private val t67Sql =
+    s"""WITH wrap AS (
+       |  SELECT d1.doc_id + 3000000 AS doc_id, d1.text || ' ' || d2.text AS text
+       |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+       |  WHERE d1.doc_id % 13 = 0),
+       |corpus AS (SELECT doc_id, text FROM documents
+       |           UNION ALL SELECT doc_id, text FROM wrap),
+       |shc AS (
+       |  SELECT doc_id, list_distinct([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+       |                                for i in range(1, len(sp) - 1)]) AS s
+       |  FROM (SELECT doc_id, $toksSql AS sp FROM corpus)
+       |  WHERE len(sp) >= 3),
+       |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sh FROM shc),
+       |rare AS (SELECT sh FROM ex GROUP BY sh
+       |         HAVING count(*) BETWEEN 2 AND 8),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM ex x JOIN rare r ON r.sh = x.sh
+       |         JOIN ex y ON y.sh = x.sh AND x.doc_id < y.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(a.s) AS BIGINT) AS sza, CAST(len(b.s) AS BIGINT) AS szb,
+       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS cont_a_in_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) AS cont_b_in_a,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |FROM cand c
+       |JOIN shc a ON a.doc_id = c.doc_a
+       |JOIN shc b ON b.doc_id = c.doc_b
+       |WHERE greatest(
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s),
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2561,5 +2667,7 @@ object Text {
     QuerySpec("t62_pmi_collocations", t62, Some(t62Sql)),
     QuerySpec("t63_kneser_ney_ppl", t63, Some(t63Sql)),
     QuerySpec("t64_textrank_keywords", t64, Some(t64Sql)),
-    QuerySpec("t65_good_turing", t65, Some(t65Sql)))
+    QuerySpec("t65_good_turing", t65, Some(t65Sql)),
+    QuerySpec("t66_pii_scan", t66, Some(t66Sql)),
+    QuerySpec("t67_containment_pairs", t67, Some(t67Sql)))
 }

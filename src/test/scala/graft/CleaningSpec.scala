@@ -71,4 +71,24 @@ class CleaningSpec extends SparkTestBase {
     assert(v(0) === true)
     assert(v(1) === false)
   }
+
+  test("piiScan counts and masks emails then phones; boundaries and order pinned") {
+    val docs = Seq(
+      (1L, "mail a.b-c_1@ex-ample.co.uk or x@y.io now"),     // two emails
+      (2L, "call 555-123-4567 or 555-000-1111 today"),       // two phones
+      (3L, "digits 12555-123-45678 touch the boundary"),     // \b blocks both sides
+      (4L, "mixed u@v.org then 555-999-0000"),
+      (5L, "nothing to find here")).toDF("doc_id", "text")
+    val out = Cleaning.piiScan(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 === 2L && out(1L)._2 === 0L)
+    assert(out(1L)._3 === "mail <EMAIL> or <EMAIL> now")
+    assert(out(2L) === ((0L, 2L, "call <PHONE> or <PHONE> today")))
+    // 12555-123-45678: no word boundary before 555 or after 4567 —
+    // must NOT be masked (the \b contract both regex engines share)
+    assert(out(3L) === ((0L, 0L, "digits 12555-123-45678 touch the boundary")))
+    assert(out(4L) === ((1L, 1L, "mixed <EMAIL> then <PHONE>")))
+    assert(out(5L) === ((0L, 0L, "nothing to find here")))
+  }
 }

@@ -502,4 +502,32 @@ class DedupSpec extends SparkTestBase {
       assert(out === ref(l), s"L=$l must match the single-node reference")
     }
   }
+
+  test("containmentPairs finds a swallowed doc that Jaccard misses; asymmetry reported; partition-invariant") {
+    // doc 1 is contained whole in doc 10 (wrapper = doc1 + padding)
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val pad = "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      (1L, small),
+      (10L, small + " " + pad),
+      (20L, "totally different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, shingleSize = 3, maxDf = 8,
+      minContainment = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(out.length === 1)
+    val (a, b, sza, szb, inter, cab, cba, j) = (out(0)._1, out(0)._2, out(0)._3,
+      out(0)._4, out(0)._5, out(0)._6, out(0)._7, out(0)._8)
+    assert((a, b) === ((1L, 10L)))
+    // every shingle of the small doc appears in the wrapper
+    assert(inter === sza && cab === 1.0)
+    // the asymmetry: containment catches what resemblance misses
+    assert(cba < 0.9 && j < 0.8,
+      s"jaccard $j must sit below the dedup threshold while containment is 1.0")
+    // partitioning invariance
+    val again = Dedup.containmentPairs(docs.repartition(5), shingleSize = 3,
+      maxDf = 8, minContainment = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(again.toSeq === out.toSeq)
+  }
 }

@@ -160,4 +160,23 @@ class GraphSpec extends SparkTestBase {
     assert(a.map(r => (r.getLong(0), r.getLong(1))).toMap ===
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
+
+  test("labelPropagation separates two planted communities; hand-traced rounds; partition-invariant") {
+    // two triangles bridged by one edge: {1,2,3} and {10,11,12}, 3–10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced 5 synchronous rounds with the (count DESC, label ASC)
+    // tie-break: the left triangle converges to label 1, the right to 3
+    // (the bridge pulls 3's label across before 10's own community
+    // re-anchors — the deterministic trace, not just "two groups")
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // partitioning invariance: synchronous rounds + deterministic
+    // tie-break make the labeling a pure function of the graph
+    val again = Graph.labelPropagation(edges.repartition(7), rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
 }
