@@ -653,6 +653,39 @@ object Domain {
 
   private val p16Sql = Relational.q38Sql
 
+  /** Streaming ANN serving: v05's exact query set arrives as a STREAM
+    * and probes the persisted IVF index per micro-batch
+    * ([[SilverStream.annProbeSink]]); the accumulated result table must
+    * equal the batch probe bit for bit — stream ≡ batch for the vector
+    * serving loop, gated against v05's VERBATIM oracle (fit chain, cell
+    * ranking, probe join, cosine top-10 all replayed). Query-per-batch
+    * and replay schedules are property-tested in StreamingSpec. */
+  private def p17(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Corpus.embeddings(spark, dir)
+    val idx = graft.util.RotatingTempDir.next("graft_p17_idx_")
+    graft.operators.Similarity.buildIvfIndex(spark, emb, idx)
+    val qdir = java.nio.file.Files.createTempDirectory("graft_p17_q_").toString + "/queries"
+    val out = java.nio.file.Files.createTempDirectory("graft_p17_").toString + "/hits"
+    val ck = java.nio.file.Files.createTempDirectory("graft_p17_ck_").toString
+    emb.filter(col("vec_id") < 5).write.mode("overwrite").parquet(qdir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(qdir).schema)
+      .parquet(qdir)
+    val q = SilverStream.annProbeSink(src, out, idx, k = 10)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .start()
+    q.awaitTermination()
+    // materialized: the frame must outlive RotatingTempDir's pruning of
+    // this invocation's index generation (the v05 discipline)
+    spark.read.parquet(out)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint()
+  }
+
+  private val p17Sql = Vectors.v05Sql
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -669,5 +702,6 @@ object Domain {
     QuerySpec("p13_stream_bloom_members", p13, Some(p13Sql)),
     QuerySpec("p14_stream_kmv_quantiles", p14, Some(p14Sql)),
     QuerySpec("p15_stream_cdc_upsert", p15, Some(p15Sql)),
-    QuerySpec("p16_stream_scd2_history", p16, Some(p16Sql)))
+    QuerySpec("p16_stream_scd2_history", p16, Some(p16Sql)),
+    QuerySpec("p17_stream_ann_serve", p17, Some(p17Sql)))
 }

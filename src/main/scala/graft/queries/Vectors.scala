@@ -861,7 +861,7 @@ object Vectors {
       .localCheckpoint()
   }
 
-  private val v05Sql =
+  private[queries] val v05Sql =
     s"""WITH $ivfProbeCtes
        |SELECT query_id, rank, neighbor_id, cos_sim FROM approx
        |ORDER BY query_id, rank""".stripMargin

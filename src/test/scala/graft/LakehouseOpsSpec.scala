@@ -344,6 +344,14 @@ class LakehouseOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Merge.lwwUpsertParquetBucketed(spark, dir, batch, "k", Seq("v"), numBuckets = 8)
     }
+    // the dirty-bucket read is PARTITION-PRUNED: the apply's scoped scan
+    // must carry a partition filter on _bucket, so clean buckets' files
+    // are never opened (the plan-shape half of the file-signature proof)
+    val scoped = spark.read.parquet(dir)
+      .filter(col("_bucket").isin(dirty.map(Int.box): _*))
+    val plan = scoped.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"),
+      s"dirty-bucket scan must prune partitions:\n$plan")
   }
 
   test("bucketed lww upsert equals the unbucketed merge on the same change set") {

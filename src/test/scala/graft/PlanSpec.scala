@@ -398,4 +398,26 @@ class PlanSpec extends SparkTestBase {
       s"expected the window's partitioning to serve the aggregation, found $shuffles:\n$plan")
     assert(plan.contains("Window"), s"lead() must run as a window:\n$plan")
   }
+
+  test("t66 PII scan: one scan, codegen'd regex, the output sort is the only exchange") {
+    val plan = planOf("t66_pii_scan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"masking must ride built-in regexp expressions:\n$plan")
+    // a masking pass is scan-bound: per-row work only — the single
+    // exchange the COMPUTATION may require is the deterministic output
+    // ordering (Corpus's REPARTITION_BY_NUM input normalization is
+    // harness plumbing, not a plan property of the query)
+    val required = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(required <= 1, s"a per-row masking pass must not shuffle data:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"no join or aggregation belongs in a masking scan:\n$plan")
+  }
+
+  test("t67 containment: blocking equi-joins on shingles, never a cartesian") {
+    val plan = planOf("t67_containment_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join on the rare shingles:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the df and intersection counts must partial-aggregate map-side:\n$plan")
+  }
 }

@@ -733,6 +733,47 @@ class StreamingSpec extends SparkTestBase {
       Seq("2024-01-01"))) === exp)
   }
 
+  test("annProbeSink converges to the batch probe under any query batching or replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // small planted corpus: 40 vectors on 4 axes + noise dims
+    val emb = (0L until 40L).map { i =>
+      val v = Array.fill(8)(0.01f * ((i * 7 + 3) % 5))
+      v((i % 4).toInt) = 1.0f
+      (i, v, (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = Files.createTempDirectory("graft_annidx_").toString + "/idx"
+    graft.operators.Similarity.buildIvfIndex(spark, emb, idx)
+    val queries = (0L until 4L).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i.toInt) = 1.0f
+      (100L + i, v, i.toInt)
+    }
+    val expected = graft.operators.Similarity
+      .ivfTopKAgainstIndex(spark, queries.toDF("vec_id", "embedding", "label"), idx, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    def runWith(batches: Seq[Seq[(Long, Array[Float], Int)]]): Set[(Long, Long, Long)] = {
+      val out = Files.createTempDirectory("graft_annout_").toString + "/hits"
+      val input = MemoryStream[(Long, Array[Float], Int)]
+      val q = SilverStream.annProbeSink(
+          input.toDF().toDF("vec_id", "embedding", "label"), out, idx, k = 5)
+        .trigger(Trigger.ProcessingTime(0))
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_annout_ck_").toString)
+        .start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(out)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    // all queries in one batch; query-per-batch; replayed last query
+    assert(runWith(Seq(queries)) === expected)
+    assert(runWith(queries.map(Seq(_))) === expected)
+    assert(runWith(queries.map(Seq(_)) :+ Seq(queries.last)) === expected)
+  }
+
   test("cdcUpsertSink per-batch work tracks the BATCH, not the table (dirty buckets only)") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
