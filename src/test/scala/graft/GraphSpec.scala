@@ -161,6 +161,25 @@ class GraphSpec extends SparkTestBase {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("triangleCounts under extreme degree skew: hub graph counts exactly, any partitioning") {
+    // star hub 0 with 400 leaves, rim edges closing every (2k, 2k+1)
+    // leaf pair into a triangle with the hub — the worst-case skew for
+    // naive wedge generation: the hub alone would yield C(400,2) ≈ 80k
+    // wedges. Degree orientation sends every hub edge INTO the hub
+    // (leaves have degree 2), so wedges form only at the leaves and the
+    // hub is never a wedge center — the no-last-reducer-hot-spot
+    // property, asserted here by exact counts under skew.
+    val star = (1L to 400L).map(l => (0L, l))
+    val rim = (0L until 200L).map(k => (2 * k + 1, 2 * k + 2))
+    val edges = (star ++ rim).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    // 200 triangles, each touching the hub once and two leaves once
+    assert(got(0L) === 200L)
+    assert((1L to 400L).forall(l => got(l) === 1L))
+    val again = Graph.triangleCounts(edges.repartition(13)).as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
   test("labelPropagation separates two planted communities; hand-traced rounds; partition-invariant") {
     // two triangles bridged by one edge: {1,2,3} and {10,11,12}, 3–10
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
