@@ -1,60 +1,60 @@
 package graft
 
 /** Best (minimum) driver-observed per-query seconds across the round
-  * 1–12 bench artifacts (`BENCH_r02..r12.json`, all sf0.1, cold
-  * local[32], keyed by short query id), further min'd against the
-  * builder's recorded final-tree cold pairs for the 16 round-12
-  * queries whose SURVEY §8.-6 slope tables carry an sf0.1 reading
-  * (t60/t62–t65/q39/q41–q44/v18/v19/m10–m12/p15) — the driver's only
-  * reading for those was taken inside a sustained-pressure window, and
-  * a reference that bakes the elevation in can never flag it. A
-  * min-of-history is an ACHIEVABLE time on this hardware by
-  * construction; a suite min that reads more than 2x it flags the
-  * query for end-of-suite re-pairing and GC/heap attribution (see
-  * Bench). Every query in the r12 suite now has an entry — the repair
-  * pass covers the full suite. Regenerated per-round from the
-  * artifacts, not hand-edited.
+  * 2–12 bench artifacts (`BENCH_r02..r12.json`, all sf0.1, cold
+  * local[32], keyed by short query id), min'd with the builder's
+  * recorded final-tree cold runs: the r12 SURVEY §8.-6 slope-table
+  * sf0.1 readings for the 16 queries whose only driver reading fell in
+  * a sustained-pressure window, and the round-13 final-tree full-suite
+  * pair (which also seeds the six r13 queries m13/p16/p17/t66/t67/q45
+  * with their first reference minima). A min-of-history is an
+  * ACHIEVABLE time on this hardware by construction; a suite min that
+  * reads more than 2x it flags the query for end-of-suite re-pairing
+  * and GC/heap attribution (see Bench). Every query in the r13 suite
+  * has an entry — the repair pass covers the full suite. Regenerated
+  * per-round from the artifacts, not hand-edited.
   */
 object BenchReference {
-  /** short query id -> min driver seconds at sf0.1 (rounds 1-12 + r12 builder pairs) */
+  /** short query id -> min driver/builder seconds at sf0.1 (r2-r13) */
   val sf01DriverMin: Map[String, Double] = Map(
-    "m01" -> 0.55, "m02" -> 0.44, "m03" -> 0.46, "m04" -> 0.49,
-    "m05" -> 0.5, "m06" -> 1.7, "m07" -> 1.62, "m08" -> 1.38,
-    "m09" -> 0.8, "m10" -> 0.57, "m11" -> 0.6, "m12" -> 0.44,
-    "p01" -> 1.07, "p02" -> 0.44, "p03" -> 0.14, "p04" -> 0.39,
-    "p05" -> 8.65, "p06" -> 1.5, "p07" -> 3.7, "p08" -> 1.24,
-    "p09" -> 1.4, "p10" -> 1.59, "p11" -> 1.24, "p12" -> 1.77,
-    "p13" -> 1.64, "p14" -> 1.88, "p15" -> 0.73, "q01" -> 1.22,
-    "q02" -> 0.44, "q03" -> 0.65, "q04" -> 0.32, "q05" -> 0.23,
-    "q06" -> 0.42, "q07" -> 0.76, "q08" -> 0.51, "q09" -> 0.54,
-    "q10" -> 0.33, "q11" -> 0.46, "q12" -> 0.32, "q13" -> 0.27,
-    "q14" -> 0.47, "q15" -> 0.45, "q16" -> 0.41, "q17" -> 0.12,
-    "q18" -> 0.37, "q19" -> 0.3, "q20" -> 0.8, "q21" -> 0.21,
-    "q22" -> 0.94, "q23" -> 0.78, "q24" -> 0.58, "q25" -> 0.53,
-    "q26" -> 0.48, "q27" -> 1.74, "q28" -> 0.52, "q29" -> 0.32,
-    "q30" -> 0.81, "q31" -> 0.5, "q32" -> 0.66, "q33" -> 0.5,
-    "q34" -> 5.02, "q35" -> 2.42, "q36" -> 0.74, "q37" -> 2.09,
-    "q38" -> 0.69, "q39" -> 3.06, "q41" -> 2.16, "q42" -> 0.87,
-    "q43" -> 0.32, "q44" -> 1.12, "t01" -> 0.46, "t02" -> 0.45,
+    "m01" -> 0.55, "m02" -> 0.44, "m03" -> 0.44, "m04" -> 0.42,
+    "m05" -> 0.41, "m06" -> 0.83, "m07" -> 0.75, "m08" -> 0.91,
+    "m09" -> 0.52, "m10" -> 0.47, "m11" -> 0.42, "m12" -> 0.41,
+    "m13" -> 0.79, "p01" -> 0.98, "p02" -> 0.44, "p03" -> 0.13,
+    "p04" -> 0.39, "p05" -> 8.05, "p06" -> 1.5, "p07" -> 3.39,
+    "p08" -> 1.24, "p09" -> 1.4, "p10" -> 1.34, "p11" -> 1.21,
+    "p12" -> 1.44, "p13" -> 1.33, "p14" -> 1.88, "p15" -> 0.73,
+    "p16" -> 3.24, "p17" -> 3.14, "q01" -> 0.68, "q02" -> 0.4,
+    "q03" -> 0.56, "q04" -> 0.32, "q05" -> 0.23, "q06" -> 0.3,
+    "q07" -> 0.64, "q08" -> 0.42, "q09" -> 0.41, "q10" -> 0.33,
+    "q11" -> 0.36, "q12" -> 0.32, "q13" -> 0.27, "q14" -> 0.44,
+    "q15" -> 0.4, "q16" -> 0.41, "q17" -> 0.11, "q18" -> 0.35,
+    "q19" -> 0.3, "q20" -> 0.78, "q21" -> 0.19, "q22" -> 0.94,
+    "q23" -> 0.78, "q24" -> 0.5, "q25" -> 0.49, "q26" -> 0.48,
+    "q27" -> 1.74, "q28" -> 0.52, "q29" -> 0.32, "q30" -> 0.76,
+    "q31" -> 0.44, "q32" -> 0.44, "q33" -> 0.5, "q34" -> 5.02,
+    "q35" -> 1.21, "q36" -> 0.67, "q37" -> 0.38, "q38" -> 0.69,
+    "q39" -> 2.68, "q41" -> 2.16, "q42" -> 0.87, "q43" -> 0.32,
+    "q44" -> 1.12, "q45" -> 3.68, "t01" -> 0.46, "t02" -> 0.45,
     "t03" -> 0.34, "t04" -> 0.36, "t05" -> 0.35, "t06" -> 0.37,
-    "t07" -> 2.83, "t08" -> 0.91, "t09" -> 2.61, "t10" -> 0.32,
-    "t11" -> 0.35, "t12" -> 0.8, "t13" -> 2.35, "t14" -> 0.29,
+    "t07" -> 2.83, "t08" -> 0.91, "t09" -> 2.54, "t10" -> 0.31,
+    "t11" -> 0.34, "t12" -> 0.76, "t13" -> 2.35, "t14" -> 0.29,
     "t15" -> 1.54, "t16" -> 1.5, "t17" -> 0.63, "t18" -> 0.45,
-    "t19" -> 0.29, "t20" -> 0.3, "t21" -> 0.37, "t22" -> 0.4,
-    "t23" -> 0.83, "t24" -> 1.57, "t25" -> 0.49, "t26" -> 0.75,
-    "t27" -> 0.18, "t28" -> 0.68, "t29" -> 2.13, "t30" -> 1.75,
-    "t31" -> 0.43, "t32" -> 1.04, "t33" -> 0.42, "t34" -> 6.64,
-    "t35" -> 1.2, "t36" -> 0.71, "t37" -> 0.41, "t38" -> 0.42,
-    "t39" -> 0.3, "t40" -> 0.51, "t41" -> 0.24, "t42" -> 0.82,
-    "t43" -> 0.92, "t44" -> 1.41, "t45" -> 1.43, "t46" -> 0.76,
+    "t19" -> 0.29, "t20" -> 0.27, "t21" -> 0.37, "t22" -> 0.39,
+    "t23" -> 0.74, "t24" -> 1.57, "t25" -> 0.49, "t26" -> 0.67,
+    "t27" -> 0.18, "t28" -> 0.68, "t29" -> 2.13, "t30" -> 1.43,
+    "t31" -> 0.43, "t32" -> 1.04, "t33" -> 0.42, "t34" -> 5.99,
+    "t35" -> 1.2, "t36" -> 0.68, "t37" -> 0.39, "t38" -> 0.42,
+    "t39" -> 0.3, "t40" -> 0.51, "t41" -> 0.24, "t42" -> 0.68,
+    "t43" -> 0.92, "t44" -> 1.25, "t45" -> 1.28, "t46" -> 0.76,
     "t47" -> 0.76, "t48" -> 1.09, "t49" -> 1.13, "t50" -> 0.89,
-    "t51" -> 0.72, "t52" -> 0.5, "t53" -> 2.59, "t54" -> 0.72,
-    "t55" -> 0.52, "t56" -> 0.26, "t57" -> 1.71, "t58" -> 1.61,
-    "t59" -> 0.64, "t60" -> 1.29, "t61" -> 1.5, "t62" -> 1.08,
-    "t63" -> 1.95, "t64" -> 2.33, "t65" -> 4.79, "v01" -> 0.3,
-    "v02" -> 0.73, "v03" -> 0.35, "v04" -> 1.35, "v05" -> 1.41,
-    "v06" -> 1.52, "v07" -> 0.28, "v08" -> 0.94, "v09" -> 0.64,
-    "v10" -> 0.98, "v11" -> 1.12, "v12" -> 0.58, "v13" -> 0.62,
-    "v14" -> 0.6, "v15" -> 0.9, "v16" -> 1.12, "v17" -> 0.66,
-    "v18" -> 2.02, "v19" -> 0.37)
+    "t51" -> 0.71, "t52" -> 0.45, "t53" -> 2.59, "t54" -> 0.46,
+    "t55" -> 0.41, "t56" -> 0.2, "t57" -> 1.71, "t58" -> 1.61,
+    "t59" -> 0.6, "t60" -> 0.92, "t61" -> 0.45, "t62" -> 1.08,
+    "t63" -> 1.65, "t64" -> 1.53, "t65" -> 3.85, "t66" -> 0.31,
+    "t67" -> 6.76, "v01" -> 0.28, "v02" -> 0.73, "v03" -> 0.35,
+    "v04" -> 0.97, "v05" -> 1.31, "v06" -> 1.52, "v07" -> 0.28,
+    "v08" -> 0.76, "v09" -> 0.59, "v10" -> 0.98, "v11" -> 1.01,
+    "v12" -> 0.48, "v13" -> 0.55, "v14" -> 0.52, "v15" -> 0.9,
+    "v16" -> 1.12, "v17" -> 0.66, "v18" -> 2.02, "v19" -> 0.37)
 }
