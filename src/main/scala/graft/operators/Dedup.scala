@@ -868,9 +868,15 @@ object Dedup {
       minContainment: Double = 0.9): DataFrame = {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment must sit in (0,1], got $minContainment")
+    // shingles reduce to 8-byte xxhash64 keys BEFORE any shuffle (the
+    // t48/t23 discipline): the strings never reach the output, the df
+    // filter, candidate join, and verify joins all key on the hash, and
+    // the raw-string oracle's counts are identical absent a 64-bit
+    // collision (which the hash gate would surface)
     val ex = tracked(withShingles(docs, shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"),
-        explode(col("shingles")).as("sh")))
+        explode(col("shingles")).as("_shs"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("_shs")).as("sh")))
     val rare = ex.join(
       ex.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") >= 2 && col("_df") <= maxDf)

@@ -787,6 +787,84 @@ object Relational {
        |FROM l5 l JOIN cs ON cs.label = l.label
        |ORDER BY l.node""".stripMargin
 
+  /** Point-in-time (AS OF) dimension lookup against the SCD2 history —
+    * the READ path SCD2 exists for, closing the dimensional loop (q38
+    * builds the history, p16 streams it, this queries it): each fact
+    * joins the customer version whose [effective_from, effective_to)
+    * validity range covers the fact's date, so a fact from day 2 sees
+    * the day-2 segment even though the customer has since moved. Facts
+    * are orders mapped onto the dimension's three-day window by exact
+    * key arithmetic both engines share (the real o_orderdate lies
+    * outside the synthetic dim's range). One equi-join on the customer
+    * key with the range predicate as a residual filter — at 100 TB the
+    * dim is dimension-sized and broadcasts; the fact table never
+    * shuffles. Output: per (fact day, segment-at-that-day) order
+    * counts — wrong-version joins change the counts, so the temporal
+    * semantics are what the hash gates. */
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    val Seq((d1s, snap1), (d2s, snap2), (d3s, snap3)) = scd2Snapshots(spark, dir)
+    val d1 = graft.gold.Scd2.init(snap1, "c_custkey", Seq("seg", "nat"), d1s)
+    val d2 = graft.gold.Scd2(d1, snap2, "c_custkey", Seq("seg", "nat"), d2s)
+    val dim = graft.gold.Scd2(d2, snap3, "c_custkey", Seq("seg", "nat"), d3s)
+    val facts = Corpus.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        concat(lit("2024-01-0"), (col("o_orderkey") % 3 + 1).cast("string"))
+          .as("fact_day"))
+    facts.join(broadcast(dim),
+        col("o_custkey") === col("c_custkey") &&
+          col("effective_from") <= col("fact_day") &&
+          (col("effective_to").isNull || col("fact_day") < col("effective_to")))
+      .groupBy(col("fact_day"), col("seg"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("fact_day"), col("seg"))
+  }
+
+  private val q46Sql = {
+    def step(dim: String, snap: String, asOf: String, out: String) =
+      s"""$out AS (
+         |  SELECT c_custkey, seg, nat, effective_from, effective_to, is_current
+         |  FROM $dim WHERE NOT is_current
+         |  UNION ALL
+         |  SELECT d.* FROM $dim d WHERE d.is_current AND EXISTS (
+         |    SELECT 1 FROM $snap s WHERE s.c_custkey = d.c_custkey
+         |      AND s.seg = d.seg AND s.nat = d.nat)
+         |  UNION ALL
+         |  SELECT d.c_custkey, d.seg, d.nat, d.effective_from, '$asOf', false
+         |  FROM $dim d WHERE d.is_current AND NOT EXISTS (
+         |    SELECT 1 FROM $snap s WHERE s.c_custkey = d.c_custkey
+         |      AND s.seg = d.seg AND s.nat = d.nat)
+         |  UNION ALL
+         |  SELECT s.c_custkey, s.seg, s.nat, '$asOf', CAST(NULL AS VARCHAR), true
+         |  FROM $snap s WHERE NOT EXISTS (
+         |    SELECT 1 FROM $dim d WHERE d.is_current AND d.c_custkey = s.c_custkey
+         |      AND d.seg = s.seg AND d.nat = s.nat))""".stripMargin
+    s"""WITH snap1 AS (SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat
+       |               FROM customer),
+       |snap2 AS (SELECT c_custkey,
+       |            CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE c_mktsegment END AS seg,
+       |            c_nationkey AS nat
+       |          FROM customer WHERE c_custkey % 17 <> 0),
+       |snap3 AS (SELECT c_custkey,
+       |            CASE WHEN c_custkey % 10 = 3 THEN 'MOVED' ELSE c_mktsegment END AS seg,
+       |            CASE WHEN c_custkey % 10 = 7 THEN c_nationkey + 1
+       |                 ELSE c_nationkey END AS nat
+       |          FROM customer),
+       |d1 AS (SELECT c_custkey, seg, nat, '2024-01-01' AS effective_from,
+       |         CAST(NULL AS VARCHAR) AS effective_to, true AS is_current
+       |       FROM snap1),
+       |${step("d1", "snap2", "2024-01-02", "d2")},
+       |${step("d2", "snap3", "2024-01-03", "d3")},
+       |facts AS (SELECT o_orderkey, o_custkey,
+       |            '2024-01-0' || CAST(o_orderkey % 3 + 1 AS VARCHAR) AS fact_day
+       |          FROM orders)
+       |SELECT f.fact_day, d.seg, CAST(count(*) AS BIGINT) AS n_orders
+       |FROM facts f JOIN d3 d
+       |  ON f.o_custkey = d.c_custkey
+       | AND d.effective_from <= f.fact_day
+       | AND (d.effective_to IS NULL OR f.fact_day < d.effective_to)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private val q34Sql =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
@@ -1307,6 +1385,7 @@ object Relational {
     QuerySpec("q42_zorder_layout", q42, Some(q42Sql)),
     QuerySpec("q43_time_weighted_avg", q43, Some(q43Sql)),
     QuerySpec("q44_cms_join_size", q44, Some(q44Sql)),
-    QuerySpec("q45_label_propagation", q45, Some(q45Sql)))
+    QuerySpec("q45_label_propagation", q45, Some(q45Sql)),
+    QuerySpec("q46_pit_lookup", q46, Some(q46Sql)))
 
 }

@@ -413,6 +413,16 @@ class PlanSpec extends SparkTestBase {
       s"no join or aggregation belongs in a masking scan:\n$plan")
   }
 
+  test("q46 point-in-time lookup: the SCD2 dim broadcasts, the range predicate stays residual") {
+    val plan = planOf("q46_pit_lookup")
+    // dimension-sized side broadcasts; the fact table must never
+    // shuffle for the join (the 100 TB contract of a dim lookup)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the SCD2 dim must broadcast to the fact scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the validity-range predicate must ride the custkey equi-join as a residual:\n$plan")
+  }
+
   test("t67 containment: blocking equi-joins on shingles, never a cartesian") {
     val plan = planOf("t67_containment_pairs")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
