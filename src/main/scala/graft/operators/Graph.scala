@@ -176,20 +176,34 @@ object Graph {
     * Output: (node, label), one row per node. */
   def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
-    val sym = canonSym(edges).localCheckpoint()
+    // DISK_ONLY for the edge-sized side (the q35/q41 lesson — measured
+    // here too: localCheckpoint'ing |E| rows starved the per-round
+    // (node, label) count aggregation into AGGREGATE_OUT_OF_MEMORY at
+    // the 100× point); label generations are node-sized and eager
+    val sym = canonSym(edges)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
     var i = 0
     while (i < rounds) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+      // argmax by (count DESC, label ASC) as a plain MAX over
+      // struct(c, -label) — both aggregation levels partial-aggregate
+      // map-side and nothing sorts, where a row_number window would
+      // range-sort the edge-sized count table every round (measured:
+      // the window sort ran q45's 100× point out of execution memory)
+      // SHUFFLE_HASH on the node-sized label side: a sort-merge join
+      // would re-sort the edge-sized sym table every round (measured at
+      // 100×: the five SMJ sorts put the decade slope at ~n·log n and
+      // the sorter pages were the memory hot spot); hashing the small
+      // side streams the big side unsorted
       labels = sym
-        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .join(labels.select(col("node").as("src"), col("label")).hint("SHUFFLE_HASH"),
+          Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
         .localCheckpoint()
       i += 1
     }

@@ -333,6 +333,49 @@ object Quality {
       .orderBy(col(groupCol), col("rnk"))
   }
 
+  /** Per-document character-level Shannon entropy (Shannon 1948) — the
+    * compression-ratio proxy quality heuristic: machine-generated
+    * boilerplate and template spam sit at LOW bits/char (repetitive),
+    * base64/binary junk at HIGH (near the alphabet ceiling), natural
+    * prose in a band between — the cheap scan-level signal pipelines
+    * apply before any model-based scoring (the Gopher/C4 rule family's
+    * information-theoretic member).
+    *
+    * Exactness: character counts are exact integers; each term
+    * −p·ln p is one double expression; the per-doc SUM is an ordered
+    * left fold over the char-sorted term list (`aggregate` /
+    * `list_sum`, the v01 discipline) — bit-identical cross-engine with
+    * NO decimal detour, so near-zero terms of dominated alphabets
+    * survive (a DECIMAL(30,6) grid would zero them).
+    *
+    * Scale shape: one char explode + one (doc, char) count (both
+    * partial-aggregated), per-doc lists are alphabet-sized. Output:
+    * (doc_id, n_chars, n_distinct, entropy, bits_per_char), ascending
+    * doc_id; empty texts are excluded (no distribution to score). */
+  def charEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), length(col("_t")))).as("i"))
+      .select(col("doc_id"), expr("substring(_t, i, 1)").as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("ch"), col("cnt")))).as("_lst"))
+      .withColumn("entropy", expr(
+        """aggregate(_lst, CAST(0.0 AS DOUBLE),
+          |  (acc, s) -> acc - (CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+          |    * ln(CAST(s.cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)))""".stripMargin))
+      .withColumn("bits_per_char", col("entropy") / lit(math.log(2.0)))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        col("entropy"), col("bits_per_char"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Good-Turing frequency re-estimation (Good, Biometrika 1953; the
     * count-of-counts table behind Katz backoff and the classic "how
     * much probability mass belongs to unseen words" answer): per

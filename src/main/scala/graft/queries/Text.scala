@@ -2602,6 +2602,38 @@ object Text {
        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Character-level Shannon entropy per document
+    * ([[graft.operators.Quality.charEntropy]]) — the compression-proxy
+    * quality heuristic (low = template spam, high = binary junk,
+    * prose in between). The per-doc sum is an ordered left fold over
+    * the char-sorted term list (`aggregate` / DuckDB `list_sum`, the
+    * v01 bit-identical-fold discipline) — NO decimal detour, so
+    * dominated alphabets' near-zero terms survive exactly. */
+  private def t68(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.charEntropy(Corpus.documents(spark, dir))
+
+  private val t68Sql = {
+    val ln2 = java.lang.Double.toString(math.log(2.0))
+    s"""WITH chs AS (
+       |  SELECT doc_id, substring(text, i, 1) AS ch
+       |  FROM (SELECT doc_id, text FROM documents WHERE len(text) > 0) d,
+       |       LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) ii),
+       |c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM chs GROUP BY 1, 2),
+       |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+       |        CAST(count(*) AS BIGINT) AS n_distinct,
+       |        list(cnt ORDER BY ch) AS lst
+       |      FROM c GROUP BY 1),
+       |e AS (SELECT doc_id, n_chars, n_distinct,
+       |        list_sum(list_transform(lst, c ->
+       |          -(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+       |            * ln(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE)))) AS entropy
+       |      FROM a)
+       |SELECT doc_id, n_chars, n_distinct, entropy,
+       |  entropy / CAST($ln2 AS DOUBLE) AS bits_per_char
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2669,5 +2701,6 @@ object Text {
     QuerySpec("t64_textrank_keywords", t64, Some(t64Sql)),
     QuerySpec("t65_good_turing", t65, Some(t65Sql)),
     QuerySpec("t66_pii_scan", t66, Some(t66Sql)),
-    QuerySpec("t67_containment_pairs", t67, Some(t67Sql)))
+    QuerySpec("t67_containment_pairs", t67, Some(t67Sql)),
+    QuerySpec("t68_char_entropy", t68, Some(t68Sql)))
 }

@@ -293,4 +293,26 @@ class QualitySpec extends SparkTestBase {
     assert(yy.getAs[Long]("n_bigrams") === 2L && yy.getAs[Long]("n_oov") === 2L)
     assert(yy.isNullAt(yy.fieldIndex("mean_logp")))
   }
+
+  test("charEntropy: textbook values, empty-doc exclusion, partitioning invariance") {
+    val docs = Seq(
+      (1L, "aabb"),     // uniform over 2 symbols: ln 2 nats, 1 bit/char
+      (2L, "aaaa"),     // degenerate: 0
+      (3L, "abcd"),     // uniform over 4: ln 4 nats, 2 bits/char
+      (4L, "")          // excluded: no distribution to score
+    ).toDF("doc_id", "text")
+    val out = Quality.charEntropy(docs)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L)._1 === 4L && out(1L)._2 === 2L)
+    assert(math.abs(out(1L)._3 - math.log(2.0)) < 1e-15)
+    assert(math.abs(out(1L)._4 - 1.0) < 1e-15)
+    assert(out(2L)._3 === 0.0)
+    assert(math.abs(out(3L)._4 - 2.0) < 1e-15)
+    val again = Quality.charEntropy(docs.repartition(7))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(again === out, "the ordered fold must be partitioning-invariant")
+  }
 }
