@@ -17,44 +17,46 @@ package graft
 object BenchReference {
   /** short query id -> min driver/builder seconds at sf0.1 (r2-r13) */
   val sf01DriverMin: Map[String, Double] = Map(
-    "m01" -> 0.55, "m02" -> 0.44, "m03" -> 0.44, "m04" -> 0.42,
-    "m05" -> 0.41, "m06" -> 0.83, "m07" -> 0.75, "m08" -> 0.91,
-    "m09" -> 0.52, "m10" -> 0.47, "m11" -> 0.42, "m12" -> 0.41,
-    "m13" -> 0.79, "p01" -> 0.98, "p02" -> 0.44, "p03" -> 0.13,
-    "p04" -> 0.39, "p05" -> 8.05, "p06" -> 1.5, "p07" -> 3.39,
+    "m01" -> 0.55, "m02" -> 0.43, "m03" -> 0.43, "m04" -> 0.4,
+    "m05" -> 0.37, "m06" -> 0.73, "m07" -> 0.68, "m08" -> 0.82,
+    "m09" -> 0.42, "m10" -> 0.34, "m11" -> 0.35, "m12" -> 0.36,
+    "m13" -> 0.76, "p01" -> 0.98, "p02" -> 0.44, "p03" -> 0.13,
+    "p04" -> 0.29, "p05" -> 8.05, "p06" -> 1.5, "p07" -> 3.39,
     "p08" -> 1.24, "p09" -> 1.4, "p10" -> 1.34, "p11" -> 1.21,
     "p12" -> 1.44, "p13" -> 1.33, "p14" -> 1.88, "p15" -> 0.73,
-    "p16" -> 3.24, "p17" -> 3.14, "q01" -> 0.68, "q02" -> 0.4,
-    "q03" -> 0.56, "q04" -> 0.32, "q05" -> 0.23, "q06" -> 0.3,
+    "p16" -> 3.24, "p17" -> 3.14, "q01" -> 0.68, "q02" -> 0.34,
+    "q03" -> 0.55, "q04" -> 0.31, "q05" -> 0.22, "q06" -> 0.3,
     "q07" -> 0.64, "q08" -> 0.42, "q09" -> 0.41, "q10" -> 0.33,
-    "q11" -> 0.36, "q12" -> 0.32, "q13" -> 0.27, "q14" -> 0.44,
-    "q15" -> 0.4, "q16" -> 0.41, "q17" -> 0.11, "q18" -> 0.35,
-    "q19" -> 0.3, "q20" -> 0.78, "q21" -> 0.19, "q22" -> 0.94,
-    "q23" -> 0.78, "q24" -> 0.5, "q25" -> 0.49, "q26" -> 0.48,
-    "q27" -> 1.74, "q28" -> 0.52, "q29" -> 0.32, "q30" -> 0.76,
+    "q11" -> 0.36, "q12" -> 0.32, "q13" -> 0.25, "q14" -> 0.4,
+    "q15" -> 0.4, "q16" -> 0.37, "q17" -> 0.1, "q18" -> 0.31,
+    "q19" -> 0.28, "q20" -> 0.67, "q21" -> 0.16, "q22" -> 0.94,
+    "q23" -> 0.78, "q24" -> 0.46, "q25" -> 0.43, "q26" -> 0.43,
+    "q27" -> 1.74, "q28" -> 0.52, "q29" -> 0.32, "q30" -> 0.64,
     "q31" -> 0.44, "q32" -> 0.44, "q33" -> 0.5, "q34" -> 5.02,
     "q35" -> 1.21, "q36" -> 0.67, "q37" -> 0.38, "q38" -> 0.69,
-    "q39" -> 2.68, "q41" -> 2.16, "q42" -> 0.87, "q43" -> 0.32,
-    "q44" -> 1.12, "q45" -> 3.68, "t01" -> 0.46, "t02" -> 0.45,
-    "t03" -> 0.34, "t04" -> 0.36, "t05" -> 0.35, "t06" -> 0.37,
-    "t07" -> 2.83, "t08" -> 0.91, "t09" -> 2.54, "t10" -> 0.31,
-    "t11" -> 0.34, "t12" -> 0.76, "t13" -> 2.35, "t14" -> 0.29,
-    "t15" -> 1.54, "t16" -> 1.5, "t17" -> 0.63, "t18" -> 0.45,
-    "t19" -> 0.29, "t20" -> 0.27, "t21" -> 0.37, "t22" -> 0.39,
-    "t23" -> 0.74, "t24" -> 1.57, "t25" -> 0.49, "t26" -> 0.67,
-    "t27" -> 0.18, "t28" -> 0.68, "t29" -> 2.13, "t30" -> 1.43,
-    "t31" -> 0.43, "t32" -> 1.04, "t33" -> 0.42, "t34" -> 5.99,
-    "t35" -> 1.2, "t36" -> 0.68, "t37" -> 0.39, "t38" -> 0.42,
-    "t39" -> 0.3, "t40" -> 0.51, "t41" -> 0.24, "t42" -> 0.68,
-    "t43" -> 0.92, "t44" -> 1.25, "t45" -> 1.28, "t46" -> 0.76,
-    "t47" -> 0.76, "t48" -> 1.09, "t49" -> 1.13, "t50" -> 0.89,
-    "t51" -> 0.71, "t52" -> 0.45, "t53" -> 2.59, "t54" -> 0.46,
-    "t55" -> 0.41, "t56" -> 0.2, "t57" -> 1.71, "t58" -> 1.61,
-    "t59" -> 0.6, "t60" -> 0.92, "t61" -> 0.45, "t62" -> 1.08,
-    "t63" -> 1.65, "t64" -> 1.53, "t65" -> 3.85, "t66" -> 0.31,
-    "t67" -> 6.76, "v01" -> 0.28, "v02" -> 0.73, "v03" -> 0.35,
-    "v04" -> 0.97, "v05" -> 1.31, "v06" -> 1.52, "v07" -> 0.28,
-    "v08" -> 0.76, "v09" -> 0.59, "v10" -> 0.98, "v11" -> 1.01,
-    "v12" -> 0.48, "v13" -> 0.55, "v14" -> 0.52, "v15" -> 0.9,
-    "v16" -> 1.12, "v17" -> 0.66, "v18" -> 2.02, "v19" -> 0.37)
+    "q39" -> 1.94, "q41" -> 2.16, "q42" -> 0.87, "q43" -> 0.32,
+    "q44" -> 1.04, "q45" -> 2.49, "q46" -> 0.77, "t01" -> 0.45,
+    "t02" -> 0.45, "t03" -> 0.34, "t04" -> 0.36, "t05" -> 0.35,
+    "t06" -> 0.37, "t07" -> 2.83, "t08" -> 0.91, "t09" -> 2.54,
+    "t10" -> 0.21, "t11" -> 0.26, "t12" -> 0.61, "t13" -> 2.35,
+    "t14" -> 0.29, "t15" -> 1.54, "t16" -> 1.49, "t17" -> 0.63,
+    "t18" -> 0.45, "t19" -> 0.29, "t20" -> 0.27, "t21" -> 0.37,
+    "t22" -> 0.39, "t23" -> 0.74, "t24" -> 1.57, "t25" -> 0.48,
+    "t26" -> 0.65, "t27" -> 0.18, "t28" -> 0.65, "t29" -> 2.08,
+    "t30" -> 1.43, "t31" -> 0.42, "t32" -> 1.03, "t33" -> 0.38,
+    "t34" -> 5.38, "t35" -> 0.85, "t36" -> 0.5, "t37" -> 0.35,
+    "t38" -> 0.39, "t39" -> 0.24, "t40" -> 0.51, "t41" -> 0.22,
+    "t42" -> 0.68, "t43" -> 0.83, "t44" -> 1.25, "t45" -> 1.28,
+    "t46" -> 0.76, "t47" -> 0.76, "t48" -> 1.09, "t49" -> 0.99,
+    "t50" -> 0.66, "t51" -> 0.59, "t52" -> 0.36, "t53" -> 2.56,
+    "t54" -> 0.46, "t55" -> 0.41, "t56" -> 0.2, "t57" -> 1.71,
+    "t58" -> 1.61, "t59" -> 0.6, "t60" -> 0.92, "t61" -> 0.45,
+    "t62" -> 1.08, "t63" -> 1.55, "t64" -> 1.51, "t65" -> 3.85,
+    "t66" -> 0.31, "t67" -> 6.26, "t68" -> 0.42, "v01" -> 0.27,
+    "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,
+    "v06" -> 1.52, "v07" -> 0.28, "v08" -> 0.76, "v09" -> 0.59,
+    "v10" -> 0.9, "v11" -> 1.01, "v12" -> 0.48, "v13" -> 0.55,
+    "v14" -> 0.52, "v15" -> 0.9, "v16" -> 0.95, "v17" -> 0.52,
+    "v18" -> 1.96, "v19" -> 0.37
+  )
 }
