@@ -9,6 +9,112 @@ object Bench {
       phases: Map[String, Double], countKeys: Set[String],
       gcSec: Double, heapMb: Long)
 
+  /** Everything the end-of-suite status line needs, decoupled from
+    * main() so the tier/overflow logic is unit-testable at synthetic
+    * suite sizes (BenchLineSpec drives it at 300 queries). `flagged`
+    * is in severity order; repairGc/repairHeap are keyed like repair. */
+  private[graft] final case class Summary(
+      results: Map[String, Double],
+      phaseResults: Map[String, Map[String, Double]],
+      runTotals: Seq[Double],
+      gcTotals: Seq[Double],
+      failed: Seq[String],
+      flagged: Seq[String],
+      repair: Map[String, Double],
+      repairGc: Map[String, Double],
+      repairHeap: Map[String, Long],
+      runsPerQuery: Int,
+      sfDir: String) {
+    def total: Double = results.values.sum
+  }
+
+  private[graft] def shortId(s: String): String = s.takeWhile(_ != '_')
+
+  /** The stdout lines that close a bench run, in print order. The LAST
+    * line is the machine-readable status line and is guaranteed to fit
+    * the driver's ~2000-char tail capture at ANY suite size: tiers
+    * degrade key length, phases, heap, and repair breadth first, and
+    * the terminal tier drops the per-query map entirely (every
+    * remaining field is bounded — totals, capped failed list, capped
+    * repair map — so it fits whether the suite has 162 queries or
+    * 1000). Whenever the chosen final line had to drop the map, the
+    * complete per-query map is emitted as its own PRECEDING line, so
+    * the full record persists in the artifact for as long as the tail
+    * reaches and the summary stays parseable forever (BENCH_r13.json's
+    * `parsed: null` — the map outgrowing every tier at 162 queries and
+    * truncating mid-JSON — is the failure this split prevents). */
+  private[graft] def statusLines(s: Summary): Seq[String] = {
+    def line(keyOf: String => String, withPhases: Boolean = true,
+        withHeap: Boolean = true, repairCap: Int = Int.MaxValue,
+        withQueries: Boolean = true): String = {
+      def secMap(m: Iterable[(String, Double)]): String =
+        m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + keyOf(k) + "\":" + f"$v%.2f" }
+          .mkString("{", ",", "}")
+      val qs = secMap(s.results)
+      // phase splits (index_build / index_register / probe) for the
+      // index-backed queries, same key scheme as "queries"
+      val ph = s.phaseResults.toSeq.sortBy(_._1)
+        .map { case (k, m) =>
+          "\"" + keyOf(k) + "\":" + m.toSeq.sortBy(_._1)
+            .map { case (p, sec) => "\"" + p + "\":" + f"$sec%.2f" }
+            .mkString("{", ",", "}")
+        }
+        .mkString("{", ",", "}")
+      val phasesField =
+        if (s.phaseResults.isEmpty || !withPhases || !withQueries) ""
+        else s""","phases":$ph"""
+      val runTotals = s.runTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
+      val gcTotals = s.gcTotals.map(v => f"$v%.2f").mkString("[", ",", "]")
+      // the failed list is the one unbounded non-query field — cap it
+      // (with an exact count alongside) so the terminal tier's length
+      // is bounded by construction
+      val failedShown = s.failed.sorted.take(10)
+      val failedField =
+        if (s.failed.isEmpty) ""
+        else {
+          val countField =
+            if (s.failed.size > failedShown.size) s""","failed_n":${s.failed.size}"""
+            else ""
+          s""","failed":${failedShown.map("\"" + keyOf(_) + "\"").mkString("[", ",", "]")}$countField"""
+        }
+      // flagged-only attribution: re-paired min, and the original min
+      // run's GC seconds / heap delta
+      val kept = s.flagged.take(repairCap)
+      val repairField =
+        if (s.repair.isEmpty || kept.isEmpty) ""
+        else {
+          val keptSet = kept.toSet
+          val gc = secMap(s.repairGc.view.filterKeys(keptSet).toMap)
+          val hp = kept.flatMap(n => s.repairHeap.get(n).map(n -> _))
+            .map { case (n, h) => "\"" + keyOf(n) + "\":" + h }
+            .mkString("{", ",", "}")
+          val heapField = if (withHeap) s""","heap_mb":$hp""" else ""
+          s""","repair":${secMap(s.repair.view.filterKeys(keptSet).toMap)},"gc":$gc$heapField"""
+        }
+      val queriesField = if (withQueries) s""","queries":$qs""" else ""
+      f"""{"metric":"total","value":${s.total}%.2f,"unit":"sec","runs":${s.runsPerQuery},"run_totals":$runTotals,"gc_totals":$gcTotals$failedField$repairField$queriesField$phasesField,"sf":"${s.sfDir}"}"""
+    }
+    // the final line is the LAST stdout write, so it survives the
+    // ~2000-char tail capture iff it fits whole; 1950 leaves margin
+    val tiers = Seq(
+      line(identity),
+      line(shortId),
+      line(shortId, withHeap = false, repairCap = 5),
+      line(shortId, withPhases = false, withHeap = false, repairCap = 5))
+    tiers.find(_.length <= 1950) match {
+      case Some(fit) => Seq(fit)
+      case None =>
+        // no map-bearing tier fits: emit the complete per-query record
+        // on its own line, then the bounded queries-free summary
+        val fullMap = line(shortId, withPhases = false, withHeap = false,
+          repairCap = 5)
+        val summary = line(shortId, withPhases = false, withHeap = false,
+          repairCap = 5, withQueries = false)
+        Seq(fullMap, summary)
+    }
+  }
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -157,7 +263,6 @@ object Bench {
     // original min ⇒ real change; repair ≈ reference ⇒ pressure window
     // (and the gc/heap columns say which). References exist only for the
     // driver's config (sf0.1); other sfDirs skip the pass.
-    val shortId = (s: String) => s.takeWhile(_ != '_')
     val refApplies = sfDir.contains("sf0.1")
     val flaggedAll = if (!refApplies) Seq.empty else results.toSeq
       .filter { case (name, v) =>
@@ -174,74 +279,32 @@ object Bench {
       System.err.println(f"[bench] $name repair=${re}%.2fs (suite min $origMin%.2fs)")
       name -> re
     }.toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The harness captures only the last ~2000 chars of output; a
-    // full-precision 58-query map overflows that and the JSON line gets
-    // clipped mid-stream (clipped at the HEAD, so the whole line becomes
-    // unparseable — not just the early fields). Keep the line compact
-    // (2-decimal seconds); fall back to the short query ids (prefix
-    // before the first '_': q01, t09, ..., unique); and if telemetry
-    // still pushes past the budget, degrade it field by field (drop
-    // heap, cap repair, drop phases) — the queries map is the one part
-    // that must never be sacrificed.
-    def line(keyOf: String => String, withPhases: Boolean = true,
-        withHeap: Boolean = true, repairCap: Int = Int.MaxValue): String = {
-      def secMap(m: Iterable[(String, Double)]): String =
-        m.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + keyOf(k) + "\":" + f"$v%.2f" }
-          .mkString("{", ",", "}")
-      val qs = secMap(results)
-      // phase splits (index_build / index_register / probe) for the
-      // index-backed queries, same key scheme as "queries"
-      val ph = phaseResults.toSeq.sortBy(_._1)
-        .map { case (k, m) =>
-          "\"" + keyOf(k) + "\":" + m.toSeq.sortBy(_._1)
-            .map { case (p, s) => "\"" + p + "\":" + f"$s%.2f" }
-            .mkString("{", ",", "}")
-        }
-        .mkString("{", ",", "}")
-      val phasesField =
-        if (phaseResults.isEmpty || !withPhases) "" else s""","phases":$ph"""
-      // per-run suite totals (run1, run2, ...) so the paired evidence is
-      // native to the artifact, not just the stderr tail; gc_totals is
-      // the same per-run sum over the GC deltas — a pressure window
-      // shows up as a lopsided pair here. Restricted to queries present
-      // in "queries" (all-failed ones excluded) so every total in the
-      // line describes the same query set.
-      val countedRuns = allRuns.view.filterKeys(results.contains).values.toSeq
-      val runTotals = (0 until runsPerQuery).map { i =>
-        f"${countedRuns.map(rs => rs.lift(i).map(_.elapsed).getOrElse(0.0)).sum}%.2f"
-      }.mkString("[", ",", "]")
-      val gcTotals = (0 until runsPerQuery).map { i =>
-        f"${countedRuns.map(rs => rs.lift(i).map(_.gcSec).getOrElse(0.0)).sum}%.2f"
-      }.mkString("[", ",", "]")
-      val failedField =
-        if (failed.isEmpty) ""
-        else s""","failed":${failed.sorted.map("\"" + keyOf(_) + "\"").mkString("[", ",", "]")}"""
-      // flagged-only attribution: re-paired min, and the original min
-      // run's GC seconds / heap delta
-      val kept = flagged.take(repairCap)
-      val repairField =
-        if (repair.isEmpty || kept.isEmpty) ""
-        else {
-          val gc = secMap(kept.map { case (n, _) => n -> bestRun(n).gcSec })
-          val hp = kept.map { case (n, _) =>
-            "\"" + keyOf(n) + "\":" + bestRun(n).heapMb }
-            .mkString("{", ",", "}")
-          val heapField = if (withHeap) s""","heap_mb":$hp""" else ""
-          s""","repair":${secMap(repair.view.filterKeys(kept.map(_._1).toSet).toMap)},"gc":$gc$heapField"""
-        }
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","runs":$runsPerQuery,"run_totals":$runTotals,"gc_totals":$gcTotals$failedField$repairField,"queries":$qs$phasesField,"sf":"$sfDir"}"""
+    // per-run suite totals (run1, run2, ...) so the paired evidence is
+    // native to the artifact, not just the stderr tail; gc_totals is
+    // the same per-run sum over the GC deltas — a pressure window
+    // shows up as a lopsided pair here. Restricted to queries present
+    // in "queries" (all-failed ones excluded) so every total in the
+    // line describes the same query set.
+    val countedRuns = allRuns.view.filterKeys(results.contains).values.toSeq
+    val runTotals = (0 until runsPerQuery).map { i =>
+      countedRuns.map(rs => rs.lift(i).map(_.elapsed).getOrElse(0.0)).sum
     }
-    // the line is the LAST stdout write, so it survives the ~2000-char
-    // tail capture iff it fits whole; 1950 leaves newline margin
-    val tiers = Iterator(
-      line(identity),
-      line(shortId),
-      line(shortId, withHeap = false, repairCap = 5),
-      line(shortId, withPhases = false, withHeap = false, repairCap = 5))
-    println(tiers.find(_.length <= 1950).getOrElse(
-      line(shortId, withPhases = false, withHeap = false, repairCap = 3)))
+    val gcTotals = (0 until runsPerQuery).map { i =>
+      countedRuns.map(rs => rs.lift(i).map(_.gcSec).getOrElse(0.0)).sum
+    }
+    val summary = Summary(
+      results = results,
+      phaseResults = phaseResults.toMap,
+      runTotals = runTotals,
+      gcTotals = gcTotals,
+      failed = failed.toSeq,
+      flagged = flagged.map(_._1),
+      repair = repair,
+      repairGc = flagged.map { case (n, _) => n -> bestRun(n).gcSec }.toMap,
+      repairHeap = flagged.map { case (n, _) => n -> bestRun(n).heapMb }.toMap,
+      runsPerQuery = runsPerQuery,
+      sfDir = sfDir)
+    statusLines(summary).foreach(println)
     spark.stop()
   }
 }

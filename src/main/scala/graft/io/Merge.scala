@@ -233,14 +233,31 @@ object Merge {
       lww(u).repartition(numBuckets, col("_bucket"))
         .write.partitionBy("_bucket")
         .mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // side file BEFORE the rename into place: it lives outside the
+      // table dir so writing it first is safe, and a crash between the
+      // two steps leaves (side file present, table absent) — healed by
+      // the replayed bootstrap overwriting both — where the old order's
+      // crash window left a committed table whose bucket-count guard was
+      // permanently disabled (side file never written)
+      writeBucketCount(fs, targetDir, numBuckets)
       require(fs.rename(tmp, path),
         s"bootstrap failed: could not move $tmp into place")
-      writeBucketCount(fs, targetDir, numBuckets)
     } else {
-      readBucketCount(fs, targetDir).foreach { n =>
-        require(n == numBuckets,
-          s"bucket-count mismatch: table at $targetDir has $n buckets, apply used $numBuckets")
-      }
+      // a PRESENT table with no side file is never acceptable: either
+      // the target pre-exists with an unknown layout (it was not
+      // bootstrapped by this path) or the side file was lost — in both
+      // cases applying with an assumed numBuckets could scatter keys
+      // across two incompatible layouts, the exact silent corruption
+      // the guard exists to prevent. Fail loudly instead of guessing
+      // (inferring the count from the _bucket= listing is unsound:
+      // buckets with no keys yet have no partition dir).
+      val n = readBucketCount(fs, targetDir).getOrElse(throw new IllegalStateException(
+        s"table at $targetDir exists but its ${targetDir}_buckets.json side file is " +
+          "missing — refusing to apply with an unverified bucket layout. " +
+          "Restore the side file with the table's true bucket count " +
+          "(or rebuild the table) to resume."))
+      require(n == numBuckets,
+        s"bucket-count mismatch: table at $targetDir has $n buckets, apply used $numBuckets")
       val target = spark.read.parquet(targetDir)
       require(target.columns.toSet == u.columns.toSet,
         s"schema mismatch: ${target.columns.mkString(",")} vs ${u.columns.mkString(",")}")

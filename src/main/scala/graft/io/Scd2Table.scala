@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * additionally skips stale days outright, so an at-least-once source
   * replaying OLD epochs after newer ones cannot regress history —
   * StreamingSpec drives reordered/replayed schedules to the same
-  * table.
+  * table. The contract is ENFORCED, not just documented: a skipped
+  * stale day is verified to be a byte-replay of the history's
+  * snapshot at that day, so a split day or an out-of-order NEW day
+  * fails loudly instead of silently losing rows (see the stale-day
+  * guard in [[applyDays]]).
   *
   * Scale shape: dimensions are dimension-sized, so the whole-table
   * copy-on-write swap ([[Merge.swapInto]]'s discipline) is the right
@@ -75,6 +79,41 @@ object Scd2Table {
     val days = b.select(col(dayCol)).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val toApply = days.filter(d => lastApplied.forall(_ < d))
+    // Stale-day guard: a day at or below lastApplied is only skippable
+    // when it is a REPLAY — its rows must equal the snapshot the history
+    // already encodes at that day. Anything else is one of the two
+    // silent-corruption shapes the in-order/whole-day contract forbids:
+    // a day SPLIT across micro-batches (the first half already closed
+    // the keys the second half carries — swallowing the rest would
+    // leave wrong history), or a genuinely NEW day delivered out of
+    // order (its changes would vanish forever). Both now fail loudly.
+    // Cost: runs only on the skip path (rare — at-least-once replays),
+    // two set-difference counts per skipped day against a
+    // dimension-sized table.
+    val skippedStale = days.filterNot(toApply.toSet)
+    if (skippedStale.nonEmpty && fs.exists(path)) {
+      val hist = spark.read.parquet(targetDir)
+      skippedStale.foreach { d =>
+        val snap = b.filter(col(dayCol) === d)
+          .select((key +: attrs).map(col): _*).distinct()
+        // the snapshot the history implies at day d: versions effective
+        // at d ([effective_from, effective_to) contains d; open = null)
+        val asAt = hist.filter(col("effective_from") <= d &&
+            (col("effective_to").isNull || col("effective_to") > d))
+          .select((key +: attrs).map(col): _*).distinct()
+        val extra = snap.except(asAt).count()
+        val missing = asAt.except(snap).count()
+        if (extra != 0 || missing != 0)
+          throw new IllegalStateException(
+            s"scd2 stale-day guard: day $d is at or below the last applied day " +
+              s"(${lastApplied.getOrElse("<none>")}) but is NOT a replay of the " +
+              s"applied history ($extra row(s) unknown to the history, $missing " +
+              "missing from the batch). Either the day was split across " +
+              "micro-batches (each day's snapshot must arrive whole in one " +
+              "batch) or a new day arrived out of order — refusing to " +
+              "silently drop its rows.")
+      }
+    }
     if (toApply.isEmpty) { b.unpersist(); return Nil }
     val exists = fs.exists(path)
     var dim: DataFrame = if (exists) spark.read.parquet(targetDir) else null

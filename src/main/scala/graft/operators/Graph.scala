@@ -147,9 +147,15 @@ object Graph {
       .select(col("src").as("x"), col("v"), col("w"))
     val tri = wedges.join(
       oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-    tri.select(explode(array(col("x"), col("v"), col("w"))).as("node"))
+    // eager cut (node-sized counts), then release the edge-sized
+    // oriented frame: without this a long session accumulates one dead
+    // disk-cached edge frame per invocation (the r13 ADVICE leak)
+    val counts = tri.select(explode(array(col("x"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("node"))
+      .localCheckpoint()
+    oriented.unpersist()
+    counts
   }
 
   /** Synchronous label propagation communities (Raghavan, Albert &
@@ -207,6 +213,10 @@ object Graph {
         .localCheckpoint()
       i += 1
     }
+    // the final generation is an eager checkpoint (no lineage into sym),
+    // so the edge-sized disk cache can be released instead of leaking
+    // one dead frame per invocation in a long session
+    sym.unpersist()
     labels.orderBy(col("node"))
   }
 

@@ -454,14 +454,28 @@ object Multimodal {
     * `(#bands)·n²/2^(b+1)`, so b must stay ≥ ~2·log2(n). The 100×
     * measurement caught exactly this — 1.75M video frames over 16-bit
     * bands produced ~93M random candidates and a super-linear slope —
-    * hence `wideBands`: concatenate the four 16-bit bands into two
-    * 32-bit bands (good to n ≈ 10⁸ rows). The recall bet narrows with
-    * width: a true near-dup must leave one whole band untouched —
-    * guaranteed for the Hamming-0 invariance classes (re-encodes,
-    * volume/brightness shifts, byte-identical frames), the bet all
-    * LSH banding makes for edit classes. */
+    * hence wide bands: concatenate the four 16-bit bands into two
+    * 32-bit bands. The recall bet narrows with width — m13 measured it
+    * as gated data: at near-threshold frame Hamming 3–10, narrow reads
+    * recall 1.0→0.31 per bucket where wide reads 0.38→0.02 (Hamming-0
+    * invariance classes — re-encodes, volume/brightness shifts,
+    * byte-identical frames — are caught by ANY scheme).
+    *
+    * So the choice is a measured function of n, not a fixed flag:
+    * `wideBands = None` (the default) picks the scheme from the
+    * fingerprint count against the candidate-blowup bound — narrow
+    * keeps expected random candidates ≤ n (linear) while
+    * 4·n²/2^17 ≤ n ⇔ n ≤ 2^15 = 32768, the crossover; past it the
+    * narrow shuffle grows quadratically (the 93M-candidate slope) and
+    * wide takes over (linear to n ≈ 2^32). Below the crossover narrow
+    * is strictly better — every wide candidate is also a narrow
+    * candidate, and m13's table is the recall gap. Callers with
+    * external knowledge (planted Hamming-0-only corpora, recall SLAs)
+    * can override with `Some(...)`. */
+  private[graft] val NarrowBandMaxRows = 32768L
+
   private[graft] def bandNearDups(fingerprints: DataFrame, maxHamming: Int,
-      wideBands: Boolean = false): DataFrame = {
+      wideBands: Option[Boolean] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming must be in [0, 64], got $maxHamming")
     // tiny frame (4 ints/row): materialize once so the candidate
@@ -470,8 +484,11 @@ object Multimodal {
     val bands = fingerprints
       .select(col(idCol).as("_id"), col("b0"), col("b1"), col("b2"), col("b3"))
       .localCheckpoint()
+    // the count rides the already-materialized checkpoint — no extra
+    // pass over the blobs, one cheap job over 4-int rows
+    val wide = wideBands.getOrElse(bands.count() > NarrowBandMaxRows)
     val bandCols =
-      if (wideBands) Seq(
+      if (wide) Seq(
         col("b0").cast("long") * 65536L + col("b1"),
         col("b2").cast("long") * 65536L + col("b3"))
       else Seq(col("b0"), col("b1"), col("b2"), col("b3"))
@@ -807,10 +824,13 @@ object Multimodal {
       minMatchedFrames: Int): DataFrame = {
     require(minMatchedFrames >= 1,
       s"minMatchedFrames must be positive, got $minMatchedFrames")
-    // frames are the family's largest n (frame count × corpus): wide
-    // 32-bit bands, per the bandNearDups scaling rule — measured at 100×
-    // to cut the candidate blowup from ~93M random pairs to ~700k
-    bandNearDups(dhashBands(videoFrameMedia(videos)), maxHamming, wideBands = true)
+    // frames are the family's largest n (frame count × corpus): the
+    // band scheme is auto-picked from the frame count (bandNearDups) —
+    // at the measured 100× point (1.75M frames) that selects wide
+    // 32-bit bands, cutting the candidate blowup from ~93M random
+    // pairs to ~700k; below the 32768-frame crossover it selects
+    // narrow, whose near-threshold recall m13 measured 3–15× higher
+    bandNearDups(dhashBands(videoFrameMedia(videos)), maxHamming)
       .select(expr("id_a DIV 16").as("id_a"), expr("id_b DIV 16").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

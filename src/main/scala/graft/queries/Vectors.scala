@@ -452,7 +452,11 @@ object Vectors {
     * Hamming 0 → matched = frame count) and tail-truncated copies
     * (surviving frames byte-identical → matched = count − 1). The
     * oracle replays every frame's grid bytes, bits, bands, frame
-    * candidates, Hamming verdicts, and the clip-level aggregation. */
+    * candidates, Hamming verdicts, and the clip-level aggregation —
+    * INCLUDING the narrow-vs-wide band-scheme choice as a function of
+    * the frame count (bandNearDups' 32768-row crossover): both
+    * candidate branches are in the SQL, gated on `nfr.n`, so the same
+    * oracle stays exact on either side of the crossover. */
   private def m08(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Multimodal.toVideoCorpus(Corpus.documents(spark, dir))
     val labels = corpus.select(col("video_id"), col("variant"))
@@ -504,8 +508,14 @@ object Vectors {
        |         CAST(sum(CASE WHEN k % 2 = 0 THEN CAST(v AS BIGINT) * 65536
        |                       ELSE CAST(v AS BIGINT) END) AS BIGINT) AS wv
        |       FROM bands GROUP BY 1, 2),
-       |cand AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb
-       |         FROM wb a JOIN wb b ON a.k2 = b.k2 AND a.wv = b.wv AND a.fid < b.fid),
+       |nfr AS (SELECT count(DISTINCT fid) AS n FROM bands),
+       |candn AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb
+       |          FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v AND a.fid < b.fid
+       |          WHERE (SELECT n FROM nfr) <= 32768),
+       |candw AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb
+       |          FROM wb a JOIN wb b ON a.k2 = b.k2 AND a.wv = b.wv AND a.fid < b.fid
+       |          WHERE (SELECT n FROM nfr) > 32768),
+       |cand AS (SELECT * FROM candn UNION ALL SELECT * FROM candw),
        |ham AS (SELECT c.fa, c.fb
        |        FROM cand c
        |        JOIN bands ba ON ba.fid = c.fa
@@ -535,7 +545,8 @@ object Vectors {
     * data-dependent frame Hamming in the 1–12 range. For every pair
     * the exact 64-bit Hamming, the narrow verdict (any of four 16-bit
     * bands untouched) and the wide verdict (any of two 32-bit bands
-    * untouched — m08's `wideBands` production setting) are computed;
+    * untouched — what bandNearDups auto-picks past its 32768-row
+    * crossover) are computed;
     * per Hamming bucket the two recalls land as columns. Wide ⊆
     * narrow by construction (a wide band equal needs both its halves
     * equal), so recall_wide ≤ recall_narrow row by row — the price

@@ -109,10 +109,13 @@ object SilverStream {
     * [[graft.gold.Scd2]]) — the history-keeping sibling of
     * [[cdcUpsertSink]]'s latest-row upsert, closing the lakehouse CDC
     * pair. Whole days may arrive grouped into micro-batches in any way
-    * (each batch applies its days in ascending order); replayed or
-    * out-of-order stale days are no-ops (SCD2 idempotence + the
-    * last-applied-day guard), so at-least-once delivery converges to
-    * the exact batch-applied history. */
+    * (each batch applies its days in ascending order); replayed stale
+    * days are verified no-ops (SCD2 idempotence + the last-applied-day
+    * guard, which CHECKS the skipped day replays the applied history),
+    * so at-least-once delivery converges to the exact batch-applied
+    * history — while a day split across micro-batches or a genuinely
+    * new day arriving out of order fails loudly instead of silently
+    * losing rows. */
   def scd2Sink(df: DataFrame, outDir: String, key: String,
       attrs: Seq[String], dayCol: String): DataStreamWriter[Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
@@ -131,15 +134,28 @@ object SilverStream {
     * epochs rewrite their own (query, rank) rows — the
     * [[cdcUpsertSink]] idempotence discipline applied to the vector
     * serving loop (the lifecycle where the index pays: the corpus is
-    * signed once, queries arrive forever). */
+    * signed once, queries arrive forever).
+    *
+    * The upsert key is the exact string composite `query_id#rank` —
+    * collision-free at any k (an arithmetic packing like
+    * `query_id*100+rank` collides across queries the moment k
+    * reaches the packing base, silently merging different queries'
+    * result rows). Rows are ordered by (`_probe_epoch`, neighbor_id):
+    * a LATER epoch's probe of the same (query, rank) supersedes an
+    * earlier one — so re-probing after an index rebuild replaces stale
+    * hits instead of keeping whichever neighbor_id sorts higher — and
+    * a replayed epoch ties on `_probe_epoch` and converges through the
+    * deterministic neighbor_id tiebreak (probe output is a pure
+    * function of (query, index), so the tie rows are identical). */
   def annProbeSink(df: DataFrame, outDir: String, indexDir: String,
       k: Int): DataStreamWriter[Row] =
-    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    df.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       val hits = graft.operators.Similarity
         .ivfTopKAgainstIndex(batch.sparkSession, batch, indexDir, k)
-        .withColumn("_qr", col("query_id") * 100 + col("rank"))
+        .withColumn("_qr", concat_ws("#", col("query_id"), col("rank")))
+        .withColumn("_probe_epoch", lit(epochId))
       graft.io.Merge.lwwUpsertParquetBucketed(batch.sparkSession, outDir,
-        hits, "_qr", Seq("neighbor_id"), numBuckets = 4)
+        hits, "_qr", Seq("_probe_epoch", "neighbor_id"), numBuckets = 4)
       ()
     }
 

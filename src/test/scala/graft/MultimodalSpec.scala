@@ -370,6 +370,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(again === pairs)
   }
 
+  test("bandNearDups auto-picks the band scheme at the 32768-row crossover") {
+    // planted near-pair at Hamming 6: band b0 untouched (narrow catches
+    // it through the b0 bucket), but BOTH wide 32-bit bands touched
+    // (b1 and b3 each differ), so the wide scheme misses it — the m13
+    // recall gap in one pair. All filler rows carry globally unique
+    // band values, so they can never collide with anything.
+    def corpus(n: Int) = {
+      val filler = (10 until n).map(i => (i.toLong, 4 * i, 4 * i + 1, 4 * i + 2, 4 * i + 3))
+      val planted = Seq(
+        (1L, 7, 11, 13, 17),
+        (2L, 7, 11 ^ 0x07, 13, 17 ^ 0x38)) // 3 bits in b1, 3 in b3
+      (planted ++ filler).toDF("image_id", "b0", "b1", "b2", "b3")
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val small = corpus(1000)   // below the crossover -> narrow
+    val big = corpus(40000)    // above the crossover -> wide
+    // explicit overrides stay available either way
+    assert(pairs(Multimodal.bandNearDups(small, 10, Some(false))) === Set((1L, 2L)))
+    assert(pairs(Multimodal.bandNearDups(small, 10, Some(true))) === Set.empty[(Long, Long)])
+    // auto: small corpus picks narrow (higher recall, candidates linear)
+    assert(pairs(Multimodal.bandNearDups(small, 10)) === Set((1L, 2L)),
+      "below 32768 rows the auto scheme must be narrow")
+    // auto: large corpus picks wide (the 100x candidate-blowup fix) —
+    // observable precisely as the near-threshold pair dropping out
+    assert(pairs(Multimodal.bandNearDups(big, 10)) === Set.empty[(Long, Long)],
+      "above 32768 rows the auto scheme must be wide")
+  }
+
   test("shotBoundaries recovers exactly the planted cuts and nothing else") {
     val vids = Multimodal.toShotVideoCorpus((0L until 24L).toDF("doc_id"))
     val got = Multimodal.shotBoundaries(vids, threshold = 40.0)

@@ -729,8 +729,62 @@ class StreamingSpec extends SparkTestBase {
       Seq("2024-01-03"))) === exp)
     // a STALE day arrives after newer ones — skipped by the
     // last-applied-day guard, must not regress history
-    assert(runWith(Seq(Seq("2024-01-01"), Seq("2024-01-02"), Seq("2024-01-03"),
+    assert(runWith(Seq(Seq("2024-01-01"), Seq("2024-01-02"), Seq("2024-01-01"), Seq("2024-01-03"),
       Seq("2024-01-01"))) === exp)
+  }
+
+  test("scd2Sink fails LOUDLY on a day split across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_scd2_split_").toString + "/dim"
+    val input = MemoryStream[(Long, String, String)]
+    val q = SilverStream.scd2Sink(
+        input.toDF().toDF("k", "attr", "_day"), dir, "k", Seq("attr"), "_day")
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_scd2_split_ck_").toString)
+      .start()
+    input.addData((1L, "a", "2024-01-01"), (3L, "c", "2024-01-01"))
+    q.processAllAvailable()
+    // day 2's snapshot arrives SPLIT: the first half (key 1 only)
+    // applies as if it were the whole day — closing key 3 — and the
+    // second half lands at-or-below lastApplied. Swallowing it would
+    // leave wrong history (key 3 closed though its day-2 row exists),
+    // so the stale-day guard must throw instead of no-op.
+    input.addData((1L, "a2", "2024-01-02"))
+    q.processAllAvailable()
+    input.addData((3L, "c", "2024-01-02"))
+    val thrown = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def root(e: Throwable): Throwable =
+      if (e.getCause == null || e.getCause == e) e else root(e.getCause)
+    assert(root(thrown).getMessage.contains("stale-day guard"),
+      s"split day must hit the loud path, got: $thrown")
+  }
+
+  test("scd2Sink fails LOUDLY when a genuinely new day arrives out of order") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_scd2_ooo_").toString + "/dim"
+    val input = MemoryStream[(Long, String, String)]
+    val q = SilverStream.scd2Sink(
+        input.toDF().toDF("k", "attr", "_day"), dir, "k", Seq("attr"), "_day")
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_scd2_ooo_ck_").toString)
+      .start()
+    input.addData((1L, "a", "2024-01-01"))
+    q.processAllAvailable()
+    input.addData((1L, "a3", "2024-01-03"))
+    q.processAllAvailable()
+    // day 2 arrives AFTER day 3 with a change the history never saw —
+    // the old behavior dropped it forever (indistinguishable from a
+    // benign replay); now it must fail loudly
+    input.addData((1L, "a2", "2024-01-02"))
+    val thrown = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def root(e: Throwable): Throwable =
+      if (e.getCause == null || e.getCause == e) e else root(e.getCause)
+    assert(root(thrown).getMessage.contains("stale-day guard"),
+      s"out-of-order new day must hit the loud path, got: $thrown")
   }
 
   test("annProbeSink converges to the batch probe under any query batching or replay") {
@@ -772,6 +826,94 @@ class StreamingSpec extends SparkTestBase {
     assert(runWith(Seq(queries)) === expected)
     assert(runWith(queries.map(Seq(_))) === expected)
     assert(runWith(queries.map(Seq(_)) :+ Seq(queries.last)) === expected)
+  }
+
+  test("annProbeSink keys are collision-free at k >= 100") {
+    implicit val sqlCtx = spark.sqlContext
+    // 2-cell index over 260 near-axis vectors with nProbe covering both
+    // cells, so every query ranks ALL other vectors: ranks run past 100
+    // and the old arithmetic key packing (query_id*100+rank) would
+    // collide across the two queries (100*100+120 == 101*100+20),
+    // silently merging their rows. The composite string key must keep
+    // every (query, rank) row distinct.
+    val emb = (0L until 260L).map { i =>
+      val v = Array.fill(4)(0.001f * ((i * 13 + 5) % 7))
+      v((i % 2).toInt) = 1.0f
+      (i, v, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = Files.createTempDirectory("graft_annidx_k100_").toString + "/idx"
+    graft.operators.Similarity.buildIvfIndex(spark, emb, idx, nCells = 2)
+    val queries = Seq(100L, 101L).map { i =>
+      val v = Array.fill(4)(0.0f)
+      v((i % 2).toInt) = 1.0f
+      (i, v, (i % 2).toInt)
+    }
+    val expected = graft.operators.Similarity
+      .ivfTopKAgainstIndex(spark, queries.toDF("vec_id", "embedding", "label"), idx, k = 120)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.size === 2 * 120, "each query must rank past 100")
+    val out = Files.createTempDirectory("graft_annout_k100_").toString + "/hits"
+    val input = MemoryStream[(Long, Array[Float], Int)]
+    val q = SilverStream.annProbeSink(
+        input.toDF().toDF("vec_id", "embedding", "label"), out, idx, k = 120)
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_annout_k100_ck_").toString)
+      .start()
+    input.addData(queries: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected,
+      "k >= 100 must not lose rows to cross-query key collisions")
+  }
+
+  test("annProbeSink: a later epoch's re-probe supersedes stale hits after an index rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    def corpus(offset: Long) = (0L until 30L).map { i =>
+      val v = Array.fill(4)(0.0f)
+      v((i % 2).toInt) = 1.0f
+      v(2) = 0.01f * i
+      (offset + i, v, (i % 2).toInt)
+    }
+    val idx = Files.createTempDirectory("graft_annidx_rb_").toString + "/idx"
+    // first build signs the corpus under HIGH vec_ids (1000+): the
+    // rebuild re-signs it under low ids (0..29), so an ordering on
+    // neighbor_id alone would keep the stale high-id rows forever
+    graft.operators.Similarity.buildIvfIndex(spark, corpus(1000L).toDF("vec_id", "embedding", "label"), idx, nCells = 2)
+    val query = Seq({
+      val v = Array.fill(4)(0.0f); v(0) = 1.0f; (500L, v, 0)
+    })
+    val out = Files.createTempDirectory("graft_annout_rb_").toString + "/hits"
+    val input = MemoryStream[(Long, Array[Float], Int)]
+    val q = SilverStream.annProbeSink(
+        input.toDF().toDF("vec_id", "embedding", "label"), out, idx, k = 5)
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_annout_rb_ck_").toString)
+      .start()
+    input.addData(query: _*)
+    q.processAllAvailable()
+    // rebuild re-signs the corpus under LOW vec_ids (0..29): the later
+    // epoch's re-probe must replace the stale 1000+ rows even though
+    // every new neighbor_id sorts BELOW them
+    graft.operators.Similarity.buildIvfIndex(spark, corpus(0L).toDF("vec_id", "embedding", "label"), idx, nCells = 2)
+    input.addData(query: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Similarity
+      .ivfTopKAgainstIndex(spark, query.toDF("vec_id", "embedding", "label"), idx, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = spark.read.parquet(out)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected,
+      "after an index rebuild the re-probe's rows must win the upsert")
+    assert(got.forall(_._3 < 1000L), "no stale pre-rebuild neighbor ids survive")
   }
 
   test("cdcUpsertSink per-batch work tracks the BATCH, not the table (dirty buckets only)") {

@@ -59,4 +59,51 @@ class MergeContentionSpec extends graft.SparkTestBase {
     assert(!fs(dir).exists(new org.apache.hadoop.fs.Path(s"${dir}_bak/$b0")),
       "stale backup must be cleared, not restored over the live bucket")
   }
+
+  test("bucketed apply refuses a present table whose _buckets.json side file is missing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race_sf_").toString + "/t"
+    val base = (1L to 50L).map(k => (k, s"n$k", 1L)).toDF("k", "name", "v")
+    Merge.lwwUpsertParquetBucketed(spark, dir, base, "k", Seq("v"), numBuckets = 4)
+    // the side file is lost (external deletion / pre-side-file table):
+    // an apply must fail loudly rather than trust the caller's
+    // numBuckets — a mismatched count would scatter keys across two
+    // incompatible layouts where half the later probes silently miss
+    val side = new org.apache.hadoop.fs.Path(dir + "_buckets.json")
+    assert(fs(dir).delete(side, false))
+    val thrown = intercept[IllegalStateException] {
+      Merge.lwwUpsertParquetBucketed(spark, dir,
+        Seq((999L, "z", 1L)).toDF("k", "name", "v"), "k", Seq("v"), numBuckets = 4)
+    }
+    assert(thrown.getMessage.contains("_buckets.json"))
+    // nothing was committed: the table still reads its bootstrap rows
+    assert(spark.read.parquet(dir).count() === 50L)
+  }
+
+  test("bootstrap crash window (side file present, table absent) heals on replay") {
+    // the side file is now written BEFORE the rename into place, so the
+    // only bootstrap crash window leaves (side file present, table
+    // absent) — the replayed epoch must bootstrap cleanly and overwrite
+    // the orphaned side file with ITS bucket count. (The old order's
+    // window — table present, side file absent — committed a table
+    // whose layout guard was permanently disabled.)
+    val dir = java.nio.file.Files.createTempDirectory("graft_race_cw_").toString + "/t"
+    val side = new org.apache.hadoop.fs.Path(dir + "_buckets.json")
+    fs(dir).mkdirs(side.getParent)
+    val out = fs(dir).create(side, true)
+    out.write("""{"num_buckets":8}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    Merge.lwwUpsertParquetBucketed(spark, dir,
+      (1L to 20L).map(k => (k, s"n$k", 1L)).toDF("k", "name", "v"),
+      "k", Seq("v"), numBuckets = 4)
+    assert(spark.read.parquet(dir).count() === 20L)
+    // the replayed bootstrap owns the side file: the guard now enforces
+    // THIS table's layout, not the crashed attempt's
+    intercept[IllegalArgumentException] {
+      Merge.lwwUpsertParquetBucketed(spark, dir,
+        Seq((999L, "z", 1L)).toDF("k", "name", "v"), "k", Seq("v"), numBuckets = 8)
+    }
+    Merge.lwwUpsertParquetBucketed(spark, dir,
+      Seq((999L, "z", 1L)).toDF("k", "name", "v"), "k", Seq("v"), numBuckets = 4)
+    assert(spark.read.parquet(dir).count() === 21L)
+  }
 }
