@@ -144,6 +144,61 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** |A∩B| of two sorted-ascending, duplicate-free long arrays via a single
+  * merge pass — the [[JaccardSorted]] discipline for HASHED shingle sets.
+  * This is what lets a containment/resemblance verify run per candidate
+  * PAIR over two compact arrays instead of materializing the
+  * pairs × shingles exploded frame (the one super-linear intermediate of
+  * the count-based verify — the t67 300× sweep killed two plan shapes,
+  * sorter spill and unbounded hash build, before this form): the join
+  * frames stay candidate-row-sized and the per-pair work is a tight
+  * O(|A|+|B|) primitive loop inside whole-stage codegen.
+  */
+case class SortedLongInterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_inter_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongInterCount =
+    copy(left = l, right = r)
+}
+
 /** Banded random-hyperplane LSH signature of a double vector: band b's
   * value is the integer formed by the sign bits of planes
   * [b·bandBits, (b+1)·bandBits). The HOF formulation (nested
@@ -689,6 +744,15 @@ object GraftExpressions {
     case other => throw new IllegalArgumentException(s"$name must be a string literal, got $other")
   }
 
+  /** double literal (accepts the D-suffixed double form and Spark's
+    * default decimal literal — `0.7` parses as DecimalType) */
+  private def doubleArg(e: Expression, name: String): Double = e.eval() match {
+    case d: Double => d
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case i: Int => i.toDouble
+    case other => throw new IllegalArgumentException(s"$name must be a numeric literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // register-if-absent: every operator entry point calls register (the
@@ -702,9 +766,13 @@ object GraftExpressions {
     ensure("graft_rolling_hash")(exprs => RollingHash(exprs.head))
     ensure("graft_dot")(exprs => DotProduct(exprs(0), exprs(1)))
     ensure("graft_jaccard_sorted")(exprs => JaccardSorted(exprs(0), exprs(1)))
+    ensure("graft_inter_sorted")(exprs => SortedLongInterCount(exprs(0), exprs(1)))
     ensure("graft_lsh_bands")(exprs => BandedSignature(exprs(0),
       intArg(exprs(1), "numPlanes"), intArg(exprs(2), "bandBits")))
     ensure("graft_topk")(exprs => TopK(exprs(0), exprs(1), intArg(exprs(2), "k")))
+    ensure("graft_mmr")(exprs => MmrSelect(exprs(0), exprs(1), exprs(2), exprs(3),
+      intArg(exprs(4), "k"), doubleArg(exprs(5), "lambda"),
+      intArg(exprs(6), "maxCandidates")))
     ensure("graft_mode_count")(exprs => ModeCount(exprs.head))
     ensure("graft_fold31")(exprs => Fold31(exprs.head))
     ensure("graft_bpe_apply")(exprs =>

@@ -22,6 +22,18 @@ object Maintenance {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
+    // Bucketed LWW targets ([[Merge.lwwUpsertParquetBucketed]]) are
+    // SELF-compacting — every apply replaces each dirty bucket dir
+    // whole with one freshly-written file, so bucket dirs never accrete
+    // small files and there is nothing for this pass to do. Running it
+    // anyway would be actively dangerous: the in-place leaf swap stages
+    // `_old` backups INSIDE the table root, where a crash strands a
+    // `_bucket=N_old` dir that partition discovery misparses and the
+    // bucketed crash recovery (backups under `<dir>_bak`) cannot heal.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_buckets.json")),
+      s"$dir is a bucketed LWW target — it is self-compacting (each apply " +
+        "rewrites its dirty buckets whole) and compactParquet's in-root " +
+        "backup staging is unsafe for its crash recovery; nothing to do here")
 
     def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val subdirs = fs.listStatus(p).toSeq

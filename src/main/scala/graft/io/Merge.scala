@@ -198,7 +198,15 @@ object Merge {
     * Readers see `_bucket` as an extra trailing partition column —
     * `SELECT`s should name their columns. Returns the dirty bucket ids
     * (the touched-partition count the StreamingSpec scale assertion
-    * checks). */
+    * checks).
+    *
+    * File lifecycle: each apply REPLACES every dirty bucket dir whole
+    * with one freshly-written file, so bucket dirs never accrete small
+    * files — the table is self-compacting and an idle bucket keeps its
+    * single-file layout indefinitely. Do NOT point the generic
+    * [[Maintenance.compactParquet]] at a bucketed root: it has nothing
+    * to do here, and its in-root backup staging is unsafe against this
+    * table's `<dir>_bak` crash recovery (it refuses loudly). */
   def lwwUpsertParquetBucketed(spark: SparkSession, targetDir: String,
       updates: DataFrame, key: String, ordCols: Seq[String],
       numBuckets: Int = 16): Seq[Int] = {

@@ -25,6 +25,16 @@ object AsOfJoin {
     * @param time       event-time column name (both sides)
     * @param payload    right-side columns to attach (renamed with prefix)
     * @param prefix     prefix for attached columns, default "asof_"
+    * @param strict     false (default): a right row AT the left row's
+    *                   exact timestamp is visible (the ASOF `>=`
+    *                   convention — kdb+ `aj`, DuckDB's default).
+    *                   true: only STRICTLY earlier right rows match
+    *                   (`>`), the lookback leakage-sensitive feature
+    *                   pipelines need — a feature computed "as of" a
+    *                   label event must not see data stamped at the
+    *                   label's own instant. Same plan either way; only
+    *                   the same-timestamp sort order of the two sides
+    *                   flips.
     */
   def apply(
       left: DataFrame,
@@ -32,7 +42,11 @@ object AsOfJoin {
       key: String,
       time: String,
       payload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      strict: Boolean = false): DataFrame = {
+    // inclusive: right rows sort BEFORE left at equal time (visible);
+    // strict: after (not yet carried when the left row is scored)
+    val rightTag = if (strict) 2 else 0
     val leftCols = left.columns
     val l = left
       .withColumn("_side", lit(1))
@@ -41,7 +55,7 @@ object AsOfJoin {
           s"$p:${right.schema(p).dataType.sql}").mkString(",") + ">").as("_pay"): _*)
     val r = right
       .select(col(key), col(time), struct(payload.map(col): _*).as("_pay"))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rightTag))
     // align schemas: right contributes only key/time/payload
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))

@@ -30,6 +30,7 @@ object Dedup {
   private val caches = new graft.util.CacheRegistry
   private def tracked(df: DataFrame): DataFrame = caches.track(df)
 
+
   /** Unpersists every cache created by the near-dup operators. */
   def releaseCaches(): Unit = caches.releaseAll()
 
@@ -868,29 +869,61 @@ object Dedup {
       minContainment: Double = 0.9): DataFrame = {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment must sit in (0,1], got $minContainment")
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     // shingles reduce to 8-byte xxhash64 keys BEFORE any shuffle (the
     // t48/t23 discipline): the strings never reach the output, the df
-    // filter, candidate join, and verify joins all key on the hash, and
-    // the raw-string oracle's counts are identical absent a 64-bit
-    // collision (which the hash gate would surface)
-    val ex = tracked(withShingles(docs, shingleSize)
+    // filter, candidate join, and verify all work on the hash, and the
+    // raw-string oracle's counts are identical absent a 64-bit collision
+    // (which the hash gate would surface). The one persisted frame is
+    // corpus-ROW-sized: one row per doc with its sorted hash array (sz
+    // stays the distinct-STRING count, the oracle's denominator).
+    val docsArr = tracked(withShingles(docs, shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"),
-        explode(col("shingles")).as("_shs"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("_shs")).as("sh")))
+        array_sort(transform(col("shingles"), s => xxhash64(s))).as("shs")))
+    // exploded view for the df table + rare-shingle candidate join only
+    // (re-derived from the cached docsArr — a cheap explode, never cached)
+    val ex = docsArr.select(col("doc_id"), explode(col("shs")).as("sh"))
     val rare = ex.join(
       ex.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") >= 2 && col("_df") <= maxDf)
         .select(col("sh")),
       "sh")
-    val cand = rare.as("x").join(rare.as("y"),
+    // persisted: referenced by the doc_b build-side filter AND the
+    // first verify join — unpersisted, the rare-shingle self-join would
+    // run twice (no cross-branch CSE)
+    val cand = tracked(rare.as("x").join(rare.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(ex.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("sh")), "doc_a")
-      .join(ex.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
-      .agg(count(lit(1)).as("inter"))
+      .distinct())
+    // Verify shape, taught by the 300× sweep in three steps (each
+    // earlier form DIED a decade in, single-run local[32] readings):
+    //  1. SMJ verify joins over the exploded pairs × shingles frame:
+    //     the sorter spill on that one super-linear intermediate filled
+    //     the machine's 79 GB scratch volume at 300× (956 s, killed).
+    //     SHUFFLE_HASH instead measured 267.5 s vs 472.2 s at 100×.
+    //  2. SHUFFLE_HASH with a corpus-shingle build side: "not enough
+    //     memory to build hash map" at 300× — all 32 partitions build
+    //     concurrently and the per-partition slice grows with the
+    //     corpus at a fixed partition count; even semi-filtered to
+    //     candidate docs (359.1 s at 100×) the EXPLODED build side
+    //     still outgrew the pool a decade later.
+    //  3. This form: no exploded frame exists at all. Candidate pairs
+    //     join per-doc sorted hash ARRAYS — both verify frames are
+    //     candidate-row-sized (cand builds side one; docsArr
+    //     semi-filtered to candidate doc_bs builds side two), and
+    //     |A∩B| is one codegen'd merge pass per pair
+    //     (graft_inter_sorted), so the count groupBy — the shuffle
+    //     that carried the super-linear frame — disappears.
+    val arrB = docsArr
+      .join(cand.select(col("doc_b").as("doc_id")).distinct().hint("SHUFFLE_HASH"),
+        Seq("doc_id"), "left_semi")
+    cand.hint("SHUFFLE_HASH")
+      .join(docsArr.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+        col("shs").as("sha")), "doc_a")
+      .join(arrB.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+        col("shs").as("shb")).hint("SHUFFLE_HASH"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sza"), col("szb"),
+        expr("graft_inter_sorted(sha, shb)").as("inter"))
       .withColumn("cont_a_in_b", col("inter").cast("double") / col("sza").cast("double"))
       .withColumn("cont_b_in_a", col("inter").cast("double") / col("szb").cast("double"))
       .withColumn("jaccard", col("inter").cast("double")

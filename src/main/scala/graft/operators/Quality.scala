@@ -376,6 +376,48 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document n-gram NOVELTY — the fraction of a document's
+    * distinct word n-grams that occur in no other document of the
+    * corpus (document frequency exactly 1). The standard duplication/
+    * templating read on a training corpus (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 measures
+    * corpus health in exactly these cross-document n-gram terms): low
+    * novelty = the document is assembled from text other documents
+    * also carry (boilerplate, mirrors, near-dup survivors — candidates
+    * the t05–t09 pair miners should have caught, so the score doubles
+    * as their independent audit), high novelty = unique content. The
+    * complement of t23's shared-gram index (which REPORTS the shared
+    * grams; this scores each document by how little it overlaps).
+    *
+    * Scale shape: grams reduce to 8-byte xxhash64 keys before the
+    * corpus-scale df count (the t23/t26 wire discipline — raw gram
+    * strings never shuffle; a 64-bit collision would surface in the
+    * raw-string oracle's counts), distinct-per-doc BEFORE the explode
+    * leaves one row per (doc, gram); one df aggregation + one
+    * doc-keyed rollup, both partial-aggregated map-side.
+    *
+    * Output: (doc_id, n_grams, n_novel, novel_frac) for every doc with
+    * ≥ n tokens, doc order; novel_frac is one exact double division. */
+  def novelGramRate(docs: DataFrame, n: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    // read twice (df table + per-doc join) — persist one gram pass
+    val dg = tracked(docs
+      .withColumn("_toks", graft.functions.TextFunctions.tokens(col(textCol)))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("_toks"), n)).as("_g"))
+      .select(col("doc_id"), xxhash64(col("_g")).as("gh")))
+    val dfreq = dg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    dg.join(dfreq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Good-Turing frequency re-estimation (Good, Biometrika 1953; the
     * count-of-counts table behind Katz backoff and the classic "how
     * much probability mass belongs to unseen words" answer): per

@@ -76,6 +76,110 @@ object Similarity {
       k)
   }
 
+  /** Matryoshka-style two-stage retrieval (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022 — MRL embeddings pack a
+    * usable coarse representation into every PREFIX of the vector, so
+    * retrieval systems first-pass-rank on a short prefix and re-rank
+    * survivors at full width; OpenAI/Nomic "shortening" embeddings ship
+    * exactly this contract): stage 1 scores every corpus vector against
+    * each query on the first `prefixDims` dimensions only and keeps the
+    * top k·overfetch per query; stage 2 re-scores ONLY those survivors
+    * with the exact full-dimension cosine and returns the top k.
+    *
+    * Scale shape: stage 1 is the only corpus-sized pass and touches
+    * prefixDims/d of the vector bytes (at d=512, prefix 64 → 8× less
+    * vector IO and multiply work than the exact baseline; on a
+    * column-pruned prefix projection the scan itself shrinks); its
+    * per-query state is a bounded k·overfetch heap
+    * ([[graft.functions.TopK]] — map-side partial, only heap buffers
+    * shuffle). Stage 2 is (k·overfetch)-per-query sized — corpus-free.
+    * Recall is the MRL bet (prefix ordering ≈ full ordering at the
+    * overfetch margin), measured per-corpus in SimilaritySpec rather
+    * than assumed. Deterministic: both stages order by
+    * (score DESC, neighbor_id ASC); an all-zero prefix scores -1
+    * (sorting such vectors last, mirrored in the oracle) so 0/0 never
+    * reaches the ranking. Output: (query_id, rank, neighbor_id,
+    * cos_sim — the FULL-width exact cosine), rank 1..k. */
+  def matryoshkaTopK(spark: SparkSession, emb: DataFrame, nQueries: Int,
+      k: Int, prefixDims: Int, overfetch: Int = 4): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    GraftExpressions.register(spark)
+    val n = normed(emb)
+      .withColumn("pv", slice(col("v"), 1, prefixDims))
+      .withColumn("pnrm", sqrt(expr("graft_dot(pv, pv)")))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("pv").as("qpv"), col("pnrm").as("qpnrm"))
+    // stage 1: prefix-cosine over the corpus, bounded-heap top k·overfetch
+    val stage1 = topKRank(
+      n.select(col("vec_id"), col("pv"), col("pnrm"))
+        .crossJoin(broadcast(q.select(col("query_id"), col("qpv"), col("qpnrm"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          when(col("pnrm") === 0d || col("qpnrm") === 0d, lit(-1.0))
+            .otherwise(expr("graft_dot(pv, qpv)") / (col("pnrm") * col("qpnrm")))
+            .as("cos_sim")),
+      k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact full-width cosine on the survivors only
+    topKRank(
+      stage1
+        .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
+      k)
+  }
+
+  /** MMR-diversified top-k retrieval (Carbonell & Goldstein, SIGIR 1998
+    * — Maximal Marginal Relevance, the classic result-diversification
+    * rule search and RAG rerankers still ship): a bounded first pass
+    * keeps the `poolC` most query-similar candidates per query, then a
+    * greedy second stage picks k of them, each round maximizing
+    * `lambda * sim(q, c) - (1 - lambda) * max_{s in picked} sim(c, s)` —
+    * relevance traded against redundancy with what is already picked
+    * (rank 1 is the plain nearest neighbor; a near-duplicate of it is
+    * pushed down in favor of coverage).
+    *
+    * Scale shape: stage 1 is the only corpus-sized pass (broadcast
+    * queries, bounded [[graft.functions.TopK]] heaps — only k-element
+    * buffers shuffle); the candidates' vectors come back via a broadcast
+    * semi-equi join (poolC·Q rows against the corpus scan); the greedy
+    * stage — inherently sequential, O(poolC·k·dim) per query — runs
+    * inside the bounded [[graft.functions.MmrSelect]] buffer, NOT as k
+    * chained shuffles. Deterministic end to end: both stages break score
+    * ties toward the smaller id, so the unrolled-greedy SQL oracle
+    * replays every pick. Output: (query_id, rank 1..k, neighbor_id,
+    * mmr_score, cos_sim — the exact query cosine). */
+  def mmrTopK(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      poolC: Int, lambda: Double): DataFrame = {
+    require(poolC >= k, s"candidate pool $poolC must be >= k $k")
+    GraftExpressions.register(spark)
+    val n = normed(emb)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cands = topKRank(
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
+      poolC)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    // attach candidate vectors: Q·poolC rows broadcast against the corpus
+    cands.hint("BROADCAST")
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_mmr(neighbor_id, v, nrm, cos_sim, $k, ${lambda}D, " +
+        s"${poolC * 2})").as("mm"))
+      .select(col("query_id"), posexplode(col("mm")).as(Seq("i", "p")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("p.neighbor_id").as("neighbor_id"),
+        col("p.mmr_score").as("mmr_score"), col("p.cos_sim").as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** All pairs (a<b) with cosine ≥ threshold — embedding-space near-dup
     * detection via banded hyperplane LSH + exact verify (the t07
     * LSH-then-verify shape applied to vectors):

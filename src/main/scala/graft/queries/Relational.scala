@@ -865,6 +865,51 @@ object Relational {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** STRICT as-of join ([[graft.operators.AsOfJoin]] `strict = true`,
+    * the `<` sibling of q25's inclusive `>=`): every purchase enriched
+    * with the user's latest view STRICTLY before it — the lookback
+    * leakage-sensitive feature pipelines need (a feature computed "as
+    * of" a label event must not see data stamped at the label's own
+    * instant). The raw fixture has no same-ts purchase/view pairs, so
+    * both sides run on HOUR-truncated timestamps — collisions abound,
+    * making two behaviors gated as data rather than asserted: the
+    * strictness itself (an inclusive join would pick the same-hour
+    * view) and the deterministic same-(user, hour) quote tie-break
+    * (max event id, replayed by the oracle's `max_by`). Oracle:
+    * DuckDB's NATIVE strict `ASOF LEFT JOIN ... ON p.th > v.th` — an
+    * independent matching algorithm, left semantics included. */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(spark, dir)
+      .withColumn("th", date_trunc("hour", col("ts")))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("th"), col("value"))
+    // one quote per (user, hour): max event id wins (the q25 dedup rule)
+    val dedupeW = Window.partitionBy(col("user_id"), col("th"))
+      .orderBy(col("event_id").desc)
+    val quotes = ev.filter(col("event_type") === "view")
+      .withColumn("rn", row_number().over(dedupeW)).filter(col("rn") === 1)
+      .select(col("user_id"), col("th"), col("th").as("view_th"),
+        col("value").as("view_value"), col("event_id").as("view_event_id"))
+    graft.operators.AsOfJoin(probes, quotes, "user_id", "th",
+      payload = Seq("view_th", "view_value", "view_event_id"), strict = true)
+      .orderBy(col("event_id"))
+  }
+
+  private val q47Sql =
+    """WITH vq AS (SELECT user_id, th, max_by(value, event_id) AS view_value,
+      |              max(event_id) AS view_event_id, th AS view_th
+      |            FROM (SELECT *, date_trunc('hour', ts) AS th FROM events
+      |                  WHERE event_type = 'view')
+      |            GROUP BY user_id, th),
+      |p AS (SELECT event_id, user_id, date_trunc('hour', ts) AS th, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.th, p.value,
+      |  v.view_th AS asof_view_th, v.view_value AS asof_view_value,
+      |  v.view_event_id AS asof_view_event_id
+      |FROM p ASOF LEFT JOIN vq v
+      |  ON p.user_id = v.user_id AND p.th > v.th
+      |ORDER BY p.event_id""".stripMargin
+
   private val q34Sql =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
@@ -1386,6 +1431,7 @@ object Relational {
     QuerySpec("q43_time_weighted_avg", q43, Some(q43Sql)),
     QuerySpec("q44_cms_join_size", q44, Some(q44Sql)),
     QuerySpec("q45_label_propagation", q45, Some(q45Sql)),
-    QuerySpec("q46_pit_lookup", q46, Some(q46Sql)))
+    QuerySpec("q46_pit_lookup", q46, Some(q46Sql)),
+    QuerySpec("q47_asof_join", q47, Some(q47Sql)))
 
 }

@@ -2634,6 +2634,34 @@ object Text {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document 3-gram novelty ([[graft.operators.Quality.novelGramRate]];
+    * Lee et al. ACL 2022's cross-document n-gram lens as a per-doc
+    * score): the fraction of a doc's distinct word 3-grams appearing in
+    * no other document — low = boilerplate/near-dup residue (an
+    * independent audit of what the t05–t09 miners should have caught),
+    * high = unique content. Engine counts over xxhash64'd grams (the
+    * t23 wire discipline); the oracle re-counts over the RAW gram
+    * strings, so a hash collision would surface as a count mismatch. */
+  private def t69(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.novelGramRate(Corpus.documents(spark, dir), n = 3)
+
+  private val t69Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(sp[i : i + 2], ' ')
+       |                   for i in range(1, len(sp) - 3 + 2)]) AS gs
+       |  FROM (SELECT doc_id, $toksSql AS sp FROM documents)
+       |  WHERE len(sp) >= 3),
+       |g AS (SELECT doc_id, unnest(gs) AS gram FROM d),
+       |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+       |SELECT g.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS novel_frac
+       |FROM g JOIN f USING (gram)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2702,5 +2730,6 @@ object Text {
     QuerySpec("t65_good_turing", t65, Some(t65Sql)),
     QuerySpec("t66_pii_scan", t66, Some(t66Sql)),
     QuerySpec("t67_containment_pairs", t67, Some(t67Sql)),
-    QuerySpec("t68_char_entropy", t68, Some(t68Sql)))
+    QuerySpec("t68_char_entropy", t68, Some(t68Sql)),
+    QuerySpec("t69_novel_gram_rate", t69, Some(t69Sql)))
 }

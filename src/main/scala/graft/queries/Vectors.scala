@@ -1448,6 +1448,118 @@ object Vectors {
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
   }
 
+  /** Matryoshka two-stage retrieval
+    * ([[Similarity.matryoshkaTopK]]; Kusupati et al. NeurIPS 2022):
+    * first-pass rank on the 16-dim embedding PREFIX, keep k·4 per
+    * query, re-rank survivors with the exact 64-dim cosine — the
+    * prefix-shortening serving pattern MRL-trained embedding APIs
+    * ship. The oracle replays BOTH stages (prefix cosine, the
+    * (score DESC, neighbor_id) overfetch cut, then the full-width
+    * re-rank), so the hash gates the stage boundary itself — an
+    * engine that quietly ranked at full width would produce different
+    * rows wherever the prefix ordering disagrees with the full
+    * ordering at the overfetch margin. */
+  private def v20(spark: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaTopK(spark, Corpus.embeddings(spark, dir),
+      nQueries = 5, k = 10, prefixDims = 16, overfetch = 4)
+
+  private val v20Sql = {
+    val pdotSql =
+      "list_sum(list_transform(range(1, 16 + 1), i -> a.pv[i] * q.qpv[i]))"
+    s"""WITH $normedCte,
+       |np AS (SELECT vec_id, v, nrm, v[1:16] AS pv,
+       |         sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS pnrm
+       |       FROM n),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+       |        pv AS qpv, pnrm AS qpnrm
+       |      FROM np WHERE vec_id < 5),
+       |s1 AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+       |         CASE WHEN a.pnrm = 0 OR q.qpnrm = 0 THEN -1.0
+       |              ELSE $pdotSql / (a.pnrm * q.qpnrm) END AS psim
+       |       FROM np a, q WHERE a.vec_id <> q.query_id),
+       |r1 AS (SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY psim DESC, neighbor_id) AS prank
+       |       FROM s1),
+       |s2 AS (SELECT r.query_id, r.neighbor_id,
+       |         $dotSql / (a.nrm * q.qnrm) AS cos_sim
+       |       FROM r1 r
+       |       JOIN n a ON a.vec_id = r.neighbor_id
+       |       JOIN q ON q.query_id = r.query_id
+       |       WHERE r.prank <= 40),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |       FROM s2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_sim
+       |FROM r2 WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** MMR-diversified retrieval ([[Similarity.mmrTopK]]; Carbonell &
+    * Goldstein SIGIR 1998): top-25 candidate pool per query, then greedy
+    * selection of k=8 maximizing `0.7·sim(q,c) − 0.3·max_sel sim(c,s)` —
+    * the classic search/RAG result-diversification rule. The oracle
+    * UNROLLS the greedy rounds (one chained CTE per pick: the
+    * remaining-candidate max-redundancy table, the argmax with the
+    * engine's smaller-id tie-break, the growing selected set), so every
+    * sequential pick — not just the final set — is hash-gated. */
+  private def v21(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(spark, Corpus.embeddings(spark, dir),
+      nQueries = 5, k = 8, poolC = 25, lambda = 0.7)
+
+  private val v21Sql = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val om = s"(CAST(1.0 AS DOUBLE) - $lam)"
+    val pairDot =
+      "list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))"
+    // one CTE pair per greedy round r >= 2: m{r} = remaining candidates
+    // with max cosine to the selected set, s{r} = this round's argmax
+    // pick, sel{r} = the selected set after it. Every chained CTE is
+    // MATERIALIZED: DuckDB's default inlining would expand sel{r}'s
+    // references to sel{r-1} recursively — an exponential tree of
+    // re-evaluations that exhausts file handles long before round 8.
+    val rounds = (2 to 8).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT c.query_id, c.nid, c.qsim, max(p.sim) AS ms
+         |  FROM c JOIN sel${r - 1} s ON s.query_id = c.query_id
+         |  JOIN ps p ON p.query_id = c.query_id AND p.ia = c.nid AND p.ib = s.nid
+         |  WHERE c.nid NOT IN (SELECT nid FROM sel${r - 1} x
+         |                      WHERE x.query_id = c.query_id)
+         |  GROUP BY 1, 2, 3),
+         |s$r AS MATERIALIZED (SELECT query_id, $r AS rank, nid,
+         |    $lam * qsim - $om * ms AS mmr_score, qsim
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY $lam * qsim - $om * ms DESC, nid) AS rn2 FROM m$r)
+         |  WHERE rn2 = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+         |  UNION ALL SELECT query_id, nid FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 8).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""WITH $normedCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+       |      WHERE vec_id < 5),
+       |cs AS (SELECT q.query_id, a.vec_id AS nid,
+       |         $dotSql / (a.nrm * q.qnrm) AS qsim
+       |       FROM n a, q WHERE a.vec_id <> q.query_id),
+       |c AS MATERIALIZED (SELECT query_id, nid, qsim FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY qsim DESC, nid) AS rn FROM cs)
+       |      WHERE rn <= 25),
+       |ps AS MATERIALIZED (SELECT a.query_id, a.nid AS ia, b.nid AS ib,
+       |         $pairDot / (va.nrm * vb.nrm) AS sim
+       |       FROM c a JOIN c b ON a.query_id = b.query_id AND a.nid <> b.nid
+       |       JOIN n va ON va.vec_id = a.nid
+       |       JOIN n vb ON vb.vec_id = b.nid),
+       |s1 AS MATERIALIZED (SELECT query_id, 1 AS rank, nid, $lam * qsim AS mmr_score, qsim
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY $lam * qsim DESC, nid) AS rn2 FROM c)
+       |  WHERE rn2 = 1),
+       |sel1 AS MATERIALIZED (SELECT query_id, nid FROM s1),
+       |$rounds
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, nid AS neighbor_id,
+       |  mmr_score, qsim AS cos_sim
+       |FROM ($union) ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Voice-activity segmentation over the planted speech/silence corpus
     * ([[Multimodal.vadSegments]] at 40-sample frames, mean-|s| threshold
     * 500 — two orders of magnitude between the planted noise floor and
@@ -1565,6 +1677,8 @@ object Vectors {
     QuerySpec("v17_mips_topk", v17, Some(v17Sql)),
     QuerySpec("v18_pca_power", v18, Some(v18Sql)),
     QuerySpec("v19_jl_distortion", v19, Some(v19Sql)),
+    QuerySpec("v20_matryoshka_rerank", v20, Some(v20Sql)),
+    QuerySpec("v21_mmr_rerank", v21, Some(v21Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -36,6 +36,23 @@ class MaintenanceSpec extends SparkTestBase {
       s"partition layout must survive compaction:\n$plan")
   }
 
+  test("compactParquet refuses a bucketed LWW target (self-compacting; in-root swap unsafe there)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_b_").toString + "/t"
+    graft.io.Merge.lwwUpsertParquetBucketed(spark, dir,
+      (1L to 50L).map(kk => (kk, s"n$kk", 1L)).toDF("k", "name", "v"),
+      "k", Seq("v"), numBuckets = 4)
+    // each apply already rewrites its dirty buckets whole (one file per
+    // bucket), so there is nothing to compact — and the generic pass's
+    // in-root `_old` staging would strand a `_bucket=N_old` dir on crash
+    // that partition discovery misparses; it must refuse loudly
+    val thrown = intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, dir)
+    }
+    assert(thrown.getMessage.contains("self-compacting"))
+    // the table is untouched and still reads
+    assert(spark.read.parquet(dir).count() === 50L)
+  }
+
   test("compactNearDupIndex folds batches into __base__ with probe results identical") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val corpus = Seq(

@@ -430,4 +430,47 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_count"),
       s"the df and intersection counts must partial-aggregate map-side:\n$plan")
   }
+
+  test("q47 strict as-of join: join-free — union + carry-forward window, no range join") {
+    val plan = planOf("q47_asof_join")
+    // the union + last(ignoreNulls) window form: no join node at all —
+    // a range-join emulation (probe × earlier-quotes) would show a
+    // non-equi Join and die on the first hot key at scale
+    assert(!plan.contains("Join"),
+      s"as-of must be the union+window form, not a join:\n$plan")
+    assert(plan.contains("Window"), s"carry-forward must run as a window:\n$plan")
+    // the (user, hour) quote dedup + the user-keyed as-of window +
+    // the output sort are the only exchanges
+    val shuffles = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(shuffles <= 2,
+      s"expected only the dedup and as-of key exchanges, found $shuffles:\n$plan")
+  }
+
+  test("v21 mmr: corpus pass is a bounded heap; greedy runs in the bounded mmr buffer, no window") {
+    val plan = planOf("v21_mmr_rerank")
+    assert(plan.contains("BroadcastExchange"),
+      s"the query side and the candidate list must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"stage 1 is a broadcast nested loop, not a cartesian shuffle:\n$plan")
+    assert("graft_topk".r.findAllIn(plan).size >= 2,
+      s"the candidate pool must come from the bounded TopK heap:\n$plan")
+    assert(plan.contains("graft_mmr"),
+      s"greedy selection must run inside the bounded mmr aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no row_number window belongs anywhere in the mmr plan:\n$plan")
+  }
+
+  test("v20 matryoshka: queries broadcast both stages; both ranks are bounded k-heaps") {
+    val plan = planOf("v20_matryoshka_rerank")
+    assert(plan.contains("BroadcastExchange"),
+      s"the 5-query side must broadcast, never shuffle the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"stage 1 is a broadcast nested loop by design, not a cartesian shuffle:\n$plan")
+    val heaps = "graft_topk".r.findAllIn(plan).size
+    // partial + final per stage
+    assert(heaps >= 4,
+      s"both stages must rank through the bounded TopK aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no row_number window belongs in either ranking stage:\n$plan")
+  }
 }

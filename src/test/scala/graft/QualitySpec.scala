@@ -315,4 +315,25 @@ class QualitySpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(again === out, "the ordered fold must be partitioning-invariant")
   }
+
+  test("novelGramRate: hand-counted df=1 fractions, short docs excluded, repetition deduped") {
+    val docs = Seq(
+      (1L, "a b c d"),     // grams {a b c, b c d}: first shared with doc 2
+      (2L, "a b c x"),     // grams {a b c, b c x}
+      (3L, "z z z z z"),   // "z z z" ×3 but DISTINCT per doc -> 1 gram, df 1
+      (4L, "a b")          // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = Quality.novelGramRate(docs, n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((2L, 1L, 0.5)), "a-b-c shared, b-c-d novel")
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((1L, 1L, 1.0)),
+      "within-doc repetition must not inflate df (distinct before counting)")
+    val again = Quality.novelGramRate(docs.repartition(7), n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again === out)
+  }
 }

@@ -82,6 +82,94 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("matryoshkaTopK at full prefix width with overfetch 1 IS the exact baseline") {
+    // degenerate parameters collapse the two stages into one exact pass
+    // — the identity that pins the stage plumbing (joins, dedup, rank)
+    val emb = Corpus.embeddings(spark, sf0001)
+    val exact = Similarity.cosineTopK(spark, emb, 5, 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val m = Similarity.matryoshkaTopK(spark, emb, 5, 10,
+        prefixDims = 64, overfetch = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(m === exact)
+  }
+
+  test("matryoshkaTopK: prefix first-pass recall vs exact is usable and re-rank is exact") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val exact = Similarity.cosineTopK(spark, emb, 5, 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val got = Similarity.matryoshkaTopK(spark, emb, 5, 10,
+        prefixDims = 16, overfetch = 4)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val gotSet = got.map(r => (r._1, r._2)).toSet
+    val recall = (exactSet & gotSet).size.toDouble / exactSet.size
+    // this corpus is RANDOM vectors — the worst case for the MRL bet
+    // (untrained prefixes carry no concentrated information). Pure
+    // noise would land at overfetch-fraction recall ≈ 40/499 ≈ 0.08;
+    // the observed ~0.4 is the real prefix-cosine signal floor, and
+    // trained MRL embeddings are the actual deployment bet — this test
+    // pins the floor and the plumbing, not the bet
+    assert(recall >= 0.3, s"prefix-stage recall $recall")
+    // whatever survives stage 1 carries the EXACT full-width cosine:
+    // every (query, neighbor) shared with the baseline has its score
+    val exactScores = exact.map(r => (r._1, r._2) -> r._3).toMap
+    got.filter(r => exactSet.contains((r._1, r._2))).foreach { r =>
+      assert(r._3 === exactScores((r._1, r._2)),
+        s"re-ranked score must be the exact cosine for ${(r._1, r._2)}")
+    }
+  }
+
+  test("mmrTopK demotes a redundant near-duplicate in favor of coverage") {
+    // query straddles two directions: 10 and 11 nearly collinear (a
+    // redundant pair, pairwise cos ~0.99999), 12 equally relevant but on
+    // the OTHER side (cos to 10 only ~0.61). Plain top-2 by query cosine
+    // alone = {10 (0.9003), 11 (0.8993)}; MMR's second pick must demote
+    // 11 (0.7*0.8993 - 0.3*0.99999 = 0.330) for 12
+    // (0.7*0.8944 - 0.3*0.6107 = 0.443).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 9),
+      (10L, Array(0.9f, 0.435f, 0.0f), 9),
+      (11L, Array(0.895f, 0.4352f, 0.0f), 9),
+      (12L, Array(0.88f, -0.44f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Similarity.cosineTopK(spark, vecs, nQueries = 1, k = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(exact === Seq(10L, 11L))
+    val mmr = Similarity.mmrTopK(spark, vecs, nQueries = 1, k = 2,
+        poolC = 3, lambda = 0.7)
+      .select("rank", "neighbor_id", "mmr_score", "cos_sim")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(mmr.map(_._2).toSeq === Seq(10L, 12L),
+      "the near-duplicate of pick 1 must lose to the diverse candidate")
+    // rank 1 carries lambda * qsim; cos_sim is always the true query cosine
+    assert(math.abs(mmr(0)._3 - 0.7 * mmr(0)._4) < 1e-15)
+    assert(math.abs(mmr(1)._3 - 0.443) < 0.01)
+  }
+
+  test("mmrTopK at lambda = 1 IS the exact top-k (diversity term inert)") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val exact = Similarity.cosineTopK(spark, emb, 5, 8)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val mmr = Similarity.mmrTopK(spark, emb, 5, 8, poolC = 8, lambda = 1.0)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(mmr === exact)
+  }
+
+  test("mmrTopK is invariant under input partitioning") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val base = Similarity.mmrTopK(spark, emb, 3, 5, poolC = 12, lambda = 0.7)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val again = Similarity.mmrTopK(spark, emb.repartition(13), 3, 5,
+        poolC = 12, lambda = 0.7)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(again === base)
+  }
+
   test("TopKHeap keeps exactly the k best under (score desc, id asc)") {
     val rnd = new scala.util.Random(7)
     for (k <- Seq(1, 3, 10, 50)) {
