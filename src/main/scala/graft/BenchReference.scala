@@ -7,10 +7,14 @@ package graft
   * sf0.1 readings for the 16 queries whose only driver reading fell in
   * a sustained-pressure window, and the round-13 final-tree full-suite
   * pair (which also seeds the six r13 queries m13/p16/p17/t66/t67/q45
-  * with their first reference minima). A min-of-history is an
+  * with their first reference minima), and the round-14 final-tree
+  * full-suite pair (seeding the five r14 queries q47/t69/t70/v20/v21
+  * and RE-seeding t67 to 5.78 — its verify was redesigned onto per-doc
+  * hash arrays in r14, so pre-redesign minima describe a plan that no
+  * longer exists). A min-of-history is an
   * ACHIEVABLE time on this hardware by construction; a suite min that
   * reads more than 2x it flags the query for end-of-suite re-pairing
-  * and GC/heap attribution (see Bench). Every query in the r13 suite
+  * and GC/heap attribution (see Bench). Every query in the r14 suite
   * has an entry — the repair pass covers the full suite. Regenerated
   * per-round from the artifacts, not hand-edited.
   *
@@ -65,7 +69,9 @@ object BenchReference {
     "t54" -> 0.46, "t55" -> 0.41, "t56" -> 0.2, "t57" -> 1.71,
     "t58" -> 1.61, "t59" -> 0.6, "t60" -> 0.92, "t61" -> 0.45,
     "t62" -> 1.08, "t63" -> 1.55, "t64" -> 1.51, "t65" -> 3.85,
-    "t66" -> 0.31, "t67" -> 6.26, "t68" -> 0.42, "v01" -> 0.27,
+    "t66" -> 0.31, "t67" -> 5.78, "t68" -> 0.42, "t69" -> 1.28,
+    "t70" -> 0.53, "q47" -> 0.72, "v20" -> 0.36, "v21" -> 0.54,
+    "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,
     "v06" -> 1.52, "v07" -> 0.28, "v08" -> 0.76, "v09" -> 0.59,
     "v10" -> 0.9, "v11" -> 1.01, "v12" -> 0.48, "v13" -> 0.55,

@@ -797,5 +797,9 @@ object GraftExpressions {
       HllSketch(exprs(0), intArg(exprs(1), "p")))
     ensure("graft_wordpiece_encode")(exprs =>
       WordPieceEncode(exprs(0), decodeWordPieceVocab(strArg(exprs(1), "vocab"))))
+    // patterns wire format: tab-joined (tabs can't appear in the ASCII
+    // word patterns this serves)
+    ensure("graft_blocklist")(exprs =>
+      BlocklistScan(exprs(0), strArg(exprs(1), "patterns").split('\t').toSeq))
   }
 }

@@ -418,6 +418,36 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-pattern blocklist scan (Aho & Corasick, CACM 1975 — the
+    * C4/Gopher badlist-filter primitive: C4 drops any page containing a
+    * "List of Dirty, Naughty…" term; RefinedWeb/Gopher ship the same
+    * shape with curated lists): for every document, how many DISTINCT
+    * blocklist patterns occur as substrings and the 1-based character
+    * position of the earliest match.
+    *
+    * Scale shape: the naive form runs one `contains` pass per pattern —
+    * P full scans of every text byte; [[graft.functions.BlocklistScan]]
+    * matches ALL patterns in ONE automaton pass (O(|text| + matches),
+    * dictionary-suffix links materialized at build), inside whole-stage
+    * codegen. Zero shuffles: one scan, one projection, the output sort.
+    *
+    * Output: (doc_id, n_hit_patterns, first_hit_pos — -1 when clean,
+    * flagged), doc order. */
+  def blocklistScan(docs: DataFrame, patterns: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(patterns.forall(p => !p.contains('\t')),
+      "patterns must not contain tabs (the literal wire format)")
+    graft.functions.GraftExpressions.register(docs.sparkSession)
+    val pats = patterns.mkString("\t").replace("'", "\\'")
+    docs
+      .withColumn("_b", expr(s"graft_blocklist($textCol, '$pats')"))
+      .select(col(idCol).as("doc_id"),
+        col("_b.n_patterns").cast("long").as("n_hit_patterns"),
+        col("_b.first_pos").cast("long").as("first_hit_pos"))
+      .withColumn("flagged", col("n_hit_patterns") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Good-Turing frequency re-estimation (Good, Biometrika 1953; the
     * count-of-counts table behind Katz backoff and the classic "how
     * much probability mass belongs to unseen words" answer): per

@@ -2662,6 +2662,35 @@ object Text {
        |FROM g JOIN f USING (gram)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Blocklist scan ([[graft.operators.Quality.blocklistScan]]; Aho &
+    * Corasick CACM 1975, the C4-style badlist filter): distinct-pattern
+    * hit count + earliest match position per doc, over a pattern set
+    * with deliberate nesting — `art` ⊂ `part`, `low` ⊂ `slow` — so the
+    * automaton's dictionary-suffix reporting is gated as data (an
+    * implementation without output links misses the embedded pattern
+    * and the count mismatches), plus a never-hits pattern exercising
+    * the clean path. Oracle: per-pattern `contains`/`strpos` — the
+    * naive P-pass form the one-pass automaton replaces. */
+  private def t70(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.blocklistScan(Corpus.documents(spark, dir),
+      BlockPatterns)
+
+  private val BlockPatterns = Seq(
+    "slow fast", "table part", "art", "part", "low", "spark a",
+    "zzz quux", "agg row")
+
+  private val t70Sql = {
+    val lst = BlockPatterns.map(p => s"'$p'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter($lst, p -> contains(text, p))) AS BIGINT)
+       |    AS n_hit_patterns,
+       |  CAST(coalesce(list_min(list_filter(
+       |         list_transform($lst, p -> strpos(text, p)), x -> x > 0)), -1)
+       |       AS BIGINT) AS first_hit_pos,
+       |  len(list_filter($lst, p -> contains(text, p))) > 0 AS flagged
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2731,5 +2760,6 @@ object Text {
     QuerySpec("t66_pii_scan", t66, Some(t66Sql)),
     QuerySpec("t67_containment_pairs", t67, Some(t67Sql)),
     QuerySpec("t68_char_entropy", t68, Some(t68Sql)),
-    QuerySpec("t69_novel_gram_rate", t69, Some(t69Sql)))
+    QuerySpec("t69_novel_gram_rate", t69, Some(t69Sql)),
+    QuerySpec("t70_blocklist_scan", t70, Some(t70Sql)))
 }

@@ -446,6 +446,15 @@ class PlanSpec extends SparkTestBase {
       s"expected only the dedup and as-of key exchanges, found $shuffles:\n$plan")
   }
 
+  test("t70 blocklist: one codegen'd scan, no joins, no aggregation exchange") {
+    val plan = planOf("t70_blocklist_scan")
+    assert(plan.contains("graft_blocklist"),
+      s"the one-pass automaton expression must be in the plan:\n$plan")
+    assert(!plan.contains("Join"), s"a P-pass contains sweep would join:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"nothing to aggregate — per-row scan only:\n$plan")
+  }
+
   test("v21 mmr: corpus pass is a bounded heap; greedy runs in the bounded mmr buffer, no window") {
     val plan = planOf("v21_mmr_rerank")
     assert(plan.contains("BroadcastExchange"),

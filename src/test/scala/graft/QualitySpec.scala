@@ -336,4 +336,44 @@ class QualitySpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(again === out)
   }
+
+  test("blocklistScan: dictionary-suffix reporting, earliest-start position, clean path") {
+    val docs = Seq(
+      // "part" at 3 also embeds "art" at 4 — output links must report
+      // BOTH; "low" never appears standalone, only inside "slow"
+      (1L, "a part slow x"),
+      (2L, "she shells"), // "he" inside "she" (the classic AC case)
+      (3L, "clean text none"),
+      (4L, "xart artx")   // "art" twice, "part" never; first start = 2
+    ).toDF("doc_id", "text")
+    val out = Quality.blocklistScan(docs, Seq("part", "art", "low", "she", "he"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 3L, true)),
+      "part@3 (embedding art@4) + low@9: 3 distinct patterns, first start 3")
+    assert(out(2L) === ((2L, 1L, true)), "she@1 must also report the embedded he@2")
+    assert(out(3L) === ((0L, -1L, false)))
+    assert(out(4L) === ((1L, 2L, true)))
+  }
+
+  test("blocklistScan equals the naive per-pattern contains/indexOf sweep on the corpus") {
+    val pats = Seq("slow fast", "table part", "art", "part", "low", "spark a",
+      "zzz quux", "agg row")
+    val docs = graft.io.Corpus.documents(spark, sf0001)
+    val got = Quality.blocklistScan(docs, pats)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, tx) =>
+      val present = pats.filter(tx.contains)
+      val first =
+        if (present.isEmpty) -1L else present.map(p => tx.indexOf(p) + 1).min.toLong
+      assert(got(id) === ((present.size.toLong, first, present.nonEmpty)),
+        s"doc $id")
+    }
+    // the suite must exercise both paths
+    assert(got.values.exists(_._3), "no doc hit any pattern — fixture drifted")
+    assert(got.values.exists(!_._3) || texts.size < 3)
+  }
 }
