@@ -118,6 +118,39 @@ final class AhoCorasickAutomaton(val patterns: Seq[String]) extends Serializable
     }
     (java.lang.Long.bitCount(seen), firstPos)
   }
+
+  /** Fast path over the raw UTF-8 bytes — no String materialization (the
+    * per-row toString copy cost more than the whole match loop on short
+    * docs). For pure-ASCII text, byte positions ARE char positions, so
+    * results are identical to [[scan]]; the first non-ASCII byte (any
+    * negative signed byte) bails to the string path, where char
+    * positions are computed properly. Returns (count, firstPos) or null
+    * to signal the bail-out. */
+  def scanAsciiBytes(bytes: org.apache.spark.unsafe.types.UTF8String): (Int, Int) = {
+    var s = 0
+    var seen = 0L
+    var firstPos = -1
+    var i = 0
+    val len = bytes.numBytes()
+    while (i < len) {
+      val b = bytes.getByte(i)
+      if (b < 0) return null // non-ASCII: caller re-scans via toString
+      s = goto_(s * A + b)
+      val m = outMask(s)
+      if (m != 0) {
+        var fresh = m & ~seen
+        while (fresh != 0) {
+          val pid = java.lang.Long.numberOfTrailingZeros(fresh)
+          val start = i - patLen(pid) + 2
+          if (firstPos == -1 || start < firstPos) firstPos = start
+          fresh &= fresh - 1
+        }
+        seen |= m
+      }
+      i += 1
+    }
+    (java.lang.Long.bitCount(seen), firstPos)
+  }
 }
 
 /** `graft_blocklist(text, patterns)` — multi-pattern substring scan via
@@ -154,8 +187,12 @@ case class BlocklistScan(child: Expression, patterns: Seq[String])
   }
 
   def scanRow(text: UTF8String): InternalRow = {
-    val (np, fp) = automaton.scan(text.toString)
-    InternalRow(np, fp)
+    val a = automaton
+    // byte fast path (no String copy); null = non-ASCII text seen, fall
+    // back to the char-correct string scan
+    var r = a.scanAsciiBytes(text)
+    if (r == null) r = a.scan(text.toString)
+    InternalRow(r._1, r._2)
   }
 
   override protected def nullSafeEval(t: Any): Any =

@@ -426,10 +426,18 @@ object Quality {
     * position of the earliest match.
     *
     * Scale shape: the naive form runs one `contains` pass per pattern —
-    * P full scans of every text byte; [[graft.functions.BlocklistScan]]
-    * matches ALL patterns in ONE automaton pass (O(|text| + matches),
-    * dictionary-suffix links materialized at build), inside whole-stage
-    * codegen. Zero shuffles: one scan, one projection, the output sort.
+    * P scans of the text; [[graft.functions.BlocklistScan]] matches ALL
+    * patterns in ONE automaton pass (O(|text| + matches),
+    * dictionary-suffix links materialized at build, raw-UTF-8-byte fast
+    * path), inside whole-stage codegen. Zero shuffles: one scan, one
+    * projection, the output sort. MEASURED crossover (tools/BlocklistAB,
+    * 500k docs, min-of-3): at P = 8 a short-circuiting contains-OR
+    * FILTER is still faster (1.24 s vs 1.47 s — it exits on the first
+    * hit and computes no counts/positions, the automaton always
+    * finishes the text to count every pattern); at P = 64 the automaton
+    * wins 14.3× (1.20 s vs 17.21 s) and is ~flat in P where the naive
+    * form scales linearly — and production badlists (C4's is ~400
+    * terms) sit an order of magnitude past the crossover.
     *
     * Output: (doc_id, n_hit_patterns, first_hit_pos — -1 when clean,
     * flagged), doc order. */
