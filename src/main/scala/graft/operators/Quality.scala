@@ -254,6 +254,85 @@ object Quality {
       .orderBy(col(groupCol))
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps, "Information Retrieval:
+    * Computational and Theoretical Aspects", 1978; Herdan 1960) — the
+    * companion diagnostic to [[zipfFit]]: V(N) ≈ K·N^β, how fast the
+    * vocabulary grows as the corpus grows. The read that sizes
+    * tokenizer vocabularies and predicts how much NEW text a crawl
+    * must add before it stops paying (β near 1 = still discovering; β
+    * near 0 = saturated/templated).
+    *
+    * Growth curve construction (the scale-shaped one): checkpoints are
+    * doc-id VALUE fractions of each group's [min, max] id span — never
+    * a rank over the corpus (a per-group row-position curve would sort
+    * whole groups in single tasks; id-span cutoffs need only a 1-row
+    * min/max per group). V(c) counts words whose FIRST document id ≤
+    * cutoff c (one vocab-sized min-aggregation); N(c) sums per-doc
+    * token counts with doc_id ≤ c (one doc-sized aggregation). Both
+    * attach to the K cutoffs by a broadcast ≤-join with K-bounded
+    * fanout. The β/log K fit is the same closed-form log-log least
+    * squares as [[zipfFit]], decimal-detour sums over the K points;
+    * checkpoints where V or N is still 0 carry no log and drop from
+    * the fit (and the output).
+    *
+    * Output: (group, ckpt, cutoff_id, n_tokens, v_words, heaps_beta,
+    * heaps_logk), one row per non-empty checkpoint, ordered
+    * (group, ckpt). */
+  def heapsFit(docs: DataFrame, groupCol: String, textCol: Column,
+      checkpoints: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    require(checkpoints >= 2, s"need at least 2 checkpoints, got $checkpoints")
+    // the exploded token frame feeds both the vocab first-seen and the
+    // per-doc length aggregations; recomputing the codegen'd explode
+    // from the columnar scan is CHEAPER than materializing the exploded
+    // rows (measured at 100×/46M tokens: tracked 44.7 s vs recomputed
+    // 22.0 s — the t64 lesson again), so it deliberately is not cached
+    val toks = docs
+      .select(col(groupCol), col(idCol).as("_id"), explode(textCol).as("_w"))
+    val firstSeen = toks.groupBy(col(groupCol), col("_w"))
+      .agg(min(col("_id")).as("_first"))
+    val docLens = toks.groupBy(col(groupCol), col("_id"))
+      .agg(count(lit(1)).as("_n"))
+    val spans = docLens.groupBy(col(groupCol))
+      .agg(min(col("_id")).as("_lo"), max(col("_id")).as("_hi"))
+    val cuts = spans
+      .select(col(groupCol),
+        explode(sequence(lit(1L), lit(checkpoints.toLong))).as("ckpt"),
+        col("_lo"), col("_hi"))
+      // cutoff = lo + floor((hi-lo)·i/K): the division is DOUBLE in both
+      // engines (Spark Column./ and DuckDB / are float division), same
+      // operands → bit-identical quotient → identical floor
+      .withColumn("cutoff_id",
+        (col("_lo") + floor((col("_hi") - col("_lo")) * col("ckpt")
+          / lit(checkpoints))).cast("long"))
+      .select(col(groupCol), col("ckpt"), col("cutoff_id"))
+    val vAt = cuts.join(firstSeen, Seq(groupCol))
+      .filter(col("_first") <= col("cutoff_id"))
+      .groupBy(col(groupCol), col("ckpt"), col("cutoff_id"))
+      .agg(count(lit(1)).as("v_words"))
+    val nAt = cuts.join(docLens, Seq(groupCol))
+      .filter(col("_id") <= col("cutoff_id"))
+      .groupBy(col(groupCol), col("ckpt"))
+      .agg(sum(col("_n")).as("n_tokens"))
+    val pts = vAt.join(nAt, Seq(groupCol, "ckpt"))
+      .withColumn("x", log(col("n_tokens").cast("double")))
+      .withColumn("y", log(col("v_words").cast("double")))
+    def dsum(c: Column) = sum(c.cast(DecimalType(30, 6))).cast("double")
+    val fit = pts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_k"),
+        dsum(col("x")).as("_sx"), dsum(col("y")).as("_sy"),
+        dsum(col("x") * col("x")).as("_sxx"), dsum(col("x") * col("y")).as("_sxy"))
+      .withColumn("heaps_beta",
+        (col("_k") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_k") * col("_sxx") - col("_sx") * col("_sx")))
+      .withColumn("heaps_logk",
+        (col("_sy") - col("heaps_beta") * col("_sx")) / col("_k"))
+      .select(col(groupCol), col("heaps_beta"), col("heaps_logk"))
+    pts.join(fit, Seq(groupCol))
+      .select(col(groupCol), col("ckpt"), col("cutoff_id"),
+        col("n_tokens"), col("v_words"), col("heaps_beta"), col("heaps_logk"))
+      .orderBy(col(groupCol), col("ckpt"))
+  }
+
   /** Bigram collocation extraction: pointwise mutual information
     * (Church & Hanks, "Word association norms, mutual information, and
     * lexicography", Computational Linguistics 1990) and Dunning's
@@ -454,6 +533,86 @@ object Quality {
         col("_b.first_pos").cast("long").as("first_hit_pos"))
       .withColumn("flagged", col("n_hit_patterns") > 0)
       .orderBy(col("doc_id"))
+  }
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    * Keyword Extraction from Individual Documents", in Text Mining:
+    * Applications and Theory, 2010) — the per-document, corpus-free
+    * keyword pass (t64's TextRank is the corpus-graph sibling; RAKE
+    * needs no cross-document state at all, which is exactly why it
+    * scales embarrassingly): candidate phrases are the maximal runs of
+    * non-stopword tokens, each word is scored deg(w)/freq(w) over the
+    * document's phrase occurrences (deg counts the full length of every
+    * phrase containing w, so words that travel in long phrases outrank
+    * loners), and a phrase scores the sum of its member word scores.
+    *
+    * Determinism: freq/deg are exact integers, the word score is one
+    * exact double division, and the per-phrase sum goes through the
+    * DECIMAL(30,6) detour ([[graft.queries.Num]]) so member order never
+    * matters; ties in the final ranking break on the phrase string.
+    *
+    * Scale shape: everything is keyed by doc or by (doc, word) — one
+    * per-doc running-count window (doc-sized partitions, the t24
+    * discipline), one (doc, phrase-run) aggregation, one (doc, word)
+    * aggregation joined back on (doc, word). No corpus-wide state, no
+    * global sort; a 100 TB corpus is just more doc keys.
+    *
+    * Output: (doc_id, phrase, n_words, score, rnk) — top `topK`
+    * distinct phrases per doc by (score DESC, phrase), doc order. Docs
+    * whose tokens are all stopwords (or empty) have no candidates and
+    * are absent. */
+  def rakeKeywords(docs: DataFrame, stopwords: Seq[String], topK: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    require(stopwords.nonEmpty, "RAKE needs a stopword list to delimit phrases")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("j", "tok")))
+      .withColumn("is_stop", col("tok").isInCollection(stopwords))
+    // phrase id = running stopword count: tokens between two stopwords
+    // share a run id; the window partitions by doc (doc-sized state).
+    // MEASURED form (100x / 500k docs / 46M tokens, single-run): this
+    // window + cached run table reads 63.4 s. The tempting alternatives
+    // both lose: leaving the reused frames uncached recomputes the
+    // explode+window per consumer (82.5 s), and computing the runs
+    // entirely in the array world (stopword-boundary slices, no window)
+    // reads 106-161 s — the projection-collapsed boundary array
+    // re-inlines its O(n) expression into every element_at, so the
+    // "shuffle-free" form does more per-row work than the shuffle it
+    // saves. Windows for state the array can't see cheaply; cache what
+    // three consumers share.
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("j"))
+    val occ = tracked(toks
+      .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(byPos))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("grp"), col("j"), col("tok")))
+    // one row per phrase RUN (duplicate strings collapse only at the end,
+    // after scoring -- RAKE's word stats count every occurrence)
+    val runs = tracked(occ.groupBy(col("doc_id"), col("grp"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          s => s.getField("tok"))).as("phrase"),
+        count(lit(1)).as("n_words")))
+    // deg(w) = sum of containing-run lengths; freq(w) = occurrence count
+    val wordScore = occ.join(runs, Seq("doc_id", "grp"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg((sum(col("n_words")).cast("double") / count(lit(1))).as("wscore"))
+    val scored = occ
+      .join(wordScore, Seq("doc_id", "tok"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(graft.queries.Num.dsum(col("wscore")).as("score"))
+      .join(runs, Seq("doc_id", "grp"))
+      .select(col("doc_id"), col("phrase"), col("n_words"), col("score"))
+      .distinct()
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("phrase"))
+    scored
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= topK)
+      .orderBy(col("doc_id"), col("rnk"))
   }
 
   /** Good-Turing frequency re-estimation (Good, Biometrika 1953; the

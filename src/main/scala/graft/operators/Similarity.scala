@@ -315,6 +315,41 @@ object Similarity {
     probeIvf(assigned, centroidDf, q, k, nProbe)
   }
 
+  /** IVF nprobe tuning sweep — recall@k vs probe count, MEASURED: fits
+    * the coarse quantizer ONCE, probes the same query set at every
+    * `probes` level, and scores each level against the exact top-k.
+    * The m13 band-recall discipline applied to the v04 probe-count
+    * bet: the 4-of-16 default stops being an assertion and becomes
+    * gated data, and `nprobe = nCells` reduces to the exact scan by
+    * construction (recall 1.0 — the sweep's built-in sanity row,
+    * asserted in SimilaritySpec). The exact baseline is one
+    * brute-force corpus pass: a sweep is a TUNING run priced like one;
+    * serving never pays it (v04's hash-sampled recall is the
+    * production-channel variant).
+    *
+    * Output: (nprobe, query_id, n_hits, recall), ordered. */
+  def ivfProbeSweep(spark: SparkSession, emb: DataFrame, nQueries: Int,
+      k: Int, probes: Seq[Int], nCells: Int = 16): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nCells),
+      s"probes must be in [1, $nCells], got $probes")
+    GraftExpressions.register(spark)
+    val (assigned, centroidDf) = fitIvf(spark, emb, nCells)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val exact = cosineTopKForQueries(spark, emb, col("vec_id") < nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+    val approx = probes.map(np =>
+      probeIvf(assigned, centroidDf, q, k, np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id")))
+      .reduce(_ unionByName _)
+    approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+      .orderBy(col("nprobe"), col("query_id"))
+  }
+
   /** Fixed Lloyd rounds for the IVF coarse quantizer — the quantizer only
     * needs approximate centroids (recall at nProbe/nCells = 1/4 is
     * asserted in SimilaritySpec), so two rounds suffice and keep both the

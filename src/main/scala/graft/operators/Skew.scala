@@ -7,10 +7,26 @@ import org.apache.spark.sql.functions._
   * sub-keys and replicate the small side across all salts, so one hot key
   * spreads over `factor` reducers instead of stalling a single task.
   *
-  * AQE's skew-join handles sort-merge skew adaptively at runtime; this
-  * explicit form is for when the skew is known ahead (power-law keys at
-  * 100 TB) or the join is not SMJ. Salt is hash-derived from the row's
-  * own columns — deterministic, no rand(). */
+  * AQE's skew-join split is the adaptive alternative, and where it fires
+  * it works (measured, tools/SkewAB: 2.29 s split vs 1.59 s salted on
+  * the same fixture) — but its detector is denominated in COMPRESSED
+  * SHUFFLE BYTES (`skewedPartitionThresholdInBytes`, 256 MB default,
+  * required on top of the ×5-over-median test) while skew cost is
+  * denominated in ROWS per task: a 7.5M-row hot partition of
+  * lz4-friendly rows hid under even a 16 MB threshold and ran 4.7×
+  * slower than salted (7.4–7.65 s vs 1.60 s, 10M rows, 74.7% on one
+  * key). The rewrite additionally requires `forceOptimizeSkewedJoin`
+  * when the join feeds a different-key aggregation, declines when
+  * either leg carries an explicit repartition (REPARTITION_BY_NUM
+  * origin), and applies to sort-merge joins only. The explicit salt is
+  * unconditional: it works for hash joins, stream-side joins,
+  * compressible hot keys, and known-ahead power-law keys — the 100 TB
+  * cases where waiting on an adaptive rescue is a gamble.
+  *
+  * Salt is hash-derived from the row's own columns — deterministic, no
+  * rand(), so retries/replays of a partition salt identically. The
+  * replicated side grows ×factor: at dim sizes worth salting for this
+  * is noise next to the hot reducer it removes. */
 object Skew {
 
   def saltedJoin(

@@ -686,6 +686,52 @@ object Domain {
 
   private val p17Sql = Vectors.v05Sql
 
+  /** Stream-STREAM watermarked interval join (§2.10 — the last
+    * Structured Streaming join shape the suite lacked; p08 covered
+    * stream-static): clicks and purchases arrive as two independent
+    * streams and join on user within a 1-hour event-time window
+    * (`purchase_ts ∈ [click_ts, click_ts + 1h]`) — the attribution
+    * join every event pipeline runs. Both sides carry watermarks and
+    * the join condition carries the time range, so Spark derives the
+    * state-eviction bound (without them, stream-stream state grows
+    * unboundedly — the property that decides whether this runs at all
+    * on an unbounded 100 TB/day stream). Append mode: joined rows are
+    * emitted exactly once. Oracle: the batch interval join — stream ≡
+    * batch row-for-row (under AvailableNow the watermark never
+    * overtakes in-flight data, so nothing drops; the LATE-data path —
+    * a purchase older than the advanced watermark silently dropped —
+    * is property-tested in StreamingSpec with a two-batch schedule). */
+  private def p18(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+    SilverStream.runToMemory(joined, s"p18_stream_${System.nanoTime()}", "append")
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val p18Sql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -703,5 +749,6 @@ object Domain {
     QuerySpec("p14_stream_kmv_quantiles", p14, Some(p14Sql)),
     QuerySpec("p15_stream_cdc_upsert", p15, Some(p15Sql)),
     QuerySpec("p16_stream_scd2_history", p16, Some(p16Sql)),
-    QuerySpec("p17_stream_ann_serve", p17, Some(p17Sql)))
+    QuerySpec("p17_stream_ann_serve", p17, Some(p17Sql)),
+    QuerySpec("p18_stream_stream_join", p18, Some(p18Sql)))
 }

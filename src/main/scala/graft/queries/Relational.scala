@@ -910,6 +910,103 @@ object Relational {
       |  ON p.user_id = v.user_id AND p.th > v.th
       |ORDER BY p.event_id""".stripMargin
 
+  /** Salted skew join ([[graft.operators.Skew.saltedJoin]]): the
+    * explicit hot-key mitigation for joins AQE cannot rescue (AQE's
+    * skew split only rewrites sort-merge joins at shuffle time; salting
+    * also covers shuffle-hash joins, known-ahead power-law keys, and
+    * stream-side joins). The fixture manufactures the 100 TB shape in
+    * miniature: 75% of events collapse onto ONE join key, then join a
+    * customer dim and aggregate per segment. The gate is that the salt
+    * machinery is INVISIBLE in the result — the oracle is the plain
+    * unsalted join aggregate. Salt is hash-derived from event_id
+    * (deterministic, no rand()); the dim replicates ×16, which at dim
+    * sizes worth salting for is noise next to the hot reducer it
+    * removes (measured A/B: tools/SkewAB). */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(spark, dir)
+      .withColumn("join_key",
+        when(col("user_id") % 4 =!= 0, lit(1L)).otherwise(col("user_id") + 1))
+    val dim = Corpus.customer(spark, dir)
+      .select(col("c_custkey").as("join_key"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(ev, dim, "join_key", factor = 16,
+      saltSource = "event_id")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q48Sql =
+    s"""WITH ev AS (SELECT CASE WHEN user_id % 4 <> 0 THEN 1
+       |                        ELSE user_id + 1 END AS join_key, value
+       |            FROM events)
+       |SELECT c_mktsegment, COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM ev JOIN customer ON join_key = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** GROUPING SETS (§2.4, the general form of q15's rollup / q28's
+    * cube): an explicit set list — ((returnflag, linestatus),
+    * (linestatus), ()) — that is NEITHER a rollup nor a cube (it skips
+    * the (returnflag) stratum), so the planner's Expand-based grouping
+    * must honor an arbitrary set lattice, not a prefix chain. The
+    * grouping_id bitmask travels in the output (both engines bit-encode
+    * grouping columns in declaration order — gated as data, with the
+    * subtotal NULLs distinguished from data NULLs by the mask). */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(spark, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty[org.apache.spark.sql.Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q49Sql =
+    s"""SELECT CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  l_returnflag, l_linestatus,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** Value-based RANGE window frame (§2.8's last uncovered frame shape —
+    * q33/q43/q26 all ride ROWS frames or plain partitions): each order's
+    * rolling 7-day revenue for its customer — sum/count over
+    * [orderdate − 6 days, orderdate]. A RANGE frame is bounded by the
+    * ORDER VALUE, not row position: all same-day orders share one frame,
+    * so ties are deterministic BY CONSTRUCTION (a ROWS frame over a tied
+    * sort would depend on tie order — the reason this query gates the
+    * frame semantics, not just a sum). Spark's rangeBetween takes a
+    * numeric sort key — epoch DAYS here, making [-6, 0] exactly DuckDB's
+    * `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW` over the
+    * date. Scale shape: one key shuffle on custkey; frames never span
+    * customers, so partitions stay customer-sized. */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("_day"))
+      .rangeBetween(-6, 0)
+    Corpus.orders(spark, dir)
+      .withColumn("_day", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        count(lit(1)).over(w).as("n_orders_7d"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .over(w).cast("double").as("rev_7d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q50Sql =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_orders_7d,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS rev_7d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val q34Sql =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
@@ -1432,6 +1529,9 @@ object Relational {
     QuerySpec("q44_cms_join_size", q44, Some(q44Sql)),
     QuerySpec("q45_label_propagation", q45, Some(q45Sql)),
     QuerySpec("q46_pit_lookup", q46, Some(q46Sql)),
-    QuerySpec("q47_asof_join", q47, Some(q47Sql)))
+    QuerySpec("q47_asof_join", q47, Some(q47Sql)),
+    QuerySpec("q48_salted_skew_join", q48, Some(q48Sql)),
+    QuerySpec("q49_grouping_sets", q49, Some(q49Sql)),
+    QuerySpec("q50_rolling_range_window", q50, Some(q50Sql)))
 
 }

@@ -2691,6 +2691,100 @@ object Text {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** RAKE keyword extraction ([[graft.operators.Quality.rakeKeywords]];
+    * Rose et al. 2010): top-3 phrases per document scored
+    * deg(w)/freq(w) over stopword-delimited candidate runs — the
+    * corpus-free keyword pass (t64's TextRank is the graph sibling;
+    * RAKE needs zero cross-document state). The oracle replays the
+    * whole chain — running stopword-count phrase split, per-occurrence
+    * word degrees, decimal-detour phrase sums, the (score, phrase)
+    * tie-break — so the phrase segmentation itself is hash-gated. */
+  private def t71(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.rakeKeywords(Corpus.documents(spark, dir),
+      TextFunctions.StopwordList, topK = 3)
+
+  private val t71Sql = {
+    val stops = TextFunctions.StopwordList.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS sp FROM documents),
+       |tk AS (SELECT doc_id, j, sp[j] AS tok,
+       |         sp[j] IN ($stops) AS is_stop
+       |       FROM (SELECT doc_id, sp, unnest(range(1, len(sp) + 1)) AS j
+       |             FROM d) x),
+       |g AS (SELECT doc_id, j, tok, is_stop,
+       |        sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY j) AS grp
+       |      FROM tk),
+       |occ AS (SELECT doc_id, grp, j, tok FROM g WHERE NOT is_stop),
+       |runs AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY j) AS phrase,
+       |           CAST(count(*) AS BIGINT) AS n_words
+       |         FROM occ GROUP BY 1, 2),
+       |ws AS (SELECT o.doc_id, o.tok,
+       |         CAST(sum(r.n_words) AS DOUBLE) / count(*) AS wscore
+       |       FROM occ o JOIN runs r USING (doc_id, grp)
+       |       GROUP BY 1, 2),
+       |psc AS (SELECT o.doc_id, o.grp, ${Num.dsumSql("ws.wscore")} AS score
+       |        FROM occ o JOIN ws ON ws.doc_id = o.doc_id AND ws.tok = o.tok
+       |        GROUP BY 1, 2),
+       |dp AS (SELECT DISTINCT r.doc_id, r.phrase, r.n_words, p.score
+       |       FROM runs r JOIN psc p ON p.doc_id = r.doc_id AND p.grp = r.grp),
+       |rk AS (SELECT doc_id, phrase, n_words, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, phrase) AS rnk
+       |       FROM dp)
+       |SELECT doc_id, phrase, n_words, score, CAST(rnk AS BIGINT) AS rnk
+       |FROM rk WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+  }
+
+  /** Heaps'-law vocabulary growth ([[graft.operators.Quality.heapsFit]];
+    * Heaps 1978/Herdan 1960) per language: V(N) ≈ K·N^β over 10
+    * id-span checkpoints — t61's Zipf fit reads the frequency SPECTRUM,
+    * this reads the growth CURVE (the two classic corpus laws, one
+    * diagnostic pair: together they say whether more crawl still buys
+    * vocabulary). The oracle replays the checkpoint cutoff arithmetic
+    * (shared double-division floor), both prefix aggregations, and the
+    * closed-form log-log regression. */
+  private def t72(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.heapsFit(
+      Corpus.documents(spark, dir), "lang", tokens(col("text")),
+      checkpoints = 10)
+
+  private val t72Sql =
+    s"""WITH d AS (SELECT lang, doc_id, $toksSql AS sp FROM documents),
+       |tok AS (SELECT lang, doc_id AS _id, unnest(sp) AS w FROM d),
+       |fs AS (SELECT lang, w, min(_id) AS _first FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT lang, _id, CAST(count(*) AS BIGINT) AS _n
+       |       FROM tok GROUP BY 1, 2),
+       |sp2 AS (SELECT lang, min(_id) AS _lo, max(_id) AS _hi FROM dl GROUP BY 1),
+       |cu AS (SELECT lang, ck.ckpt,
+       |         CAST(_lo + floor((_hi - _lo) * ck.ckpt / 10) AS BIGINT) AS cutoff_id
+       |       FROM sp2, LATERAL (SELECT unnest(range(1, 11)) AS ckpt) ck),
+       |v AS (SELECT c.lang, c.ckpt, c.cutoff_id, CAST(count(*) AS BIGINT) AS v_words
+       |      FROM cu c JOIN fs ON fs.lang = c.lang AND fs._first <= c.cutoff_id
+       |      GROUP BY 1, 2, 3),
+       |n AS (SELECT c.lang, c.ckpt, CAST(sum(dl._n) AS BIGINT) AS n_tokens
+       |      FROM cu c JOIN dl ON dl.lang = c.lang AND dl._id <= c.cutoff_id
+       |      GROUP BY 1, 2),
+       |pts AS (SELECT v.lang, v.ckpt, v.cutoff_id, n.n_tokens, v.v_words,
+       |          ln(CAST(n.n_tokens AS DOUBLE)) AS x,
+       |          ln(CAST(v.v_words AS DOUBLE)) AS y
+       |        FROM v JOIN n ON n.lang = v.lang AND n.ckpt = v.ckpt),
+       |f AS (SELECT lang, CAST(count(*) AS BIGINT) AS k,
+       |        ${Num.dsumSql("x")} AS sx, ${Num.dsumSql("y")} AS sy,
+       |        ${Num.dsumSql("x * x")} AS sxx, ${Num.dsumSql("x * y")} AS sxy
+       |      FROM pts GROUP BY 1),
+       |ft AS (SELECT lang,
+       |         (k * sxy - sx * sy) / (k * sxx - sx * sx) AS heaps_beta,
+       |         k, sx, sy
+       |       FROM f),
+       |ft2 AS (SELECT lang, heaps_beta,
+       |          (sy - heaps_beta * sx) / k AS heaps_logk
+       |        FROM ft)
+       |SELECT pts.lang, pts.ckpt, pts.cutoff_id, pts.n_tokens, pts.v_words,
+       |  ft2.heaps_beta, ft2.heaps_logk
+       |FROM pts JOIN ft2 ON ft2.lang = pts.lang
+       |ORDER BY pts.lang, pts.ckpt""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2761,5 +2855,7 @@ object Text {
     QuerySpec("t67_containment_pairs", t67, Some(t67Sql)),
     QuerySpec("t68_char_entropy", t68, Some(t68Sql)),
     QuerySpec("t69_novel_gram_rate", t69, Some(t69Sql)),
-    QuerySpec("t70_blocklist_scan", t70, Some(t70Sql)))
+    QuerySpec("t70_blocklist_scan", t70, Some(t70Sql)),
+    QuerySpec("t71_rake_keywords", t71, Some(t71Sql)),
+    QuerySpec("t72_heaps_law", t72, Some(t72Sql)))
 }

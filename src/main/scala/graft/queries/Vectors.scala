@@ -1560,6 +1560,64 @@ object Vectors {
        |FROM ($union) ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF nprobe sweep ([[Similarity.ivfProbeSweep]]): recall@10 at
+    * nprobe ∈ {1, 2, 4, 8, 16} over one shared fit — the tuning curve
+    * behind v04's 4-of-16 default, gated as data (the m13 band-recall
+    * discipline applied to the probe-count bet). nprobe = 16 scans all
+    * cells, so its recall row is 1.0 by construction — the sweep
+    * carries its own sanity bound. The oracle replays the shared Lloyd
+    * fit once, the cell ranking once, then each probe level's
+    * candidate join + top-10 + exact-intersection count. */
+  private def v22(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfProbeSweep(spark, Corpus.embeddings(spark, dir),
+      nQueries = 5, k = 10, probes = SweepProbes)
+
+  private val SweepProbes = Seq(1, 2, 4, 8, 16)
+
+  private val v22Sql = {
+    val cF = s"c${graft.operators.Similarity.IvfFitIterations - 1}"
+    val aF = s"a${graft.operators.Similarity.IvfFitIterations - 1}"
+    val perProbe = SweepProbes.map { np =>
+      s"""SELECT $np AS nprobe, query_id, neighbor_id FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |                       ORDER BY s.cos_sim DESC, s.neighbor_id) AS rank
+         |  FROM (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |          ${zipDot("a.v", "p.qv")} / (a.nrm * p.qnrm) AS cos_sim
+         |        FROM $aF a JOIN pb p ON a.cid = p.cell AND p.crank <= $np
+         |        WHERE a.vec_id <> p.query_id) s) x
+         |WHERE rank <= 10""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $normedCte,
+       |${lloydChainSql(16, graft.operators.Similarity.IvfFitIterations)},
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+       |cd AS (SELECT q.query_id, q.qv, q.qnrm, c.cid AS cell,
+       |         ${zipDot("c.cv", "c.cv")}
+       |           - CAST(2.0 AS DOUBLE) * ${zipDot("q.qv", "c.cv")} AS cdist
+       |       FROM q, $cF c),
+       |pb AS (SELECT query_id, qv, qnrm, cell, crank FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                      ORDER BY cdist, cell) AS crank
+       |         FROM cd) y),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT q.query_id, a.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${zipDot("a.v", "q.qv")} / (a.nrm * q.qnrm) DESC,
+       |                      a.vec_id) AS rank
+       |         FROM n a, q WHERE a.vec_id <> q.query_id) z
+       |       WHERE rank <= 10),
+       |ap AS ($perProbe)
+       |SELECT ap.nprobe, ap.query_id AS query_id,
+       |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+       |FROM ap LEFT JOIN ex
+       |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY 1, 2
+       |ORDER BY ap.nprobe, ap.query_id""".stripMargin
+  }
+
   /** Voice-activity segmentation over the planted speech/silence corpus
     * ([[Multimodal.vadSegments]] at 40-sample frames, mean-|s| threshold
     * 500 — two orders of magnitude between the planted noise floor and
@@ -1679,6 +1737,7 @@ object Vectors {
     QuerySpec("v19_jl_distortion", v19, Some(v19Sql)),
     QuerySpec("v20_matryoshka_rerank", v20, Some(v20Sql)),
     QuerySpec("v21_mmr_rerank", v21, Some(v21Sql)),
+    QuerySpec("v22_ivf_probe_sweep", v22, Some(v22Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_audio_features", m02, Some(m02Sql)),
     QuerySpec("m03_video_frames", m03, Some(m03Sql)),

@@ -482,4 +482,48 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"),
       s"no row_number window belongs in either ranking stage:\n$plan")
   }
+
+  test("q48 salted join: the dim replicates via explode and the salt rides the join key") {
+    val plan = planOf("q48_salted_skew_join")
+    assert(plan.contains("Generate explode"),
+      s"the small side must replicate across salts via explode:\n$plan")
+    assert(plan.contains("_salt"),
+      s"the salt column must be part of the join key:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the salted join stays a hash equi-join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the post-join aggregate must partial-aggregate map-side:\n$plan")
+  }
+
+  test("q49 grouping sets: one Expand feeds a two-phase aggregate; one scan") {
+    val plan = planOf("q49_grouping_sets")
+    assert(plan.contains("Expand"),
+      s"grouping sets must plan as one Expand over one scan, not a self-union:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2 &&
+      plan.contains("partial_count"),
+      s"expand output must partial-aggregate map-side:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size <= 1,
+      s"an arbitrary set lattice still reads the fact table ONCE:\n$plan")
+  }
+
+  test("t71 rake: per-doc windows and keyed aggs only — no cartesian, no corpus window") {
+    val plan = planOf("t71_rake_keywords")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"RAKE is keyed by doc/(doc,word) throughout:\n$plan")
+    // both windows (stopword running count, final rank) partition by doc
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"every window must partition by doc, never the whole corpus:\n$plan")
+  }
+
+  test("v22 probe sweep: cell candidates join by equi-key; ranks are bounded k-heaps") {
+    val plan = planOf("v22_ivf_probe_sweep")
+    assert(!plan.contains("CartesianProduct"),
+      s"the only nested loop is the broadcast exact baseline:\n$plan")
+    assert(plan.contains("graft_topk"),
+      s"per-level ranking must ride the bounded TopK aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell candidates attach via a broadcast equi-join on cell:\n$plan")
+  }
 }

@@ -337,6 +337,62 @@ class QualitySpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("heapsFit: hand-traced checkpoints, two-point slope, saturated corpus reads beta 0") {
+    // docs 0..3, each "c w{i}": vocabulary grows by one word per doc.
+    // K=2 cutoffs: 0+floor(3·1/2)=1 and 3 → (N,V) = (4,3) then (8,5).
+    val growing = Seq(
+      (0L, "g", "c w0"), (1L, "g", "c w1"), (2L, "g", "c w2"), (3L, "g", "c w3")
+    ).toDF("doc_id", "lang", "text")
+    val out = Quality.heapsFit(growing, "lang",
+        graft.functions.TextFunctions.tokens(col("text")), checkpoints = 2)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.map(r => (r._2, r._3, r._4, r._5)).toSeq ===
+      Seq((1L, 1L, 4L, 3L), (2L, 3L, 8L, 5L)))
+    val beta = out.head._6
+    val expected = math.log(5.0 / 3.0) / math.log(2.0)
+    assert(math.abs(beta - expected) < 1e-4,
+      s"two-point fit must be the secant slope: $beta vs $expected")
+    // a fully templated corpus stops discovering words: V flat -> beta 0
+    val saturated = Seq.tabulate(6)(i => (i.toLong, "s", "a b"))
+      .toDF("doc_id", "lang", "text")
+    val sat = Quality.heapsFit(saturated, "lang",
+        graft.functions.TextFunctions.tokens(col("text")), checkpoints = 3)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(sat.forall(_._5 === 2L))
+    assert(math.abs(sat.head._6) < 1e-4, s"saturated beta: ${sat.head._6}")
+  }
+
+  test("rakeKeywords: hand-traced deg/freq scores, run dedup, stopword-only docs absent") {
+    val stops = graft.functions.TextFunctions.StopwordList
+    val docs = Seq(
+      // runs: [deep learning], [deep nets], [wild]
+      // deep: freq 2, deg 4 -> 2.0; learning/nets: 1,2 -> 2.0; wild: 1,1 -> 1.0
+      // phrases: "deep learning" 4.0, "deep nets" 4.0, "wild" 1.0
+      (1L, "deep learning of deep nets in the wild"),
+      // the SAME run twice: word stats count both occurrences, the
+      // output keeps one row per distinct phrase
+      (2L, "fast join and fast join and slow scan"),
+      (3L, "the a of"), // all stopwords: no candidates, doc absent
+      // leading/consecutive stopwords produce no empty runs
+      (4L, "the deep of of sea")
+    ).toDF("doc_id", "text")
+    val out = Quality.rakeKeywords(docs, stops, topK = 3)
+      .as[(Long, String, Long, Double, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(1L).map(r => (r._5, r._2, r._4)).sortBy(_._1).toSeq ===
+      Seq((1L, "deep learning", 4.0), (2L, "deep nets", 4.0), (3L, "wild", 1.0)),
+      "tie at 4.0 breaks on the phrase string")
+    assert(byDoc(2L).map(r => (r._5, r._2, r._4)).sortBy(_._1).toSeq ===
+      Seq((1L, "fast join", 4.0), (2L, "slow scan", 4.0)),
+      "duplicate run collapses to one scored phrase; freq/deg still count both")
+    assert(byDoc(4L).map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq ===
+      Seq(("deep", 1L, 1.0), ("sea", 1L, 1.0)))
+    val again = Quality.rakeKeywords(docs.repartition(5), stops, topK = 3)
+      .as[(Long, String, Long, Double, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._5)) === out.sortBy(r => (r._1, r._5)))
+  }
+
   test("blocklistScan: dictionary-suffix reporting, earliest-start position, clean path") {
     val docs = Seq(
       // "part" at 3 also embeds "art" at 4 — output links must report

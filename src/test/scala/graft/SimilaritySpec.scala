@@ -82,6 +82,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("ivfProbeSweep: recall monotone in nprobe, exact at nprobe = nCells") {
+    val emb = Corpus.embeddings(spark, sf0001)
+    val rows = Similarity.ivfProbeSweep(spark, emb, nQueries = 5, k = 10,
+        probes = Seq(1, 4, 16), nCells = 16)
+      .select("nprobe", "query_id", "n_hits", "recall")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.length === 15, "3 probe levels × 5 queries")
+    // probing every cell IS the exact scan — recall 1.0 by construction
+    rows.filter(_._1 == 16).foreach { r =>
+      assert(r._4 === 1.0 && r._3 === 10L, s"nprobe=16 must be exact: $r")
+    }
+    // more cells probed can only add candidates: per-query monotone
+    rows.groupBy(_._2).values.foreach { qr =>
+      val byProbe = qr.sortBy(_._1).map(_._4)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone: ${qr.toSeq.sortBy(_._1)}")
+    }
+  }
+
   test("matryoshkaTopK at full prefix width with overfetch 1 IS the exact baseline") {
     // degenerate parameters collapse the two stages into one exact pass
     // — the identity that pins the stage plumbing (joins, dedup, rank)

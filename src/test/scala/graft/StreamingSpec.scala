@@ -520,6 +520,40 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === Set((1L, 9.99)))
   }
 
+  test("stream-stream join DROPS a matching pair older than the advanced watermark") {
+    // the p18 scale contract: watermarks + the range condition bound the
+    // join state, and the price is that data arriving behind the global
+    // watermark is dropped even when its match exists — the drop must
+    // actually happen (unbounded grace would mean unbounded state)
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "1 hour")
+    val b = buys.toDF().toDF("buser", "bts", "amount").withWatermark("bts", "1 hour")
+    val joined = c.join(b,
+      expr("user = buser AND bts >= cts AND bts <= cts + interval 1 hour"))
+    val name = s"ssl_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: no matches, but BOTH sides' watermarks advance to
+    // 2024-01-02 09:00 (10:00 max event time − 1h delay)
+    clicks.addData((98L, t("2024-01-02 10:00:00")))
+    buys.addData((99L, t("2024-01-02 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // batch 2: a perfectly matching pair a DAY behind the watermark is
+    // dropped; a pair just above it still joins
+    clicks.addData((1L, t("2024-01-01 10:00:00")), (5L, t("2024-01-02 09:30:00")))
+    buys.addData((1L, t("2024-01-01 10:30:00"), 9.99),
+      (5L, t("2024-01-02 09:45:00"), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("user", "amount")
+      .as[(Long, Double)].collect().toSet
+    assert(rows === Set((5L, 4.0)),
+      "the late pair must be dropped, the in-time pair must join")
+  }
+
   test("CMS sketch as streaming aggregation state ≡ the batch matrix (additive merge)") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftExpressions.register(spark)
