@@ -8,10 +8,11 @@ package graft
   * a sustained-pressure window, and the round-13 final-tree full-suite
   * pair (which also seeds the six r13 queries m13/p16/p17/t66/t67/q45
   * with their first reference minima), and the round-14 final-tree
-  * full-suite pair (seeding the five r14 queries q47/t69/t70/v20/v21
-  * and RE-seeding t67 to 5.78 — its verify was redesigned onto per-doc
-  * hash arrays in r14, so pre-redesign minima describe a plan that no
-  * longer exists). A min-of-history is an
+  * full-suite pairs (seeding the twelve r14 queries q47/t69/t70/v20/
+  * v21 from the first sitting, p18/q48/q49/q50/t71/t72/v22 from the
+  * second, and RE-seeding t67 to 5.78 — its verify was redesigned onto
+  * per-doc hash arrays in r14, so pre-redesign minima describe a plan
+  * that no longer exists). A min-of-history is an
   * ACHIEVABLE time on this hardware by construction; a suite min that
   * reads more than 2x it flags the query for end-of-suite re-pairing
   * and GC/heap attribution (see Bench). Every query in the r14 suite
@@ -71,6 +72,9 @@ object BenchReference {
     "t62" -> 1.08, "t63" -> 1.55, "t64" -> 1.51, "t65" -> 3.85,
     "t66" -> 0.31, "t67" -> 5.78, "t68" -> 0.42, "t69" -> 1.28,
     "t70" -> 0.53, "q47" -> 0.72, "v20" -> 0.36, "v21" -> 0.54,
+    // r14 second sitting (builder final-tree full-suite min-of-2)
+    "p18" -> 5.37, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
+    "t71" -> 0.96, "t72" -> 1.31, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,
     "v06" -> 1.52, "v07" -> 0.28, "v08" -> 0.76, "v09" -> 0.59,
