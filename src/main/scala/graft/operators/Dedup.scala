@@ -257,6 +257,128 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash-LSH S-curve measurement (Broder, "On the resemblance and
+    * containment of documents", 1997; the b×r collision analysis of
+    * Leskovec–Rajaraman–Ullman, MMDS ch. 3) — the m13/v22
+    * measurement-as-data discipline applied to the t07 band bet: the
+    * detection probability of a (bands × rowsPerBand) scheme is the
+    * S-curve 1 − (1 − j^r)^b, and this operator measures the EMPIRICAL
+    * rate against it on planted pairs, bucketed by exact Jaccard.
+    *
+    * `docs` carries both pair members: originals at id and perturbed
+    * copies at id + `pairOffset`. Detection is evaluated PER PAIR by
+    * direct signature comparison — the two members share a band iff
+    * their r consecutive signature slots agree — which is exactly the
+    * collision event `lshCandidates`' band self-join keys on, without
+    * materializing a corpus self-join the measurement doesn't need.
+    * Per-pair work is O(shingles × hashes) inside codegen; the only
+    * shuffle is the id-arithmetic pair join plus the bucket rollup.
+    *
+    * The hash family is universal-style: each shingle is folded ONCE
+    * by the portable fold, then h_i(x) = (fold(x)·a_i + b_i) mod p
+    * with the (a_i, b_i) constants derived host-side from the same
+    * fold ([[sCurveHashConsts]]) and shared with the oracle as
+    * literals. Folding once matters: the first cut folded the string
+    * `"mh:i:" + shingle` per (shingle, hash) — 16 character folds per
+    * shingle — and read 277 s at 100×/500k docs where this form reads
+    * ~30 s; the fold binds as the `aggregate` lambda variable so
+    * projection collapse cannot re-inline it per hash (the t71
+    * lesson). The production t07 path keys on xxhash64, which changes
+    * nothing statistical — the curve is a property of the scheme, not
+    * the hash family. The theoretical column is computed with pure
+    * multiplication (no `pow`), so both engines produce bit-identical
+    * doubles.
+    *
+    * Output: (j_bucket 0–9 = floor(j·10) capped, n_pairs, n_detected,
+    * empirical_rate, mean_theoretical), bucket order. */
+  private[graft] val SCurveP = 2147483647L
+
+  /** Universal-hash constants for [[minhashSCurve]]: a_i ∈ [1, p−1],
+    * b_i ∈ [0, p−1], derived from the portable fold + Knuth remix so
+    * both the engine and the DuckDB oracle can bake the same literals.
+    * Host-side on purpose — deriving them per row would re-fold a
+    * constant string corpus-many times. */
+  private[graft] def sCurveHashConsts(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    def mixHost(s: String): Long =
+      (graft.functions.Fold31.fold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        * 2654435761L) % SCurveP
+    ((0 until numHashes).map(i => 1L + mixHost(s"mh:a:$i") % (SCurveP - 1)),
+      (0 until numHashes).map(i => mixHost(s"mh:b:$i")))
+  }
+
+  def minhashSCurve(docs: DataFrame, pairOffset: Long, shingleSize: Int = 3,
+      rowsPerBand: Int = 4, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(rowsPerBand >= 1 && bands >= 1, "need at least one band of one row")
+    val numHashes = rowsPerBand * bands
+    // NO row filter anywhere in this frame — that is load-bearing. The
+    // first cut filtered `size(shingles) > 0` here, and predicate
+    // pushdown sank that WHOLE token+shingle expression through the
+    // repartition exchange into the parquet scan, whose single-file
+    // split runs on ONE core: the entire corpus tokenized (and, on the
+    // planted branch, perturbed) serially before any parallel stage —
+    // measured 277–384 s at 100×/333k docs across three variants that
+    // all shared the pushed filter, vs ~30 s once no pushable heavy
+    // predicate exists. Empty-shingle docs flow through (their pair is
+    // dropped by the both-sides union guard below, which cannot sink
+    // past the join because it references both legs).
+    // tokens stay an ALIASED intermediate (two selects): inlining them
+    // into the shingle transform would re-split the text per shingle
+    // slice; CollapseProject leaves a multiply-referenced non-cheap
+    // alias alone, so the boundary holds without a filter
+    val sig = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("_toks"), shingleSize).as("s"))
+      .withColumn("sig", {
+        val (as, bs) = sCurveHashConsts(numHashes)
+        val aLit = array(as.map(lit): _*)
+        val bLit = array(bs.map(lit): _*)
+        aggregate(
+          transform(col("s"), sh => Sampling.portableFingerprint(sh)),
+          array_repeat(lit(SCurveP), numHashes),
+          (acc, f) => zip_with(acc,
+            transform(sequence(lit(0), lit(numHashes - 1)), h =>
+              (f * element_at(aLit, h + 1) + element_at(bLit, h + 1))
+                % lit(SCurveP)),
+            (x, y) => least(x, y)))
+      })
+    val orig = sig.filter(col("doc_id") < pairOffset)
+    val copy = sig.filter(col("doc_id") >= pairOffset)
+      .select((col("doc_id") - pairOffset).as("doc_id"),
+        col("s").as("sb"), col("sig").as("sigb"))
+    val pairs = orig.join(copy, "doc_id")
+    val scored = pairs
+      .withColumn("inter", size(array_intersect(col("s"), col("sb"))))
+      .withColumn("_union", size(col("s")) + size(col("sb")) - col("inter"))
+      .filter(col("_union") > 0)
+      .withColumn("j", col("inter").cast("double") / col("_union"))
+      .withColumn("detected",
+        exists(sequence(lit(0), lit(bands - 1)), b =>
+          forall(sequence(lit(0), lit(rowsPerBand - 1)), r =>
+            element_at(col("sig"), b * rowsPerBand + r + lit(1)) ===
+              element_at(col("sigb"), b * rowsPerBand + r + lit(1)))))
+      // j^r and (1-j^r)^b as explicit products: IEEE multiplication is
+      // bit-identical cross-engine where pow() is only ulp-close
+      .withColumn("_jr",
+        (1 until rowsPerBand).foldLeft(col("j"))((acc, _) => acc * col("j")))
+      .withColumn("theo",
+        lit(1.0) - (1 until bands).foldLeft(lit(1.0) - col("_jr"))(
+          (acc, _) => acc * (lit(1.0) - col("_jr"))))
+      .withColumn("j_bucket", least(lit(9L), floor(col("j") * 10).cast("long")))
+    scored.groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("detected"), 1L).otherwise(0L)).as("n_detected"),
+        graft.queries.Num.davg(col("theo")).as("mean_theoretical"))
+      .withColumn("empirical_rate",
+        col("n_detected").cast("double") / col("n_pairs"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_detected"),
+        col("empirical_rate"), col("mean_theoretical"))
+      .orderBy(col("j_bucket"))
+  }
+
   /** Builds a persisted near-dup INDEX under `dir`: `bands/` holds the
     * per-document LSH band keys, `shingles/` the exploded shingle rows the
     * exact verification needs. This is the production shape of dedup at

@@ -480,10 +480,17 @@ object Quality {
   def novelGramRate(docs: DataFrame, n: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
-    // read twice (df table + per-doc join) — persist one gram pass
+    // read twice (df table + per-doc join) — persist one gram pass.
+    // Deliberately NO size(_toks) row filter: short docs have an empty
+    // gram array and the explode drops them anyway, while the filter
+    // predicate — being deterministic — sinks through the repartition
+    // into the parquet scan and runs the tokenizer serially on the
+    // scan's (often single) split. Here that pass is noise (measured
+    // A/B at 100×: 67.5 s with vs 69.6 s without — the gram-df join
+    // dominates); in t73, whose filter wrapped the full perturbation
+    // chain on two union branches, the same sink cost 277→3.6 s.
     val dg = tracked(docs
       .withColumn("_toks", graft.functions.TextFunctions.tokens(col(textCol)))
-      .filter(size(col("_toks")) >= n)
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("_toks"), n)).as("_g"))
       .select(col("doc_id"), xxhash64(col("_g")).as("gh")))

@@ -2785,6 +2785,96 @@ object Text {
        |FROM pts JOIN ft2 ON ft2.lang = pts.lang
        |ORDER BY pts.lang, pts.ckpt""".stripMargin
 
+  /** MinHash-LSH S-curve ([[graft.operators.Dedup.minhashSCurve]];
+    * Broder '97, MMDS ch. 3): the empirical band-collision rate vs the
+    * theoretical 1 − (1 − j^4)^4, measured on planted pairs whose
+    * perturbation rate sweeps the Jaccard axis — the tuning table
+    * behind t07's band bet (m13 did this for video bands, v22 for IVF
+    * probes; this closes the loop for the text dedup family). Every
+    * third doc gets a copy with every k-th token replaced
+    * (k ∈ {3..8, 12, 24, …, 72} by doc id — two interleaved scales so
+    * the buckets from j ≈ 0.2 to ≈ 0.9 all populate); detection is
+    * direct signature-slice agreement, the exact event the LSH band
+    * join keys on. The oracle replays the perturbation, every
+    * portable-fold minimum, every band verdict, and the
+    * multiplication-only theoretical column. */
+  private def t73(spark: SparkSession, dir: String): DataFrame = {
+    val OFF = 10000000L
+    val base = Corpus.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val k = when(col("doc_id") % 12 < 6, col("doc_id") % 12 + 3)
+      .otherwise((col("doc_id") % 12 - 5) * 12)
+    // two-step: perturb against the INPUT doc_id, THEN shift the id —
+    // aliasing `doc_id + OFF` in the same select would capture the
+    // lateral alias inside the lambda (col("doc_id") resolves to the
+    // shifted value: wrong noise tokens AND a wrong k — found when the
+    // oracle's bucket table diverged)
+    val pert = base.select(
+      col("doc_id"),
+      array_join(transform(tokens(col("text")), (t, i) =>
+        when(i % k === 0,
+          concat(lit("x"), col("doc_id").cast("string"), lit("_"),
+            (i + 1).cast("string")))
+          .otherwise(t)), " ").as("text"))
+      .select((col("doc_id") + OFF).as("doc_id"), col("text"))
+    graft.operators.Dedup.minhashSCurve(base.unionByName(pert), OFF,
+      shingleSize = 3, rowsPerBand = 4, bands = 4)
+  }
+
+  private val t73Sql = {
+    val (as, bs) = graft.operators.Dedup.sCurveHashConsts(16)
+    val aa = as.mkString("[", ", ", "]")
+    val bb = bs.mkString("[", ", ", "]")
+    val mh = s"(${foldSql("s2")} * aa[h + 1] + bb[h + 1]) % 2147483647"
+    s"""WITH consts AS (SELECT $aa AS aa, $bb AS bb),
+       |base AS (SELECT doc_id, $toksSql AS sp FROM documents
+       |              WHERE doc_id % 3 = 0),
+       |pk AS (SELECT doc_id, sp,
+       |         CASE WHEN doc_id % 12 < 6 THEN doc_id % 12 + 3
+       |              ELSE (doc_id % 12 - 5) * 12 END AS k
+       |       FROM base),
+       |pert AS (SELECT doc_id,
+       |           [CASE WHEN (i - 1) % k = 0
+       |                 THEN 'x' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+       |                 ELSE sp[i] END
+       |            for i in range(1, len(sp) + 1)] AS sp
+       |         FROM pk),
+       |sha AS (SELECT doc_id,
+       |          list_distinct([array_to_string(sp[i : i + 2], ' ')
+       |                         for i in range(1, len(sp) - 3 + 2)]) AS s
+       |        FROM base WHERE len(sp) >= 3),
+       |shb AS (SELECT doc_id,
+       |          list_distinct([array_to_string(sp[i : i + 2], ' ')
+       |                         for i in range(1, len(sp) - 3 + 2)]) AS s
+       |        FROM pert WHERE len(sp) >= 3),
+       |siga AS (SELECT doc_id, s,
+       |           [list_min([$mh for s2 in s]) for h in range(0, 16)] AS g
+       |         FROM sha CROSS JOIN consts),
+       |sigb AS (SELECT doc_id, s,
+       |           [list_min([$mh for s2 in s]) for h in range(0, 16)] AS g
+       |         FROM shb CROSS JOIN consts),
+       |p AS (SELECT a.doc_id, a.s AS sa, b.s AS sb, a.g AS ga, b.g AS gb
+       |      FROM siga a JOIN sigb b ON b.doc_id = a.doc_id),
+       |sc AS (SELECT doc_id,
+       |         CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |           / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS j,
+       |         len([b for b in range(0, 4)
+       |              if ga[b*4+1 : b*4+4] = gb[b*4+1 : b*4+4]]) > 0 AS detected
+       |       FROM p),
+       |sc2 AS (SELECT *, j * j * j * j AS jr FROM sc),
+       |sc3 AS (SELECT *,
+       |          1.0 - (1.0 - jr) * (1.0 - jr) * (1.0 - jr) * (1.0 - jr) AS theo,
+       |          least(9, CAST(floor(j * 10) AS BIGINT)) AS j_bucket
+       |        FROM sc2)
+       |SELECT j_bucket, COUNT(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN detected THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |  CAST(sum(CASE WHEN detected THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS empirical_rate,
+       |  ${Num.davgSql("theo")} AS mean_theoretical
+       |FROM sc3 GROUP BY 1 ORDER BY j_bucket""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2857,5 +2947,6 @@ object Text {
     QuerySpec("t69_novel_gram_rate", t69, Some(t69Sql)),
     QuerySpec("t70_blocklist_scan", t70, Some(t70Sql)),
     QuerySpec("t71_rake_keywords", t71, Some(t71Sql)),
-    QuerySpec("t72_heaps_law", t72, Some(t72Sql)))
+    QuerySpec("t72_heaps_law", t72, Some(t72Sql)),
+    QuerySpec("t73_minhash_s_curve", t73, Some(t73Sql)))
 }

@@ -530,4 +530,28 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
     assert(again.toSeq === out.toSeq)
   }
+
+  test("minhashSCurve: identical pair always detects, disjoint pair never; buckets and theo exact") {
+    val OFF = 1000L
+    val docs = Seq(
+      // identical pair: j = 1 -> bucket 9, every band agrees, theo = 1
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (1L + OFF, "alpha beta gamma delta epsilon zeta"),
+      // disjoint pair: j = 0 -> bucket 0, no band can agree, theo = 0
+      (2L, "one two three four five six"),
+      (2L + OFF, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashSCurve(docs, OFF, shingleSize = 3,
+        rowsPerBand = 4, bands = 4)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(9L) === ((9L, 1L, 1L, 1.0, 1.0)),
+      "an identical pair shares every band and sits on the curve's ceiling")
+    assert(out(0L) === ((0L, 1L, 0L, 0.0, 0.0)),
+      "disjoint shingle sets cannot agree on any minimum")
+    val again = Dedup.minhashSCurve(docs.repartition(5), OFF, shingleSize = 3,
+        rowsPerBand = 4, bands = 4)
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again === out)
+  }
 }

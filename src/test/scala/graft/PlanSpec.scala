@@ -517,6 +517,19 @@ class PlanSpec extends SparkTestBase {
       s"every window must partition by doc, never the whole corpus:\n$plan")
   }
 
+  test("t73 s-curve: no tokenizer sinks into the scan as a pushed predicate") {
+    val plan = planOf("t73_minhash_s_curve")
+    // the 100x lesson: a size(tokens(text)) row filter pushed through
+    // the repartition into the single-split scan serialized the whole
+    // corpus onto one core (277-384 s vs 3.6 s). The scan's pushed
+    // filters must stay id-only; string work belongs above the exchange.
+    val scanLines = plan.split("\n").filter(_.contains("FileScan"))
+    assert(scanLines.nonEmpty && scanLines.forall(l => !l.contains("split(")),
+      s"tokenization must not ride a pushed scan predicate:\n${scanLines.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairs join by id arithmetic, never a cross product:\n$plan")
+  }
+
   test("v22 probe sweep: cell candidates join by equi-key; ranks are bounded k-heaps") {
     val plan = planOf("v22_ivf_probe_sweep")
     assert(!plan.contains("CartesianProduct"),
