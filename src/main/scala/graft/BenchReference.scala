@@ -73,7 +73,7 @@ object BenchReference {
     "t66" -> 0.31, "t67" -> 5.78, "t68" -> 0.42, "t69" -> 1.28,
     "t70" -> 0.53, "q47" -> 0.72, "v20" -> 0.36, "v21" -> 0.54,
     // r14 second sitting (builder final-tree full-suite min-of-2)
-    "p18" -> 5.37, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
+    "p18" -> 5.37, "p19" -> 3.94, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,

@@ -732,6 +732,66 @@ object Domain {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join (§2.10 — the asymmetric
+    * half of p18's inner join: "clicks with their attributed purchase,
+    * OR null" — the funnel-drop read): a left-outer stream join emits
+    * its NULL-padded rows only when the WATERMARK passes the row's
+    * join bound (before that, a match could still arrive), so this
+    * query drives a two-micro-batch schedule — batch 1 carries the
+    * real events (one file), batch 2 a far-future sentinel pair (one
+    * file, filtered back out of the result) whose only job is to
+    * advance BOTH sides' watermarks (the global watermark is their
+    * MIN) and flush the unmatched batch-1 clicks. Without batch 2 the
+    * unmatched rows would sit in state forever and the batch oracle
+    * would see extra nulls missing — emission timing is exactly what
+    * this query gates. Oracle: the batch LEFT interval join. */
+  private def p19(spark: SparkSession, dir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft_p19_in_").toString + "/events"
+    val ev = Corpus.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    // batch 1: the corpus, as ONE file; batch 2: one sentinel click +
+    // one sentinel purchase 10 years out (user_id < 0 joins nothing
+    // real and is filtered from the materialized result)
+    ev.coalesce(1).write.mode("overwrite").parquet(in)
+    val far = java.sql.Timestamp.valueOf("2044-01-01 00:00:00")
+    import spark.implicits._
+    Seq((-1L, far, -1L, "click"), (-2L, far, -2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(in)
+    val src = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+    SilverStream.runToMemory(joined, s"p19_stream_${System.nanoTime()}", "append")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val p19Sql =
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |  p.event_id AS purchase_id, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |WHERE c.user_id >= 0
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -750,5 +810,6 @@ object Domain {
     QuerySpec("p15_stream_cdc_upsert", p15, Some(p15Sql)),
     QuerySpec("p16_stream_scd2_history", p16, Some(p16Sql)),
     QuerySpec("p17_stream_ann_serve", p17, Some(p17Sql)),
-    QuerySpec("p18_stream_stream_join", p18, Some(p18Sql)))
+    QuerySpec("p18_stream_stream_join", p18, Some(p18Sql)),
+    QuerySpec("p19_stream_left_outer_join", p19, Some(p19Sql)))
 }

@@ -554,6 +554,38 @@ class StreamingSpec extends SparkTestBase {
       "the late pair must be dropped, the in-time pair must join")
   }
 
+  test("left-outer stream join emits the null-padded row ONLY after the watermark passes its bound") {
+    // the p19 contract: an unmatched left row is not wrong YET — a match
+    // could still arrive — so it must stay in state until the global
+    // watermark clears its join bound, then flush exactly once
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "1 hour")
+    val b = buys.toDF().toDF("buser", "bts", "amount").withWatermark("bts", "1 hour")
+    val joined = c.join(b,
+      expr("user = buser AND bts >= cts AND bts <= cts + interval 1 hour"),
+      "left_outer")
+    val name = s"slo_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: one unmatched click — nothing may emit yet
+    clicks.addData((1L, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    assert(spark.table(name).isEmpty,
+      "an unmatched left row must wait for the watermark, not emit eagerly")
+    // batch 2: watermark advances past 11:00 on BOTH sides -> flush
+    clicks.addData((98L, t("2024-01-01 20:00:00")))
+    buys.addData((99L, t("2024-01-01 20:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("user", "amount")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(rows.contains((1L, None)),
+      s"the flushed null-padded row must appear exactly after the advance: $rows")
+  }
+
   test("CMS sketch as streaming aggregation state ≡ the batch matrix (additive merge)") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftExpressions.register(spark)
