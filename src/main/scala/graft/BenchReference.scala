@@ -73,7 +73,12 @@ object BenchReference {
     "t66" -> 0.31, "t67" -> 5.78, "t68" -> 0.42, "t69" -> 1.28,
     "t70" -> 0.53, "q47" -> 0.72, "v20" -> 0.36, "v21" -> 0.54,
     // r14 second sitting (builder final-tree full-suite min-of-2)
-    "p18" -> 5.37, "p19" -> 3.94, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
+    // p19 seeds from its IN-SUITE repair reading, not its isolated-run
+    // 3.94 s: the query rewrites its two-batch source corpus as part of
+    // the measured work, and under suite cache pressure that floor is
+    // ~8 s — an aggressive isolated seed would perma-flag it (repair ≈
+    // min every round, the t24 shape) and waste the repair budget
+    "p18" -> 5.37, "p19" -> 8.1, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,
