@@ -214,6 +214,7 @@ object Bench {
       graft.operators.Quality.releaseCaches()
       graft.operators.Unigram.releaseCaches()
       graft.operators.WordPiece.releaseCaches()
+      graft.operators.Graph.releaseCaches()
       graft.queries.Text.releaseCaches()
       Run(elapsed, ok, withProbe, counts.keySet, gcSec, heapMb)
     }

@@ -9,6 +9,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  private val caches = new graft.util.CacheRegistry
+
+  /** Releases the edge-sized persists registered by [[triangleCounts]]
+    * — wired into the Bench per-query cleanup and
+    * [[graft.queries.Domain.clearCache]]. Callers must materialize the
+    * returned frame before releasing (Verify/Bench always do). */
+  def releaseCaches(): Unit = caches.releaseAll()
+
   /** PageRank (Brin & Page 1998) over a directed edge list, a FIXED
     * number of power iterations from the uniform start:
     *
@@ -147,15 +155,21 @@ object Graph {
       .select(col("src").as("x"), col("v"), col("w"))
     val tri = wedges.join(
       oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-    // eager cut (node-sized counts), then release the edge-sized
-    // oriented frame: without this a long session accumulates one dead
-    // disk-cached edge frame per invocation (the r13 ADVICE leak)
-    val counts = tri.select(explode(array(col("x"), col("v"), col("w"))).as("node"))
+    // oriented is RELEASED through the registry (releaseCaches, wired
+    // into the Bench per-query cleanup and Domain.clearCache), not by an
+    // eager cut here: the first ADVICE-leak fix localCheckpoint'd the
+    // counts inside the query so oriented could unpersist before
+    // returning — an eager materialization the caller never asked for,
+    // and the only operator that paid one (every other multi-branch
+    // operator uses this registry lifecycle). Same-session A/B readings
+    // overlap under scratch-volume noise (eager 2.3–3.3 s vs lazy
+    // 1.4–2.4 s at sf0.1), so the lazy form is kept on design: the
+    // caller's action decides when work happens, and the leak closes at
+    // the session boundary.
+    caches.register(oriented)
+    tri.select(explode(array(col("x"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("node"))
-      .localCheckpoint()
-    oriented.unpersist()
-    counts
   }
 
   /** Synchronous label propagation communities (Raghavan, Albert &

@@ -59,6 +59,7 @@ object Domain {
     graft.operators.Quality.releaseCaches()
     graft.operators.Unigram.releaseCaches()
     graft.operators.WordPiece.releaseCaches()
+    graft.operators.Graph.releaseCaches()
     Text.releaseCaches()
   }
 
