@@ -90,7 +90,13 @@ object Bench {
             .map { case (n, h) => "\"" + keyOf(n) + "\":" + h }
             .mkString("{", ",", "}")
           val heapField = if (withHeap) s""","heap_mb":$hp""" else ""
-          s""","repair":${secMap(s.repair.view.filterKeys(keptSet).toMap)},"gc":$gc$heapField"""
+          // when the cap truncates the list, say how many flagged in
+          // total — a 6-flag round must be distinguishable from a
+          // 5-flag round in the artifact (same rule as failed_n)
+          val flaggedCount =
+            if (s.flagged.size > kept.size) s""","flagged_n":${s.flagged.size}"""
+            else ""
+          s""","repair":${secMap(s.repair.view.filterKeys(keptSet).toMap)},"gc":$gc$heapField$flaggedCount"""
         }
       val queriesField = if (withQueries) s""","queries":$qs""" else ""
       f"""{"metric":"total","value":${s.total}%.2f,"unit":"sec","runs":${s.runsPerQuery},"run_totals":$runTotals,"gc_totals":$gcTotals$failedField$repairField$queriesField$phasesField,"sf":"${s.sfDir}"}"""
@@ -133,6 +139,7 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.installCacheBackstop(spark)
     // noop sink: forces full query execution (unlike count(), which lets
     // Catalyst prune aggregations) without measuring disk-write time.
     // Untimed warmup: the first query otherwise absorbs ~10s of one-time

@@ -39,9 +39,9 @@ object BenchReference {
     "m05" -> 0.37, "m06" -> 0.73, "m07" -> 0.68, "m08" -> 0.82,
     "m09" -> 0.42, "m10" -> 0.34, "m11" -> 0.35, "m12" -> 0.36,
     "m13" -> 0.76, "p01" -> 0.98, "p02" -> 0.44, "p03" -> 0.13,
-    "p04" -> 0.29, "p05" -> 8.05, "p06" -> 1.5, "p07" -> 3.39,
-    "p08" -> 1.24, "p09" -> 1.4, "p10" -> 1.34, "p11" -> 1.21,
-    "p12" -> 1.44, "p13" -> 1.33, "p14" -> 1.88, "p15" -> 0.73,
+    "p04" -> 0.29, "p05" -> 8.05, "p06" -> 1.45, "p07" -> 3.39,
+    "p08" -> 1.17, "p09" -> 1.39, "p10" -> 1.04, "p11" -> 1.21,
+    "p12" -> 1.31, "p13" -> 1.08, "p14" -> 1.49, "p15" -> 0.73,
     "p16" -> 3.24, "p17" -> 3.14, "q01" -> 0.68, "q02" -> 0.34,
     "q03" -> 0.55, "q04" -> 0.31, "q05" -> 0.22, "q06" -> 0.3,
     "q07" -> 0.64, "q08" -> 0.42, "q09" -> 0.41, "q10" -> 0.33,
@@ -72,13 +72,15 @@ object BenchReference {
     "t62" -> 1.08, "t63" -> 1.55, "t64" -> 1.51, "t65" -> 3.85,
     "t66" -> 0.31, "t67" -> 5.78, "t68" -> 0.42, "t69" -> 1.28,
     "t70" -> 0.53, "q47" -> 0.72, "v20" -> 0.36, "v21" -> 0.54,
-    // r14 second sitting (builder final-tree full-suite min-of-2)
-    // p19 seeds from its IN-SUITE repair reading, not its isolated-run
-    // 3.94 s: the query rewrites its two-batch source corpus as part of
-    // the measured work, and under suite cache pressure that floor is
-    // ~8 s — an aggressive isolated seed would perma-flag it (repair ≈
-    // min every round, the t24 shape) and waste the repair budget
-    "p18" -> 5.37, "p19" -> 8.1, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
+    // r14 second sitting (builder final-tree full-suite min-of-2).
+    // p18/p19/p20 re-seeded in r15: their state-store shard count now
+    // follows state volume instead of core count (runToMemory
+    // statePartitions — the r14 8.0 s p19 reading was 32 shards × 4
+    // stores × ~300 ms fixed commit cost over 40k state rows, and its
+    // two-batch input is now staged once per session instead of
+    // per-invocation), so the pre-resize minima describe a dead plan
+    "p18" -> 2.10, "p19" -> 2.89, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
+    "p20" -> 2.82,
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,

@@ -54,6 +54,24 @@ object GraftSession {
         .config("spark.sql.shuffle.partitions", sp.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installCacheBackstop(spark)
     spark
   }
+
+  /** Session-close backstop for the engine's memoized/persisted frames
+    * (ADVICE r14): a long-lived driver that never calls
+    * `Domain.clearCache` itself would otherwise keep the operator cache
+    * registries (e.g. triangleCounts' DISK_ONLY edge persist) and the
+    * memoization maps pinned for the JVM lifetime after the session
+    * stops. Frames that can no longer be unpersisted post-stop are
+    * skipped by the release hooks; the maps still drop their session
+    * keys. Sessions built directly from [[configure]] should call this
+    * once after `getOrCreate()` (or call `Domain.clearCache` on their
+    * own schedule). */
+  def installCacheBackstop(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        try graft.queries.Domain.clearCache() catch { case _: Throwable => () }
+    })
 }

@@ -13,6 +13,7 @@ object Verify {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.installCacheBackstop(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q01_x,t09_y limits the run (dev iteration aid,
     // same contract as Bench's); the driver sets no filter and gets all.

@@ -2792,8 +2792,10 @@ object Text {
     * behind t07's band bet (m13 did this for video bands, v22 for IVF
     * probes; this closes the loop for the text dedup family). Every
     * third doc gets a copy with every k-th token replaced
-    * (k ∈ {3..8, 12, 24, …, 72} by doc id — two interleaved scales so
-    * the buckets from j ≈ 0.2 to ≈ 0.9 all populate); detection is
+    * (k ∈ {3, 6, 12, 48} by doc id — base keeps doc_id % 3 == 0, so
+    * doc_id % 12 ranges over {0, 3, 6, 9} and the two branches land on
+    * a fine pair and a coarse pair, populating the buckets from
+    * j ≈ 0.5 to ≈ 0.96); detection is
     * direct signature-slice agreement, the exact event the LSH band
     * join keys on. The oracle replays the perturbation, every
     * portable-fold minimum, every band verdict, and the

@@ -169,16 +169,37 @@ object SilverStream {
     * result is localCheckpoint'd (eager) BEFORE the drop so the returned
     * frame no longer references the view — which also gives every caller
     * fresh attribute ids (a MemorySink view resolved twice in one
-    * downstream self-join otherwise carries conflicting ids). */
-  def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    * downstream self-join otherwise carries conflicting ids).
+    *
+    * `statePartitions` sizes the stateful operators' state-store shard
+    * count (streaming aggs carry one store per shard; stream-stream joins
+    * FOUR). A store commit carries a large FIXED per-shard-per-batch cost
+    * (~300 ms measured on local[32] — provider init + delta finalize,
+    * medium-independent: tmpfs checkpoints read the same), so shard count
+    * must follow state VOLUME, not core count: p19's 40k-row join state
+    * across 32 shards × 4 stores read 8.0 s; at 8 shards, 3.3 s — same
+    * rows, same plan. The count is captured in the checkpoint at query
+    * start, exactly like choosing a table's bucket count. Callers pass
+    * None to inherit the session's shuffle partitioning (fine when state
+    * is large enough to fill it). */
+  def runToMemory(df: DataFrame, name: String, outputMode: String,
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n))
+    val q =
+      try {
+        val started = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+        started
+      } finally statePartitions.foreach(_ =>
+        spark.conf.set("spark.sql.shuffle.partitions", prev))
     val out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
     out

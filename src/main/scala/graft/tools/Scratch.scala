@@ -1,8 +1,8 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Dev-only scratch profiler (not part of the engine surface). */
 object Scratch {
@@ -13,43 +13,41 @@ object Scratch {
     r
   }
 
+  /** Dumps per-micro-batch durations for the streaming queries run
+    * inside `f` — where does a stream-stream join's wall time go? */
+  def withProgress[T](spark: SparkSession)(f: => T): T = {
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"[batch ${p.batchId}] rows=${p.numInputRows} " +
+          s"total=${p.batchDuration}ms durations=${p.durationMs} " +
+          s"stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")} " +
+          s"stateCommit=${p.stateOperators.map(_.commitTimeMs).mkString(",")}ms")
+      }
+    }
+    spark.streams.addListener(listener)
+    try f finally spark.streams.removeListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val qname = sys.env.getOrElse("SPARK_GRAFT_Q", "t69_novel_gram_rate")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = graft.GraftSession.local(32)
-
-    @volatile var spillMem = 0L
-    @volatile var spillDisk = 0L
-    @volatile var shuffleWrite = 0L
-    @volatile var gcTime = 0L
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) {
-          spillMem += m.memoryBytesSpilled
-          spillDisk += m.diskBytesSpilled
-          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
-          gcTime += m.jvmGCTime
-        }
-      }
-    })
+    spark.sparkContext.setLogLevel("WARN")
 
     // warmup
     spark.range(1000000).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
-    Thread.sleep(500); spillMem = 0; spillDisk = 0; shuffleWrite = 0; gcTime = 0
 
-    val p01 = graft.SparkEntry.queries("p01_silver_flatten")(spark, dir)
-    time("p01 full noop")(p01.write.format("noop").mode("overwrite").save())
-    Thread.sleep(1000)
-    println(s"[scratch] p01 spillMem=${spillMem / 1048576}MB spillDisk=${spillDisk / 1048576}MB " +
-      s"shuffleWrite=${shuffleWrite / 1048576}MB gcTime=${gcTime}ms")
-
-    spillMem = 0; spillDisk = 0; shuffleWrite = 0; gcTime = 0
-    val p02 = graft.SparkEntry.queries("p02_courier_metrics")(spark, dir)
-    time("p02 full noop")(p02.write.format("noop").mode("overwrite").save())
-    Thread.sleep(1000)
-    println(s"[scratch] p02 spillMem=${spillMem / 1048576}MB spillDisk=${spillDisk / 1048576}MB " +
-      s"shuffleWrite=${shuffleWrite / 1048576}MB gcTime=${gcTime}ms")
-
+    for (rep <- 1 to reps) {
+      time(s"$qname rep$rep dir=$dir") {
+        graft.SparkEntry.queries(qname)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.queries.Domain.clearCache()
+    }
     spark.stop()
   }
 }

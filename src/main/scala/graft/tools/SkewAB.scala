@@ -96,18 +96,34 @@ object SkewAB {
         graft.queries.Num.dsum(col("value")).as("sum_value"),
         max(col("event_id")).as("max_event_id"))
 
-    def time(label: String)(job: => DataFrame): Long = {
-      // rep 0 warms page cache + JIT; report the min of the rest
+    // rep 0 warms page cache + JIT; report the min of the rest. The
+    // validation is full-result: every rep's complete collected frame
+    // (ALL aggregate columns, canonically sorted) must agree within a
+    // variant, and the returned canon is compared ACROSS variants —
+    // the r14 form compared only sum(n_events) from the warm-up rep,
+    // weak for a tool whose numbers are quoted in Skew.scala's docs.
+    // The skew probe unwraps AdaptiveSparkPlanExec to its FINAL
+    // (post-re-planning) inner plan on every rep; the outer handle's
+    // toString can describe the initial plan.
+    def time(label: String)(job: => DataFrame): Seq[String] = {
       var skewFired = false
       val runs = (0 to reps).map { _ =>
         val t0 = System.nanoTime()
         val df = job
-        val n = df.collect().map(_.getLong(1)).sum
-        skewFired |= df.queryExecution.executedPlan.toString.contains("skew=true")
-        ((System.nanoTime() - t0) / 1e9, n)
+        val canon = df.collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        val planStr = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case p => p.toString
+        }
+        skewFired |= planStr.contains("skew=true")
+        ((System.nanoTime() - t0) / 1e9, canon)
       }
+      require(runs.map(_._2).distinct.size == 1,
+        s"$label: reps disagree on the full collected result")
       println(f"[skew-ab] $label%-24s min=${runs.drop(1).map(_._1).min}%7.2fs " +
-        f"rows=${runs.head._2}%,d aqe_split=$skewFired")
+        f"groups=${runs.head._2.size}%,d (full-result-checked) aqe_split=$skewFired")
       runs.head._2
     }
 
@@ -119,14 +135,15 @@ object SkewAB {
       aggNarrow(graft.operators.Skew.saltedJoin(ev, dim, "join_key",
         factor = 16, saltSource = "event_id"))
     }
-    require(a == b && b == c, s"narrow variants disagree: $a / $b / $c")
+    require(a == b && b == c,
+      "narrow variants disagree on the full collected result")
     if (forceAqe) {
       val d = time("wide plain (split?)") { aggWide(ev.join(dim, "join_key")) }
       val e = time("wide salted x16") {
         aggWide(graft.operators.Skew.saltedJoin(ev, dim, "join_key",
           factor = 16, saltSource = "event_id"))
       }
-      require(d == e, s"wide variants disagree: $d / $e")
+      require(d == e, "wide variants disagree on the full collected result")
     }
     spark.stop()
   }

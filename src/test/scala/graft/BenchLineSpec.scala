@@ -80,6 +80,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert((json \ "run_totals") === (full \ "run_totals"))
   }
 
+  test("capped repair list carries flagged_n so a 6+-flag round is visible") {
+    // 8 flagged queries at a suite size that forces the repairCap=5
+    // tiers: the artifact must say flagged_n:8, not silently show 5
+    val base = summaryOf(300)
+    val names = (1 to 8).map(i => f"q$i%03d_synthetic_query_name_$i")
+    val s = base.copy(
+      flagged = names,
+      repair = names.map(_ -> 1.23).toMap,
+      repairGc = names.map(_ -> 0.01).toMap,
+      repairHeap = names.map(_ -> 512L).toMap)
+    val json = checkFinal(Bench.statusLines(s))
+    val JObject(rep) = (json \ "repair"): @unchecked
+    assert(rep.size === 5, "repair map is capped at 5 on the compact tiers")
+    assert((json \ "flagged_n") === JInt(8), "exact flagged count travels alongside")
+    // and when nothing is truncated the field is absent (no noise)
+    val small = summaryOf(20)
+    val jsonSmall = checkFinal(Bench.statusLines(small))
+    assert((jsonSmall \ "flagged_n") === JNothing)
+  }
+
   test("terminal summary stays bounded even with a large failed list") {
     val base = summaryOf(300)
     val s = base.copy(failed = (1 to 50).map(i => f"x$i%03d_failed_query"))

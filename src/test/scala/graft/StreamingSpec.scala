@@ -586,6 +586,84 @@ class StreamingSpec extends SparkTestBase {
       s"the flushed null-padded row must appear exactly after the advance: $rows")
   }
 
+  test("full-outer stream join flushes BOTH sides' null-padded rows on watermark advance") {
+    // the p20 contract: an unmatched left row AND an unmatched right row
+    // must each flush null-padded once the global watermark clears that
+    // row's own join bound — neither before
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "1 hour")
+    val b = buys.toDF().toDF("buser", "bts", "amount").withWatermark("bts", "1 hour")
+    val joined = c.join(b,
+      expr("user = buser AND bts >= cts AND bts <= cts + interval 1 hour"),
+      "full_outer")
+    val name = s"sfo_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: one unmatched row on EACH side — nothing may emit yet
+    clicks.addData((1L, t("2024-01-01 10:00:00")))
+    buys.addData((2L, t("2024-01-01 10:05:00"), 7.5))
+    q.processAllAvailable()
+    assert(spark.table(name).isEmpty,
+      "unmatched rows on either side must wait for the watermark")
+    // batch 2: watermark advances far past both bounds → both flush
+    clicks.addData((98L, t("2024-01-01 20:00:00")))
+    buys.addData((99L, t("2024-01-01 20:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("user", "buser", "amount").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows.contains((Some(1L), None, None)),
+      s"unmatched click must flush null-padded on the right: $rows")
+    assert(rows.contains((None, Some(2L), Some(7.5))),
+      s"unmatched purchase must flush null-padded on the left: $rows")
+  }
+
+  test("asymmetric watermark delays: the MIN across sides gates the outer flush") {
+    // p20 carries different delays per side (clicks 30 min, purchases
+    // 3 h); the global watermark is the MIN over sides, so the SLOWER
+    // side gates every flush. Schedule: after the second batch the
+    // clicks-side watermark alone has cleared the unmatched click's
+    // bound — an engine using the faster side's (or the max) watermark
+    // would emit the null-padded row here; min-semantics must withhold
+    // it until the purchases side catches up.
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "30 minutes")
+    val b = buys.toDF().toDF("buser", "bts", "amount").withWatermark("bts", "3 hours")
+    val joined = c.join(b,
+      expr("user = buser AND bts >= cts AND bts <= cts + interval 1 hour"),
+      "left_outer")
+    val name = s"saw_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: one unmatched click at 10:00 — its flush bound is 11:00
+    clicks.addData((1L, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: both sides observe 12:30 → clicks wm 12:00 (PAST the
+    // bound), purchases wm 09:30 (NOT past) → global min 09:30: no flush
+    clicks.addData((98L, t("2024-01-01 12:30:00")))
+    buys.addData((99L, t("2024-01-01 12:30:00"), 1.0))
+    q.processAllAvailable()
+    assert(!spark.table(name).collect().exists(r => r.getLong(0) == 1L),
+      "the slower side's watermark has not cleared the bound — min-semantics must withhold the flush")
+    // batch 3: both sides observe 20:00 → purchases wm 17:00 → flush
+    clicks.addData((97L, t("2024-01-01 20:00:00")))
+    buys.addData((96L, t("2024-01-01 20:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("user", "amount").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(rows.contains((1L, None)),
+      s"once the min watermark clears the bound the row must flush: $rows")
+  }
+
   test("CMS sketch as streaming aggregation state ≡ the batch matrix (additive merge)") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftExpressions.register(spark)
