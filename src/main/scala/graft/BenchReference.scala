@@ -19,7 +19,22 @@ package graft
   * has an entry — the repair pass covers the full suite. Regenerated
   * per-round from the artifacts, not hand-edited.
   *
-  * One deliberate exclusion: t24's BENCH_r06 reading of 1.57 s. The
+  * Two deliberate exclusions. q35's pre-r13 minimum of 1.21 s: that
+  * reading describes the localCheckpoint form of triangleCounts, which
+  * the r13 300x sweep killed (2·|E| rows pinned unevictably in memory
+  * OOM'd the wedge join one decade up). The surviving scale-safe form
+  * reads ~2.4-2.9 s steady-state at sf0.1 across every post-r13
+  * session (driver repair 2.46 eager / judge repair 1.98 lazy / r15
+  * isolated floor 2.37), and an r15 A/B showed the storage level is
+  * NOT the gap — MEMORY_AND_DISK (evictable) ties DISK_ONLY rep for
+  * rep (2.5-3.6 vs 2.7-3.8 steady, interleaved fresh JVMs), so the
+  * ~2x over 1.21 is the cost of the extra oriented-materialization
+  * pass plus the persist round trip that 300x survival requires, not
+  * scratch churn. Re-seeded to 1.98 (the best reading measured on the
+  * PLAN THAT EXISTS); the old minimum would perma-flag a dead plan's
+  * number, the exact t24 shape.
+  *
+  * The other exclusion: t24's BENCH_r06 reading of 1.57 s. The
   * r13 repair telemetry confirmed t24's ~3.5 s as genuine (repair ≈
   * suite min across rounds), and the cause is the reference itself:
   * 1.57 predates the per-query `releaseCaches` calls (landed round 7,
@@ -51,7 +66,7 @@ object BenchReference {
     "q23" -> 0.78, "q24" -> 0.46, "q25" -> 0.43, "q26" -> 0.43,
     "q27" -> 1.74, "q28" -> 0.52, "q29" -> 0.32, "q30" -> 0.64,
     "q31" -> 0.44, "q32" -> 0.44, "q33" -> 0.5, "q34" -> 5.02,
-    "q35" -> 1.21, "q36" -> 0.67, "q37" -> 0.38, "q38" -> 0.69,
+    "q35" -> 1.98, "q36" -> 0.67, "q37" -> 0.38, "q38" -> 0.69,
     "q39" -> 1.94, "q41" -> 2.16, "q42" -> 0.87, "q43" -> 0.32,
     "q44" -> 1.04, "q45" -> 2.49, "q46" -> 0.77, "t01" -> 0.45,
     "t02" -> 0.45, "t03" -> 0.34, "t04" -> 0.36, "t05" -> 0.35,
@@ -80,7 +95,8 @@ object BenchReference {
     // two-batch input is now staged once per session instead of
     // per-invocation), so the pre-resize minima describe a dead plan
     "p18" -> 2.10, "p19" -> 2.89, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
-    "p20" -> 2.82,
+    // r15 first sitting (isolated min-of-2 on the final tree)
+    "p20" -> 2.82, "q51" -> 0.93, "q52" -> 0.66, "q53" -> 0.6,
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,

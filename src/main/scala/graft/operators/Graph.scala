@@ -121,7 +121,11 @@ object Graph {
     // re-read by multiple joins below, and pinning 2·|E| rows in
     // memory starves the wedge join's execution memory — the exact
     // q41 failure mode, reproduced here as a real OOM at the 300×
-    // scale point before this change
+    // scale point before this change. MEMORY_AND_DISK (evictable) was
+    // A/B'd in r15 as the adaptive middle ground: it TIES DISK_ONLY
+    // rep for rep at sf0.1 (2.5–3.6 vs 2.7–3.8 s steady, interleaved
+    // fresh JVMs) — the persist level is not where q35's time goes —
+    // so the 300×-proven level is kept
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

@@ -29,16 +29,31 @@ import org.apache.spark.sql.functions._
   * is noise next to the hot reducer it removes. */
 object Skew {
 
+  /** Join types under which the salt is invisible: each LARGE-side row
+    * carries exactly one salt, so inner/left/semi/anti results are
+    * row-identical to the unsalted join (a large row's key is either
+    * present in EVERY salt replica or in none). Right/full are refused
+    * loudly — an unmatched SMALL-side row exists once per salt replica
+    * and would surface `factor` times. */
+  private val SaltSafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "semi", "left_anti", "leftanti", "anti")
+
   def saltedJoin(
       large: DataFrame,
       small: DataFrame,
       key: String,
       factor: Int,
-      saltSource: String): DataFrame = {
+      saltSource: String,
+      joinType: String = "inner"): DataFrame = {
+    require(SaltSafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin: join type '$joinType' is not salt-invariant — an " +
+        "unmatched small-side row would appear once per salt replica; " +
+        "use inner/left/semi/anti, or salt the other side")
     val salted = large.withColumn("_salt",
       pmod(xxhash64(col(saltSource)), lit(factor.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 }

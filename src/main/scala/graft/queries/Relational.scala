@@ -998,6 +998,92 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Multiset difference (§2.6 `exceptAll` — the set-op family's last
+    * uncovered member beside q10's union and q52's intersect): per
+    * supplier, the EXCESS of returned-line occurrences over
+    * acknowledged-line occurrences — bag semantics are the whole
+    * point: a supplier with 7 'R' rows and 4 'A' rows contributes
+    * exactly 3 surviving rows (DISTINCT except would collapse to 0/1),
+    * so the post-diff count gates multiset subtraction as data. The
+    * data-quality diff idiom: "what does snapshot A carry that
+    * snapshot B doesn't, counting repeats". Scale shape: Spark plans
+    * exceptAll as one count-aggregate per side + replicate — two key
+    * shuffles, no join explosion, partial-agg map-side. */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(spark, dir)
+    val returned = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    val acked = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+    returned.exceptAll(acked)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val q51Sql =
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_excess
+      |FROM (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      |      EXCEPT ALL
+      |      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A')
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Set intersection (§2.6 `intersect`, DISTINCT semantics): customers
+    * who placed an URGENT order AND have a finished order — the
+    * cohort-overlap idiom. Distinct semantics gated as data: a
+    * customer with many qualifying orders on both sides appears
+    * exactly once. Scale shape: Spark plans intersect as a distinct
+    * left-semi aggregate — two key shuffles, output bounded by the
+    * smaller distinct side. */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val o = Corpus.orders(spark, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q52Sql =
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Salted skew LEFT join ([[graft.operators.Skew.saltedJoin]] with
+    * `joinType = "left"` — q48's outer sibling, the funnel-pipeline
+    * shape: "every event, enriched where the dim matches"): unmatched
+    * large-side rows must survive EXACTLY ONCE across the 16 salt
+    * replicas — a large row's key is either present in every replica
+    * or in none, so left semantics are salt-invariant (right/full are
+    * NOT and the operator refuses them loudly). The fixture extends
+    * q48's: hot keys land on 1 as before, but every 8th user maps to a
+    * key OUTSIDE the customer key space, so a NULL-segment group
+    * exists at every SF and its count gates the exactly-once-survival
+    * property as data. Oracle: the plain unsalted LEFT join
+    * aggregate. */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(spark, dir)
+      .withColumn("join_key",
+        when(col("user_id") % 4 =!= 0, lit(1L))
+          .when(col("user_id") % 8 === 0, col("user_id") + 100000000L)
+          .otherwise(col("user_id") + 1))
+    val dim = Corpus.customer(spark, dir)
+      .select(col("c_custkey").as("join_key"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(ev, dim, "join_key", factor = 16,
+      saltSource = "event_id", joinType = "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q53Sql =
+    s"""WITH ev AS (SELECT CASE WHEN user_id % 4 <> 0 THEN 1
+       |                        WHEN user_id % 8 = 0 THEN user_id + 100000000
+       |                        ELSE user_id + 1 END AS join_key, value
+       |            FROM events)
+       |SELECT c_mktsegment, COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM ev LEFT JOIN customer ON join_key = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   private val q50Sql =
     """SELECT o_orderkey, o_custkey, o_orderdate,
       |  CAST(count(*) OVER w AS BIGINT) AS n_orders_7d,
@@ -1532,6 +1618,9 @@ object Relational {
     QuerySpec("q47_asof_join", q47, Some(q47Sql)),
     QuerySpec("q48_salted_skew_join", q48, Some(q48Sql)),
     QuerySpec("q49_grouping_sets", q49, Some(q49Sql)),
-    QuerySpec("q50_rolling_range_window", q50, Some(q50Sql)))
+    QuerySpec("q50_rolling_range_window", q50, Some(q50Sql)),
+    QuerySpec("q51_except_all", q51, Some(q51Sql)),
+    QuerySpec("q52_intersect", q52, Some(q52Sql)),
+    QuerySpec("q53_salted_left_join", q53, Some(q53Sql)))
 
 }

@@ -41,11 +41,34 @@ object Scratch {
     // warmup
     spark.range(1000000).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
 
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // plan identity probe: scan split count + shuffle partitions for the
+    // query's frame on this dir (hypothesis kill: file-split policy /
+    // partition-count cliff would show up here)
+    val frame = graft.SparkEntry.queries(qname)(spark, dir)
+    println(s"[scratch] plan probe dir=$dir scanParts=" +
+      graft.io.Corpus.documents(spark, dir).rdd.getNumPartitions +
+      " shufflePartitions=" + spark.conf.get("spark.sql.shuffle.partitions"))
+    graft.queries.Domain.clearCache()
+
     for (rep <- 1 to reps) {
-      time(s"$qname rep$rep dir=$dir") {
+      // calibration: a fixed CPU+shuffle probe — if the measured query's
+      // drift tracks this, the drift is machine-level, not query-level
+      val c0 = System.nanoTime()
+      spark.range(200000000L).select((col("id") % 97).as("k"))
+        .groupBy(col("k")).count()
+        .write.format("noop").mode("overwrite").save()
+      val calib = (System.nanoTime() - c0) / 1e9
+      val g0 = gcMs
+      time(f"$qname rep$rep dir=$dir calib=$calib%.2f") {
         graft.SparkEntry.queries(qname)(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
+      println(f"[scratch]   gc=${(gcMs - g0) / 1000.0}%.2f s")
       graft.queries.Domain.clearCache()
     }
     spark.stop()

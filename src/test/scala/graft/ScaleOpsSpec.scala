@@ -74,6 +74,32 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plain.exceptAll(salted.select(plain.columns.map(col): _*)).count() === 0)
   }
 
+  test("salted LEFT join equals plain left join; unmatched rows survive exactly once") {
+    // hot key 1 matches; keys 5000+ miss the dim entirely — each
+    // unmatched large row must appear EXACTLY once (not once per salt)
+    val large = spark.range(10000)
+      .select((when(col("id") % 10 < 9, 1L).otherwise(col("id") + 5000L)).as("k"),
+        col("id").as("payload"))
+    val small = Seq((1L, "hot"), (42L, "cold")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "left")
+    val salted = Skew.saltedJoin(large, small, "k", factor = 8,
+      saltSource = "payload", joinType = "left")
+    assert(salted.count() === plain.count())
+    assert(plain.exceptAll(salted.select(plain.columns.map(col): _*)).count() === 0)
+    assert(salted.filter(col("name").isNull).count() ===
+      plain.filter(col("name").isNull).count())
+  }
+
+  test("salted join refuses right/full join types (salt would duplicate unmatched dim rows)") {
+    val large = spark.range(10).select(col("id").as("k"), col("id").as("payload"))
+    val small = Seq((1L, "x")).toDF("k", "name")
+    for (jt <- Seq("right", "full", "full_outer"))
+      assertThrows[IllegalArgumentException] {
+        Skew.saltedJoin(large, small, "k", factor = 4,
+          saltSource = "payload", joinType = jt)
+      }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
     val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
