@@ -105,15 +105,28 @@ object Similarity {
     require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")
     require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
     GraftExpressions.register(spark)
-    val n = normed(emb)
+    // Stage 1 NEVER touches the full-width vector: the prefix is sliced
+    // from the RAW float array and only then widened to double
+    // (elementwise slice∘cast ≡ cast∘slice, so results are unchanged).
+    // The first cut derived pv from normed(emb)'s full-width double `v`
+    // — and CollapseProject re-inlined that 512-float cast into the
+    // per-query dot under the crossJoin (the t71 boundary-array trap),
+    // making the "prefix" pass 3× SLOWER than the exact ranker at
+    // d=512 (measured, tools/WideEmb). With the slice on the raw array,
+    // a collapsed re-inline costs prefixDims work per pair, which is
+    // the work stage 1 was doing anyway.
+    val pre = emb
+      .withColumn("pv", transform(slice(col("embedding"), 1, prefixDims),
+        x => x.cast("double")))
+      .withColumn("pnrm", sqrt(expr("graft_dot(pv, pv)")))
+    val qn = normed(emb.filter(col("vec_id") < nQueries))
       .withColumn("pv", slice(col("v"), 1, prefixDims))
       .withColumn("pnrm", sqrt(expr("graft_dot(pv, pv)")))
-    val q = n.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
-        col("pv").as("qpv"), col("pnrm").as("qpnrm"))
+    val q = qn.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"), col("pv").as("qpv"), col("pnrm").as("qpnrm"))
     // stage 1: prefix-cosine over the corpus, bounded-heap top k·overfetch
     val stage1 = topKRank(
-      n.select(col("vec_id"), col("pv"), col("pnrm"))
+      pre.select(col("vec_id"), col("pv"), col("pnrm"))
         .crossJoin(broadcast(q.select(col("query_id"), col("qpv"), col("qpnrm"))))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -122,10 +135,15 @@ object Similarity {
             .as("cos_sim")),
       k * overfetch)
       .select(col("query_id"), col("neighbor_id"))
-    // stage 2: exact full-width cosine on the survivors only
+    // stage 2: exact full-width cosine on the survivors only — the join
+    // runs on the RAW embedding and the full-width double cast is
+    // applied AFTER it, so only k·overfetch·Q survivor rows pay it
     topKRank(
       stage1
-        .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
         .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))), "query_id")
         .select(col("query_id"), col("neighbor_id"),
           (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),

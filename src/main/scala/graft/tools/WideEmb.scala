@@ -54,27 +54,39 @@ object WideEmb {
     println(s"[wide-emb] corpus: ${emb.count()} vectors x $wideDims dims " +
       s"(prefix $baseDims informative), ${replicas}x replicas")
 
-    def timeMin(label: String)(job: => DataFrame): (Double, DataFrame) = {
-      var last: DataFrame = null
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val df = job
-        df.write.format("noop").mode("overwrite").save()
-        last = df
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[wide-emb] $label%-28s min=${times.min}%6.2f s  all=${times.map(t => f"$t%.2f").mkString(",")}")
-      (times.min, last)
+    // variants interleaved ROUND-ROBIN so host-level noise windows hit
+    // all of them equally (the machine's I/O variance is multi-x —
+    // consecutive per-variant reps would attribute a noisy window to
+    // whichever variant owned it)
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      ("exact full-width top-10",
+        () => graft.operators.Similarity.cosineTopK(spark, emb, 100, 10)),
+      (s"matryoshka prefix-$baseDims of=4",
+        () => graft.operators.Similarity.matryoshkaTopK(spark, emb, 100, 10,
+          prefixDims = baseDims, overfetch = 4)),
+      (s"matryoshka prefix-$wideDims of=1 (overhead probe)",
+        () => graft.operators.Similarity.matryoshkaTopK(spark, emb, 100, 10,
+          prefixDims = wideDims, overfetch = 1)),
+      (s"matryoshka prefix-$baseDims of=1",
+        () => graft.operators.Similarity.matryoshkaTopK(spark, emb, 100, 10,
+          prefixDims = baseDims, overfetch = 1)),
+      // heap-size isolation: identical plan to exact k=10, heap 40
+      ("exact full-width top-40",
+        () => graft.operators.Similarity.cosineTopK(spark, emb, 100, 40)))
+    val times = Array.fill(variants.size)(List.empty[Double])
+    var lastFrames = new Array[DataFrame](variants.size)
+    for (_ <- 1 to reps; vi <- variants.indices) {
+      val t0 = System.nanoTime()
+      val df = variants(vi)._2()
+      df.write.format("noop").mode("overwrite").save()
+      lastFrames(vi) = df
+      times(vi) = ((System.nanoTime() - t0) / 1e9) :: times(vi)
     }
-
-    // interleaved: exact, matryoshka, exact, matryoshka, ...
-    val (tExact, exact) = timeMin("exact full-width top-10") {
-      graft.operators.Similarity.cosineTopK(spark, emb, nQueries = 100, k = 10)
-    }
-    val (tMatry, matry) = timeMin(s"matryoshka prefix-$baseDims") {
-      graft.operators.Similarity.matryoshkaTopK(spark, emb, nQueries = 100,
-        k = 10, prefixDims = baseDims, overfetch = 4)
-    }
+    for (vi <- variants.indices)
+      println(f"[wide-emb] ${variants(vi)._1}%-40s min=${times(vi).min}%6.2f s  " +
+        s"all=${times(vi).reverse.map(t => f"$t%.2f").mkString(",")}")
+    val (tExact, exact) = (times(0).min, lastFrames(0))
+    val (tMatry, matry) = (times(1).min, lastFrames(1))
     val exactSet = exact.select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val matrySet = matry.select("query_id", "neighbor_id")
