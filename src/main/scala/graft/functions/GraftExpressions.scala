@@ -770,6 +770,10 @@ object GraftExpressions {
     ensure("graft_lsh_bands")(exprs => BandedSignature(exprs(0),
       intArg(exprs(1), "numPlanes"), intArg(exprs(2), "bandBits")))
     ensure("graft_topk")(exprs => TopK(exprs(0), exprs(1), intArg(exprs(2), "k")))
+    ensure("graft_multiq_topk")(exprs => MultiQTopK(exprs(0), exprs(1),
+      strArg(exprs(2), "queries"), intArg(exprs(3), "k"),
+      zeroScore = if (exprs.length > 4) doubleArg(exprs(4), "zeroScore")
+        else Double.NaN))
     ensure("graft_mmr")(exprs => MmrSelect(exprs(0), exprs(1), exprs(2), exprs(3),
       intArg(exprs(4), "k"), doubleArg(exprs(5), "lambda"),
       intArg(exprs(6), "maxCandidates")))

@@ -62,18 +62,74 @@ object Similarity {
     * can instead cover a deterministic hash-sample of the queries
     * (unsampled queries carry null `recall_at_k` through
     * [[withMeasuredRecall]]'s full-outer join — see the v03/v04 queries). */
+  /** Corpora below this optimizer-estimated size rank through the
+    * single-job crossJoin form; at/above it, through the fused
+    * multi-query kernel. The branch is a measured function of size
+    * (the m08 discipline, both branches bit-identical): the fused path
+    * costs TWO jobs (a bounded query-collect + the aggregate pass,
+    * ~0.2 s fixed each on local[32]) which a sub-MB corpus cannot
+    * amortize — v01 read 0.27 s crossJoined vs 0.65 s fused at sf0.1 —
+    * while at deployment sizes the crossJoin's |corpus|·Q materialized
+    * pair rows are dimension-independent overhead that dominates the
+    * flops: 3.2–4.3 s vs 1.3 s at 128k × 512 dims × 100 queries
+    * (tools/WideEmb, SURVEY §8.-9). */
+  private[graft] val FusedKernelMinBytes: Long = 64L << 20
+
+  private def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   def cosineTopKForQueries(spark: SparkSession, emb: DataFrame,
-      queryPred: Column, k: Int): DataFrame = {
+      queryPred: Column, k: Int): DataFrame =
+    cosineTopKForQueriesImpl(spark, emb, queryPred, k,
+      fused = estimatedBytes(emb) >= FusedKernelMinBytes)
+
+  private[graft] def cosineTopKForQueriesImpl(spark: SparkSession, emb: DataFrame,
+      queryPred: Column, k: Int, fused: Boolean): DataFrame = {
     GraftExpressions.register(spark)
-    val n = normed(emb)
-    val q = n.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    topKRank(
-      n.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
-      k)
+    if (!fused) {
+      // single-job form: corpus × broadcast(queries) → graft_dot →
+      // bounded graft_topk heaps
+      val n = normed(emb)
+      val q = n.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      return topKRank(
+        n.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim")),
+        k)
+    }
+    // ONE corpus pass through the fused multi-query kernel
+    // (graft_multiq_topk): the crossJoin form materializes |corpus|·Q
+    // joined rows before any dot runs — dimension-independent per-pair
+    // row assembly that dominates the flops at deployment widths. The
+    // aggregate scores all Q queries per corpus row over primitive
+    // arrays and ships only Q·k heap buffers; scores are bit-identical
+    // to the join form (same dot order, same nrm, same
+    // `dot / (nrmV * nrmQ)`, same heap), so the v01/v03/v04 oracles
+    // are unchanged by the branch. The query set is collected —
+    // bounded, the same contract the broadcast carried — and travels
+    // as one binary literal.
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+    if (queries.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType), StructField("rank", LongType),
+          StructField("neighbor_id", LongType), StructField("cos_sim", DoubleType))))
+    }
+    val blob = graft.functions.MultiQTopK.encodeQueries(queries)
+    emb.select(col("vec_id"), col("embedding"))
+      .agg(expr(s"graft_multiq_topk(vec_id, embedding, '$blob', $k)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.query_id").as("query_id"), col("e.rank").as("rank"),
+        col("e.neighbor_id").as("neighbor_id"), col("e.cos_sim").as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Matryoshka-style two-stage retrieval (Kusupati et al., "Matryoshka
@@ -101,40 +157,67 @@ object Similarity {
     * reaches the ranking. Output: (query_id, rank, neighbor_id,
     * cos_sim — the FULL-width exact cosine), rank 1..k. */
   def matryoshkaTopK(spark: SparkSession, emb: DataFrame, nQueries: Int,
-      k: Int, prefixDims: Int, overfetch: Int = 4): DataFrame = {
+      k: Int, prefixDims: Int, overfetch: Int = 4): DataFrame =
+    matryoshkaTopKImpl(spark, emb, nQueries, k, prefixDims, overfetch,
+      fused = estimatedBytes(emb) >= FusedKernelMinBytes)
+
+  private[graft] def matryoshkaTopKImpl(spark: SparkSession, emb: DataFrame,
+      nQueries: Int, k: Int, prefixDims: Int, overfetch: Int,
+      fused: Boolean): DataFrame = {
     require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")
     require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
     GraftExpressions.register(spark)
+    val q = normed(emb.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     // Stage 1 NEVER touches the full-width vector: the prefix is sliced
     // from the RAW float array and only then widened to double
-    // (elementwise slice∘cast ≡ cast∘slice, so results are unchanged).
-    // The first cut derived pv from normed(emb)'s full-width double `v`
-    // — and CollapseProject re-inlined that 512-float cast into the
-    // per-query dot under the crossJoin (the t71 boundary-array trap),
-    // making the "prefix" pass 3× SLOWER than the exact ranker at
-    // d=512 (measured, tools/WideEmb). With the slice on the raw array,
-    // a collapsed re-inline costs prefixDims work per pair, which is
-    // the work stage 1 was doing anyway.
-    val pre = emb
-      .withColumn("pv", transform(slice(col("embedding"), 1, prefixDims),
-        x => x.cast("double")))
-      .withColumn("pnrm", sqrt(expr("graft_dot(pv, pv)")))
-    val qn = normed(emb.filter(col("vec_id") < nQueries))
-      .withColumn("pv", slice(col("v"), 1, prefixDims))
-      .withColumn("pnrm", sqrt(expr("graft_dot(pv, pv)")))
-    val q = qn.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qnrm"), col("pv").as("qpv"), col("pnrm").as("qpnrm"))
-    // stage 1: prefix-cosine over the corpus, bounded-heap top k·overfetch
-    val stage1 = topKRank(
-      pre.select(col("vec_id"), col("pv"), col("pnrm"))
-        .crossJoin(broadcast(q.select(col("query_id"), col("qpv"), col("qpnrm"))))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          when(col("pnrm") === 0d || col("qpnrm") === 0d, lit(-1.0))
-            .otherwise(expr("graft_dot(pv, qpv)") / (col("pnrm") * col("qpnrm")))
-            .as("cos_sim")),
-      k * overfetch)
-      .select(col("query_id"), col("neighbor_id"))
+    // (elementwise slice∘cast ≡ cast∘slice — the first cut derived pv
+    // from normed()'s full-width double `v`, and CollapseProject
+    // re-inlined the d-wide cast into every per-query dot under the
+    // crossJoin, making the "prefix" pass 3× slower than exact at
+    // d=512: tools/WideEmb). Above [[FusedKernelMinBytes]] the pass
+    // runs through the fused multi-query kernel (no |corpus|·Q pair
+    // rows at all); below it, the single-job crossJoin form — both
+    // branches bit-identical, zeroScore -1.0 preserving the documented
+    // zero-prefix-sorts-last contract (mirrored in the oracle).
+    val stage1 =
+      if (fused) {
+        val qPrefix = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id"),
+            transform(slice(col("embedding"), 1, prefixDims),
+              x => x.cast("double")).as("qpv"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+          .toSeq
+        val blob = graft.functions.MultiQTopK.encodeQueries(qPrefix)
+        emb
+          .select(col("vec_id"), slice(col("embedding"), 1, prefixDims).as("pv"))
+          .agg(expr(s"graft_multiq_topk(vec_id, pv, '$blob', ${k * overfetch}, -1.0D)")
+            .as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.query_id").as("query_id"),
+            col("e.neighbor_id").as("neighbor_id"))
+      } else {
+        val pre = emb
+          .withColumn("pv", transform(slice(col("embedding"), 1, prefixDims),
+            x => x.cast("double")))
+          .withColumn("pnrm", sqrt(expr("graft_dot(pv, pv)")))
+        val qp = pre.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("pv").as("qpv"),
+            col("pnrm").as("qpnrm"))
+        topKRank(
+          pre.select(col("vec_id"), col("pv"), col("pnrm"))
+            .crossJoin(broadcast(qp))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              when(col("pnrm") === 0d || col("qpnrm") === 0d, lit(-1.0))
+                .otherwise(expr("graft_dot(pv, qpv)") / (col("pnrm") * col("qpnrm")))
+                .as("cos_sim")),
+          k * overfetch)
+          .select(col("query_id"), col("neighbor_id"))
+      }
     // stage 2: exact full-width cosine on the survivors only — the join
     // runs on the RAW embedding and the full-width double cast is
     // applied AFTER it, so only k·overfetch·Q survivor rows pay it

@@ -51,12 +51,24 @@ class PlanSpec extends SparkTestBase {
       s"banded candidates must equi-join on the band key, not enumerate n²:\n$plan")
   }
 
-  test("similarity top-k broadcasts the query side") {
-    val plan = graft.operators.Similarity
+  test("similarity top-k: small corpora broadcast-join in one job; large fuse with no join") {
+    // r15: the kernel is a measured function of corpus size (see
+    // Similarity.FusedKernelMinBytes) — below it a single-job broadcast
+    // crossJoin; above it the fused graft_multiq_topk pass, where NO
+    // join materializes |corpus|·Q pair rows. Both branches pinned.
+    val small = graft.operators.Similarity
       .cosineTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"query set must broadcast:\n$plan")
+    assert(small.contains("BroadcastNestedLoopJoin") || small.contains("BroadcastExchange"),
+      s"below the threshold the query set must broadcast:\n$small")
+    val fusedPlan = graft.operators.Similarity
+      .cosineTopKForQueriesImpl(spark, Corpus.embeddings(spark, sf0001),
+        col("vec_id") < 5, 10, fused = true)
+      .queryExecution.executedPlan.toString
+    assert(fusedPlan.contains("graft_multiq_topk"),
+      s"the fused branch must rank through the multi-query kernel:\n$fusedPlan")
+    assert(!fusedPlan.contains("Join"),
+      s"the fused branch may not materialize corpus x query pairs:\n$fusedPlan")
   }
 
   test("t15 incremental dedup: batch probes the index by equi-join, never n²") {
@@ -137,12 +149,17 @@ class PlanSpec extends SparkTestBase {
     // the window form shuffles every scored candidate of a query to one
     // task and sorts it there; the bounded TopK aggregate must show up as
     // an ObjectHashAggregate pair with a partial phase instead
-    for (df <- Seq(
-        graft.operators.Similarity.cosineTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10),
-        graft.operators.Similarity.lshTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10))) {
+    for ((df, partial) <- Seq(
+        (graft.operators.Similarity.cosineTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10),
+          "partial_graft_topk"),
+        (graft.operators.Similarity.cosineTopKForQueriesImpl(spark,
+          Corpus.embeddings(spark, sf0001), col("vec_id") < 5, 10, fused = true),
+          "partial_graft_multiq_topk"),
+        (graft.operators.Similarity.lshTopK(spark, Corpus.embeddings(spark, sf0001), 5, 10),
+          "partial_graft_topk"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
-      assert(plan.contains("partial_graft_topk"), s"expected partial top-k phase:\n$plan")
+      assert(plan.contains(partial), s"expected $partial phase:\n$plan")
       assert(!plan.contains("Window"), s"window-based ranking must be gone:\n$plan")
     }
   }
@@ -469,16 +486,31 @@ class PlanSpec extends SparkTestBase {
       s"no row_number window belongs anywhere in the mmr plan:\n$plan")
   }
 
-  test("v20 matryoshka: queries broadcast both stages; both ranks are bounded k-heaps") {
+  test("v20 matryoshka: queries broadcast both stages below the fused threshold; bounded heaps") {
     val plan = planOf("v20_matryoshka_rerank")
     assert(plan.contains("BroadcastExchange"),
       s"the 5-query side must broadcast, never shuffle the corpus:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"stage 1 is a broadcast nested loop by design, not a cartesian shuffle:\n$plan")
-    val heaps = "graft_topk".r.findAllIn(plan).size
-    // partial + final per stage
-    assert(heaps >= 4,
+    assert("graft_topk".r.findAllIn(plan).size >= 4, // partial + final per stage
       s"both stages must rank through the bounded TopK aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no row_number window belongs in either ranking stage:\n$plan")
+  }
+
+  test("v20 matryoshka fused branch: prefix kernel stage 1, no pair-materializing join") {
+    // the branch deployment-size corpora take (tools/WideEmb measured it
+    // 1.2-2x over fused-exact at 8x byte ratio)
+    val plan = graft.operators.Similarity.matryoshkaTopKImpl(spark,
+        Corpus.embeddings(spark, sf0001), nQueries = 5, k = 10,
+        prefixDims = 16, overfetch = 4, fused = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_multiq_topk"),
+      s"stage 1 must be the fused prefix kernel:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no pair-materializing join belongs anywhere:\n$plan")
+    assert("(?<!multiq_)graft_topk".r.findAllIn(plan).size >= 2,
+      s"stage 2 must rank through the bounded TopK aggregate (partial + final):\n$plan")
     assert(!plan.contains("Window"),
       s"no row_number window belongs in either ranking stage:\n$plan")
   }

@@ -20,6 +20,63 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaSql.as[Double].head() === 11.0)
   }
 
+  test("fused multi-query kernel ≡ the join form it replaced (multi-partition, self-excluded)") {
+    GraftExpressions.register(spark)
+    // 200 deterministic 6-dim vectors over 8 partitions so partial
+    // buffers genuinely merge; 4 queries
+    val vecs = spark.range(200).repartition(8)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(6)),
+          i => (pmod(col("id") * 31 + i * 17, lit(97)).cast("double") / 97.0 - 0.5)
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val fused = Similarity.cosineTopKForQueriesImpl(spark, vecs,
+        col("vec_id") < 4, k = 5, fused = true)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // the replaced plan, replayed literally: crossJoin + graft_dot + window rank
+    val n = vecs
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val q = n.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val joined = n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("graft_dot(v, qv)") / (col("nrm") * col("qnrm"))).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val ref = joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fused === ref, "fused kernel must be bit-identical to the join form")
+    // no query appears as its own neighbor
+    assert(!fused.exists { case (qid, _, nb, _) => qid == nb })
+  }
+
+  test("multi-query kernel zero-norm contract: NaN default ranks first, -1.0 opt-in ranks last") {
+    GraftExpressions.register(spark)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 0.0f)),  // zero vector
+      (2L, Array(0.9f, 0.1f)), (3L, Array(-0.6f, 0.8f))) // cos -0.6 > the -1 guard
+      .toDF("vec_id", "embedding")
+    // default: 0/0 arithmetic → NaN, totally-ordered greatest
+    val top = Similarity.cosineTopKForQueriesImpl(spark, vecs,
+        col("vec_id") < 1, k = 3, fused = true)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect()
+    assert(top.head._1 === 1L && top.head._2.isNaN,
+      s"NaN (plain arithmetic) sorts first in the heap's total order: ${top.toSeq}")
+    // -1.0 opt-in (matryoshka stage 1): the zero vector sorts LAST
+    val blob = graft.functions.MultiQTopK.encodeQueries(Seq((0L, Array(1.0, 0.0))))
+    val guarded = vecs.agg(expr(s"graft_multiq_topk(vec_id, embedding, '$blob', 3, -1.0D)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.neighbor_id"), col("e.cos_sim"))
+      .as[(Long, Double)].collect()
+    assert(guarded.last === ((1L, -1.0)),
+      s"zero-norm with the -1.0 guard sorts last: ${guarded.toSeq}")
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
