@@ -97,6 +97,7 @@ object BenchReference {
     "p18" -> 2.10, "p19" -> 2.89, "q48" -> 0.5, "q49" -> 0.57, "q50" -> 2.1,
     // r15 first sitting (isolated min-of-2 on the final tree)
     "p20" -> 2.82, "q51" -> 0.93, "q52" -> 0.66, "q53" -> 0.6,
+    "p21" -> 2.35,
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,

@@ -85,15 +85,18 @@ final class TopKHeap(val k: Int) {
   * highest-scored (score desc, id asc) inputs of the group.
   *
   * This is the scale-correct replacement for ranking with
-  * `row_number().over(Window.partitionBy(group))`: the window form
-  * shuffles EVERY scored candidate row of a group to one task and fully
-  * sorts it there (at 100× corpus scale with few queries, a per-query
-  * single-task sort of ~n rows). As a [[TypedImperativeAggregate]] this
-  * runs inside ObjectHashAggregate with a partial and a final phase: each
-  * input partition reduces its candidates to ≤ k per group map-side, only
-  * the tiny k-element buffers cross the shuffle, and the final merge is
-  * O(parts · k log k) per group. No task ever holds more than k elements
-  * per group.
+  * `row_number().over(Window.partitionBy(group))`. Spark 4's
+  * `InferWindowGroupLimit` narrows the gap for the window form — a
+  * Partial WindowGroupLimit before the exchange bounds the shuffled
+  * volume to parts·k per group (verified on this build), so "shuffles
+  * every candidate" is no longer true of it — but the window path
+  * still fully SORTS each map partition's candidates before the
+  * group-limit (O(n log n) per partition) and re-sorts after the
+  * shuffle. As a [[TypedImperativeAggregate]] this runs inside
+  * ObjectHashAggregate with a partial and a final phase: sort-free
+  * O(n log k) heap inserts map-side, only k-element buffers cross the
+  * shuffle, final merge O(parts · k log k) per group. No task ever
+  * holds more than k elements per group.
   */
 case class TopK(
     id: Expression,

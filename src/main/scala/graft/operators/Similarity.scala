@@ -35,12 +35,16 @@ object Similarity {
       .drop("embedding")
 
   /** Ranks scored candidates (query_id, neighbor_id, cos_sim) to the k
-    * best per query via the bounded [[graft.functions.TopK]] aggregate.
-    * Unlike `row_number().over(Window.partitionBy("query_id"))` — which
-    * shuffles EVERY candidate row of a query to one task and fully sorts
-    * it there — this reduces each input partition to ≤ k rows per query
-    * map-side (ObjectHashAggregate partial), ships only k-element
-    * buffers, and merges them in the final phase. Same total order
+    * best per query via the bounded [[graft.functions.TopK]] aggregate:
+    * each input partition reduces to ≤ k rows per query map-side
+    * (ObjectHashAggregate partial), only k-element buffers shuffle, and
+    * the final merge is tiny. Spark 4's own `InferWindowGroupLimit`
+    * gets the `row_number().over(...)` + rank-filter form most of the
+    * way there (a Partial WindowGroupLimit before the exchange also
+    * bounds shuffled rows to parts·k — verified on this build), but it
+    * still fully SORTS every map partition's candidates first
+    * (O(n log n) per partition + the post-shuffle re-sort); the heap
+    * inserts in O(n log k) with no sort at all. Same total order
     * (cos_sim desc, neighbor_id asc), so results are identical. */
   private def topKRank(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")

@@ -937,6 +937,50 @@ object Domain {
       |WHERE c.user_id >= 0
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** `transformWithState` (§2.10 — Spark 4's successor to
+    * mapGroupsWithState, exercised by [[SpendProfile]]): per-user
+    * purchase profile with TWO named state variables (ValueState
+    * running totals on the exact dsum decimal grid + ListState top-3
+    * purchases) over the RocksDB state store the API requires. The
+    * memory sink accumulates every per-batch snapshot (Update mode);
+    * snapshots are cumulative, so the final profile per user is the
+    * max-n_events one — that reduction is part of the query. Oracle:
+    * the batch aggregate (count / dsum / ordered top-3 slice) — the
+    * whole state machine must land on the batch answer bit for bit. */
+  private def p21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .as[graft.streaming.StatefulOps.EventIn]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = SilverStream.runToMemory(
+        graft.streaming.SpendProfile.userSpendProfile(ev).toDF(),
+        s"p21_stream_${System.nanoTime()}", "update",
+        statePartitions = streamStateShards(spark, dir))
+      out.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("sum_value"), col("top3"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.sum_value").as("sum_value"), col("s.top3").as("top3"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private val p21Sql =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  (list(value ORDER BY value DESC, event_id ASC))[1:3] AS top3
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -957,5 +1001,6 @@ object Domain {
     QuerySpec("p17_stream_ann_serve", p17, Some(p17Sql)),
     QuerySpec("p18_stream_stream_join", p18, Some(p18Sql)),
     QuerySpec("p19_stream_left_outer_join", p19, Some(p19Sql)),
-    QuerySpec("p20_stream_full_outer_join", p20, Some(p20Sql)))
+    QuerySpec("p20_stream_full_outer_join", p20, Some(p20Sql)),
+    QuerySpec("p21_stream_transform_with_state", p21, Some(p21Sql)))
 }

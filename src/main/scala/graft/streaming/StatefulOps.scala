@@ -140,3 +140,80 @@ object StatefulOps {
         sessionize(gap.toMillis))
   }
 }
+
+/** Custom streaming state via `transformWithState` (Spark 4's successor
+  * to mapGroupsWithState — SURVEY §2.10): multiple NAMED state variables
+  * per key (here a ValueState of running totals plus a ListState of the
+  * top purchases), TTL per state variable, timers, and schema evolution,
+  * all over the RocksDB state store (the API requires it — which is also
+  * the provider the 300× stream-join decade showed halves GC at
+  * 10M+-row state; see SURVEY §8.-9).
+  *
+  * The processor keeps, per user: (1) event count + running sum held as
+  * an EXACT decimal string — replaying `Num.dsum`'s
+  * cast-to-DECIMAL(30,6)-then-sum grid, so the emitted double equals the
+  * batch aggregate bit for bit regardless of arrival order; (2) the top-3
+  * purchase values ordered (value desc, event_id asc) in a ListState —
+  * arrival-order-invariant by the total order. Each batch emits an
+  * updated snapshot per touched user (Update mode); snapshots are
+  * cumulative, so the final state per user is the one with the highest
+  * n_events.
+  */
+object SpendProfile {
+  final case class SpendTotals(n_events: Long, sum_str: String)
+  final case class TopEntry(value: Double, event_id: Long)
+  final case class UserSpend(user_id: Long, n_events: Long,
+      sum_value: Double, top3: Array[Double])
+
+  final class Processor(topN: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StatefulOps.EventIn, UserSpend] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, ValueState}
+
+    @transient private var totals: ValueState[SpendTotals] = _
+    @transient private var top: ListState[TopEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[SpendTotals]("totals",
+        Encoders.product[SpendTotals], TTLConfig.NONE)
+      top = getHandle.getListState[TopEntry]("top",
+        Encoders.product[TopEntry], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[StatefulOps.EventIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSpend] = {
+      val prev =
+        if (totals.exists()) totals.get()
+        else SpendTotals(0L, "0.000000")
+      var n = prev.n_events
+      // the dsum grid: each summand snapped to DECIMAL(30,6) (HALF_UP,
+      // Spark's double→decimal cast), summed exactly
+      var acc = BigDecimal(prev.sum_str)
+      var entries = if (top.exists()) top.get().toList else Nil
+      rows.foreach { e =>
+        n += 1
+        acc += BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        entries = TopEntry(e.value, e.event_id) :: entries
+      }
+      val kept = entries
+        .sortBy(t => (-t.value, t.event_id))
+        .take(topN)
+      totals.update(SpendTotals(n, acc.bigDecimal.toPlainString))
+      top.put(kept.toArray)
+      Iterator.single(UserSpend(key, n, acc.toDouble, kept.map(_.value).toArray))
+    }
+  }
+
+  /** Per-user purchase profile as a streaming state machine. Each
+    * micro-batch emits the cumulative snapshot for users it touched;
+    * the final profile per user is the max-n_events snapshot. */
+  def userSpendProfile(events: Dataset[StatefulOps.EventIn],
+      topN: Int = 3): Dataset[UserSpend] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new Processor(topN), TimeMode.None(),
+        OutputMode.Update())(Encoders.product[UserSpend])
+  }
+}

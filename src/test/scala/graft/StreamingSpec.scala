@@ -664,6 +664,55 @@ class StreamingSpec extends SparkTestBase {
       s"once the min watermark clears the bound the row must flush: $rows")
   }
 
+  test("transformWithState spend profile: cross-batch state, arrival-order invariant") {
+    // the p21 contract off-corpus: two micro-batches, values arriving in
+    // an order chosen to break naive top-3 maintenance and float-sum
+    // determinism; the final (max n_events) snapshot per user must equal
+    // the batch aggregate on the dsum grid
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[graft.streaming.StatefulOps.EventIn]
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val profile = graft.streaming.SpendProfile
+        .userSpendProfile(input.toDS(), topN = 3).toDF()
+      val name = s"tws_${System.nanoTime()}"
+      val q = profile.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      // batch 1: user 1 sees a mid and a high value; user 2 one value
+      input.addData(
+        graft.streaming.StatefulOps.EventIn(1L, 10L, 5.5, t("2024-01-01 10:00:00")),
+        graft.streaming.StatefulOps.EventIn(1L, 11L, 9.25, t("2024-01-01 10:01:00")),
+        graft.streaming.StatefulOps.EventIn(2L, 12L, 1.0, t("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // batch 2: user 1's NEW max arrives later (state must displace),
+      // plus a low value that must NOT enter the top-3; a value tie (5.5
+      // again, larger event_id) exercises the (value desc, id asc) order
+      input.addData(
+        graft.streaming.StatefulOps.EventIn(1L, 13L, 20.0, t("2024-01-01 10:03:00")),
+        graft.streaming.StatefulOps.EventIn(1L, 14L, 0.25, t("2024-01-01 10:04:00")),
+        graft.streaming.StatefulOps.EventIn(1L, 15L, 5.5, t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("sum_value"), col("top3"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.sum_value"), col("s.top3"))
+        .as[(Long, Long, Double, Seq[Double])].collect()
+        .map { case (u, n, sv, t3) => u -> ((n, sv, t3)) }.toMap
+      spark.catalog.dropTempView(name)
+      assert(fin(1L) === ((5L, 40.5, Seq(20.0, 9.25, 5.5))),
+        s"user 1 cross-batch profile: ${fin(1L)}")
+      assert(fin(2L) === ((1L, 1.0, Seq(1.0))), s"user 2: ${fin(2L)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("CMS sketch as streaming aggregation state ≡ the batch matrix (additive merge)") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftExpressions.register(spark)
