@@ -30,23 +30,84 @@ object Bench {
 
   private[graft] def shortId(s: String): String = s.takeWhile(_ != '_')
 
+  /** Combined budget for EVERY line statusLines returns: the driver
+    * captures the last ~2000 chars of ALL stdout, so the map line and
+    * the summary line share one window with sbt's trailing
+    * "[success] Total time: ..." line (~80 chars). r15 proved the
+    * point: the full-precision 181-query map line (~2300 chars) plus
+    * the summary overflowed the window and the map's HEAD — m01–m13,
+    * p01–p20, sorted first — fell off the capture. */
+  private[graft] val TailBudget = 1870
+
+  /** Complete, uncapped record of the run — identity keys, full
+    * precision, no repair/failed caps. Never printed to stdout (it
+    * cannot fit the tail at suite size); [[main]] writes it to
+    * `bench_full.json` in the working directory so the judge can check
+    * every per-query timing even when the stdout tiers had to
+    * compress. */
+  private[graft] def fullJson(s: Summary): String =
+    renderLine(s, identity, withPhases = true, withHeap = true,
+      repairCap = Int.MaxValue, withQueries = true, failedCap = Int.MaxValue)
+
+  /** The per-query map at minimum byte cost: `"m01:47 q02:132 ..."` —
+    * shortId keys, integer CENTISECONDS, space-separated inside one
+    * JSON string field. ~8.5 chars/query vs ~14 for the nested-object
+    * form, which is what lets 181 queries + the summary line share the
+    * 2000-char tail. Centisecond resolution keeps two significant
+    * digits on even the fastest queries (q17 ≈ 0.13 s → 13). */
+  private[graft] def compactCsLine(s: Summary): String = {
+    val items = s.results.toSeq.sortBy(_._1)
+      .map { case (k, v) => shortId(k) + ":" + math.rint(v * 100).toLong }
+      .mkString(" ")
+    s"""{"metric":"queries_cs","q":"$items"}"""
+  }
+
   /** The stdout lines that close a bench run, in print order. The LAST
-    * line is the machine-readable status line and is guaranteed to fit
-    * the driver's ~2000-char tail capture at ANY suite size: tiers
-    * degrade key length, phases, heap, and repair breadth first, and
-    * the terminal tier drops the per-query map entirely (every
-    * remaining field is bounded — totals, capped failed list, capped
-    * repair map — so it fits whether the suite has 162 queries or
-    * 1000). Whenever the chosen final line had to drop the map, the
-    * complete per-query map is emitted as its own PRECEDING line, so
-    * the full record persists in the artifact for as long as the tail
-    * reaches and the summary stays parseable forever (BENCH_r13.json's
-    * `parsed: null` — the map outgrowing every tier at 162 queries and
-    * truncating mid-JSON — is the failure this split prevents). */
+    * line is the machine-readable status line; the lines TOGETHER are
+    * guaranteed to fit the driver's tail capture at ANY suite size
+    * (BENCH_r13 lost the summary to a mid-JSON truncation; BENCH_r15
+    * lost the map's head — both are the same bug, budgeting one line
+    * at a time against a shared window). Tiers degrade key length,
+    * phases, heap, and repair breadth first; when no single
+    * map-bearing line fits, the map drops to the compact centisecond
+    * string form ([[compactCsLine]]) budgeted JOINTLY with the
+    * queries-free summary; if even that cannot fit, the summary ships
+    * alone and the complete record lives in `bench_full.json`. */
   private[graft] def statusLines(s: Summary): Seq[String] = {
     def line(keyOf: String => String, withPhases: Boolean = true,
         withHeap: Boolean = true, repairCap: Int = Int.MaxValue,
-        withQueries: Boolean = true): String = {
+        withQueries: Boolean = true): String =
+      renderLine(s, keyOf, withPhases, withHeap, repairCap, withQueries,
+        failedCap = 10)
+    val singles = Seq(
+      line(identity),
+      line(shortId),
+      line(shortId, withHeap = false, repairCap = 5),
+      line(shortId, withPhases = false, withHeap = false, repairCap = 5))
+    singles.find(_.length <= TailBudget) match {
+      case Some(fit) => Seq(fit)
+      case None =>
+        val summary = line(shortId, withPhases = false, withHeap = false,
+          repairCap = 5, withQueries = false)
+        val cs = compactCsLine(s)
+        // +1 for the newline between the two lines
+        if (cs.length + 1 + summary.length <= TailBudget) Seq(cs, summary)
+        else {
+          // trade repair breadth for map completeness: per-query values
+          // are the artifact's primary record (flagged detail beyond 3
+          // lives in bench_full.json), so shrink the summary before
+          // giving up on the map
+          val tight = line(shortId, withPhases = false, withHeap = false,
+            repairCap = 3, withQueries = false)
+          if (cs.length + 1 + tight.length <= TailBudget) Seq(cs, tight)
+          else Seq(summary)
+        }
+    }
+  }
+
+  private def renderLine(s: Summary, keyOf: String => String,
+      withPhases: Boolean, withHeap: Boolean, repairCap: Int,
+      withQueries: Boolean, failedCap: Int): String = {
       def secMap(m: Iterable[(String, Double)]): String =
         m.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + keyOf(k) + "\":" + f"$v%.2f" }
@@ -69,7 +130,7 @@ object Bench {
       // the failed list is the one unbounded non-query field — cap it
       // (with an exact count alongside) so the terminal tier's length
       // is bounded by construction
-      val failedShown = s.failed.sorted.take(10)
+      val failedShown = s.failed.sorted.take(failedCap)
       val failedField =
         if (s.failed.isEmpty) ""
         else {
@@ -99,26 +160,7 @@ object Bench {
           s""","repair":${secMap(s.repair.view.filterKeys(keptSet).toMap)},"gc":$gc$heapField$flaggedCount"""
         }
       val queriesField = if (withQueries) s""","queries":$qs""" else ""
-      f"""{"metric":"total","value":${s.total}%.2f,"unit":"sec","runs":${s.runsPerQuery},"run_totals":$runTotals,"gc_totals":$gcTotals$failedField$repairField$queriesField$phasesField,"sf":"${s.sfDir}"}"""
-    }
-    // the final line is the LAST stdout write, so it survives the
-    // ~2000-char tail capture iff it fits whole; 1950 leaves margin
-    val tiers = Seq(
-      line(identity),
-      line(shortId),
-      line(shortId, withHeap = false, repairCap = 5),
-      line(shortId, withPhases = false, withHeap = false, repairCap = 5))
-    tiers.find(_.length <= 1950) match {
-      case Some(fit) => Seq(fit)
-      case None =>
-        // no map-bearing tier fits: emit the complete per-query record
-        // on its own line, then the bounded queries-free summary
-        val fullMap = line(shortId, withPhases = false, withHeap = false,
-          repairCap = 5)
-        val summary = line(shortId, withPhases = false, withHeap = false,
-          repairCap = 5, withQueries = false)
-        Seq(fullMap, summary)
-    }
+    f"""{"metric":"total","value":${s.total}%.2f,"unit":"sec","runs":${s.runsPerQuery},"run_totals":$runTotals,"gc_totals":$gcTotals$failedField$repairField$queriesField$phasesField,"sf":"${s.sfDir}"}"""
   }
 
   private def gcMillis(): Long = {
@@ -312,6 +354,15 @@ object Bench {
       repairHeap = flagged.map { case (n, _) => n -> bestRun(n).heapMb }.toMap,
       runsPerQuery = runsPerQuery,
       sfDir = sfDir)
+    // complete uncapped record → sidecar file (the stdout tail cannot
+    // carry 181 full-precision entries; the sidecar always can)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullJson(summary) + "\n").getBytes("UTF-8"))
+      System.err.println("[bench] full per-query record -> bench_full.json")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     statusLines(summary).foreach(println)
     spark.stop()
   }

@@ -86,6 +86,12 @@ object Pipeline {
       table: String): DataFrame =
     graft.io.VersionedTable.read(spark, s"$rootDir/gold/$loadDate/$table")
 
+  /** `bronzeSource`: when provided, the bronze stage ingests THIS frame
+    * (written as the same JSON-per-day layer) instead of generating one
+    * — the oracle-gated composed run (p07b) feeds corpus-derived bronze
+    * here so DuckDB can replay the whole pipeline; production callers
+    * can point it at any upstream extract. `nShipments`/`seed` only
+    * apply to the generator path. */
   def run(
       spark: SparkSession,
       rootDir: String,
@@ -95,7 +101,8 @@ object Pipeline {
       exportCsv: Boolean = false,
       retry: RetryPolicy = RetryPolicy(),
       hooks: Hooks = Hooks(),
-      quarantine: Boolean = false): Seq[StageResult] = {
+      quarantine: Boolean = false,
+      bronzeSource: Option[DataFrame] = None): Seq[StageResult] = {
     val loadTs = java.sql.Timestamp.valueOf(s"$loadDate 00:00:00")
     val bronzeDir = s"$rootDir/bronze/shipments/$loadDate"
     val silverDir = s"$rootDir/silver/shipments"
@@ -103,9 +110,14 @@ object Pipeline {
 
     // gen → bronze JSON (the reference's raw layer is JSON-per-day,
     // extraction.py:114-136)
-    retryStage("bronze", retry, hooks) {
-      val bronzeOut = BronzeGenerator.shipments(spark, nShipments, seed, loadDate)
+    val bronzeRows = retryStage("bronze", retry, hooks) {
+      val bronzeOut = bronzeSource.getOrElse(
+        BronzeGenerator.shipments(spark, nShipments, seed, loadDate))
       bronzeOut.write.mode(SaveMode.Overwrite).json(bronzeDir)
+      // generator row count is nShipments by construction; a provided
+      // source is counted from the written layer (one cheap JSON scan)
+      bronzeSource.fold(nShipments)(_ =>
+        spark.read.schema(graft.model.Schemas.bronzeShipment).json(bronzeDir).count())
     }
 
     val (silverRows, quarantinedRows) = retryStage("silver", retry, hooks) {
@@ -179,7 +191,7 @@ object Pipeline {
     }
 
     val results = Seq(
-      StageResult("bronze", nShipments, bronzeDir),
+      StageResult("bronze", bronzeRows, bronzeDir),
       StageResult("silver", silverRows, silverDir)) ++
       (if (quarantine)
         Seq(StageResult("quarantine", quarantinedRows, s"$rootDir/quarantine/silver/$loadDate"))

@@ -55,6 +55,15 @@ case class RollingHash(child: Expression)
   * brute-force ANN scale (|vectors| × |queries| × dim multiplications)
   * that's the entire runtime. Accumulation is a sequential left fold, so
   * results are bit-identical to DuckDB's `list_sum(list_transform(...))`.
+  *
+  * Length mismatch is an ERROR (ADVICE r15): it used to score over the
+  * overlapping prefix, so ragged embedding data yielded plausible-looking
+  * wrong cosines (norms over each full vector, dot over the prefix)
+  * instead of failing. Every engine call site compares equal-width
+  * vectors (same corpus, or both sides sliced to the same prefix), so
+  * the check costs one branch and only fires on genuinely bad data.
+  * [[graft.functions.MultiQTopKAggregate]] enforces the same rule, so
+  * the fused/crossJoin branch pair stays behavior-identical.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -64,7 +73,12 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch ($n vs ${y.numElements()}) — " +
+          "ragged embedding data; dot over a silent prefix would be wrong")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -77,7 +91,13 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $n + " vs " +
+         |    $b.numElements() + ") - ragged embedding data; dot over a " +
+         |    "silent prefix would be wrong");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) * $b.getDouble($i);

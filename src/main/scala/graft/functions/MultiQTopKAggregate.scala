@@ -111,10 +111,20 @@ case class MultiQTopK(
             if (nrmV == 0.0 || qnrms(q) == 0.0) zeroScore
             else {
               val qv = qvecs(q)
-              val n = math.min(d, qv.length)
+              // strict width check, mirroring graft_dot (ADVICE r15):
+              // a prefix dot over ragged data is a plausible-looking
+              // wrong cosine, not a recoverable answer — and both
+              // branches of the size-gated rank path must fail the
+              // same way for the implicit branch flip to be invisible
+              if (d != qv.length) {
+                throw new IllegalArgumentException(
+                  s"graft_multiq_topk: corpus vector width $d != query " +
+                    s"width ${qv.length} (query id ${qids(q)}) — ragged " +
+                    "embedding data")
+              }
               var acc = 0.0
               i = 0
-              while (i < n) { acc += v(i) * qv(i); i += 1 }
+              while (i < d) { acc += v(i) * qv(i); i += 1 }
               acc / (nrmV * qnrms(q))
             }
           buf(q).insert(score, rowId)

@@ -25,12 +25,68 @@ object DeliveryModel {
   val NumericCols: Seq[String] = Seq("shipment_weight", "delivery_days")
 
   /** Feature frame: fact_shipment grain deduped by tracking_number
-    * (`prediction.py:99`), label = delivery_status. */
+    * (`prediction.py:99`), label = delivery_status. tracking_number is
+    * kept: it is the content-hash key of the train/test split (and the
+    * selected columns are shipment-constant, so the dedup's kept-row
+    * choice cannot change any feature value). */
   def features(silver: DataFrame): DataFrame =
     silver
       .dropDuplicates("tracking_number")
       .na.drop(Seq("delivery_status"))
-      .select((CategoricalCols ++ NumericCols :+ "delivery_status").map(col): _*)
+      .select(("tracking_number" +: (CategoricalCols ++ NumericCols) :+ "delivery_status")
+        .map(col): _*)
+
+  /** Deterministic 80/20 split on the tracking-number content hash
+    * (same portable fingerprint as the t14 corpus split). Replaces
+    * `randomSplit(seed = 42)`, whose membership depends on the frame's
+    * PARTITIONING — the same 100 TB table split before and after a
+    * repartition yields different train sets, which is silent
+    * train/test contamination on any reprocessed corpus. The reference
+    * (`prediction.py:119`, sklearn `train_test_split(random_state=42)`)
+    * is equally engine-private; the hash split keeps its 80/20 contract
+    * while being stable under repartitioning, corpus growth, and engine
+    * choice — and DuckDB-replayable, which is what lets the encoder
+    * tables be oracle-gated (p05b). */
+  def trainTestSplit(featureFrame: DataFrame): (DataFrame, DataFrame) = {
+    val s = graft.operators.Sampling.hashSplit(featureFrame, "tracking_number",
+      Seq("train" -> 80, "test" -> 20))
+    (s.filter(col("split") === "train").drop("bucket", "split"),
+      s.filter(col("split") === "test").drop("bucket", "split"))
+  }
+
+  /** The deterministic prefix of the training pipeline exposed as data,
+    * so the oracle can gate it even though the RF model itself is
+    * engine-specific: fits the per-categorical StringIndexers + the
+    * label indexer on `trainDf` (exactly the stages [[pipeline]] fits)
+    * and returns one row per (feature, value) with the fitted index and
+    * the train-split frequency that produced it. Index order is
+    * MLlib's `frequencyDesc` default — count desc, then value asc on
+    * ties — which is what the DuckDB mirror replays with row_number().
+    * One corpus pass for the counts (map-literal explode, not one scan
+    * per column). */
+  def encoderTables(trainDf: DataFrame): DataFrame = {
+    val spark = trainDf.sparkSession
+    import spark.implicits._
+    val stages = CategoricalCols.map { c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx").setHandleInvalid("keep")
+    } :+ new StringIndexer()
+      .setInputCol("delivery_status").setOutputCol("label").setHandleInvalid("keep")
+    val fitted = new Pipeline().setStages(stages.toArray).fit(trainDf)
+    val mapping = fitted.stages.toSeq.collect {
+      case m: org.apache.spark.ml.feature.StringIndexerModel =>
+        val feature = if (m.getOutputCol == "label") "label" else m.getInputCol
+        m.labelsArray.head.zipWithIndex.map { case (v, i) => (feature, v, i.toLong) }
+    }.flatten.toDF("feature", "value", "idx")
+    val longForm = trainDf.select(explode(map(
+      (CategoricalCols.flatMap(c => Seq(lit(c), col(c))) ++
+        Seq(lit("label"), col("delivery_status"))): _*)).as(Seq("feature", "value")))
+    val counts = longForm.groupBy(col("feature"), col("value"))
+      .agg(count(lit(1)).as("train_count"))
+    // inner join: every fitted label came from the train split, so a
+    // missing count row would itself be a bug worth failing on
+    mapping.join(counts, Seq("feature", "value"))
+      .select(col("feature"), col("value"), col("idx"), col("train_count"))
+  }
 
   def pipeline(): Pipeline = {
     val indexers = CategoricalCols.map { c =>
@@ -49,9 +105,10 @@ object DeliveryModel {
 
   final case class TrainResult(model: PipelineModel, accuracy: Double)
 
-  /** 80/20 split (seed 42), fit, evaluate accuracy on the held-out 20%. */
+  /** 80/20 content-hash split ([[trainTestSplit]]), fit, evaluate
+    * accuracy on the held-out 20%. */
   def train(featureFrame: DataFrame): TrainResult = {
-    val Array(trainDf, testDf) = featureFrame.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val (trainDf, testDf) = trainTestSplit(featureFrame)
     val model = pipeline().fit(trainDf)
     val acc = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy")

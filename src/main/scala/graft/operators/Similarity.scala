@@ -90,11 +90,23 @@ object Similarity {
   private[graft] def cosineTopKForQueriesImpl(spark: SparkSession, emb: DataFrame,
       queryPred: Column, k: Int, fused: Boolean): DataFrame = {
     GraftExpressions.register(spark)
+    // ONE canonical frame shape for queryPred in BOTH branches: the raw
+    // (vec_id: long, embedding) projection. The branches used to differ
+    // (fused filtered raw emb; crossJoin filtered normed(emb), where
+    // 'embedding' is dropped and 'v'/'nrm' exist) — and the branch flips
+    // implicitly at [[FusedKernelMinBytes]], so a predicate valid on one
+    // shape (or an int-typed vec_id hitting the fused getLong) would
+    // work at one corpus size and throw at another. vec_id is cast to
+    // long up front for the same reason: both branches emit LongType
+    // ids regardless of the input's integer width.
+    val embc = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     if (!fused) {
       // single-job form: corpus × broadcast(queries) → graft_dot →
-      // bounded graft_topk heaps
-      val n = normed(emb)
-      val q = n.filter(queryPred)
+      // bounded graft_topk heaps. Queries are filtered BEFORE normed()
+      // (filter∘norm ≡ norm∘filter row-wise) so the predicate sees the
+      // canonical raw shape, never v/nrm.
+      val n = normed(embc)
+      val q = normed(embc.filter(queryPred))
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       return topKRank(
         n.crossJoin(broadcast(q))
@@ -114,7 +126,7 @@ object Similarity {
     // are unchanged by the branch. The query set is collected —
     // bounded, the same contract the broadcast carried — and travels
     // as one binary literal.
-    val queries = emb.filter(queryPred)
+    val queries = embc.filter(queryPred)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("qv"))
       .collect()
@@ -128,7 +140,7 @@ object Similarity {
           StructField("neighbor_id", LongType), StructField("cos_sim", DoubleType))))
     }
     val blob = graft.functions.MultiQTopK.encodeQueries(queries)
-    emb.select(col("vec_id"), col("embedding"))
+    embc
       .agg(expr(s"graft_multiq_topk(vec_id, embedding, '$blob', $k)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.query_id").as("query_id"), col("e.rank").as("rank"),
@@ -188,7 +200,7 @@ object Similarity {
     val stage1 =
       if (fused) {
         val qPrefix = emb.filter(col("vec_id") < nQueries)
-          .select(col("vec_id"),
+          .select(col("vec_id").cast("long").as("vec_id"),
             transform(slice(col("embedding"), 1, prefixDims),
               x => x.cast("double")).as("qpv"))
           .collect()

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.model.Schemas
@@ -182,24 +182,40 @@ object SilverStream {
     * start, exactly like choosing a table's bucket count. Callers pass
     * None to inherit the session's shuffle partitioning (fine when state
     * is large enough to fill it). */
+  /** Serializes the shuffle-partition override window below: the
+    * setting is session-global (a DataStreamWriter has no per-query SQL
+    * conf), so two overlapping [[runToMemory]] calls on one session
+    * would otherwise restore each other's clobbered snapshot — last
+    * restorer wins with the FIRST caller's value (ADVICE r15). The lock
+    * makes set→run→restore atomic per JVM; the run itself is bounded
+    * (AvailableNow). Unavoidable residual, documented: a BATCH query
+    * planned on the same session while a stream runs still inherits the
+    * reduced count — callers needing full isolation should run streams
+    * on their own session. */
+  private val confOverrideLock = new Object
+
   def runToMemory(df: DataFrame, name: String, outputMode: String,
       statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n))
-    val q =
-      try {
-        val started = df.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(outputMode)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        started.awaitTermination()
-        started
-      } finally statePartitions.foreach(_ =>
-        spark.conf.set("spark.sql.shuffle.partitions", prev))
+    def run(): StreamingQuery = {
+      val started = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started.awaitTermination()
+      started
+    }
+    statePartitions match {
+      case None => run()
+      case Some(n) => confOverrideLock.synchronized {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try run()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+    }
     val out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
     out

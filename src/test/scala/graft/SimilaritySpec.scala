@@ -55,6 +55,83 @@ class SimilaritySpec extends SparkTestBase {
     assert(!fused.exists { case (qid, _, nb, _) => qid == nb })
   }
 
+  test("ragged embedding widths fail loudly in graft_dot and the fused kernel (no silent prefix)") {
+    GraftExpressions.register(spark)
+    // codegen path
+    val ragged = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e1 = intercept[Exception] {
+      ragged.select(expr("graft_dot(a, b)")).collect()
+    }
+    assert(e1.getMessage.contains("length mismatch") ||
+      Option(e1.getCause).exists(_.getMessage.contains("length mismatch")), e1.getMessage)
+    // interpreted path (constant-folded on the driver)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d), array(1.0d, 2.0d))").collect()
+    }
+    assert(e2.getMessage.contains("length mismatch") ||
+      Option(e2.getCause).exists(_.getMessage.contains("length mismatch")), e2.getMessage)
+    // fused kernel: a 3-wide corpus row against a 2-wide query
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      Similarity.cosineTopKForQueriesImpl(spark, vecs,
+        col("vec_id") === 0, k = 1, fused = true).collect()
+    }
+    def mentionsWidth(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("width") ||
+        mentionsWidth(t.getCause))
+    assert(mentionsWidth(e3), e3.getMessage)
+  }
+
+  test("branch parity: int-typed vec_id + vec_id predicate behave identically in both branches") {
+    // ADVICE r15: the branch flips implicitly at the optimizer-stats
+    // threshold, so a shape that works in one branch must work in the
+    // other — int ids (the fused collect used getLong) and a predicate
+    // over vec_id (the crossJoin branch used to evaluate it against
+    // normed()'s frame, where 'embedding' is dropped) are the two
+    // hazards. Both branches canonicalize to (vec_id: long, embedding).
+    GraftExpressions.register(spark)
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.8f, 0.6f)),
+      (2, Array(0.0f, 1.0f)), (3, Array(-0.5f, 0.5f)))
+      .toDF("vec_id", "embedding") // IntegerType ids
+    val pred = col("vec_id").isin(0, 2)
+    val both = Seq(true, false).map { f =>
+      val df = Similarity.cosineTopKForQueriesImpl(spark, vecs, pred, k = 2, fused = f)
+      assert(df.schema("query_id").dataType === org.apache.spark.sql.types.LongType,
+        s"fused=$f must widen int ids to long")
+      df.as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    }
+    assert(both(0) === both(1), "fused and crossJoin branches must agree on int-id input")
+    assert(both(0).map(_._1).toSet === Set(0L, 2L))
+  }
+
+  test("missing optimizer stats pick the fused branch (scale-safe default)") {
+    // A leaf with unknown stats (LogicalRDD) reports
+    // spark.sql.defaultSizeInBytes = Long.MaxValue, so the size gate
+    // must land on the fused kernel — a deployment corpus without
+    // ANALYZE stats must never silently pick the |corpus|·Q crossJoin.
+    GraftExpressions.register(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val rdd = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(0L, Seq(1.0f, 0.0f)),
+      org.apache.spark.sql.Row(1L, Seq(0.6f, 0.8f)),
+      org.apache.spark.sql.Row(2L, Seq(0.0f, 1.0f))))
+    val noStats = spark.createDataFrame(rdd, schema)
+    val sz = noStats.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz >= Similarity.FusedKernelMinBytes,
+      s"LogicalRDD must report unknown-large stats, got $sz")
+    val top = Similarity.cosineTopKForQueries(spark, noStats, col("vec_id") < 1, k = 2)
+    // the fused plan ranks through graft_multiq_topk, not a crossJoin
+    val plan = top.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_multiq_topk") && !plan.toLowerCase.contains("join"),
+      s"stats-free corpus must rank through the fused kernel:\n$plan")
+    assert(top.count() === 2)
+  }
+
   test("multi-query kernel zero-norm contract: NaN default ranks first, -1.0 opt-in ranks last") {
     GraftExpressions.register(spark)
     val vecs = Seq(
