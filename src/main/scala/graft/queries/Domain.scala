@@ -179,7 +179,13 @@ object Domain {
   private def p05b(spark: SparkSession, dir: String): DataFrame = {
     val feats = DeliveryModel.features(silverFlat(spark, dir))
     val (trainDf, _) = DeliveryModel.trainTestSplit(feats)
-    DeliveryModel.encoderTables(trainDf).orderBy(col("feature"), col("idx"))
+    // localCheckpoint (eager): the indexer fits are SEQUENTIAL MLlib
+    // jobs (one agg per column) plus the counts pass — 7 jobs that
+    // would each re-run the dedup + fingerprint-split from the cached
+    // silver scan; one materialization of the (small) train frame
+    // feeds them all
+    DeliveryModel.encoderTables(trainDf.localCheckpoint())
+      .orderBy(col("feature"), col("idx"))
   }
 
   private val p05bSql = {
@@ -862,6 +868,10 @@ object Domain {
     * then no stream can still be reading). With `session = None` and
     * all sessions live, nothing is deleted: a live cache entry is by
     * design reused, not reaped. */
+  /** Test hook: the staged input dirs currently registered. */
+  private[graft] def stagedStreamDirs: Seq[String] =
+    twoBatchStageCache.values.toSeq
+
   private[graft] def clearStreamStageCache(
       session: Option[SparkSession] = None): Unit = {
     val doomed = twoBatchStageCache.toSeq.filter { case ((s, _), _) =>

@@ -713,6 +713,28 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stage cache deletion is session-scoped (ADVICE r15)") {
+    // seed the cache by running the p19 stream query (stages the
+    // two-batch events dir for (session, sf0.001))
+    graft.queries.Registry.specs.find(_.name == "p19_stream_left_outer_join").get
+      .run(spark, sf0001).count()
+    val dirs = graft.queries.Domain.stagedStreamDirs
+    assert(dirs.nonEmpty, "p19 must have staged its two-batch input")
+    def allExist = dirs.forall(d => new java.io.File(d).exists())
+    assert(allExist)
+    // an unscoped sweep (the application-end backstop path) must NOT
+    // delete a LIVE session's staged input out from under it
+    graft.queries.Domain.clearCache()
+    assert(allExist, "live session's staged dirs survive the unscoped sweep")
+    assert(graft.queries.Domain.stagedStreamDirs.nonEmpty,
+      "live entries stay registered (the cache is reusable, not reaped)")
+    // the owner cleaning up after itself deletes its own staging
+    graft.queries.Domain.clearCache(spark)
+    assert(dirs.forall(d => !new java.io.File(d).exists()),
+      "session-scoped clear deletes the caller's staged dirs")
+    assert(graft.queries.Domain.stagedStreamDirs.isEmpty)
+  }
+
   test("CMS sketch as streaming aggregation state ≡ the batch matrix (additive merge)") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftExpressions.register(spark)
