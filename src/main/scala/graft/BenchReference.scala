@@ -98,6 +98,12 @@ object BenchReference {
     // r15 first sitting (isolated min-of-2 on the final tree)
     "p20" -> 2.82, "q51" -> 0.93, "q52" -> 0.66, "q53" -> 0.6,
     "p21" -> 2.35,
+    // r16 first seeds (final-tree full-suite min-of-2, the r14/r15
+    // discipline): p05b rides p05's silverFlat cache in suite order
+    // (isolated cold runs pay the scan, ~13 s — not the in-suite
+    // shape); p07b is the COMPOSED pipeline (bronze JSON write →
+    // silver → 7 gold VersionedTables), so its floor is write-bound
+    "p05b" -> 1.61, "p07b" -> 6.93,
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,
