@@ -341,6 +341,33 @@ object ModeCount {
   * interpreted lambdas per character on the hot path of every
   * split/resample/pack query. Decodes the UTF-8 bytes directly; no
   * allocation, whole-stage codegen via a static helper. */
+/** Consistent pseudonymization of linkable identifiers
+  * ([[TextFunctions.pseudonymizeString]]): one compiled-regex pass, each
+  * match replaced by a surrogate derived from the match's own portable
+  * fold — same entity anywhere in the corpus → same surrogate, so
+  * de-identified data keeps its link structure (what [[TextFunctions
+  * .redact]]'s type tags destroy). A pure string→string function of the
+  * row, so it runs at scan speed inside whole-stage codegen (static
+  * helper call, no boxing beyond the string) with no lookup table to
+  * build or leak. */
+case class Pseudonymize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_pseudonymize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      TextFunctions.pseudonymizeString(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.TextFunctions.pseudonymizeString($c.toString()));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Pseudonymize =
+    copy(child = newChild)
+}
+
 case class Fold31(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -799,6 +826,7 @@ object GraftExpressions {
       intArg(exprs(6), "maxCandidates")))
     ensure("graft_mode_count")(exprs => ModeCount(exprs.head))
     ensure("graft_fold31")(exprs => Fold31(exprs.head))
+    ensure("graft_pseudonymize")(exprs => Pseudonymize(exprs.head))
     ensure("graft_bpe_apply")(exprs =>
       BpeApply(exprs(0), decodeMerges(strArg(exprs(1), "merges"))))
     ensure("graft_bpe_step")(exprs => {

@@ -87,6 +87,55 @@ object TextFunctions {
       regexp_replace(acc, pat, tag)
     }
 
+  /** Linkable-identifier pattern for [[pseudonymizeString]]: emails and
+    * dashed phone numbers as ONE alternation, so replacement is a single
+    * left-to-right pass with per-match type dispatch. Explicit character
+    * classes and a non-capturing group only — Java regex and RE2
+    * (DuckDB) agree on every construct here, including leftmost-first
+    * alternation, which keeps the oracle replay exact. The bare-number
+    * pattern is deliberately NOT pseudonymized: a standalone number is
+    * not a cross-document linkable identity. */
+  val PseudonymizePattern: String =
+    "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+|[0-9]+(?:-[0-9]+)+"
+
+  // surrogate keys derive from the engine's ONE portable fold
+  // (Fold31.fold ≡ Sampling.portableFingerprint ≡ the oracle's foldSql)
+  private def portableFold(s: String): Long =
+    Fold31.fold(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  /** CONSISTENT pseudonymization (deterministic tokenization): every
+    * match of [[PseudonymizePattern]] is replaced by a surrogate derived
+    * from the match's own content hash — the same email anywhere in a
+    * 100 TB corpus maps to the SAME surrogate, so cross-document link
+    * structure (co-occurrence, reply graphs, dedup keys) survives
+    * de-identification, unlike [[redact]]'s type tags which collapse
+    * every entity of a type into one token. This is the standard
+    * "pseudonymize" operator of privacy pipelines (deterministic hash
+    * surrogates). Surrogates: email → `user<fold%1e6>@redacted.example`,
+    * phone → `555-<fold%1e4>`. Pure function of the input string —
+    * distributable at scan speed, no lookup table to build, ship, or
+    * leak (a reversible token VAULT is the variant that needs one; this
+    * is the irreversible form). */
+  private lazy val pseudonymizeCompiled =
+    java.util.regex.Pattern.compile(PseudonymizePattern)
+
+  def pseudonymizeString(s: String): String = {
+    val m = pseudonymizeCompiled.matcher(s)
+    val out = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (m.find()) {
+      out.append(s, last, m.start())
+      val hit = m.group()
+      if (hit.indexOf('@') >= 0)
+        out.append("user").append(portableFold(hit) % 1000000L).append("@redacted.example")
+      else
+        out.append("555-").append(portableFold(hit) % 10000L)
+      last = m.end()
+    }
+    out.append(s, last, s.length)
+    out.toString
+  }
+
   /** Language marker wordlists for the n-gram/stopword language-ID
     * heuristic. Tiny by design — the point is the *shape* (argmax of
     * per-language evidence computed in one pass), swappable for real

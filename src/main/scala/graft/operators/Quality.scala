@@ -773,4 +773,100 @@ object Quality {
       .withColumn("ppl", exp(-col("mean_logp")))
       .orderBy(col(groupCol), col("doc_id"))
   }
+
+  /** EXACT per-group median + MAD (median absolute deviation) with
+    * robust-z outlier flags — the robust-statistics quality filter
+    * (mean/stddev break under the heavy-tailed score distributions web
+    * corpora actually have; median/MAD is the standard robust cut,
+    * e.g. `|v − med| > 3·MAD`).
+    *
+    * Exactness WITHOUT a per-group sort: a per-group median is the
+    * classic few-huge-groups trap — `Window.partitionBy(lang)` puts an
+    * entire language in ONE task, which at 100 TB is most of the
+    * corpus. This computes the exact k-th order statistics by
+    * HISTOGRAM REFINEMENT instead (the distributed-selection
+    * algorithm): (1) one aggregation builds per-group bucket counts
+    * (`floor(v·B)`, clamped), collected to the driver — bounded at
+    * groups × B rows, INDEPENDENT of corpus size; (2) the driver walks
+    * each group's cumulative histogram to locate the bucket and
+    * within-bucket rank of the k₁=(n+1)/2 and k₂=(n+2)/2 smallest
+    * values; (3) one semi-join + window ranks ONLY the candidate
+    * buckets (expected n/B rows per group — thousands, not billions)
+    * and picks the two values; median = (v₁+v₂)/2. The MAD pass runs
+    * the same machinery over |v − med|. Degenerate distributions
+    * (most of a group in one bucket) degrade the refinement partition
+    * toward n — recursing the histogram into the candidate bucket is
+    * the standard fix if a corpus ever hits it; scores here spread
+    * over ~10³ buckets.
+    *
+    * Values must be non-NaN and (for useful bucketing) in [0, 1] —
+    * out-of-range values clamp into the edge buckets, which stays
+    * EXACT (refinement ranks by the true value) but concentrates the
+    * refinement. Ties are handled by selecting the k-th VALUE, which
+    * is invariant to tie order. Returns `df` plus `med`, `mad`,
+    * `is_outlier` (`|v − med| > 3·mad`). Every output replays
+    * bit-for-bit in SQL: (v₁+v₂)/2 and the 3·mad compare are the same
+    * IEEE operations on both sides.
+    */
+  def groupMedianMad(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 1 << 14): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def bucketOf(v: Column): Column =
+      greatest(lit(0), least(lit(buckets - 1), floor(v * buckets))).cast("int")
+
+    // exact (k1, k2) smallest-value selection per group → (group, med)
+    // where med = (v@k1 + v@k2) / 2
+    def selectMedian(src: DataFrame, vCol: String, outCol: String): DataFrame = {
+      val hist = src
+        .groupBy(col(groupCol).as("_g"), bucketOf(col(vCol)).as("_b"))
+        .agg(count(lit(1)).as("_c"))
+        .collect() // bounded: groups × buckets, corpus-size-independent
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val byBucket = rows.sortBy(_._2)
+        val n = byBucket.map(_._3).sum
+        def locate(k: Long): (Int, Long) = {
+          var cum = 0L
+          for ((_, b, c) <- byBucket) {
+            if (k <= cum + c) return (b, k - cum)
+            cum += c
+          }
+          throw new IllegalStateException(s"rank $k > group size $n for $g")
+        }
+        Seq((n + 1) / 2, (n + 2) / 2).zipWithIndex.map { case (k, w) =>
+          val (b, rk) = locate(k)
+          (g, b, rk, w)
+        }
+      }
+      val tgt = targets.toDF("_g", "_b", "_rk", "_w")
+      val candidates = src
+        .withColumn("_b", bucketOf(col(vCol)))
+        .join(broadcast(tgt.select(col("_g"), col("_b")).distinct()
+          .withColumnRenamed("_b", "_tb")),
+          col(groupCol) === col("_g") && col("_b") === col("_tb"), "leftsemi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol), col("_b")).orderBy(col(vCol))
+      val ranked = candidates.withColumn("_rn", row_number().over(w).cast("long"))
+      ranked
+        .join(broadcast(tgt.withColumnRenamed("_b", "_jb")),
+          col(groupCol) === col("_g") &&
+            col("_b") === col("_jb") && col("_rn") === col("_rk"))
+        .groupBy(col(groupCol))
+        // always exactly two target rows per group (k1 == k2 duplicates
+        // the same pick), so sum/2 IS (v@k1 + v@k2)/2
+        .agg((sum(col(vCol)) / 2.0).as(outCol))
+    }
+
+    val med = selectMedian(df, valueCol, "med")
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol) - col("med")))
+    val mad = selectMedian(withMed, "_dev", "mad")
+    withMed
+      .join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier", col("_dev") > lit(3.0) * col("mad"))
+      .drop("_dev")
+  }
 }

@@ -2877,6 +2877,102 @@ object Text {
        |FROM sc3 GROUP BY 1 ORDER BY j_bucket""".stripMargin
   }
 
+  /** Consistent pseudonymization (deterministic tokenization — the
+    * privacy-pipeline sibling of t11's redaction): every linkable
+    * identifier is replaced by a surrogate derived from the match's own
+    * portable fold, so the SAME email in any document maps to the SAME
+    * surrogate and cross-document link structure survives
+    * de-identification (t11's type tags collapse it). Fixture: each doc
+    * gains an email SHARED by all docs with the same `doc_id % 50`
+    * (consistency across documents is the property under test) plus a
+    * per-doc phone. n_pii counts matches; the surrogate arithmetic and
+    * the interleaved reassembly are hash-gated character for character.
+    * Scale: a pure per-row string function inside whole-stage codegen —
+    * no lookup table, no shuffle, no state; the one operator in the
+    * privacy family that is embarrassingly parallel at 100 TB. */
+  private def t74(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
+    val dirty = concat(col("text"),
+      lit(" contact user"), pmod(col("doc_id"), lit(50)).cast("string"),
+      lit("@example.com or 555-01"), col("doc_id").cast("string"))
+    Corpus.documents(spark, dir)
+      .withColumn("dirty", dirty)
+      .select(
+        col("doc_id"),
+        expr("graft_pseudonymize(dirty)").as("clean_text"),
+        size(expr(
+          s"regexp_extract_all(dirty, '${graft.functions.TextFunctions.PseudonymizePattern}', 0)"))
+          .cast("long").as("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t74Sql = {
+    val pat = graft.functions.TextFunctions.PseudonymizePattern
+    // interleaved reassembly: segments (split on the pattern) alternate
+    // with per-match surrogates; DuckDB's leftmost-first RE2 semantics
+    // match Java's for this pattern (explicit classes, one alternation)
+    val sur = s"""CASE WHEN contains(ms[i], '@')
+       |         THEN 'user' || CAST((${foldSql("ms[i]")}) % 1000000 AS VARCHAR) || '@redacted.example'
+       |         ELSE '555-' || CAST((${foldSql("ms[i]")}) % 10000 AS VARCHAR) END""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+       |         || '@example.com or 555-01' || CAST(doc_id AS VARCHAR) AS dirty
+       |  FROM documents),
+       |parts AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(dirty, '$pat') AS segs,
+       |    regexp_extract_all(dirty, '$pat') AS ms
+       |  FROM d)
+       |SELECT doc_id,
+       |  array_to_string(
+       |    [segs[i] || CASE WHEN i <= len(ms) THEN $sur ELSE '' END
+       |     for i in range(1, len(segs) + 1)], '') AS clean_text,
+       |  CAST(len(ms) AS BIGINT) AS n_pii
+       |FROM parts
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Robust per-language quality outliers: exact median + MAD of the
+    * t02 quality score per lang, flag `|q − med| > 3·MAD` — the robust
+    * cut heavy-tailed web-corpus score distributions need (mean/stddev
+    * are dragged by the tail they're supposed to catch). The engine
+    * side computes BOTH exact medians by histogram refinement
+    * ([[graft.operators.Quality.groupMedianMad]] — no per-group sort,
+    * no single-task window; the classic few-huge-groups trap a
+    * `Window.partitionBy(lang)` median would step into at 100 TB);
+    * the oracle replays them with a full rank, pinning every med, mad,
+    * and flag bit-for-bit. */
+  private def t75(spark: SparkSession, dir: String): DataFrame = {
+    val sig = docSignals(Corpus.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    graft.operators.Quality.groupMedianMad(sig, "lang", "quality")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("med"), col("mad"), col("is_outlier"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t75Sql =
+    s"""WITH s AS (SELECT doc_id, lang, $qualitySql AS q
+       |           FROM ($docSignalsSql) WHERE n_tokens > 0),
+       |n AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang),
+       |r AS (SELECT s.*, row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn FROM s),
+       |med AS (SELECT r.lang,
+       |          (max(CASE WHEN rn = (n+1)//2 THEN q END)
+       |           + max(CASE WHEN rn = (n+2)//2 THEN q END)) / 2 AS med
+       |        FROM r JOIN n USING (lang) GROUP BY r.lang),
+       |d AS (SELECT s.doc_id, s.lang, s.q, med.med, abs(s.q - med.med) AS dev
+       |      FROM s JOIN med USING (lang)),
+       |rd AS (SELECT d.*, row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rn FROM d),
+       |mad AS (SELECT rd.lang,
+       |          (max(CASE WHEN rn = (n+1)//2 THEN dev END)
+       |           + max(CASE WHEN rn = (n+2)//2 THEN dev END)) / 2 AS mad
+       |        FROM rd JOIN n USING (lang) GROUP BY rd.lang)
+       |SELECT d.doc_id, d.lang, d.q AS quality, d.med, mad.mad,
+       |  (d.dev > 3.0 * mad.mad) AS is_outlier
+       |FROM d JOIN mad USING (lang)
+       |ORDER BY d.doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -2950,5 +3046,7 @@ object Text {
     QuerySpec("t70_blocklist_scan", t70, Some(t70Sql)),
     QuerySpec("t71_rake_keywords", t71, Some(t71Sql)),
     QuerySpec("t72_heaps_law", t72, Some(t72Sql)),
-    QuerySpec("t73_minhash_s_curve", t73, Some(t73Sql)))
+    QuerySpec("t73_minhash_s_curve", t73, Some(t73Sql)),
+    QuerySpec("t74_pseudonymize", t74, Some(t74Sql)),
+    QuerySpec("t75_quality_outliers", t75, Some(t75Sql)))
 }

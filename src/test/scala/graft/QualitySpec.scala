@@ -11,6 +11,44 @@ import graft.operators.Quality
 class QualitySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("groupMedianMad: exact median/MAD by histogram refinement (odd, even, ties, degenerate)") {
+    // odd group: median = middle value; even group: mean of the two
+    // middles; ties + a degenerate all-equal group (mad = 0)
+    val rows = Seq(
+      ("odd", 0.1), ("odd", 0.5), ("odd", 0.9),             // med .5, devs .4 0 .4 → mad .4
+      ("even", 0.2), ("even", 0.4), ("even", 0.6), ("even", 1.0), // med .5, devs .3 .1 .1 .5 → mad .2
+      ("tie", 0.3), ("tie", 0.3), ("tie", 0.3), ("tie", 0.8), // med .3, devs 0 0 0 .5 → mad 0 → .8 flags
+      ("flat", 0.7), ("flat", 0.7))                           // med .7, mad 0, no dev
+      .toDF("g", "v")
+    val out = graft.operators.Quality.groupMedianMad(rows, "g", "v", buckets = 8)
+      .select("g", "v", "med", "mad", "is_outlier")
+      .as[(String, Double, Double, Double, Boolean)].collect()
+      .groupBy(_._1)
+    def medMad(g: String) = { val r = out(g).head; (r._3, r._4) }
+    assert(medMad("odd") === ((0.5, 0.4)))
+    // expectations must follow the SAME IEEE path the engine takes:
+    // devs are abs(v - med) of doubles, mad = (d2 + d3)/2
+    assert(medMad("even") ===
+      (((0.4 + 0.6) / 2, (math.abs(0.4 - 0.5) + math.abs(0.2 - 0.5)) / 2)))
+    assert(medMad("tie") === ((0.3, 0.0)))
+    assert(medMad("flat") === ((0.7, 0.0)))
+    // mad = 0: any nonzero deviation flags; zero deviation does not
+    assert(out("tie").filter(_._5).map(_._2).toSeq === Seq(0.8))
+    assert(out("flat").forall(!_._5))
+    assert(out("odd").filter(_._5).isEmpty, "0.4 devs are exactly 1x mad, not > 3x")
+    // coarse bucketing (8 buckets) must not change exactness — compare
+    // against a fine-bucket run
+    val fine = graft.operators.Quality.groupMedianMad(rows, "g", "v", buckets = 1 << 14)
+      .select("g", "med", "mad").distinct()
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq("odd", "even", "tie", "flat").foreach(g => assert(fine(g) === medMad(g)))
+    // out-of-range values clamp into edge buckets but stay exact
+    val oor = Seq(("g", -1.5), ("g", 0.5), ("g", 7.0)).toDF("g", "v")
+    val m = graft.operators.Quality.groupMedianMad(oor, "g", "v", buckets = 4)
+      .select("med").distinct().as[Double].head()
+    assert(m === 0.5)
+  }
+
   // Two "languages": xx docs drawn from an "alpha beta" vocabulary with
   // the curated (target/positive) slice, yy docs from "gamma delta".
   // Doc 104 is an xx-language OUTLIER written in yy vocabulary — it must

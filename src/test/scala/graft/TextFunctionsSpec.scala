@@ -17,6 +17,33 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(counts.toSeq === Seq(3, 0, 0, 1))
   }
 
+  test("pseudonymize: consistent surrogates, type dispatch, codegen ≡ interpreted") {
+    graft.functions.GraftExpressions.register(spark)
+    val s = TextFunctions.pseudonymizeString(
+      "mail a@b.com then a@b.com call 555-0123 end")
+    // the SAME entity maps to the SAME surrogate (consistency is the op)
+    val sur = "user(\\d+)@redacted\\.example".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(sur.size === 2 && sur.distinct.size === 1, s)
+    // phones dispatch to the 555- surrogate, not the email form
+    assert("555-(\\d{1,4}) end".r.findFirstIn(s).isDefined, s)
+    // non-matching text passes through untouched
+    assert(s.startsWith("mail ") && s.contains(" then ") && s.endsWith(" end"), s)
+    assert(TextFunctions.pseudonymizeString("no pii here") === "no pii here")
+    // DIFFERENT entities map to different surrogates (mod-1e6 collision
+    // on two chosen strings would be astronomically unlucky)
+    val two = TextFunctions.pseudonymizeString("x@y.com z@w.com")
+    val surs = "user(\\d+)".r.findAllMatchIn(two).map(_.group(1)).toSeq
+    assert(surs.distinct.size === 2, two)
+    // codegen path (column expression) equals the driver-side function
+    val viaExpr = Seq("mail a@b.com then a@b.com call 555-0123 end").toDF("t")
+      .select(expr("graft_pseudonymize(t)")).as[String].head()
+    assert(viaExpr === s)
+    // surrogate key rides the engine's ONE portable fold
+    val h = spark.sql("SELECT graft_fold31('a@b.com') % 1000000 AS h")
+      .as[Long].head()
+    assert(s.contains(s"user$h@redacted.example"), s"$s vs fold $h")
+  }
+
   test("shingles: n-gram count and short-doc guard") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("s"))
