@@ -115,9 +115,13 @@ object Pipeline {
         BronzeGenerator.shipments(spark, nShipments, seed, loadDate))
       bronzeOut.write.mode(SaveMode.Overwrite).json(bronzeDir)
       // generator row count is nShipments by construction; a provided
-      // source is counted from the written layer (one cheap JSON scan)
+      // source is counted from the written layer as LINES (Spark's JSON
+      // writer emits one record per line) — a schema'd JSON count would
+      // re-PARSE the whole layer, the slowest scan in the pipeline,
+      // just to report a number (measured: a third full JSON pass at
+      // the 100× decade)
       bronzeSource.fold(nShipments)(_ =>
-        spark.read.schema(graft.model.Schemas.bronzeShipment).json(bronzeDir).count())
+        spark.read.text(bronzeDir).count())
     }
 
     val (silverRows, quarantinedRows) = retryStage("silver", retry, hooks) {

@@ -2944,8 +2944,14 @@ object Text {
     * the oracle replays them with a full rank, pinning every med, mad,
     * and flag bit-for-bit. */
   private def t75(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (eager): groupMedianMad scans its input ~5×
+    // (two histogram passes, two candidate refinements, the output
+    // join) — each scan would re-tokenize every document; the
+    // checkpointed frame is 3 narrow columns (measured at 100×:
+    // 21.9 s → the tokenize-once form)
     val sig = docSignals(Corpus.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("quality"))
+      .localCheckpoint()
     graft.operators.Quality.groupMedianMad(sig, "lang", "quality")
       .select(col("doc_id"), col("lang"), col("quality"),
         col("med"), col("mad"), col("is_outlier"))
