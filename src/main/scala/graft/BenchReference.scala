@@ -103,7 +103,7 @@ object BenchReference {
     // (isolated cold runs pay the scan, ~13 s — not the in-suite
     // shape); p07b is the COMPOSED pipeline (bronze JSON write →
     // silver → 7 gold VersionedTables), so its floor is write-bound
-    "p05b" -> 1.61, "p07b" -> 6.93,
+    "p05b" -> 1.61, "p07b" -> 6.43, "t74" -> 0.41, "t75" -> 1.86,
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,
