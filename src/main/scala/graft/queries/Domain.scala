@@ -1091,6 +1091,54 @@ object Domain {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** `transformWithState` with MAP state (§2.10 — completes the
+    * arbitrary-state primitive surface: p21 gates ValueState+ListState,
+    * this gates MapState): per-user per-event-type counts and exact
+    * dsum sums in one MapState[type → stats], snapshot projected to
+    * fixed scalar columns (absent type → n 0 / sum null, the SQL
+    * empty-aggregate convention). Oracle: the batch conditional
+    * aggregate — the map machinery must land on it bit for bit. */
+  private def p22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[graft.streaming.TypeProfile.EventTyped]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = SilverStream.runToMemory(
+        graft.streaming.TypeProfile.userTypeProfile(ev).toDF(),
+        s"p22_stream_${System.nanoTime()}", "update",
+        statePartitions = streamStateShards(spark, dir))
+      // snapshots are cumulative, so the max-total_n struct per user is
+      // the final profile (total_n leads the struct ordering)
+      val ordered = "total_n" +:
+        out.columns.filterNot(c => c == "user_id" || c == "total_n").toSeq
+      out.groupBy(col("user_id"))
+        .agg(max(struct(ordered.map(col): _*)).as("s"))
+        .select(col("user_id") +: ordered.map(c => col(s"s.$c").as(c)): _*)
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private val p22Sql = {
+    val perType = graft.streaming.TypeProfile.KnownTypes.map { t =>
+      s"""  CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS ${t}_n,
+         |  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS ${t}_sum""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS total_n,
+       |$perType
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_silver_flatten", p01, Some(p01Sql)),
     QuerySpec("p02_courier_metrics", p02, Some(p02Sql)),
@@ -1114,5 +1162,6 @@ object Domain {
     QuerySpec("p18_stream_stream_join", p18, Some(p18Sql)),
     QuerySpec("p19_stream_left_outer_join", p19, Some(p19Sql)),
     QuerySpec("p20_stream_full_outer_join", p20, Some(p20Sql)),
-    QuerySpec("p21_stream_transform_with_state", p21, Some(p21Sql)))
+    QuerySpec("p21_stream_transform_with_state", p21, Some(p21Sql)),
+    QuerySpec("p22_stream_mapstate_types", p22, Some(p22Sql)))
 }

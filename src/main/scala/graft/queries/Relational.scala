@@ -1569,6 +1569,43 @@ object Relational {
        |FROM d WHERE dur_us IS NOT NULL
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Rank-function family completion (§2.8): ntile decile, dense_rank,
+    * percent_rank, cume_dist over per-customer spend within market
+    * segment — the analytic quartet the row_number/lag/lead/range-frame
+    * queries (q03/q11/q12/q50) don't cover. The (spend DESC, custkey)
+    * order is total, so every rank — including ntile's uneven bucket
+    * boundaries and cume_dist's peer counting — is deterministic and
+    * replays exactly. Scale note: rank analytics inherently sort their
+    * PARTITION; segment cardinality bounds the partition here, and the
+    * engine's answer for exact ranks over unpartitionable corpora is
+    * selection, not sorting (q27's bounded-sample percentiles, t75's
+    * histogram-refined medians). */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    Corpus.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(Num.dsum(col("o_totalprice")).as("spend"))
+      .join(Corpus.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("spend"),
+        ntile(10).over(w).cast("long").as("decile"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q54Sql =
+    s"""WITH s AS (SELECT o_custkey, ${dsumSql("o_totalprice")} AS spend
+       |           FROM orders GROUP BY o_custkey)
+       |SELECT c_custkey, c_mktsegment, spend,
+       |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+       |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       |  percent_rank() OVER w AS prank,
+       |  cume_dist() OVER w AS cdist
+       |FROM s JOIN customer ON o_custkey = c_custkey
+       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey)
+       |ORDER BY c_custkey""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_distinct_dims", q02, Some(q02Sql)),
@@ -1621,6 +1658,7 @@ object Relational {
     QuerySpec("q50_rolling_range_window", q50, Some(q50Sql)),
     QuerySpec("q51_except_all", q51, Some(q51Sql)),
     QuerySpec("q52_intersect", q52, Some(q52Sql)),
-    QuerySpec("q53_salted_left_join", q53, Some(q53Sql)))
+    QuerySpec("q53_salted_left_join", q53, Some(q53Sql)),
+    QuerySpec("q54_rank_family", q54, Some(q54Sql)))
 
 }

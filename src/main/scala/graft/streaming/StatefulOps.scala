@@ -159,6 +159,81 @@ object StatefulOps {
   * cumulative, so the final state per user is the one with the highest
   * n_events.
   */
+/** `transformWithState` with MAP state (§2.10 — the third of the
+  * arbitrary-state primitives, after [[SpendProfile]]'s ValueState +
+  * ListState): per-user per-event-type counts and exact dsum-grid sums
+  * held in ONE MapState[event_type → stats] rather than a state
+  * variable per type — the shape for open-ended key sub-domains
+  * (event taxonomies, product ids) where per-key ValueStates can't be
+  * declared up front. Emitted as FIXED scalar columns per known type
+  * (absent type → count 0 / sum null, matching SQL's empty-group
+  * aggregate), so the snapshot is driver-comparator-gateable (the p21
+  * scalars-only convention). Snapshots are cumulative (Update mode);
+  * the final per-user profile is the max-total_n one. TTL is
+  * deliberately NOT gated: TTLConfig evicts by PROCESSING time — wall
+  * clock — which no batch oracle can replay; eviction semantics are
+  * covered by the event-time mapGroupsWithState tests instead. */
+object TypeProfile {
+  final case class TypeStats(n: Long, sum_str: String)
+  final case class EventTyped(user_id: Long, event_id: Long,
+      event_type: String, value: Double, ts: java.sql.Timestamp)
+  final case class UserTypes(user_id: Long, total_n: Long,
+      click_n: Long, click_sum: Option[Double],
+      view_n: Long, view_sum: Option[Double],
+      purchase_n: Long, purchase_sum: Option[Double],
+      signup_n: Long, signup_sum: Option[Double],
+      error_n: Long, error_sum: Option[Double])
+
+  /** The fixed taxonomy the SNAPSHOT projects; the MapState itself is
+    * taxonomy-free (any new type accumulates — only the gated
+    * projection names columns). */
+  val KnownTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
+
+  final class Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventTyped, UserTypes] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode}
+
+    @transient private var byType: MapState[String, TypeStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      byType = getHandle.getMapState[String, TypeStats]("byType",
+        Encoders.STRING, Encoders.product[TypeStats], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[EventTyped],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypes] = {
+      rows.foreach { e =>
+        val prev =
+          if (byType.containsKey(e.event_type)) byType.getValue(e.event_type)
+          else TypeStats(0L, "0.000000")
+        // the dsum grid: summands snapped to DECIMAL(30,6), summed exactly
+        val acc = BigDecimal(prev.sum_str) +
+          BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        byType.updateValue(e.event_type,
+          TypeStats(prev.n + 1, acc.bigDecimal.toPlainString))
+      }
+      val m = byType.iterator().map { case (t, s) => t -> s }.toMap
+      def n(t: String): Long = m.get(t).map(_.n).getOrElse(0L)
+      def s(t: String): Option[Double] =
+        m.get(t).map(ts => BigDecimal(ts.sum_str).toDouble)
+      Iterator.single(UserTypes(key, m.values.map(_.n).sum,
+        n("click"), s("click"), n("view"), s("view"),
+        n("purchase"), s("purchase"), n("signup"), s("signup"),
+        n("error"), s("error")))
+    }
+  }
+
+  /** Per-user per-type profile as a streaming MapState machine. */
+  def userTypeProfile(events: Dataset[EventTyped]): Dataset[UserTypes] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new Processor, TimeMode.None(),
+        OutputMode.Update())(Encoders.product[UserTypes])
+  }
+}
+
 object SpendProfile {
   final case class SpendTotals(n_events: Long, sum_str: String)
   final case class TopEntry(value: Double, event_id: Long)

@@ -713,6 +713,46 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState MapState: per-type accumulation across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.streaming.TypeProfile
+      val input = MemoryStream[TypeProfile.EventTyped]
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val profile = TypeProfile.userTypeProfile(input.toDS()).toDF()
+      val name = s"twsmap_${System.nanoTime()}"
+      val q = profile.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      input.addData(
+        TypeProfile.EventTyped(1L, 10L, "click", 1.5, t("2024-01-01 10:00:00")),
+        TypeProfile.EventTyped(1L, 11L, "view", 2.0, t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // batch 2: the click count must ACCUMULATE in the map entry, and a
+      // type never declared up front (purchase) must appear
+      input.addData(
+        TypeProfile.EventTyped(1L, 12L, "click", 0.25, t("2024-01-01 10:02:00")),
+        TypeProfile.EventTyped(1L, 13L, "purchase", 9.0, t("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table(name)
+        .orderBy(col("total_n").desc).limit(1)
+        .select("total_n", "click_n", "click_sum", "view_n", "view_sum",
+          "purchase_n", "purchase_sum", "signup_n", "signup_sum")
+        .as[(Long, Long, Option[Double], Long, Option[Double], Long,
+          Option[Double], Long, Option[Double])].head()
+      spark.catalog.dropTempView(name)
+      assert(fin === ((4L, 2L, Some(1.75), 1L, Some(2.0), 1L, Some(9.0), 0L, None)),
+        s"cross-batch map profile: $fin")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stage cache deletion is session-scoped (ADVICE r15)") {
     // seed the cache by running the p19 stream query (stages the
     // two-batch events dir for (session, sf0.001))
