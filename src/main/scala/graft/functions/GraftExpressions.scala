@@ -331,16 +331,6 @@ object ModeCount {
   }
 }
 
-/** Portable mod-2³¹ polynomial fold over a string's Unicode code points:
-  * h = (h·31 + codepoint) mod 2³¹−1, left to right. The cross-engine
-  * fingerprint CONTRACT behind hash-split/sampling/packing (one SQL
-  * mirror lives in graft.queries.Text.foldSql) — bit-identical to the
-  * HOF form `aggregate(filter(split(s,''), ch -> ch != ''), 0L,
-  * (h, ch) -> pmod(h*31 + ascii(ch), 2147483647))` it replaces, which
-  * allocated an array of single-char strings and dispatched two
-  * interpreted lambdas per character on the hot path of every
-  * split/resample/pack query. Decodes the UTF-8 bytes directly; no
-  * allocation, whole-stage codegen via a static helper. */
 /** Consistent pseudonymization of linkable identifiers
   * ([[TextFunctions.pseudonymizeString]]): one compiled-regex pass, each
   * match replaced by a surrogate derived from the match's own portable
@@ -368,6 +358,16 @@ case class Pseudonymize(child: Expression)
     copy(child = newChild)
 }
 
+/** Portable mod-2³¹ polynomial fold over a string's Unicode code points:
+  * h = (h·31 + codepoint) mod 2³¹−1, left to right. The cross-engine
+  * fingerprint CONTRACT behind hash-split/sampling/packing (one SQL
+  * mirror lives in graft.queries.Text.foldSql) — bit-identical to the
+  * HOF form `aggregate(filter(split(s,''), ch -> ch != ''), 0L,
+  * (h, ch) -> pmod(h*31 + ascii(ch), 2147483647))` it replaces, which
+  * allocated an array of single-char strings and dispatched two
+  * interpreted lambdas per character on the hot path of every
+  * split/resample/pack query. Decodes the UTF-8 bytes directly; no
+  * allocation, whole-stage codegen via a static helper. */
 case class Fold31(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType

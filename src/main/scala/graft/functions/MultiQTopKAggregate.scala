@@ -107,21 +107,23 @@ case class MultiQTopK(
           // dot is 0 too), so the NaN default IS the plain-arithmetic
           // behavior; matryoshka's stage 1 passes -1.0 to preserve its
           // documented zero-prefix-sorts-last contract
+          val qv = qvecs(q)
+          // strict width check, mirroring graft_dot (ADVICE r15): a
+          // prefix dot over ragged data is a plausible-looking wrong
+          // cosine, not a recoverable answer — and both branches of the
+          // size-gated rank path must fail the same way for the
+          // implicit branch flip to be invisible. Checked BEFORE the
+          // zero-norm short-circuit: graft_dot throws on a ragged
+          // zero-norm pair too, so parity requires the check first.
+          if (d != qv.length) {
+            throw new IllegalArgumentException(
+              s"graft_multiq_topk: corpus vector width $d != query " +
+                s"width ${qv.length} (query id ${qids(q)}) — ragged " +
+                "embedding data")
+          }
           val score =
             if (nrmV == 0.0 || qnrms(q) == 0.0) zeroScore
             else {
-              val qv = qvecs(q)
-              // strict width check, mirroring graft_dot (ADVICE r15):
-              // a prefix dot over ragged data is a plausible-looking
-              // wrong cosine, not a recoverable answer — and both
-              // branches of the size-gated rank path must fail the
-              // same way for the implicit branch flip to be invisible
-              if (d != qv.length) {
-                throw new IllegalArgumentException(
-                  s"graft_multiq_topk: corpus vector width $d != query " +
-                    s"width ${qv.length} (query id ${qids(q)}) — ragged " +
-                    "embedding data")
-              }
               var acc = 0.0
               i = 0
               while (i < d) { acc += v(i) * qv(i); i += 1 }

@@ -115,7 +115,12 @@ object TextFunctions {
     * phone → `555-<fold%1e4>`. Pure function of the input string —
     * distributable at scan speed, no lookup table to build, ship, or
     * leak (a reversible token VAULT is the variant that needs one; this
-    * is the irreversible form). */
+    * is the irreversible form).
+    *
+    * NOT idempotent by design: surrogates are format-preserving (an
+    * email stays email-shaped so downstream parsers keep working),
+    * so a SECOND pseudonymize pass re-matches and re-maps them — run
+    * once per corpus, like any tokenization step. */
   private lazy val pseudonymizeCompiled =
     java.util.regex.Pattern.compile(PseudonymizePattern)
 

@@ -820,8 +820,12 @@ object Quality {
     // exact (k1, k2) smallest-value selection per group → (group, med)
     // where med = (v@k1 + v@k2) / 2
     def selectMedian(src: DataFrame, vCol: String, outCol: String): DataFrame = {
+      // group keys travel driver-side and through the target joins in a
+      // canonical STRING form, so any group type (string, int, date …)
+      // works; the output stays keyed by the original column
+      val gkey = col(groupCol).cast("string")
       val hist = src
-        .groupBy(col(groupCol).as("_g"), bucketOf(col(vCol)).as("_b"))
+        .groupBy(gkey.as("_g"), bucketOf(col(vCol)).as("_b"))
         .agg(count(lit(1)).as("_c"))
         .collect() // bounded: groups × buckets, corpus-size-independent
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -846,13 +850,13 @@ object Quality {
         .withColumn("_b", bucketOf(col(vCol)))
         .join(broadcast(tgt.select(col("_g"), col("_b")).distinct()
           .withColumnRenamed("_b", "_tb")),
-          col(groupCol) === col("_g") && col("_b") === col("_tb"), "leftsemi")
+          gkey === col("_g") && col("_b") === col("_tb"), "leftsemi")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(groupCol), col("_b")).orderBy(col(vCol))
       val ranked = candidates.withColumn("_rn", row_number().over(w).cast("long"))
       ranked
         .join(broadcast(tgt.withColumnRenamed("_b", "_jb")),
-          col(groupCol) === col("_g") &&
+          gkey === col("_g") &&
             col("_b") === col("_jb") && col("_rn") === col("_rk"))
         .groupBy(col(groupCol))
         // always exactly two target rows per group (k1 == k2 duplicates

@@ -90,23 +90,27 @@ object Similarity {
   private[graft] def cosineTopKForQueriesImpl(spark: SparkSession, emb: DataFrame,
       queryPred: Column, k: Int, fused: Boolean): DataFrame = {
     GraftExpressions.register(spark)
-    // ONE canonical frame shape for queryPred in BOTH branches: the raw
-    // (vec_id: long, embedding) projection. The branches used to differ
+    // ONE canonical evaluation point for queryPred in BOTH branches:
+    // the RAW emb frame, full schema (metadata predicates like
+    // `col("is_query")` keep working). The branches used to differ
     // (fused filtered raw emb; crossJoin filtered normed(emb), where
-    // 'embedding' is dropped and 'v'/'nrm' exist) — and the branch flips
-    // implicitly at [[FusedKernelMinBytes]], so a predicate valid on one
-    // shape (or an int-typed vec_id hitting the fused getLong) would
-    // work at one corpus size and throw at another. vec_id is cast to
-    // long up front for the same reason: both branches emit LongType
-    // ids regardless of the input's integer width.
-    val embc = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // 'embedding' is dropped and 'v'/'nrm' exist) — and the branch
+    // flips implicitly at [[FusedKernelMinBytes]], so a predicate
+    // valid on one shape (or an int-typed vec_id hitting the fused
+    // getLong) would work at one corpus size and throw at another.
+    // After the filter, both sides canonicalize to
+    // (vec_id: long, embedding): both branches emit LongType ids
+    // regardless of the input's integer width.
+    def canon(df: DataFrame): DataFrame =
+      df.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val embc = canon(emb)
+    val qc = canon(emb.filter(queryPred))
     if (!fused) {
       // single-job form: corpus × broadcast(queries) → graft_dot →
-      // bounded graft_topk heaps. Queries are filtered BEFORE normed()
-      // (filter∘norm ≡ norm∘filter row-wise) so the predicate sees the
-      // canonical raw shape, never v/nrm.
+      // bounded graft_topk heaps (filter∘norm ≡ norm∘filter row-wise,
+      // so norming the filtered queries is exact)
       val n = normed(embc)
-      val q = normed(embc.filter(queryPred))
+      val q = normed(qc)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       return topKRank(
         n.crossJoin(broadcast(q))
@@ -126,7 +130,7 @@ object Similarity {
     // are unchanged by the branch. The query set is collected —
     // bounded, the same contract the broadcast carried — and travels
     // as one binary literal.
-    val queries = embc.filter(queryPred)
+    val queries = qc
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("qv"))
       .collect()

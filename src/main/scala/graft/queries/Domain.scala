@@ -859,6 +859,10 @@ object Domain {
   private val twoBatchStageCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Test hook: the staged input dirs currently registered. */
+  private[graft] def stagedStreamDirs: Seq[String] =
+    twoBatchStageCache.values.toSeq
+
   /** Deletes staged two-batch input dirs — scoped per session (ADVICE
     * r15): the map is JVM-global, so an unscoped sweep from one session
     * would delete a DIFFERENT live session's staged p19/p20 input out
@@ -868,10 +872,6 @@ object Domain {
     * then no stream can still be reading). With `session = None` and
     * all sessions live, nothing is deleted: a live cache entry is by
     * design reused, not reaped. */
-  /** Test hook: the staged input dirs currently registered. */
-  private[graft] def stagedStreamDirs: Seq[String] =
-    twoBatchStageCache.values.toSeq
-
   private[graft] def clearStreamStageCache(
       session: Option[SparkSession] = None): Unit = {
     val doomed = twoBatchStageCache.toSeq.filter { case ((s, _), _) =>

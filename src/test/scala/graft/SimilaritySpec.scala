@@ -106,6 +106,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(both(0).map(_._1).toSet === Set(0L, 2L))
   }
 
+  test("query predicate over a metadata column works in BOTH branches (full raw schema)") {
+    // the documented contract is an ARBITRARY predicate over the input
+    // frame — including columns outside (vec_id, embedding); it must
+    // hold at every corpus size, i.e. in both implicit branches
+    GraftExpressions.register(spark)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), true), (1L, Array(0.8f, 0.6f), false),
+      (2L, Array(0.0f, 1.0f), true), (3L, Array(-0.5f, 0.5f), false))
+      .toDF("vec_id", "embedding", "is_query")
+    val both = Seq(true, false).map { f =>
+      Similarity.cosineTopKForQueriesImpl(spark, vecs, col("is_query"), k = 2, fused = f)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    }
+    assert(both(0) === both(1))
+    assert(both(0).map(_._1).toSet === Set(0L, 2L))
+  }
+
   test("missing optimizer stats pick the fused branch (scale-safe default)") {
     // A leaf with unknown stats (LogicalRDD) reports
     // spark.sql.defaultSizeInBytes = Long.MaxValue, so the size gate
