@@ -1767,8 +1767,13 @@ object Text {
     * before the limit. avgdl is exact-integer total/count, identical
     * across engines. */
   // BM25 scores for every matching doc — t31 takes the top 20, the
-  // hybrid t46 rank-fuses the top 50 with a vector ranking.
-  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+  // hybrid t46 rank-fuses the top 50 with a vector ranking, t76's
+  // feedback pass re-scores with an expanded term set.
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoresFor(spark, dir, Bm25Query)
+
+  private def bm25ScoresFor(spark: SparkSession, dir: String,
+      queryTerms: Seq[String]): DataFrame = {
     val docs = Corpus.documents(spark, dir)
     val dl = docs
       .withColumn("dl", tokenCount(col("text")).cast("long"))
@@ -1781,9 +1786,9 @@ object Text {
       // are never exploded, and the predicate reaches the parquet scan.
       // With realistic (rare) query terms this skips most of a 100 TB
       // corpus before the expensive generator.
-      .filter(Bm25Query.map(t => col("text").contains(t)).reduce(_ || _))
+      .filter(queryTerms.map(t => col("text").contains(t)).reduce(_ || _))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .filter(col("term").isin(Bm25Query: _*))
+      .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1825,26 +1830,31 @@ object Text {
       .localCheckpoint()
   }
 
-  // Shared BM25 CTE chain (dl/stats/tf/dfreq/sc) — ONE definition used
-  // by both the t31 and t46 mirrors, matching the Scala side's shared
-  // bm25Scores: an oracle fix applied to one query can't silently
-  // diverge the other.
-  private val bm25CoreSql = {
-    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+  // Shared BM25 CTE chain (dl/stats/tf/dfreq/sc, optionally suffixed) —
+  // ONE definition used by the t31/t46/t76 mirrors, matching the Scala
+  // side's shared bm25ScoresFor: an oracle fix applied to one query
+  // can't silently diverge the others. `termPred` selects the query
+  // terms (a literal IN-list, or t76's data-dependent expansion);
+  // `suffix` disambiguates a second chain instance in one statement.
+  private def bm25CoreSqlFor(suffix: String, termPred: String): String =
+    s"""dl$suffix AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
        |            FROM documents WHERE len($toksSql) > 0),
-       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
-       |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       |stats$suffix AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl$suffix),
+       |tf$suffix AS (SELECT doc_id, term, COUNT(*) AS tf
        |       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
-       |       WHERE term IN ($terms) GROUP BY doc_id, term),
-       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-       |sc AS (SELECT tf.doc_id,
+       |       WHERE $termPred GROUP BY doc_id, term),
+       |dfreq$suffix AS (SELECT term, COUNT(*) AS df FROM tf$suffix GROUP BY term),
+       |sc$suffix AS (SELECT tf$suffix.doc_id,
        |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
        |           (tf * ${Bm25K1 + 1} /
        |            (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl /
        |                             (CAST(total_dl AS DOUBLE) / n_docs)))) AS contrib
-       |       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)""".stripMargin
-  }
+       |       FROM tf$suffix JOIN dfreq$suffix USING (term) JOIN dl$suffix USING (doc_id) CROSS JOIN stats$suffix)""".stripMargin
+
+  private val bm25QueryTermsSql = Bm25Query.map(t => s"'$t'").mkString(", ")
+
+  private val bm25CoreSql =
+    bm25CoreSqlFor("", s"term IN ($bm25QueryTermsSql)")
 
   private val t31Sql =
     s"""WITH $bm25CoreSql
@@ -2979,6 +2989,56 @@ object Text {
        |FROM d JOIN mad USING (lang)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Rocchio-style pseudo-relevance feedback (Rocchio 1971; the RM3
+    * recipe's term-based core): run the BM25 query, take the top-5
+    * ranking as pseudo-relevant, expand the query with their 3 most
+    * frequent non-query non-stopword terms, re-run BM25 with the
+    * expanded term set — the retrieval feedback loop hard-negative
+    * mining and retrieval-curation pipelines add on top of plain BM25
+    * (t31). Deterministic end to end: both rankings are total orders
+    * (bm25 desc, doc_id), term selection ties break (weight desc, term
+    * asc). The expansion set is a BOUNDED collect (3 strings — the
+    * broadcast-literal contract the vector query sets follow), which
+    * is what lets the second pass keep t31's substring prefilter
+    * pushdown. Scale: two scans of the corpus (initial + expanded
+    * scoring) plus a 5-doc term count — the feedback pass costs one
+    * extra retrieval, never a per-doc loop. */
+  private def t76(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    val top5 = bm25Scores(spark, dir)
+      .orderBy(desc("bm25"), col("doc_id")).limit(5).select("doc_id")
+    val expansion = docs.join(top5, "doc_id")
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(Bm25Query: _*))
+      .filter(!col("term").isin(TextFunctions.StopwordList: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("w"))
+      .orderBy(desc("w"), col("term")).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    bm25ScoresFor(spark, dir, Bm25Query ++ expansion)
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val t76Sql = {
+    val stopList = TextFunctions.StopwordList.map(s => s"'$s'").mkString(", ")
+    s"""WITH $bm25CoreSql,
+       |base AS (SELECT doc_id FROM (
+       |    SELECT doc_id, ${Num.dsumSql("contrib")} AS bm25 FROM sc GROUP BY doc_id
+       |    ORDER BY bm25 DESC, doc_id LIMIT 5)),
+       |exp AS (SELECT term FROM (
+       |    SELECT term, COUNT(*) AS w
+       |    FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) u
+       |    JOIN base USING (doc_id)
+       |    WHERE term NOT IN ($bm25QueryTermsSql) AND term NOT IN ($stopList)
+       |    GROUP BY term ORDER BY w DESC, term LIMIT 3)),
+       |${bm25CoreSqlFor("2", s"term IN ($bm25QueryTermsSql) OR term IN (SELECT term FROM exp)")}
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |  ${Num.dsumSql("contrib")} AS bm25
+       |FROM sc2 GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -3054,5 +3114,6 @@ object Text {
     QuerySpec("t72_heaps_law", t72, Some(t72Sql)),
     QuerySpec("t73_minhash_s_curve", t73, Some(t73Sql)),
     QuerySpec("t74_pseudonymize", t74, Some(t74Sql)),
-    QuerySpec("t75_quality_outliers", t75, Some(t75Sql)))
+    QuerySpec("t75_quality_outliers", t75, Some(t75Sql)),
+    QuerySpec("t76_rocchio_prf", t76, Some(t76Sql)))
 }
