@@ -104,7 +104,7 @@ object BenchReference {
     // shape); p07b is the COMPOSED pipeline (bronze JSON write →
     // silver → 7 gold VersionedTables), so its floor is write-bound
     "p05b" -> 1.61, "p07b" -> 6.43, "t74" -> 0.41, "t75" -> 1.86,
-    "q54" -> 0.66, "p22" -> 1.44,
+    "q54" -> 0.66, "p22" -> 1.44, "t76" -> 1.14,
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.35, "v04" -> 0.97, "v05" -> 1.31,
