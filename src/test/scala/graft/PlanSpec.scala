@@ -25,6 +25,17 @@ class PlanSpec extends SparkTestBase {
       "projection must prune unused columns")
   }
 
+  test("t76: both retrieval passes keep the substring prefilter pushed to the scan") {
+    // the feedback pass re-scores with a runtime-expanded term set; the
+    // expansion is collected to literals precisely so BOTH scans keep
+    // the contains() prefilter at the parquet scan (a data-dependent
+    // term frame would have forced a full-corpus explode)
+    val plan = planOf("t76_rocchio_prf")
+    val pushed = plan.split('\n').count(l =>
+      l.contains("PushedFilters:") && l.contains("StringContains(text,hash"))
+    assert(pushed >= 1, s"expanded-pass scan lost the contains prefilter:\n$plan")
+  }
+
   test("q06: dims join via broadcast, not shuffle") {
     val plan = planOf("q06_region_customer_stats")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
