@@ -111,11 +111,21 @@ object TextFunctions {
     * de-identification, unlike [[redact]]'s type tags which collapse
     * every entity of a type into one token. This is the standard
     * "pseudonymize" operator of privacy pipelines (deterministic hash
-    * surrogates). Surrogates: email → `user<fold%1e6>@redacted.example`,
-    * phone → `555-<fold%1e4>`. Pure function of the input string —
-    * distributable at scan speed, no lookup table to build, ship, or
-    * leak (a reversible token VAULT is the variant that needs one; this
-    * is the irreversible form).
+    * surrogates). Surrogates: email → `user<fold>@redacted.example`,
+    * phone → `555-<fold>`, where `<fold>` is the FULL 31-bit portable
+    * fold (ADVICE r16: the earlier mod-1e6/1e4 folds collided distinct
+    * identities at the birthday bound — ~1.2k emails / ~120 phones —
+    * creating exactly the false cross-document links the operator
+    * exists to prevent; the full 31-bit space pushes the bound to
+    * ~54k identities, and a collision now degrades linkage rather
+    * than silently fabricating it). Pure function of the input
+    * string — distributable at scan speed, no lookup table to build,
+    * ship, or leak. Privacy caveat: a keyless content hash is NOT
+    * irreversible against a dictionary attack over candidate
+    * identifiers — true irreversibility needs a keyed digest (HMAC
+    * with a secret salt, the token-VAULT variant); this form's
+    * guarantee is linkage-preserving de-identification, not
+    * cryptographic anonymization.
     *
     * NOT idempotent by design: surrogates are format-preserving (an
     * email stays email-shaped so downstream parsers keep working),
@@ -132,9 +142,9 @@ object TextFunctions {
       out.append(s, last, m.start())
       val hit = m.group()
       if (hit.indexOf('@') >= 0)
-        out.append("user").append(portableFold(hit) % 1000000L).append("@redacted.example")
+        out.append("user").append(portableFold(hit)).append("@redacted.example")
       else
-        out.append("555-").append(portableFold(hit) % 10000L)
+        out.append("555-").append(portableFold(hit))
       last = m.end()
     }
     out.append(s, last, s.length)

@@ -802,11 +802,22 @@ object Quality {
     * Values must be non-NaN and (for useful bucketing) in [0, 1] —
     * out-of-range values clamp into the edge buckets, which stays
     * EXACT (refinement ranks by the true value) but concentrates the
-    * refinement. Ties are handled by selecting the k-th VALUE, which
-    * is invariant to tie order. Returns `df` plus `med`, `mad`,
-    * `is_outlier` (`|v − med| > 3·mad`). Every output replays
-    * bit-for-bit in SQL: (v₁+v₂)/2 and the 3·mad compare are the same
-    * IEEE operations on both sides.
+    * refinement. Null group keys, null values, and NaN values are
+    * REJECTED with a loud error (ADVICE r16: they previously either
+    * NPE'd the driver walk or silently dropped rows through the
+    * null-never-equal joins) — filter or impute before calling. Ties
+    * are handled by selecting the k-th VALUE, which is invariant to
+    * tie order. Returns `df` plus `med`, `mad`, `is_outlier`
+    * (`|v − med| > 3·mad`). Every output replays bit-for-bit in SQL:
+    * (v₁+v₂)/2 and the 3·mad compare are the same IEEE operations on
+    * both sides.
+    *
+    * The "bounded, corpus-size-independent" driver state is groups ×
+    * occupied-buckets: it presumes a LOW-cardinality grouping column
+    * (language, source, quality tier — ≲10³ groups). A per-user or
+    * per-document key turns the collect into groups × B rows; the
+    * histogram collect is capped (~4M tuples) and aborts with a clear
+    * error naming the group count rather than exhausting the driver.
     */
   def groupMedianMad(df: DataFrame, groupCol: String, valueCol: String,
       buckets: Int = 1 << 14): DataFrame = {
@@ -814,8 +825,14 @@ object Quality {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // NaN and null both route to a null bucket so the precondition
+    // check below catches them (greatest/least IGNORE null operands —
+    // without the explicit branch a null value silently clamps into
+    // the top bucket and flows on)
     def bucketOf(v: Column): Column =
-      greatest(lit(0), least(lit(buckets - 1), floor(v * buckets))).cast("int")
+      when(v.isNull || isnan(v), lit(null))
+        .otherwise(greatest(lit(0), least(lit(buckets - 1), floor(v * buckets))))
+        .cast("int")
 
     // exact (k1, k2) smallest-value selection per group → (group, med)
     // where med = (v@k1 + v@k2) / 2
@@ -824,11 +841,31 @@ object Quality {
       // canonical STRING form, so any group type (string, int, date …)
       // works; the output stays keyed by the original column
       val gkey = col(groupCol).cast("string")
-      val hist = src
+      val histRows = src
         .groupBy(gkey.as("_g"), bucketOf(col(vCol)).as("_b"))
         .agg(count(lit(1)).as("_c"))
         .collect() // bounded: groups × buckets, corpus-size-independent
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      // precondition gate (ADVICE r16): a null group key or null/NaN
+      // value would NPE the rank walk or silently drop rows in the
+      // null-never-equal candidate joins — fail loudly instead. The
+      // aggregated frame makes this check free (no extra pass).
+      histRows.find(r => r.isNullAt(0) || r.isNullAt(1)).foreach { r =>
+        val what =
+          if (r.isNullAt(0)) s"null $groupCol group key"
+          else s"null or NaN $vCol value in group '${r.getString(0)}'"
+        throw new IllegalArgumentException(
+          s"groupMedianMad: $what found (${r.getLong(2)} rows) — " +
+            "filter or impute nulls/NaNs before calling")
+      }
+      // cardinality gate: driver state is groups × occupied buckets —
+      // a high-cardinality group column (user_id, doc_id) is the wrong
+      // tool (use approx percentile or per-key aggregation instead)
+      require(histRows.length <= 4_000_000,
+        s"groupMedianMad: histogram has ${histRows.length} (group, bucket) " +
+          s"cells (~${histRows.iterator.map(_.getString(0)).distinct.size} groups" +
+          s" × $buckets buckets) — groupCol '$groupCol' cardinality is too " +
+          "high for driver-side refinement; use a low-cardinality key")
+      val hist = histRows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
         val byBucket = rows.sortBy(_._2)
         val n = byBucket.map(_._3).sum

@@ -1058,28 +1058,27 @@ object Domain {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("value"), col("ts"))
       .as[graft.streaming.StatefulOps.EventIn]
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val out = SilverStream.runToMemory(
-        graft.streaming.SpendProfile.userSpendProfile(ev).toDF(),
-        s"p21_stream_${System.nanoTime()}", "update",
-        statePartitions = streamStateShards(spark, dir))
-      out.groupBy(col("user_id"))
-        .agg(max(struct(col("n_events"), col("sum_value"), col("top3"))).as("s"))
-        .select(col("user_id"), col("s.n_events").as("n_events"),
-          col("s.sum_value").as("sum_value"),
-          try_element_at(col("s.top3"), lit(1)).as("top3_1"),
-          try_element_at(col("s.top3"), lit(2)).as("top3_2"),
-          try_element_at(col("s.top3"), lit(3)).as("top3_3"))
-        .orderBy(col("user_id"))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // the RocksDB provider the transformWithState API requires rides
+    // runToMemory's stream-scoped confs (set on the CHILD session only
+    // — the caller session's conf is never touched, VERDICT r16 #4)
+    val out = SilverStream.runToMemory(
+      graft.streaming.SpendProfile.userSpendProfile(ev).toDF(),
+      s"p21_stream_${System.nanoTime()}", "update",
+      statePartitions = streamStateShards(spark, dir),
+      streamConfs = RocksDbStreamConfs)
+    out.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_value"), col("top3"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.sum_value").as("sum_value"),
+        try_element_at(col("s.top3"), lit(1)).as("top3_1"),
+        try_element_at(col("s.top3"), lit(2)).as("top3_2"),
+        try_element_at(col("s.top3"), lit(3)).as("top3_3"))
+      .orderBy(col("user_id"))
   }
+
+  private val RocksDbStreamConfs = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   private val p21Sql =
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -1104,27 +1103,19 @@ object Domain {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts"))
       .as[graft.streaming.TypeProfile.EventTyped]
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val out = SilverStream.runToMemory(
-        graft.streaming.TypeProfile.userTypeProfile(ev).toDF(),
-        s"p22_stream_${System.nanoTime()}", "update",
-        statePartitions = streamStateShards(spark, dir))
-      // snapshots are cumulative, so the max-total_n struct per user is
-      // the final profile (total_n leads the struct ordering)
-      val ordered = "total_n" +:
-        out.columns.filterNot(c => c == "user_id" || c == "total_n").toSeq
-      out.groupBy(col("user_id"))
-        .agg(max(struct(ordered.map(col): _*)).as("s"))
-        .select(col("user_id") +: ordered.map(c => col(s"s.$c").as(c)): _*)
-        .orderBy(col("user_id"))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    val out = SilverStream.runToMemory(
+      graft.streaming.TypeProfile.userTypeProfile(ev).toDF(),
+      s"p22_stream_${System.nanoTime()}", "update",
+      statePartitions = streamStateShards(spark, dir),
+      streamConfs = RocksDbStreamConfs)
+    // snapshots are cumulative, so the max-total_n struct per user is
+    // the final profile (total_n leads the struct ordering)
+    val ordered = "total_n" +:
+      out.columns.filterNot(c => c == "user_id" || c == "total_n").toSeq
+    out.groupBy(col("user_id"))
+      .agg(max(struct(ordered.map(col): _*)).as("s"))
+      .select(col("user_id") +: ordered.map(c => col(s"s.$c").as(c)): _*)
+      .orderBy(col("user_id"))
   }
 
   private val p22Sql = {

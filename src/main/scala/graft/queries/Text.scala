@@ -1066,9 +1066,17 @@ object Text {
     * ([[graft.operators.Unigram.learn]]; Kudo ACL'18, the SentencePiece
     * unigram model): seed vocabulary from weighted substring counts,
     * then Viterbi-EM rounds — re-segment the distinct-word table under
-    * the current pieces, recount, reselect. Rows-only (inherently
-    * iterative, the t30 class); UnigramSpec asserts piece-for-piece
-    * equality with a single-node reference of the algorithm. */
+    * the current pieces, recount, reselect. ORACLE-GATED since r17
+    * (VERDICT r16 #3, upgraded past the transitive-literal ask): the
+    * loop is iterative but every iteration runs on the
+    * VOCABULARY-SIZED word table with deterministic selection, so
+    * DuckDB replays the whole Viterbi-EM — the seed selection, then
+    * per round a full [[viterbiLatticeSql]] lattice under that round's
+    * logp table, the weighted piece recount, and the top-40+singles
+    * reselect with the count floor — and the final vocabulary is
+    * hash-gated rank-for-rank, logp-for-logp at every SF. UnigramSpec
+    * still pins the distributed learner to a single-node reference of
+    * the published algorithm. */
   private def t50(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.operators.Unigram.learn(Corpus.documents(spark, dir),
@@ -1095,52 +1103,129 @@ object Text {
       graft.operators.Unigram.selectPieces(docs, vocabSize = 40, maxPieceLen = 3))
   }
 
-  private val t51Sql =
-    s"""WITH RECURSIVE
-       |w AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM (
-       |        SELECT unnest($wsToksSql) AS word FROM documents) GROUP BY word),
-       |sub AS (SELECT substr(w.word, CAST(p AS INT), CAST(l AS INT)) AS piece,
-       |          CAST(sum(w.wfreq) AS BIGINT) AS cnt
-       |        FROM w,
-       |          LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS p) pp,
-       |          LATERAL (SELECT unnest(range(1, least(3, length(w.word) - p + 1) + 1)) AS l) ll
-       |        GROUP BY piece),
-       |sel AS (SELECT piece, cnt FROM (
-       |          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM sub)
-       |        WHERE rk <= 40 OR length(piece) = 1),
-       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM sel),
-       |lp AS (SELECT piece, ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) AS lp
-       |       FROM sel, tot),
-       |cand0 AS (SELECT w.word, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+  // ---- Tokenizer-learner oracle machinery (r17, VERDICT r16 #3
+  // upgraded): all three learners' iterative loops ARE replayable in
+  // DuckDB because each iteration runs over the VOCABULARY-SIZED
+  // distinct-word table with a deterministic argmax/selection — the
+  // oracle chains one CTE block per iteration. Generation CTEs are
+  // MATERIALIZED: DuckDB inlines plain CTEs, and generation N is read
+  // by both generation N+1's rewrite and its own pair/argmax scan, so
+  // inlining would expand the scan tree exponentially (the un-hinted
+  // form exhausts file handles before it exhausts patience).
+
+  /** The distinct-word table CTE shared by the unigram/WordPiece
+    * oracles: (word, wfreq) under the wsTokens split. */
+  private val wordTableCteSql: String =
+    s"""w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM (
+       |        SELECT unnest($wsToksSql) AS word FROM documents) GROUP BY word)""".stripMargin
+
+  /** Weighted substring counts (length ≤ 3) over the word table — the
+    * unigram seed-selection quantity. */
+  private val substringCountsCteSql: String =
+    """sub AS MATERIALIZED (SELECT substr(w.word, CAST(p AS INT), CAST(l AS INT)) AS piece,
+      |          CAST(sum(w.wfreq) AS BIGINT) AS cnt
+      |        FROM w,
+      |          LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS p) pp,
+      |          LATERAL (SELECT unnest(range(1, least(3, length(w.word) - p + 1) + 1)) AS l) ll
+      |        GROUP BY piece)""".stripMargin
+
+  /** Parameterized DuckDB Viterbi lattice over the word table `w`:
+    * candidate pieces of length ≤ 3 scored by the logp table `lpCte`
+    * (piece, lp) with the unknown-single-char −100.0 floor, dp +
+    * backpointer recursion carrying the smallest-j tie-break (the fold
+    * keeps the accumulator on score ties, and candidates arrive j
+    * ascending), and backtrack to per-word piece lists in
+    * `done_<sfx>`. ONE definition of the lattice shared by the t51
+    * encode oracle and every EM round of the t50 learn oracle — a fix
+    * to the tie-break or the floor applies to both. */
+  private def viterbiLatticeSql(sfx: String, lpCte: String): String =
+    s"""cand0_$sfx AS MATERIALIZED (SELECT w.word, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
        |            substr(w.word, CAST(j + 1 AS INT), CAST(i - j AS INT)) AS piece
        |          FROM w,
        |            LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS i) ii,
        |            LATERAL (SELECT unnest(range(greatest(0, i - 3), i)) AS j) jj),
-       |cand1 AS (SELECT c.word, c.i, c.j,
-       |            COALESCE(lp.lp, CASE WHEN c.i - c.j = 1 THEN -100.0 END) AS clp
-       |          FROM cand0 c LEFT JOIN lp ON lp.piece = c.piece),
-       |cand AS (SELECT word, i, list(struct_pack(j := j, lp := clp) ORDER BY j) AS jl
-       |         FROM cand1 WHERE clp IS NOT NULL GROUP BY word, i),
-       |vit AS (
+       |cand1_$sfx AS (SELECT c.word, c.i, c.j,
+       |            COALESCE($lpCte.lp, CASE WHEN c.i - c.j = 1 THEN -100.0 END) AS clp
+       |          FROM cand0_$sfx c LEFT JOIN $lpCte ON $lpCte.piece = c.piece),
+       |cand_$sfx AS MATERIALIZED (SELECT word, i, list(struct_pack(j := j, lp := clp) ORDER BY j) AS jl
+       |         FROM cand1_$sfx WHERE clp IS NOT NULL GROUP BY word, i),
+       |vit_$sfx AS (
        |  SELECT word, 0 AS i, [CAST(0.0 AS DOUBLE)] AS dp, [CAST(-1 AS INT)] AS bp FROM w
        |  UNION ALL
        |  SELECT v.word, v.i + 1, v.dp || [b.best.s], v.bp || [b.best.j]
-       |  FROM vit v JOIN cand c ON c.word = v.word AND c.i = v.i + 1,
+       |  FROM vit_$sfx v JOIN cand_$sfx c ON c.word = v.word AND c.i = v.i + 1,
        |    LATERAL (SELECT list_reduce(
        |        list_transform(c.jl, x -> struct_pack(s := v.dp[x.j + 1] + x.lp, j := x.j)),
        |        (a, x) -> CASE WHEN x.s > a.s THEN x ELSE a END) AS best) b),
-       |fin AS (SELECT word, bp FROM vit WHERE i = length(word)),
-       |bt AS (
-       |  SELECT word, CAST(length(word) AS INT) AS pos, CAST([] AS VARCHAR[]) AS pieces, bp FROM fin
+       |fin_$sfx AS (SELECT word, bp FROM vit_$sfx WHERE i = length(word)),
+       |bt_$sfx AS (
+       |  SELECT word, CAST(length(word) AS INT) AS pos, CAST([] AS VARCHAR[]) AS pieces, bp FROM fin_$sfx
        |  UNION ALL
        |  SELECT word, bp[pos + 1],
        |    list_prepend(substr(word, CAST(bp[pos + 1] + 1 AS INT), CAST(pos - bp[pos + 1] AS INT)), pieces), bp
-       |  FROM bt WHERE pos > 0),
-       |done AS (SELECT word, pieces FROM bt WHERE pos = 0)
+       |  FROM bt_$sfx WHERE pos > 0),
+       |done_$sfx AS MATERIALIZED (SELECT word, pieces FROM bt_$sfx WHERE pos = 0)""".stripMargin
+
+  private val t51Sql =
+    s"""WITH RECURSIVE
+       |$wordTableCteSql,
+       |$substringCountsCteSql,
+       |sel AS (SELECT piece, cnt FROM (
+       |          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM sub)
+       |        WHERE rk <= 40 OR length(piece) = 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM sel),
+       |lp AS MATERIALIZED (SELECT piece, ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) AS lp
+       |       FROM sel, tot),
+       |${viterbiLatticeSql("e", "lp")}
        |SELECT w.word, w.wfreq, CAST(len(d.pieces) AS BIGINT) AS n_pieces,
        |  array_to_string(d.pieces, '|') AS encoded
-       |FROM w JOIN done d ON w.word = d.word
+       |FROM w JOIN done_e d ON w.word = d.word
        |ORDER BY w.word""".stripMargin
+
+  /** The t50 learn-replay oracle: seed selection (top-160 substrings +
+    * all singles, `Unigram.learn`'s `seedMultiplier × vocabSize`), then
+    * per EM round a Viterbi lattice under that round's logp table, a
+    * weighted piece recount over the segmentations, and the
+    * top-40 + singles-floored-at-1 reselect (max-dedupe replays
+    * `(top ++ keptSingles).distinct.groupBy(piece).max`); final
+    * vocabulary ranked (count desc, piece). */
+  private def unigramLearnSql(rounds: Int): String = {
+    def reselect(r: Int, cnt: String): String =
+      s"""sel$r AS MATERIALIZED (SELECT piece, CAST(max(c) AS BIGINT) AS cnt FROM (
+         |    SELECT piece, c FROM (
+         |      SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk FROM $cnt)
+         |    WHERE rk <= 40
+         |    UNION ALL
+         |    SELECT s.piece, greatest(COALESCE($cnt.c, 0), 1) AS c
+         |    FROM sing s LEFT JOIN $cnt ON s.piece = $cnt.piece)
+         |  GROUP BY piece),
+         |tot$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM sel$r),
+         |lp$r AS MATERIALIZED (SELECT piece, cnt, ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) AS lp
+         |  FROM sel$r, tot$r)""".stripMargin
+    val seed =
+      s"""$wordTableCteSql,
+         |$substringCountsCteSql,
+         |sing AS MATERIALIZED (SELECT DISTINCT piece FROM sub WHERE length(piece) = 1),
+         |sel0 AS MATERIALIZED (SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM sub)
+         |  WHERE rk <= 160 OR length(piece) = 1),
+         |tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM sel0),
+         |lp0 AS MATERIALIZED (SELECT piece, cnt, ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) AS lp
+         |  FROM sel0, tot0)""".stripMargin
+    val roundCtes = (0 until rounds).map { r =>
+      s"""${viterbiLatticeSql(s"r$r", s"lp$r")},
+         |cntr${r + 1} AS MATERIALIZED (SELECT piece, CAST(sum(w.wfreq) AS BIGINT) AS c
+         |  FROM done_r$r d, LATERAL (SELECT unnest(d.pieces) AS piece) pc
+         |  JOIN w ON w.word = d.word GROUP BY piece),
+         |${reselect(r + 1, s"cntr${r + 1}")}""".stripMargin
+    }
+    s"""WITH RECURSIVE ${(seed +: roundCtes).mkString(",\n")}
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+       |  piece, cnt, lp AS logp
+       |FROM lp$rounds ORDER BY rank""".stripMargin
+  }
+
+  private val t50Sql = unigramLearnSql(rounds = 3)
 
   /** Exact heavy hitters via a Misra-Gries candidate sketch
     * ([[graft.operators.Frequency.heavyHitters]]; Agarwal et al. PODS'12
@@ -1503,18 +1588,66 @@ object Text {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Tokenizer induction: the first 16 BPE merges learned over the
-    * corpus ([[graft.operators.Bpe.learnMerges]]). `no_oracle` by design:
+    * corpus ([[graft.operators.Bpe.learnMerges]]). ORACLE-GATED since
+    * r17 (VERDICT r16 #3, upgraded past the transitive-literal ask):
     * each merge's argmax depends on every previous merge's rewrite, so
-    * the algorithm is inherently iterative and has no single-statement
-    * SQL form — correctness is covered by BpeSpec, which asserts the
-    * distributed learner merge-for-merge equal to a single-node
-    * implementation of the published algorithm on both synthetic and
-    * real corpus text. */
+    * there is no single-STATEMENT SQL form — but every iteration runs
+    * on the vocabulary-sized word table with a deterministic argmax
+    * (freq desc, pair asc), so DuckDB replays the loop as 16 chained
+    * CTE blocks ([[bpeLearnSql]]): pair count → 1-row argmax →
+    * §-fold rewrite with the winning pair joined in as columns (the
+    * same fold t33 gates under literal merges). The learned table is
+    * hash-gated merge-for-merge, freq-for-freq at every SF; BpeSpec
+    * still pins the distributed learner to a single-node reference of
+    * the published algorithm. */
   private def t30(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Bpe.learnMerges(Corpus.documents(spark, dir), nMerges = 16)
       .toDF().orderBy(col("rank"))
   }
+
+  /** The t30 learn-replay oracle: iteration i's CTEs are
+    * `p_i` (adjacent-pair weighted counts over generation i−1, the
+    * `freq ≥ 2` stop floor), `b_i` (the argmax row — freq desc, then
+    * pair ascending, Spark's codepoint tie-break ≡ DuckDB binary
+    * collation on this ASCII corpus), and `s_i` (every word's symbol
+    * array rewritten under the winning pair via the t33 §-fold; the
+    * CROSS JOIN against the ≤1-row `b_i` makes early stop compose —
+    * an empty argmax empties every later generation, exactly the
+    * learner's `freq ≥ 2` termination). */
+  private def bpeLearnSql(nMerges: Int): String = {
+    // t33's mergeStep with the pair as COLUMNS (a, b) instead of
+    // literals: keep the trailing `a`, append `b` — the tail then
+    // reads a||b, the merged symbol
+    val fold =
+      s"""(acc, x) -> CASE WHEN x = b AND ends_with(acc, '§' || a || '§')
+         |      THEN substring(acc, 1, length(acc) - 1) || b || '§'
+         |      ELSE acc || x || '§' END""".stripMargin
+    val rewrite =
+      s"list_filter(str_split(list_reduce(list_prepend('§', seg), $fold), '§'), s -> s <> '')"
+    val cs = "str_split(word, '')"
+    val initial = s"list_append($cs[1:len($cs)-1], $cs[len($cs)] || '</w>')"
+    val seed =
+      s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT word, n, $initial AS seg FROM w0)""".stripMargin
+    val iters = (1 to nMerges).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (SELECT seg[j] AS a, seg[j+1] AS b, CAST(sum(n) AS BIGINT) AS freq
+         |  FROM s$p, LATERAL (SELECT unnest(range(1, len(seg))) AS j) jj
+         |  GROUP BY a, b HAVING sum(n) >= 2),
+         |b$i AS MATERIALIZED (SELECT a, b, freq FROM p$i ORDER BY freq DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT word, n, $rewrite AS seg FROM s$p, b$i)""".stripMargin
+    }
+    val merges = (1 to nMerges)
+      .map(i => s"""SELECT $i AS rank, a AS "left", b AS "right", a || b AS merged, freq FROM b$i""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${(seed +: iters).mkString(",\n")}
+       |SELECT CAST(rank AS INT) AS rank, "left", "right", merged, freq
+       |FROM ($merges) ORDER BY rank""".stripMargin
+  }
+
+  private val t30Sql = bpeLearnSql(nMerges = 16)
 
   // t33's FIXED merge list — the apply side of BPE is deterministic and
   // non-iterative once the merges are given, so unlike t30 (learning,
@@ -2139,8 +2272,13 @@ object Text {
     * round the argmax of `freq(pair)/(freq(l)·freq(r))` merges — the
     * learn half of the third tokenizer family (t54 is its gated decode
     * half), completing the learn+encode symmetry with BPE (t30/t33) and
-    * unigram (t50/t51). Rows-only (inherently iterative, the t30
-    * class); WordPieceSpec pins it merge-for-merge to a single-node
+    * unigram (t50/t51). ORACLE-GATED since r17 (the t30 pattern, with
+    * the likelihood twist): each iteration additionally recounts
+    * SYMBOL frequencies and scores pairs by the double ratio — an IEEE
+    * division of exact integer counts, identical wherever the same
+    * counts meet it, so even the double-valued argmax replays
+    * bit-for-bit in DuckDB ([[wordPieceLearnSql]]). WordPieceSpec
+    * still pins the learner merge-for-merge to a single-node
     * reference. */
   private def t58(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2150,10 +2288,56 @@ object Text {
       .orderBy(col("rank"))
   }
 
+  /** The t58 learn-replay oracle (the [[bpeLearnSql]] chain shape plus
+    * per-iteration symbol counts `y_i` and the likelihood score):
+    * initial symbols are first-char bare / rest `##`-prefixed, the
+    * argmax orders by (score desc, pair asc), and the §-fold rewrite
+    * appends `b` WITHOUT its `##` prefix (merged = l + strip(r), the
+    * HF convention t54 decodes under). */
+  private def wordPieceLearnSql(nMerges: Int): String = {
+    val fold =
+      s"""(acc, x) -> CASE WHEN x = b AND ends_with(acc, '§' || a || '§')
+         |      THEN substring(acc, 1, length(acc) - 1) || regexp_replace(b, '^##', '') || '§'
+         |      ELSE acc || x || '§' END""".stripMargin
+    val rewrite =
+      s"list_filter(str_split(list_reduce(list_prepend('§', seg), $fold), '§'), s -> s <> '')"
+    val initial =
+      """list_transform(range(1, length(word) + 1),
+        |    p -> CASE WHEN p = 1 THEN word[1] ELSE '##' || word[CAST(p AS INT)] END)""".stripMargin
+    val seed =
+      s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest($wsToksSql) AS word FROM documents) GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT n, $initial AS seg FROM w0)""".stripMargin
+    val iters = (1 to nMerges).map { i =>
+      val p = i - 1
+      s"""y$i AS MATERIALIZED (SELECT s, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM s$p, LATERAL (SELECT unnest(seg) AS s) ss GROUP BY s),
+         |p$i AS MATERIALIZED (SELECT seg[j] AS a, seg[j+1] AS b, CAST(sum(n) AS BIGINT) AS freq
+         |  FROM s$p, LATERAL (SELECT unnest(range(1, len(seg))) AS j) jj
+         |  GROUP BY a, b HAVING sum(n) >= 2),
+         |b$i AS MATERIALIZED (SELECT a, b,
+         |    CAST(freq AS DOUBLE) / (CAST(cl.cnt AS DOUBLE) * CAST(cr.cnt AS DOUBLE)) AS score, freq
+         |  FROM p$i JOIN y$i cl ON p$i.a = cl.s JOIN y$i cr ON p$i.b = cr.s
+         |  ORDER BY score DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT n, $rewrite AS seg FROM s$p, b$i)""".stripMargin
+    }
+    val merges = (1 to nMerges)
+      .map(i => s"""SELECT $i AS rank, a AS "left", b AS "right",
+                   |  a || regexp_replace(b, '^##', '') AS merged, score, freq FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${(seed +: iters).mkString(",\n")}
+       |SELECT CAST(rank AS BIGINT) AS rank, "left", "right", merged, score, freq
+       |FROM ($merges) ORDER BY rank""".stripMargin
+  }
+
+  private val t58Sql = wordPieceLearnSql(nMerges = 12)
+
   /** Deterministic HyperLogLog distinct 13-grams per language
     * ([[graft.operators.Frequency.hllDistinct]]; Flajolet et al. 2007) —
     * the hash-GATED sibling of q23's `approx_count_distinct` (whose
-    * HLL++ binary state is engine-specific and therefore rows-only):
+    * HLL++ binary state is engine-specific — q23 gates an accuracy
+    * BOUND against DuckDB's exact counts since r17; this gates the
+    * registers themselves):
     * every register derives from the portable fold's Knuth remix, so
     * DuckDB rebuilds the full register file per language and replays
     * the estimate, the linear-counting branch, and the measured
@@ -2922,8 +3106,8 @@ object Text {
     // with per-match surrogates; DuckDB's leftmost-first RE2 semantics
     // match Java's for this pattern (explicit classes, one alternation)
     val sur = s"""CASE WHEN contains(ms[i], '@')
-       |         THEN 'user' || CAST((${foldSql("ms[i]")}) % 1000000 AS VARCHAR) || '@redacted.example'
-       |         ELSE '555-' || CAST((${foldSql("ms[i]")}) % 10000 AS VARCHAR) END""".stripMargin
+       |         THEN 'user' || CAST((${foldSql("ms[i]")}) AS VARCHAR) || '@redacted.example'
+       |         ELSE '555-' || CAST((${foldSql("ms[i]")}) AS VARCHAR) END""".stripMargin
     s"""WITH d AS (
        |  SELECT doc_id,
        |    text || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
@@ -3069,7 +3253,7 @@ object Text {
     QuerySpec("t27_training_order", t27, Some(t27Sql)),
     QuerySpec("t28_token_budget_mix", t28, Some(t28Sql)),
     QuerySpec("t29_dedup_register", t29, Some(t29Sql)),
-    QuerySpec("t30_bpe_merges", t30, None),
+    QuerySpec("t30_bpe_merges", t30, Some(t30Sql)),
     QuerySpec("t31_bm25_topk", t31, Some(t31Sql)),
     QuerySpec("t32_training_export", t32, Some(t32Sql)),
     QuerySpec("t33_bpe_encode", t33, Some(t33Sql)),
@@ -3089,7 +3273,7 @@ object Text {
     QuerySpec("t47_unimax_sampling", t47, Some(t47Sql)),
     QuerySpec("t48_dedup_editdist", t48, Some(t48Sql)),
     QuerySpec("t49_substring_excision", t49, Some(t49Sql)),
-    QuerySpec("t50_unigram_learn", t50, None),
+    QuerySpec("t50_unigram_learn", t50, Some(t50Sql)),
     QuerySpec("t51_unigram_encode", t51, Some(t51Sql)),
     QuerySpec("t52_heavy_hitters", t52, Some(t52Sql)),
     QuerySpec("t53_bm25_index", t53, Some(t31Sql)),
@@ -3097,7 +3281,7 @@ object Text {
     QuerySpec("t55_cms_estimates", t55, Some(t55Sql)),
     QuerySpec("t56_weighted_reservoir", t56, Some(t56Sql)),
     QuerySpec("t57_bloom_decontamination", t57, Some(t57Sql)),
-    QuerySpec("t58_wordpiece_merges", t58, None),
+    QuerySpec("t58_wordpiece_merges", t58, Some(t58Sql)),
     QuerySpec("t59_hll_distinct", t59, Some(t59Sql)),
     QuerySpec("t60_kmv_quantiles", t60, Some(t60Sql)),
     QuerySpec("t61_zipf_fit", t61, Some(t61Sql)),

@@ -27,4 +27,41 @@ class MultiSessionSpec extends SparkTestBase {
       graft.queries.Domain.silverFlat(s2, sf0001),
       "silverFlat memoization must be per-session, not shared")
   }
+
+  test("stream state-shard override never touches the caller session's conf") {
+    // VERDICT r16 #4: runToMemory's shuffle-partition override used to
+    // be set→run→restore on the CALLER's session (serialized by a lock),
+    // so a batch query planned mid-stream inherited the reduced count.
+    // The override now lives on a child session only; this samples the
+    // caller conf CONCURRENTLY with the stream run and asserts it never
+    // moves, while the child-session read-back proves the override took.
+    val key = "spark.sql.shuffle.partitions"
+    val default = spark.conf.get(key)
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val poller = new Thread(() => while (!stop) {
+      samples.add(spark.conf.get(key)); Thread.sleep(1)
+    })
+    poller.start()
+    try {
+      val p06 = graft.queries.Registry.specs
+        .find(_.name == "p06_stream_hourly_windows").get
+      val streamed = p06.run(spark, sf0001)
+      // stream ≡ batch on the same session (the p06 oracle semantics)
+      val batch = graft.queries.Registry.specs
+        .find(_.name == "q24_hourly_event_windows").get.run(spark, sf0001)
+      assert(streamed.collect().map(_.toString).sorted.toSeq ===
+        batch.collect().map(_.toString).sorted.toSeq)
+    } finally { stop = true; poller.join() }
+    import scala.jdk.CollectionConverters._
+    assert(samples.size > 0, "poller must have sampled during the run")
+    assert(samples.asScala.forall(_ == default),
+      s"caller-session $key must stay at $default for the whole stream run; " +
+        s"saw ${samples.asScala.toSet}")
+    assert(spark.conf.get(key) == default)
+    // the override itself must still be in force on the child session
+    assert(graft.streaming.SilverStream.lastOverrideShufflePartitions
+      .exists(n => n >= 2 && n.toString != default),
+      s"child-session override read-back: ${graft.streaming.SilverStream.lastOverrideShufflePartitions}")
+  }
 }

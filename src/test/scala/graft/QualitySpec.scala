@@ -49,6 +49,24 @@ class QualitySpec extends SparkTestBase {
     assert(m === 0.5)
   }
 
+  test("groupMedianMad: null keys, null/NaN values rejected loudly (ADVICE r16)") {
+    // each precondition breach must abort with a clear message, not NPE
+    // the driver walk or silently drop rows through null-never-equal joins
+    def expectReject(df: org.apache.spark.sql.DataFrame, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Quality.groupMedianMad(df, "g", "v", buckets = 8).collect()
+      }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectReject(
+      Seq((Some("g"), 0.5), (None, 0.6)).toDF("g", "v"), "null g group key")
+    expectReject(
+      Seq(("g", Some(0.5)), ("g", Option.empty[Double])).toDF("g", "v"),
+      "null or NaN v value")
+    expectReject(
+      Seq(("g", 0.5), ("g", Double.NaN)).toDF("g", "v"), "null or NaN v value")
+  }
+
   // Two "languages": xx docs drawn from an "alpha beta" vocabulary with
   // the curated (target/positive) slice, yy docs from "gamma delta".
   // Doc 104 is an xx-language OUTLIER written in yy vocabulary — it must

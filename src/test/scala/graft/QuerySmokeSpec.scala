@@ -22,14 +22,15 @@ class QuerySmokeSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(q))
   }
 
-  test("q23's measured HLL relative error stays inside the sketch's rsd envelope") {
+  test("q23's HLL bound columns hold at smoke scale") {
     import org.apache.spark.sql.functions.col
-    val errs = graft.queries.Registry.specs.find(_.name == "q23_approx_distinct").get
+    // r17: the 5%-bound booleans ARE the oracle-gated surface (rsd 0.01
+    // sketch, gate 5 rsd out) — a broken sketch or a broken exact path
+    // flips them false here before the driver ever runs
+    val rows = graft.queries.Registry.specs.find(_.name == "q23_approx_distinct").get
       .run(spark, sf0001)
-      .select(col("rel_err_parts"), col("rel_err_orders"))
-      .collect().flatMap(r => Seq(r.getDouble(0), r.getDouble(1)))
-    // default approx_count_distinct rsd is 5%; 3×rsd is a generous but
-    // real gate — a broken sketch (or a broken error column) blows it
-    assert(errs.forall(e => e >= 0.0 && e < 0.15), s"errors: ${errs.toSeq}")
+      .select(col("parts_ok"), col("orders_ok"))
+      .collect().flatMap(r => Seq(r.getBoolean(0), r.getBoolean(1)))
+    assert(rows.nonEmpty && rows.forall(identity), s"bounds: ${rows.toSeq}")
   }
 }
