@@ -340,6 +340,39 @@ object ModeCount {
   * row, so it runs at scan speed inside whole-stage codegen (static
   * helper call, no boxing beyond the string) with no lookup table to
   * build or leak. */
+/** Registered (pay-level) domain extraction
+  * ([[TextFunctions.registeredDomain]]): public-suffix-aware — the
+  * label left of the longest matching suffix from the bounded
+  * compile-time table, so `a.b.example.co.uk` and `example.co.uk`
+  * group together while `alice.github.io` and `bob.github.io` stay
+  * apart. Returns null for suffix-only or hostless inputs (hence
+  * `nullable` handling via the eval returning null, not
+  * nullSafeEval's short-circuit alone). Pure per-row string function
+  * inside whole-stage codegen. */
+case class RegisteredDomain(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_registered_domain"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = TextFunctions.registeredDomain(input.asInstanceOf[UTF8String].toString)
+    if (d == null) null else UTF8String.fromString(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""String ${ev.value}Dom = graft.functions.TextFunctions.registeredDomain($c.toString());
+         |if (${ev.value}Dom == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(${ev.value}Dom);
+         |}""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): RegisteredDomain =
+    copy(child = newChild)
+}
+
 case class Pseudonymize(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -827,6 +860,7 @@ object GraftExpressions {
     ensure("graft_mode_count")(exprs => ModeCount(exprs.head))
     ensure("graft_fold31")(exprs => Fold31(exprs.head))
     ensure("graft_pseudonymize")(exprs => Pseudonymize(exprs.head))
+    ensure("graft_registered_domain")(exprs => RegisteredDomain(exprs.head))
     ensure("graft_bpe_apply")(exprs =>
       BpeApply(exprs(0), decodeMerges(strArg(exprs(1), "merges"))))
     ensure("graft_bpe_step")(exprs => {

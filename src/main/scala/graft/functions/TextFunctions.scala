@@ -151,6 +151,63 @@ object TextFunctions {
     out.toString
   }
 
+  /** Bounded public-suffix list for [[registeredDomain]] — the
+    * SHAPE of the Public Suffix List algorithm (longest-matching
+    * suffix wins; registered domain = one label left of it; unknown
+    * TLDs fall back to the PSL default `*` rule) over a small
+    * representative table covering the interesting cases: multi-label
+    * country suffixes and private-registry entries (`github.io` —
+    * every user site there is a distinct registrant, which is exactly
+    * why naive last-two-labels grouping is wrong). Swappable for the
+    * full published list; the ORDER here is irrelevant — matching
+    * sorts by label count then length. Shared with the t78 oracle,
+    * which inlines the same entries as literals (one definition). */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "com.br",
+    "github.io", "gitlab.io", "web.app",
+    "com", "org", "net", "io", "ai", "co", "dev", "app", "edu", "gov")
+
+  /** Longest-match priority: more labels first, then longer, then
+    * lexicographic (a total order so the matcher is deterministic). */
+  private[graft] lazy val suffixesByPriority: Seq[String] =
+    PublicSuffixes.sortBy(s => (-s.count(_ == '.'), -s.length, s))
+
+  /** Registered (pay-level) domain of a URL: host extraction (scheme,
+    * userinfo, port, path/query/fragment stripped; lowercased; trailing
+    * dot dropped), then the longest matching public suffix from
+    * [[PublicSuffixes]] plus ONE label. Returns null when no host or no
+    * registrable label exists (a bare suffix like `github.io` is not a
+    * registration). Unknown TLDs use the PSL default rule (last two
+    * labels). Pure per-row string function — scan speed, no lookup
+    * beyond the compile-time suffix table. */
+  def registeredDomain(url: String): String = {
+    var s = url.trim
+    val schemeIdx = s.indexOf("://")
+    if (schemeIdx >= 0) s = s.substring(schemeIdx + 3)
+    val cut = s.indexWhere(c => c == '/' || c == '?' || c == '#')
+    var host = if (cut >= 0) s.substring(0, cut) else s
+    val at = host.lastIndexOf('@')
+    if (at >= 0) host = host.substring(at + 1)
+    val colon = host.indexOf(':')
+    if (colon >= 0) host = host.substring(0, colon)
+    host = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+    if (host.isEmpty || !host.contains('.')) return null
+    for (sfx <- suffixesByPriority) {
+      if (host.length > sfx.length + 1 && host.endsWith("." + sfx)) {
+        val rest = host.substring(0, host.length - sfx.length - 1)
+        val label = rest.substring(rest.lastIndexOf('.') + 1)
+        if (label.isEmpty) return null
+        return label + "." + sfx
+      }
+      if (host == sfx) return null
+    }
+    val parts = host.split('.')
+    if (parts.length >= 2 && parts(parts.length - 1).nonEmpty &&
+        parts(parts.length - 2).nonEmpty)
+      parts(parts.length - 2) + "." + parts(parts.length - 1)
+    else null
+  }
+
   /** Language marker wordlists for the n-gram/stopword language-ID
     * heuristic. Tiny by design — the point is the *shape* (argmax of
     * per-language evidence computed in one pass), swappable for real

@@ -3223,6 +3223,133 @@ object Text {
        |LIMIT 20""".stripMargin
   }
 
+  /** Fuzzy eval-set decontamination (VERDICT r16 #6 — the Dolma/
+    * FineWeb decontamination recipe): t26/t57 catch VERBATIM 13-gram
+    * leaks; this catches PARAPHRASED benchmark leakage by cross-corpus
+    * MinHash-LSH ([[graft.operators.Dedup.crossCorpusNearDups]] — the
+    * t07 band machinery across two corpora, benchmark band keys
+    * broadcast, no cartesian anywhere). Fixture benchmark: every 37th
+    * doc paraphrased (every 30th token replaced by a sentinel — shingle
+    * Jaccard 0.83–1.0 against its source, below exact-dup but above
+    * threshold) plus every 41st doc token-REVERSED (Jaccard ≈ 0
+    * negatives that must NOT appear — reversal destroys every shingle).
+    * Output rows are genuine fuzzy catches: (train_doc, eval_doc,
+    * jaccard). Oracle: brute-force cross-corpus Jaccard of the same
+    * deterministic fixture. Scale: train side shuffles only 8-byte
+    * band keys; benchmark side is small by definition and broadcasts
+    * through candidate generation AND verification. */
+  private def t77(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val para = docs.filter(col("doc_id") % 37 === 0)
+      .withColumn("text", concat_ws(" ",
+        transform(toks, (t, i) =>
+          when((i + 1) % 30 === 0, lit("xyzzy")).otherwise(t))))
+    val rev = docs.filter(col("doc_id") % 41 === 0 && col("doc_id") % 37 =!= 0)
+      .withColumn("text", concat_ws(" ", reverse(toks)))
+    Dedup.crossCorpusNearDups(docs, para.unionByName(rev).select("doc_id", "text"))
+  }
+
+  private val t77Sql =
+    s"""WITH ev AS (
+       |  SELECT doc_id, list_transform(range(1, len(sp) + 1),
+       |      i -> CASE WHEN i % 30 = 0 THEN 'xyzzy' ELSE sp[CAST(i AS INT)] END) AS sp
+       |  FROM (SELECT doc_id, $toksSql AS sp FROM documents WHERE doc_id % 37 = 0)
+       |  UNION ALL
+       |  SELECT doc_id, list_reverse(sp) AS sp
+       |  FROM (SELECT doc_id, $toksSql AS sp FROM documents
+       |        WHERE doc_id % 41 = 0 AND doc_id % 37 <> 0)),
+       |she AS (
+       |  SELECT doc_id, list_distinct([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+       |                                for i in range(1, len(sp) - 1)]) AS s
+       |  FROM ev WHERE len(sp) >= 3),
+       |sht AS (
+       |  SELECT doc_id, list_distinct([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+       |                                for i in range(1, len(sp) - 1)]) AS s
+       |  FROM (SELECT doc_id, $toksSql AS sp FROM documents)
+       |  WHERE len(sp) >= 3)
+       |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+       |  CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(list_distinct(t.s || e.s)) AS jaccard
+       |FROM sht t JOIN she e ON
+       |  CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) / len(list_distinct(t.s || e.s)) >= 0.8
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  // t78's URL fixture: host = <pre> + org<doc_id%7> + <post>, cycling
+  // ten shapes that exercise every interesting suffix case — deep
+  // subdomains, multi-label country suffixes, a private-registry entry
+  // (github.io), an unknown TLD (the PSL default rule). ONE definition
+  // feeds both the Spark fixture and the oracle's replay.
+  private val t78HostShapes: Seq[(String, String)] = Seq(
+    ("www.", ".com"), ("news.", ".co.uk"), ("cdn.assets.", ".com"),
+    ("", ".org"), ("blog.", ".github.io"), ("data.", ".com.au"),
+    ("", ".ai"), ("media.sub.", ".org.uk"), ("", ".unknowntld"),
+    ("files.archive.", ".net"))
+
+  /** Registered-domain mixture report (VERDICT r16 #7): per PAY-LEVEL
+    * domain doc counts, token totals, and corpus token share — the
+    * URL-level statistic the t19/t36 mixture samplers consume, computed
+    * with public-suffix-aware extraction
+    * ([[graft.functions.TextFunctions.registeredDomain]], a codegen'd
+    * expression) instead of raw-field grouping: `cdn.assets.orgN.com`
+    * and `www.orgN.com` group together while `orgN.github.io` stays a
+    * distinct registrant. Oracle: DuckDB replays the host extraction
+    * and the longest-suffix match with the SAME suffix table inlined
+    * as per-suffix regex literals (priority order preserved), then the
+    * identical share arithmetic. Scale: extraction is a pure per-row
+    * function at scan speed; the report aggregates to ≤ |orgs| ×
+    * |suffixes| rows, and the share window runs on that aggregated
+    * frame, not the corpus. */
+  private def t78(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
+    val idx = (col("doc_id") % 10 + 1).cast("int")
+    val pres = array(t78HostShapes.map(s => lit(s._1)): _*)
+    val posts = array(t78HostShapes.map(s => lit(s._2)): _*)
+    val url = concat(lit("https://"), element_at(pres, idx),
+      lit("org"), (col("doc_id") % 7).cast("string"), element_at(posts, idx),
+      lit("/doc/"), col("doc_id").cast("string"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Corpus.documents(spark, dir)
+      .withColumn("url", url)
+      .select(expr("graft_registered_domain(url)").as("domain"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+      // the share window runs over the aggregated (≤ 70-row) frame
+      .withColumn("token_share",
+        col("tokens").cast("double") / sum(col("tokens")).over(w).cast("double"))
+      .orderBy(col("domain"))
+  }
+
+  private val t78Sql = {
+    val pres = t78HostShapes.map(s => s"'${s._1}'").mkString("[", ", ", "]")
+    val posts = t78HostShapes.map(s => s"'${s._2}'").mkString("[", ", ", "]")
+    // the longest-suffix match as a CASE chain in the SAME priority
+    // order the engine matches (labels desc, length desc, lexicographic)
+    val suffixCases = graft.functions.TextFunctions.suffixesByPriority
+      .map { sfx =>
+        val pat = "([^.]+\\." + sfx.replace(".", "\\.") + ")$"
+        s"WHEN regexp_matches(host, '$pat') THEN regexp_extract(host, '$pat', 1)"
+      }
+      .mkString("\n    ")
+    s"""WITH d AS (
+       |  SELECT lower(regexp_extract(
+       |      'https://' || $pres[CAST(doc_id % 10 + 1 AS INT)]
+       |        || 'org' || CAST(doc_id % 7 AS VARCHAR)
+       |        || $posts[CAST(doc_id % 10 + 1 AS INT)] || '/doc/' || doc_id,
+       |      '^[a-z]+://([^/?#]+)', 1)) AS host,
+       |    CAST(len($toksSql) AS BIGINT) AS ntok
+       |  FROM documents),
+       |g AS (SELECT CASE
+       |    $suffixCases
+       |    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain, ntok
+       |  FROM d)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ntok) AS BIGINT) AS tokens,
+       |  CAST(sum(ntok) AS DOUBLE) / CAST(sum(sum(ntok)) OVER () AS DOUBLE) AS token_share
+       |FROM g GROUP BY domain
+       |ORDER BY domain""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -3299,5 +3426,7 @@ object Text {
     QuerySpec("t73_minhash_s_curve", t73, Some(t73Sql)),
     QuerySpec("t74_pseudonymize", t74, Some(t74Sql)),
     QuerySpec("t75_quality_outliers", t75, Some(t75Sql)),
-    QuerySpec("t76_rocchio_prf", t76, Some(t76Sql)))
+    QuerySpec("t76_rocchio_prf", t76, Some(t76Sql)),
+    QuerySpec("t77_fuzzy_decontamination", t77, Some(t77Sql)),
+    QuerySpec("t78_domain_mixture", t78, Some(t78Sql)))
 }

@@ -74,6 +74,32 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
 
+  test("crossCorpusNearDups: catches the paraphrased leak, ignores unrelated benchmarks") {
+    // a NON-repetitive base (the shared `base` repeats its ten words 5×,
+    // so its distinct-shingle set is cyclic and tiny — one word edit
+    // there drops Jaccard to ~0.5, which is a property of the fixture,
+    // not the operator)
+    val sent = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (0L, sent, "s1"),
+      (1L, sent, "s1"), // exact dup of 0
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "), "s2"),
+      (4L, "completely different words nothing shared here at all ok then", "s1"))
+      .toDF("doc_id", "text", "source")
+    // benchmark 100 paraphrases train 0/1 (last word edited → shingle
+    // Jaccard 27/29 ≈ 0.93); benchmark 101 shares nothing
+    val bench = Seq(
+      (100L, sent.replace("tok30", "leaked"), "b"),
+      (101L, "zero overlap with the training corpus in any shingle xx yy zz", "b"))
+      .toDF("doc_id", "text", "source")
+    val hits = graft.operators.Dedup.crossCorpusNearDups(train, bench)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hits.map(_._2).distinct === Seq(100L), hits.toString)
+    assert(hits.map(_._1).sorted === Seq(0L, 1L), hits.toString)
+    assert(hits.forall(h => h._3 >= 0.8 && h._3 <= 1.0), hits.toString)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("dupClusters: star, chain, and bridged components all label to the min id") {
     // star {0,1,2} around 0; CHAIN 10-11-12-13 (10,13 never paired directly);
     // bridge: {20,21} and {22,23} connected only through (21,22)

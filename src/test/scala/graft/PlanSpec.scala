@@ -56,6 +56,14 @@ class PlanSpec extends SparkTestBase {
       plan.contains("EqualTo(o_orderkey,1)"), s"missing key pushdown:\n$plan")
   }
 
+  test("t77 fuzzy decontamination: banded equi-join, benchmark side broadcasts, no cartesian") {
+    val plan = planOf("t77_fuzzy_decontamination")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus candidates must equi-join on (band_idx, band_hash), not enumerate n·m:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small benchmark side must broadcast through candidate generation:\n$plan")
+  }
+
   test("v02 near-dup pairs: no cartesian/theta join in the plan") {
     val plan = planOf("v02_embedding_neardups")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -44,6 +44,32 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(s.contains(s"user$h@redacted.example"), s"$s vs fold $h")
   }
 
+  test("registeredDomain: suffix priority, private registries, PSL default, junk") {
+    import TextFunctions.registeredDomain
+    // longest matching suffix wins; registered = one label left of it
+    assert(registeredDomain("https://www.example.com/x?y#z") === "example.com")
+    assert(registeredDomain("https://a.b.example.co.uk/path") === "example.co.uk")
+    assert(registeredDomain("http://blog.alice.github.io") === "alice.github.io")
+    // private-registry entries keep distinct registrants apart
+    assert(registeredDomain("https://bob.github.io") !== registeredDomain("https://alice.github.io"))
+    // scheme-less, port, userinfo, trailing dot, case
+    assert(registeredDomain("example.org/path") === "example.org")
+    assert(registeredDomain("https://Example.COM:8443/") === "example.com")
+    assert(registeredDomain("https://user:pw@deep.example.net/") === "example.net")
+    assert(registeredDomain("https://example.ai.") === "example.ai")
+    // PSL default rule: unknown TLD -> last two labels
+    assert(registeredDomain("https://a.b.weird.unknowntld") === "weird.unknowntld")
+    // non-registrable: the bare suffix, hostless, dotless
+    assert(registeredDomain("https://github.io/") === null)
+    assert(registeredDomain("https://localhost/") === null)
+    assert(registeredDomain("") === null)
+    // codegen path equals the driver-side function
+    graft.functions.GraftExpressions.register(spark)
+    val viaExpr = Seq("https://a.b.example.co.uk/p", "https://github.io/")
+      .toDF("u").selectExpr("graft_registered_domain(u)").as[String].collect()
+    assert(viaExpr.toSeq === Seq("example.co.uk", null))
+  }
+
   test("shingles: n-gram count and short-doc guard") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("s"))
