@@ -163,18 +163,29 @@ object Pipeline {
       } finally cached.foreach(_.unpersist())
     }
 
-    // silver → gold: one cached scan fans out to 7 outputs; one retryable
-    // stage. Each gold table is a VersionedTable (snapshot + atomic marker
-    // commit), so a rerun publishes a NEW snapshot instead of deleting the
-    // live one — a reader mid-rerun always resolves a complete committed
-    // table, never the partial/missing window a plain overwrite opens.
-    // vacuum(keep = 2) bounds storage across reruns while leaving the
-    // previous snapshot alive for readers that resolved it pre-commit.
+    // silver → gold: the silver scan fans out to 7 outputs UNCACHED —
+    // each gold table re-reads the parquet with its OWN pruned column
+    // subset, which beats materializing the full-width frame once
+    // (r17 A/B, tools/GoldFanoutAB: at 100× sf0.1 no-persist reads
+    // 17.9–23.9 s / GC 0.2–0.5 s vs MEMORY_AND_DISK 41.8–49.4 s /
+    // GC 1.3–2.1 s and ~33 GB transient residency; DISK_ONLY sits
+    // between at 33–44 s. At sf0.1 all three tie at 2.2–2.5 s — the
+    // persist bought nothing at small scale and cost 2× at large, so
+    // the re-scan-7× trade the reference takes is the right one HERE,
+    // where the shared input is a pruned-columnar on-disk table; the
+    // dedup/ANN operators keep their persists, where the shared frame
+    // is an expensive computed intermediate, not a scan.)
+    // One retryable stage. Each gold table is a VersionedTable
+    // (snapshot + atomic marker commit), so a rerun publishes a NEW
+    // snapshot instead of deleting the live one — a reader mid-rerun
+    // always resolves a complete committed table, never the
+    // partial/missing window a plain overwrite opens. vacuum(keep = 2)
+    // bounds storage across reruns while leaving the previous snapshot
+    // alive for readers that resolved it pre-commit.
     val goldResults = retryStage("gold", retry, hooks) {
       val silverBack = spark.read.parquet(silverDir)
         .where(s"load_date = '$loadDate'")
-        .persist()
-      try {
+      locally {
         val goldTables: Seq[(String, DataFrame)] = Seq(
           "dim_courier" -> StarSchema.dimCourier(silverBack),
           "dim_location" -> StarSchema.dimLocation(silverBack),
@@ -191,7 +202,7 @@ object Pipeline {
             df.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$goldDir/csv/$name")
           StageResult(s"gold/$name", readGold(spark, rootDir, loadDate, name).count(), tableRoot)
         }
-      } finally silverBack.unpersist()
+      }
     }
 
     val results = Seq(

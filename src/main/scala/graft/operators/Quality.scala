@@ -819,6 +819,11 @@ object Quality {
     * histogram collect is capped (~4M tuples) and aborts with a clear
     * error naming the group count rather than exhausting the driver.
     */
+  /** Upper bound on the (group, bucket) cells [[groupMedianMad]] pulls
+    * to the driver per refinement pass — the LIMIT below caps the
+    * transfer at this + 1 so the gate fires BEFORE driver exhaustion. */
+  private val MaxHistCells = 4_000_000
+
   def groupMedianMad(df: DataFrame, groupCol: String, valueCol: String,
       buckets: Int = 1 << 14): DataFrame = {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
@@ -841,9 +846,15 @@ object Quality {
       // canonical STRING form, so any group type (string, int, date …)
       // works; the output stays keyed by the original column
       val gkey = col(groupCol).cast("string")
+      // LIMIT caps the DRIVER transfer at the gate's bound + 1, so a
+      // high-cardinality group column aborts via the require below
+      // instead of exhausting the driver inside collect() — the
+      // executors compute the aggregate either way, but the driver
+      // never receives more than it can check
       val histRows = src
         .groupBy(gkey.as("_g"), bucketOf(col(vCol)).as("_b"))
         .agg(count(lit(1)).as("_c"))
+        .limit(MaxHistCells + 1)
         .collect() // bounded: groups × buckets, corpus-size-independent
       // precondition gate (ADVICE r16): a null group key or null/NaN
       // value would NPE the rank walk or silently drop rows in the
@@ -860,11 +871,10 @@ object Quality {
       // cardinality gate: driver state is groups × occupied buckets —
       // a high-cardinality group column (user_id, doc_id) is the wrong
       // tool (use approx percentile or per-key aggregation instead)
-      require(histRows.length <= 4_000_000,
-        s"groupMedianMad: histogram has ${histRows.length} (group, bucket) " +
-          s"cells (~${histRows.iterator.map(_.getString(0)).distinct.size} groups" +
-          s" × $buckets buckets) — groupCol '$groupCol' cardinality is too " +
-          "high for driver-side refinement; use a low-cardinality key")
+      require(histRows.length <= MaxHistCells,
+        s"groupMedianMad: histogram exceeds $MaxHistCells (group, bucket) " +
+          s"cells — groupCol '$groupCol' cardinality is too high for " +
+          "driver-side refinement; use a low-cardinality key")
       val hist = histRows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
         val byBucket = rows.sortBy(_._2)

@@ -229,6 +229,16 @@ object SilverStream {
         // the caller's session — after this method returns, nothing
         // references the child session or its conf.
         val s2 = spark.newSession()
+        // newSession seeds its SQLConf from BUILDER-time options only —
+        // a conf the caller set at runtime (timezone, ANSI flags, a
+        // different shuffle default) would silently vanish here, so
+        // copy the caller's modifiable runtime view first, then apply
+        // the stream-scoped overrides on top
+        spark.conf.getAll.foreach { case (k, v) =>
+          try if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v))
+            s2.conf.set(k, v)
+          catch { case _: Exception => () }
+        }
         statePartitions.foreach(n =>
           s2.conf.set("spark.sql.shuffle.partitions", n))
         streamConfs.foreach { case (k, v) => s2.conf.set(k, v) }
