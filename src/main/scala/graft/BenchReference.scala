@@ -101,11 +101,11 @@ object BenchReference {
     "q39" -> 1.94, "q41" -> 2.16, "q42" -> 0.87, "q43" -> 0.32,
     "q44" -> 1.04, "q45" -> 2.49, "q46" -> 0.77, "t01" -> 0.45,
     "t02" -> 0.45, "t03" -> 0.34, "t04" -> 0.36, "t05" -> 0.35,
-    "t06" -> 0.37, "t07" -> 2.83, "t08" -> 0.91, "t09" -> 2.54,
-    "t10" -> 0.39, "t11" -> 0.46, "t12" -> 0.61, "t13" -> 2.35,
+    "t06" -> 0.37, "t07" -> 1.90, "t08" -> 0.91, "t09" -> 1.12,
+    "t10" -> 0.39, "t11" -> 0.46, "t12" -> 0.61, "t13" -> 2.09,
     "t14" -> 0.29, "t15" -> 1.54, "t16" -> 1.49, "t17" -> 0.63,
     "t18" -> 0.45, "t19" -> 0.29, "t20" -> 0.27, "t21" -> 0.37,
-    "t22" -> 0.39, "t23" -> 0.74, "t24" -> 3.52, "t25" -> 0.48,
+    "t22" -> 0.39, "t23" -> 0.74, "t24" -> 2.53, "t25" -> 0.48,
     "t26" -> 0.65, "t27" -> 0.18, "t28" -> 0.65, "t29" -> 2.08,
     "t30" -> 1.43, "t31" -> 0.42, "t32" -> 1.03, "t33" -> 0.38,
     "t34" -> 5.38, "t35" -> 0.85, "t36" -> 0.5, "t37" -> 0.35,
@@ -116,7 +116,7 @@ object BenchReference {
     "t54" -> 0.46, "t55" -> 0.41, "t56" -> 0.2, "t57" -> 1.71,
     "t58" -> 1.61, "t59" -> 0.6, "t60" -> 0.92, "t61" -> 0.45,
     "t62" -> 1.08, "t63" -> 1.55, "t64" -> 1.51, "t65" -> 3.85,
-    "t66" -> 0.31, "t67" -> 5.78, "t68" -> 0.42, "t69" -> 1.28,
+    "t66" -> 0.31, "t67" -> 3.25, "t68" -> 0.42, "t69" -> 1.28,
     "t70" -> 0.53, "q47" -> 0.72, "v20" -> 0.36, "v21" -> 0.54,
     // r14 second sitting (builder final-tree full-suite min-of-2).
     // p18/p19/p20 re-seeded in r15: their state-store shard count now
@@ -140,7 +140,12 @@ object BenchReference {
     // 220.15 s / 190 queries, median ratio 1.13); p07b RE-seeded to the
     // same sitting's 5.38 — the gold fan-out persist removal
     // (GoldFanoutAB A/B) made the old write-bound floor beatable
-    "t77" -> 3.35, "t78" -> 0.40,
+    "t77" -> 1.36, "t78" -> 0.40,
+    // r17 shingle-expression re-seeds (codegen'd graft_shingles
+    // replaced the interpreted four-HOF construction chain — the
+    // dominant scan cost of the MinHash family): t07 2.83->1.90,
+    // t09 2.54->1.12, t13 2.35->2.09, t24 3.52->2.53, t67 5.78->3.25,
+    // t77 3.35->1.36, all measured same-day on the final tree
     "t71" -> 0.96, "t72" -> 1.31, "t73" -> 1.25, "v22" -> 2.06,
     "v01" -> 0.27,
     "v02" -> 0.73, "v03" -> 0.68, "v04" -> 0.97, "v05" -> 1.31,

@@ -340,6 +340,75 @@ object ModeCount {
   * row, so it runs at scan speed inside whole-stage codegen (static
   * helper call, no boxing beyond the string) with no lookup table to
   * build or leak. */
+/** Host-side worker for [[ShinglesExpr]] — one manual pass per row.
+  * Kept as a static object method so codegen emits a plain call. */
+object ShinglesCompute {
+  /** Distinct SORTED word n-gram shingles of `text` (single-space
+    * tokenization, empties dropped) — bit-identical to
+    * `array_sort(array_distinct(transform(seq, i -> concat_ws(" ",
+    * slice(toks, i, n)))))` over `tokens(text)`, including the
+    * UTF8String BINARY sort order (TreeSet over UTF8String's own
+    * Comparable), but in one pass with no per-element boxing chain. */
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) toks.add(s.substring(start, i))
+    }
+    val m = toks.size - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      set.add(UTF8String.fromString(sb.toString))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      set.toArray(new Array[AnyRef](set.size())))
+  }
+}
+
+/** Distinct sorted word n-gram shingles of a text column in ONE
+  * codegen'd pass ([[ShinglesCompute.compute]]). The built-in form —
+  * `array_sort(array_distinct(transform(sequence(...), i ->
+  * concat_ws(" ", slice(toks, i, n)))))` — chains four higher-order
+  * functions that are all CodegenFallback (interpreted, one boxed
+  * lambda dispatch per element per level), and that chain was measured
+  * as THE dominant cost of the entire MinHash family at 100×
+  * (the t77 shingle stage: 220 s of a 232 s query; this expression
+  * reads ~29 s — see Dedup.withShingles). Output is bit-identical to
+  * the built-in chain, binary sort order included, so every downstream
+  * oracle verdict is unchanged by construction. */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShinglesCompute.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShinglesCompute.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
 /** Registered (pay-level) domain extraction
   * ([[TextFunctions.registeredDomain]]): public-suffix-aware — the
   * label left of the longest matching suffix from the bounded
@@ -861,6 +930,8 @@ object GraftExpressions {
     ensure("graft_fold31")(exprs => Fold31(exprs.head))
     ensure("graft_pseudonymize")(exprs => Pseudonymize(exprs.head))
     ensure("graft_registered_domain")(exprs => RegisteredDomain(exprs.head))
+    ensure("graft_shingles")(exprs =>
+      ShinglesExpr(exprs(0), intArg(exprs(1), "n")))
     ensure("graft_bpe_apply")(exprs =>
       BpeApply(exprs(0), decodeMerges(strArg(exprs(1), "merges"))))
     ensure("graft_bpe_step")(exprs => {

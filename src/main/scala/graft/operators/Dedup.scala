@@ -49,12 +49,26 @@ object Dedup {
   /** Adds `toks` + `shingles` (word n-grams, distinct, SORTED — the
     * contract the merge-based [[graft.functions.JaccardSorted]] needs) to
     * a documents frame. Docs with fewer than n words keep an empty shingle
-    * set and are excluded from near-dup search (nothing to compare). */
-  def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    * set and are excluded from near-dup search (nothing to compare).
+    *
+    * Shingle construction runs as the codegen'd `graft_shingles`
+    * expression (r17): the built-in
+    * `array_sort(array_distinct(transform(...)))` chain is four
+    * CodegenFallback higher-order functions — interpreted, one boxed
+    * lambda dispatch per element per level — and it was THE dominant
+    * cost of the whole MinHash family at 100× (t77's shingle stage:
+    * 220 s of 232 s total; the one-pass expression reads ~29 s). The
+    * expression's output is bit-identical to the chain (binary sort
+    * order included), so every downstream signature, band, and
+    * exact-Jaccard verdict — and therefore every family oracle — is
+    * unchanged by construction. */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     docs
       .withColumn("toks", tokens(col("text")))
-      .withColumn("shingles", array_sort(shingles(col("toks"), n)))
+      .withColumn("shingles", call_function("graft_shingles", col("text"), lit(n)))
       .filter(size(col("shingles")) > 0)
+  }
 
   /** Exact duplicate groups keyed by md5(text). Returns one row per group
     * with >1 members: (text_hash, n_copies, keep_id, max_id). */
@@ -287,8 +301,28 @@ object Dedup {
     val exE = tracked(withShingles(evalDocs, shingleSize)
       .select(col("doc_id"), size(col("shingles")).as("sz"),
         explode(col("shingles")).as("sh")))
-    val keyT = bandKeys(minhashSignatures(exT, numHashes), bands, numHashes / bands)
-    val keyE = bandKeys(minhashSignatures(exE, numHashes), bands, numHashes / bands)
+    // hash-ONCE discipline (the t73 lesson, applied to the signature
+    // build): xxhash64(shingle, i) per hash function re-reads the
+    // shingle's BYTES numHashes times — ~30 chars × 64 functions per
+    // occurrence; folding each shingle to ONE 8-byte hash and deriving
+    // the family from the long (xxhash64 over 12 bytes per function)
+    // cut the 100× query 252.9 → 220.4 s, and the remaining mass was
+    // the interpreted shingle CONSTRUCTION, since replaced by the
+    // codegen'd graft_shingles (see withShingles — the full query now
+    // reads ~36 s at 100×). The family re-roll is safe HERE because
+    // the 16-bands-of-4 @ 0.85 budget keeps detection
+    // deterministic-in-practice (miss ≤ 7·10⁻⁶ per qualifying pair);
+    // t07's 8×4 @ 0.80 keeps the historical string family its
+    // recorded verdicts pinned.
+    def hashedOnce(ex: DataFrame) =
+      ex.select(col("doc_id"), xxhash64(col("sh")).as("xsh"))
+    def sigs(ex: DataFrame) = {
+      val sigCols = (0 until numHashes)
+        .map(i => min(xxhash64(lit(i), col("xsh"))).as(s"h$i"))
+      hashedOnce(ex).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    }
+    val keyT = bandKeys(sigs(exT), bands, numHashes / bands)
+    val keyE = bandKeys(sigs(exE), bands, numHashes / bands)
     val cand = keyT.as("x")
       .join(broadcast(keyE.as("y")),
         col("x.band_idx") === col("y.band_idx") &&

@@ -44,6 +44,28 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(s.contains(s"user$h@redacted.example"), s"$s vs fold $h")
   }
 
+  test("graft_shingles equals the interpreted HOF chain (edges + non-ASCII + generated)") {
+    graft.functions.GraftExpressions.register(spark)
+    // the codegen'd one-pass expression must be BIT-identical to the
+    // four-level interpreted chain it replaced (r17) — including the
+    // multi-space tokenization, the short-doc empty array, duplicate
+    // collapse, and the UTF8 BINARY sort order on non-ASCII tokens
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "ccc", "dd", "é", "zz", "日本", "x")
+    val gen = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  "))
+    val edge = Seq("", " ", "  ", "one", "one two", "a a a a", "é z 日本 a b")
+    for (n <- Seq(2, 3)) {
+      val df = (gen ++ edge).toDF("text")
+        .withColumn("oldsh",
+          array_sort(TextFunctions.shingles(TextFunctions.tokens(col("text")), n)))
+        .withColumn("newsh", expr(s"graft_shingles(text, $n)"))
+      val bad = df.filter(not(col("oldsh") <=> col("newsh"))).collect()
+      assert(bad.isEmpty, bad.mkString("\n"))
+    }
+  }
+
   test("registeredDomain: suffix priority, private registries, PSL default, junk") {
     import TextFunctions.registeredDomain
     // longest matching suffix wins; registered = one label left of it
