@@ -382,6 +382,69 @@ object ShinglesCompute {
   }
 }
 
+/** Host-side worker for [[NgramsExpr]]. */
+object NgramsCompute {
+  /** ORDERED word n-grams with duplicates KEPT (the repetition-counting
+    * unit, [[ShinglesCompute]] is the distinct/sorted variant) —
+    * bit-identical to `transform(sequence(1, size(toks) − n + 1),
+    * i -> concat_ws(" ", slice(toks, i, n)))` over single-space
+    * tokens with empties dropped, empty array under n tokens. */
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) toks.add(s.substring(start, i))
+    }
+    val m = toks.size - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](m)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Ordered word n-grams of a text column in ONE codegen'd pass
+  * ([[NgramsCompute.compute]]) — the `graft_shingles` treatment for
+  * [[TextFunctions.ngramsAll]]'s corpus-scale call sites (13-gram
+  * decontamination, repeated passages, PMI bigrams): the built-in
+  * transform/slice/concat_ws chain is interpreted CodegenFallback per
+  * element, and gram construction is the scan stage of every
+  * n-gram-decontamination operator. Output bit-identical to
+  * `ngramsAll(tokens(text), n)`. */
+case class NgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramsCompute.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramsCompute.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramsExpr =
+    copy(child = newChild)
+}
+
 /** Distinct sorted word n-gram shingles of a text column in ONE
   * codegen'd pass ([[ShinglesCompute.compute]]). The built-in form —
   * `array_sort(array_distinct(transform(sequence(...), i ->
@@ -932,6 +995,8 @@ object GraftExpressions {
     ensure("graft_registered_domain")(exprs => RegisteredDomain(exprs.head))
     ensure("graft_shingles")(exprs =>
       ShinglesExpr(exprs(0), intArg(exprs(1), "n")))
+    ensure("graft_ngrams")(exprs =>
+      NgramsExpr(exprs(0), intArg(exprs(1), "n")))
     ensure("graft_bpe_apply")(exprs =>
       BpeApply(exprs(0), decodeMerges(strArg(exprs(1), "merges"))))
     ensure("graft_bpe_step")(exprs => {

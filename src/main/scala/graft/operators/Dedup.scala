@@ -108,10 +108,14 @@ object Dedup {
     * (same trade the published pipelines make by matching on hashes). */
   def ngramContamination(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    graft.functions.GraftExpressions.register(train.sparkSession)
+    // gram construction runs as the codegen'd graft_ngrams (r17 — the
+    // graft_shingles lesson; the interpreted transform/slice/concat_ws
+    // chain was the scan-stage cost here too). Docs under n tokens
+    // explode to zero rows, the same set the old size-filter dropped.
     def grams(docs: DataFrame) = docs
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(ngramsAll(col("toks"), n)).as("gram"))
+      .select(col("doc_id"),
+        explode(call_function("graft_ngrams", col("text"), lit(n))).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .distinct()
     val trainSet = grams(train).select(col("gh")).distinct()
@@ -154,9 +158,8 @@ object Dedup {
     val spark = train.sparkSession
     import spark.implicits._
     def grams(docs: DataFrame) = docs
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(ngramsAll(col("toks"), n)).as("gram"))
+      .select(col("doc_id"),
+        explode(call_function("graft_ngrams", col("text"), lit(n))).as("gram"))
     // Bloom insertion is OR-idempotent, so the sketch consumes the raw
     // (un-distinct) gram stream straight off the scan — NO shuffle of
     // gram strings on the build side, which is the operator's whole
@@ -1289,9 +1292,13 @@ object Dedup {
     require(maxDf >= 2, s"maxDf must be at least 2, got $maxDf")
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0, 1], got $minSim")
     // persisted: feeds the df aggregation and both self-join sides
+    graft.functions.GraftExpressions.register(docs.sparkSession)
+    // codegen'd distinct grams (graft_shingles = sorted-distinct
+    // variant; every consumer below is set-based, so the order change
+    // vs array_distinct(ngramsAll(...)) is immaterial)
     val grams = tracked(docs
       .select(col("doc_id"),
-        explode(array_distinct(ngramsAll(tokens(col("text")), gramSize))).as("gram"))
+        explode(call_function("graft_shingles", col("text"), lit(gramSize))).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh")))
     val rare = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -1350,13 +1357,17 @@ object Dedup {
     * paper; original inter-token whitespace is not preserved). */
   def exciseRepeatedSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
     require(spanTokens > 1, s"spanTokens must exceed 1, got $spanTokens")
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val base = docs
-      .select(col("doc_id"), tokens(col("text")).as("_sp"))
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("_sp"))
       .filter(size(col("_sp")) > 0)
-    // duplicated gram starts, 0-based token positions
+    // duplicated gram starts, 0-based token positions; gram
+    // construction is the codegen'd graft_ngrams (order-preserving,
+    // so posexplode's start indices are unchanged)
     val starts = tracked(base
       .select(col("doc_id"),
-        posexplode(ngramsAll(col("_sp"), spanTokens)).as(Seq("start", "gram")))
+        posexplode(call_function("graft_ngrams", col("text"), lit(spanTokens)))
+          .as(Seq("start", "gram")))
       .select(col("doc_id"), col("start").cast("long").as("start"),
         xxhash64(col("gram")).as("gh")))
     val dupGh = starts.groupBy(col("gh")).agg(count(lit(1)).as("occ"))

@@ -1316,10 +1316,10 @@ object Text {
     * scan+explode for a ~10× narrower shuffle — the right trade at 100 TB
     * where the shuffle, not the scan, is the bottleneck. */
   private def t23(spark: SparkSession, dir: String): DataFrame = {
+    GraftExpressions.register(spark)
     def grams = Corpus.documents(spark, dir)
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 16)
-      .select(col("doc_id"), explode(TextFunctions.ngramsAll(col("toks"), 16)).as("gram"))
+      .select(col("doc_id"),
+        explode(expr("graft_ngrams(text, 16)")).as("gram"))
     val agg = grams
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .groupBy(col("gh"))
@@ -2344,9 +2344,10 @@ object Text {
     * rel_err. Completes the mergeable-sketch family's last asymmetry —
     * MG/CMS/Bloom/HLL all now answer approximately AND gate exactly. */
   private def t59(spark: SparkSession, dir: String): DataFrame = {
+    GraftExpressions.register(spark)
     val grams = Corpus.documents(spark, dir)
       .select(col("lang"),
-        explode(ngramsAll(tokens(col("text")), 13)).as("gram"))
+        explode(expr("graft_ngrams(text, 13)")).as("gram"))
     graft.operators.Frequency.hllDistinct(grams, col("gram"), "lang", p = 8)
   }
 

@@ -61,7 +61,11 @@ class TextFunctionsSpec extends SparkTestBase {
         .withColumn("oldsh",
           array_sort(TextFunctions.shingles(TextFunctions.tokens(col("text")), n)))
         .withColumn("newsh", expr(s"graft_shingles(text, $n)"))
-      val bad = df.filter(not(col("oldsh") <=> col("newsh"))).collect()
+        .withColumn("oldng",
+          TextFunctions.ngramsAll(TextFunctions.tokens(col("text")), n))
+        .withColumn("newng", expr(s"graft_ngrams(text, $n)"))
+      val bad = df.filter(not(col("oldsh") <=> col("newsh")) ||
+        not(col("oldng") <=> col("newng"))).collect()
       assert(bad.isEmpty, bad.mkString("\n"))
     }
   }
