@@ -155,9 +155,12 @@ object VersionedTable {
           // dead writer, but a LIVE writer is in this state for the
           // microseconds between marker create and content write —
           // age-gate the delete (same bound as the orphan sweep) so
-          // vacuum never clobbers a commit in flight. There is no dir
-          // name to delete; a dead writer's orphaned d-* dir falls to
-          // the sweep below.
+          // vacuum never clobbers a commit in flight. Strict `<` is
+          // deliberate: a marker exactly cutoff-aged (e.g. created the
+          // same millisecond as a vacuum(orphanAgeMs = 0)) is spared one
+          // extra vacuum — conservative, never data-losing. There is no
+          // dir name to delete; a dead writer's orphaned d-* dir falls
+          // to the sweep below.
           val st = f.getFileStatus(marker)
           if (st.getModificationTime > 0 && st.getModificationTime < cutoff) {
             f.delete(marker, false)

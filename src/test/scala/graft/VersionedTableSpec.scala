@@ -101,7 +101,15 @@ class VersionedTableSpec extends SparkTestBase {
     // the doomed list and vacuum(keep=1) would delete the current
     // snapshot — the table would become unreadable (data loss).
     val log = new java.io.File(root, "_log")
-    assert(new java.io.File(log, "000000003").createNewFile())
+    val deadMarker = new java.io.File(log, "000000003")
+    assert(deadMarker.createNewFile())
+    // Age the marker explicitly: the sweep uses strict `mtime < cutoff`
+    // (deliberately conservative — a 0 ms-old empty marker could be a
+    // commit in flight, so at orphanAgeMs = 0 and same-millisecond mtime
+    // it is spared for one extra vacuum). Without this the test races the
+    // clock: created and vacuumed within one millisecond, the marker is
+    // not yet "aged" and the r17 flake reproduces.
+    assert(deadMarker.setLastModified(System.currentTimeMillis() - 60000L))
     val dropped = VersionedTable.vacuum(spark, root, keep = 1, orphanAgeMs = 0L)
     assert(VersionedTable.read(spark, root).count() === 2L,
       "the newest committed version must survive")
