@@ -335,6 +335,12 @@ object Bench {
         while (rep < 4 && best.forall(_.elapsed > 1.7 * ref)
             && origMin > 1.7 * ref) {
           val r = once(name, fn)
+          // a rep that fails is NOT silently discarded (ADVICE r17): a
+          // query that succeeded in the suite pass but crashes under
+          // back-to-back reruns is a flaky regression worth a trace,
+          // even though its suite timing stands
+          if (!r.ok)
+            System.err.println(s"[bench] $name warm-pass rep ${rep + 1} FAILED (suite timing kept)")
           if (r.ok && best.forall(r.elapsed < _.elapsed)) best = Some(r)
           rep += 1
         }

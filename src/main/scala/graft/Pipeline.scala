@@ -185,24 +185,44 @@ object Pipeline {
     val goldResults = retryStage("gold", retry, hooks) {
       val silverBack = spark.read.parquet(silverDir)
         .where(s"load_date = '$loadDate'")
-      locally {
-        val goldTables: Seq[(String, DataFrame)] = Seq(
-          "dim_courier" -> StarSchema.dimCourier(silverBack),
-          "dim_location" -> StarSchema.dimLocation(silverBack),
-          "dim_date" -> StarSchema.dimDate(silverBack),
-          "dim_shipment_status" -> StarSchema.dimStatus(silverBack),
-          "fact_shipment" -> StarSchema.factShipment(silverBack),
-          "fact_tracking_event" -> StarSchema.factTrackingEvent(silverBack),
-          "fact_courier_metrics" -> StarSchema.courierMetrics(silverBack))
-        goldTables.map { case (name, df) =>
-          val tableRoot = s"$goldDir/$name"
-          graft.io.VersionedTable.write(spark, tableRoot, df)
-          graft.io.VersionedTable.vacuum(spark, tableRoot, keep = 2)
-          if (exportCsv)
-            df.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$goldDir/csv/$name")
-          StageResult(s"gold/$name", readGold(spark, rootDir, loadDate, name).count(), tableRoot)
+      val goldTables: Seq[(String, DataFrame)] = Seq(
+        "dim_courier" -> StarSchema.dimCourier(silverBack),
+        "dim_location" -> StarSchema.dimLocation(silverBack),
+        "dim_date" -> StarSchema.dimDate(silverBack),
+        "dim_shipment_status" -> StarSchema.dimStatus(silverBack),
+        "fact_shipment" -> StarSchema.factShipment(silverBack),
+        "fact_tracking_event" -> StarSchema.factTrackingEvent(silverBack),
+        "fact_courier_metrics" -> StarSchema.courierMetrics(silverBack))
+      // The 7 gold tables are INDEPENDENT jobs over disjoint roots —
+      // submit them from a small thread pool (guide §2.6 overlap) so the
+      // next table's tasks back-fill executors freed by the current
+      // table's write/commit tail, instead of paying 7 sequential
+      // scan→write→count job latencies. Each write is a VersionedTable
+      // snapshot+marker commit on its OWN root (no shared state across
+      // tables), the data written per table is identical to the
+      // sequential form, and result order is pinned by the table list,
+      // not completion order. 4 in flight: enough to fill tails without
+      // the writes fighting for task slots. Stage-level retry semantics
+      // unchanged: the first failure propagates out of the await and the
+      // whole (idempotent) stage re-runs.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futures = goldTables.map { case (name, df) =>
+          scala.concurrent.Future {
+            val tableRoot = s"$goldDir/$name"
+            graft.io.VersionedTable.write(spark, tableRoot, df)
+            graft.io.VersionedTable.vacuum(spark, tableRoot, keep = 2)
+            if (exportCsv)
+              df.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$goldDir/csv/$name")
+            StageResult(s"gold/$name", readGold(spark, rootDir, loadDate, name).count(), tableRoot)
+          }
         }
-      }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
 
     val results = Seq(

@@ -445,6 +445,70 @@ case class NgramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Host-side worker for [[BigramPairsExpr]]. */
+object BigramPairsCompute {
+  /** Adjacent token pairs as (w1, w2) STRUCTS, ordered, duplicates
+    * kept — bit-identical to `transform(sequence(1, size(sp) - 1),
+    * j -> struct(sp[j-1] AS w1, sp[j] AS w2))` over `tokens(text)`
+    * (single-space tokenization, empties dropped), empty array under
+    * 2 tokens. The struct form skips [[NgramsCompute]]'s join-
+    * with-a-space + downstream re-split when the consumer needs the
+    * words separately (PMI margins, Kneser-Ney context/continuation
+    * counts, TextRank co-occurrence edges). */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) toks.add(UTF8String.fromString(s.substring(start, i)))
+    }
+    val m = toks.size - 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](m)
+    var j = 0
+    while (j < m) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks.get(j), toks.get(j + 1)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Adjacent-token bigram (w1, w2) structs of a text column in ONE
+  * codegen'd pass ([[BigramPairsCompute.compute]]) — the
+  * `graft_shingles`/`graft_ngrams` treatment for the bigram family's
+  * scan stage (t62 PMI, t63 Kneser-Ney, t64 TextRank): the built-in
+  * `transform(sequence(...), j -> struct(sp[j-1], sp[j]))` chain is
+  * interpreted CodegenFallback per element over an already-materialized
+  * token array. Output bit-identical to that chain (field names and
+  * order included), so every downstream count, score, and oracle
+  * verdict is unchanged by construction. */
+case class BigramPairsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_bigram_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramPairsCompute.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BigramPairsCompute.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramPairsExpr =
+    copy(child = newChild)
+}
+
 /** Distinct sorted word n-gram shingles of a text column in ONE
   * codegen'd pass ([[ShinglesCompute.compute]]). The built-in form —
   * `array_sort(array_distinct(transform(sequence(...), i ->
@@ -997,6 +1061,7 @@ object GraftExpressions {
       ShinglesExpr(exprs(0), intArg(exprs(1), "n")))
     ensure("graft_ngrams")(exprs =>
       NgramsExpr(exprs(0), intArg(exprs(1), "n")))
+    ensure("graft_bigram_pairs")(exprs => BigramPairsExpr(exprs.head))
     ensure("graft_bpe_apply")(exprs =>
       BpeApply(exprs(0), decodeMerges(strArg(exprs(1), "merges"))))
     ensure("graft_bpe_step")(exprs => {

@@ -67,15 +67,25 @@ object DeliveryModel {
   def encoderTables(trainDf: DataFrame): DataFrame = {
     val spark = trainDf.sparkSession
     import spark.implicits._
-    val stages = CategoricalCols.map { c =>
-      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx").setHandleInvalid("keep")
-    } :+ new StringIndexer()
-      .setInputCol("delivery_status").setOutputCol("label").setHandleInvalid("keep")
+    // one multi-column fit for the categoricals + the label fit (r18):
+    // 2 countByValue jobs instead of 5, same fitted labels per column
+    // (frequencyDesc is per-column either way) — the exact stages
+    // [[pipeline]] fits, so the gate still pins what the model consumed
+    val stages = Seq(
+      new StringIndexer()
+        .setInputCols(CategoricalCols.toArray)
+        .setOutputCols(CategoricalCols.map(_ + "_idx").toArray)
+        .setHandleInvalid("keep"),
+      new StringIndexer()
+        .setInputCol("delivery_status").setOutputCol("label").setHandleInvalid("keep"))
     val fitted = new Pipeline().setStages(stages.toArray).fit(trainDf)
     val mapping = fitted.stages.toSeq.collect {
       case m: org.apache.spark.ml.feature.StringIndexerModel =>
-        val feature = if (m.getOutputCol == "label") "label" else m.getInputCol
-        m.labelsArray.head.zipWithIndex.map { case (v, i) => (feature, v, i.toLong) }
+        val features =
+          if (m.isSet(m.inputCols)) m.getInputCols.toSeq else Seq("label")
+        features.zip(m.labelsArray.toSeq).flatMap { case (feature, labels) =>
+          labels.zipWithIndex.map { case (v, i) => (feature, v, i.toLong) }
+        }
     }.flatten.toDF("feature", "value", "idx")
     val longForm = trainDf.select(explode(map(
       (CategoricalCols.flatMap(c => Seq(lit(c), col(c))) ++
@@ -89,9 +99,17 @@ object DeliveryModel {
   }
 
   def pipeline(): Pipeline = {
-    val indexers = CategoricalCols.map { c =>
-      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx").setHandleInvalid("keep")
-    }
+    // ONE multi-column StringIndexer for the categoricals (r18): each
+    // single-column indexer fit is its own countByValue job that re-runs
+    // the feature-frame derivation — 4 sequential scans where one
+    // suffices. Fitted labels are identical per column (frequencyDesc
+    // ordering is computed per column either way), the transform output
+    // columns are identical, so the assembled features and the RF are
+    // unchanged by construction.
+    val catIndexer = new StringIndexer()
+      .setInputCols(CategoricalCols.toArray)
+      .setOutputCols(CategoricalCols.map(_ + "_idx").toArray)
+      .setHandleInvalid("keep")
     val labelIndexer = new StringIndexer()
       .setInputCol("delivery_status").setOutputCol("label").setHandleInvalid("keep")
     val assembler = new VectorAssembler()
@@ -100,7 +118,7 @@ object DeliveryModel {
     val rf = new RandomForestClassifier()
       .setNumTrees(150).setMaxDepth(12).setSeed(42L)
       .setLabelCol("label").setFeaturesCol("features")
-    new Pipeline().setStages((indexers :+ labelIndexer :+ assembler :+ rf).toArray)
+    new Pipeline().setStages(Array(catIndexer, labelIndexer, assembler, rf))
   }
 
   final case class TrainResult(model: PipelineModel, accuracy: Double)

@@ -312,11 +312,14 @@ object Dedup {
     // cut the 100× query 252.9 → 220.4 s, and the remaining mass was
     // the interpreted shingle CONSTRUCTION, since replaced by the
     // codegen'd graft_shingles (see withShingles — the full query now
-    // reads ~36 s at 100×). The family re-roll is safe HERE because
-    // the 16-bands-of-4 @ 0.85 budget keeps detection
-    // deterministic-in-practice (miss ≤ 7·10⁻⁶ per qualifying pair);
-    // t07's 8×4 @ 0.80 keeps the historical string family its
-    // recorded verdicts pinned.
+    // reads ~36 s at 100×). The family re-roll is safe FOR T77'S CALL
+    // (threshold 0.85, where 16 bands of 4 give miss ≤ 7·10⁻⁶ per
+    // qualifying pair — what lets an exact oracle gate the probabilistic
+    // engine); at this function's DEFAULT threshold of 0.80 the same
+    // math gives ~2·10⁻⁴ per pair — fine for a decontamination sweep,
+    // but a caller pairing defaults with an exact oracle should raise
+    // the threshold or the band count (ADVICE r17). t07's 8×4 @ 0.80
+    // keeps the historical string family its recorded verdicts pinned.
     def hashedOnce(ex: DataFrame) =
       ex.select(col("doc_id"), xxhash64(col("sh")).as("xsh"))
     def sigs(ex: DataFrame) = {

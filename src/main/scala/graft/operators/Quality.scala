@@ -369,12 +369,15 @@ object Quality {
       minCount: Int, topN: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be positive, got $minCount")
     require(topN >= 1, s"topN must be positive, got $topN")
+    // bigram construction as the codegen'd graft_bigram_pairs (r18 —
+    // the graft_shingles lesson; the interpreted transform/struct chain
+    // was the scan-stage cost). Bit-identical; under-2-token docs yield
+    // an empty array, which explode drops — the same rows the old
+    // size(sp) >= 2 filter removed.
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val bg = docs
-      .select(col(groupCol), graft.functions.TextFunctions.tokens(textCol).as("sp"))
-      .filter(size(col("sp")) >= 2)
-      .select(col(groupCol), explode(expr(
-        "transform(sequence(1, size(sp) - 1), j -> struct(sp[j-1] AS w1, sp[j] AS w2))"))
-        .as("b"))
+      .select(col(groupCol),
+        explode(call_function("graft_bigram_pairs", textCol)).as("b"))
       .select(col(groupCol), col("b.w1"), col("b.w2"))
     val c12 = bg.groupBy(col(groupCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
@@ -729,13 +732,16 @@ object Quality {
       idCol: String, textCol: Column, discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1,
       s"absolute discount must sit in (0,1), got $discount")
-    import graft.functions.TextFunctions.tokens
+    // bigram construction as the codegen'd graft_bigram_pairs (r18 —
+    // the graft_shingles lesson): both the train-side model counts and
+    // the held-out scoring explode ride it. Bit-identical to the
+    // interpreted transform/struct chain; under-2-token docs yield an
+    // empty array, which explode drops — the same rows the old
+    // size(sp) >= 2 filter removed.
+    graft.functions.GraftExpressions.register(train.sparkSession)
     def bigrams(docs: DataFrame, extra: Seq[Column]): DataFrame = docs
-      .select(extra :+ col(groupCol) :+ tokens(textCol).as("sp"): _*)
-      .filter(size(col("sp")) >= 2)
-      .select(extra :+ col(groupCol) :+ explode(expr(
-        "transform(sequence(1, size(sp) - 1), j -> struct(sp[j-1] AS w1, sp[j] AS w2))"))
-        .as("b"): _*)
+      .select(extra :+ col(groupCol) :+
+        explode(call_function("graft_bigram_pairs", textCol)).as("b"): _*)
       .select(extra :+ col(groupCol) :+ col("b.w1") :+ col("b.w2"): _*)
 
     val c12 = bigrams(train, Seq.empty)
@@ -874,7 +880,9 @@ object Quality {
       require(histRows.length <= MaxHistCells,
         s"groupMedianMad: histogram exceeds $MaxHistCells (group, bucket) " +
           s"cells — groupCol '$groupCol' cardinality is too high for " +
-          "driver-side refinement; use a low-cardinality key")
+          "driver-side refinement; use a low-cardinality key. NOTE: the " +
+          "null/NaN precondition was only checked on the retained subset " +
+          "(the LIMIT fired), so bad values may also be present (ADVICE r17)")
       val hist = histRows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
         val byBucket = rows.sortBy(_._2)

@@ -61,6 +61,10 @@ object Domain {
     graft.operators.WordPiece.releaseCaches()
     graft.operators.Graph.releaseCaches()
     Text.releaseCaches()
+    // per-name stream-override observability entries (tiny, but a
+    // long-lived driver launching nanoTime-named streams would grow
+    // the map without bound)
+    graft.streaming.SilverStream.overrideShufflePartitions.clear()
     // staged stream-input dirs are only reaped for STOPPED sessions
     // here — deleting a live session's staged dir would fail its
     // in-flight stream read (ADVICE r15); a session cleaning up after
@@ -156,7 +160,13 @@ object Domain {
     val flat = silverFlat(spark, dir)
     val base = if (sampleOneInN <= 1) flat
       else flat.where(pmod(xxhash64(col("tracking_number")), lit(sampleOneInN)) === 0)
-    val feats = DeliveryModel.features(base)
+    // localCheckpoint (eager — the p05b precedent): downstream of here
+    // the feature frame feeds the indexer fits, the RF's instance
+    // conversion, the held-out evaluation, and the final predict — each
+    // its own MLlib job that would otherwise re-run the dedup shuffle +
+    // fingerprint split from the cached silver scan. One materialization
+    // of the (small, shipment-grain) frame feeds them all.
+    val feats = DeliveryModel.features(base).localCheckpoint()
     val result = DeliveryModel.train(feats)
     DeliveryModel.predict(result.model, feats)
       .groupBy(col("delivery_status"), col("predicted_status"))

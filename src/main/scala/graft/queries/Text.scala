@@ -2600,12 +2600,15 @@ object Text {
     * split. Only the bigram extraction is corpus-scale; the graph is
     * vocab-sized. */
   private def t64(spark: SparkSession, dir: String): DataFrame = {
+    // bigram construction as the codegen'd graft_bigram_pairs (r18 —
+    // the graft_shingles lesson applied to the co-occurrence scan
+    // stage). Bit-identical to the interpreted transform/struct chain;
+    // under-2-token docs yield an empty array, which explode drops —
+    // the same rows the old size(sp) >= 2 filter removed.
+    graft.functions.GraftExpressions.register(spark)
     val pairs = Corpus.documents(spark, dir)
-      .select(col("lang"), tokens(col("text")).as("sp"))
-      .filter(size(col("sp")) >= 2)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(1, size(sp) - 1), j -> struct(sp[j-1] AS w1, sp[j] AS w2))"))
-        .as("b"))
+      .select(col("lang"),
+        explode(expr("graft_bigram_pairs(text)")).as("b"))
       .filter(col("b.w1") =!= col("b.w2"))
       .select(
         least(concat(col("lang"), lit(":"), col("b.w1")),
@@ -2662,11 +2665,15 @@ object Text {
     * exact integer counting plus one double division per cell,
     * replayed verbatim. */
   private def t65(spark: SparkSession, dir: String): DataFrame = {
+    // bigram construction as the codegen'd graft_ngrams (r18 — the
+    // graft_shingles lesson applied to the Good-Turing scan stage; the
+    // interpreted transform/sequence/concat chain was the per-row cost).
+    // Bit-identical: "w1 w2" strings over single-space tokens, empty
+    // array under 2 tokens — which explode drops, exactly the rows the
+    // old size(sp) >= 2 filter removed.
+    graft.functions.GraftExpressions.register(spark)
     val docs = Corpus.documents(spark, dir)
-      .withColumn("sp", tokens(col("text")))
-      .filter(size(col("sp")) >= 2)
-      .withColumn("units", expr(
-        "transform(sequence(1, size(sp) - 1), j -> concat(sp[j-1], ' ', sp[j]))"))
+      .withColumn("units", expr("graft_ngrams(text, 2)"))
     graft.operators.Quality.goodTuring(docs, "lang", col("units"), maxR = 10)
   }
 
@@ -3340,7 +3347,11 @@ object Text {
     // and extract e.g. 'github.io' as a domain — r17 self-review).
     // Known caveat vs the expression: pathological empty-label hosts
     // ('.github.io') return null engine-side mid-loop but fall
-    // through here; no fixture or realistic URL produces them.
+    // through here; no fixture or realistic URL produces them. The
+    // ELSE arm is NULLIF-guarded (ADVICE r17): for a host the engine
+    // maps to null (e.g. dotless), DuckDB's regexp_extract returns ''
+    // rather than NULL — the guard keeps the mirrors aligned if a
+    // future fixture ever produces one.
     val suffixCases = graft.functions.TextFunctions.suffixesByPriority
       .map { sfx =>
         val pat = "([^.]+\\." + sfx.replace(".", "\\.") + ")$"
@@ -3358,7 +3369,7 @@ object Text {
        |  FROM documents),
        |g AS (SELECT CASE
        |    $suffixCases
-       |    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain, ntok
+       |    ELSE NULLIF(regexp_extract(host, '([^.]+\\.[^.]+)$$', 1), '') END AS domain, ntok
        |  FROM d)
        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ntok) AS BIGINT) AS tokens,

@@ -187,11 +187,17 @@ object SilverStream {
     * context-wide `global_temp` database. */
   private val handoffIds = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Shuffle-partition count the last overridden stream actually ran
-    * under (read back from the child session) — test observability for
-    * the state-shard override, which has no other externally visible
-    * trace once the stream's temp checkpoint is gone. */
-  @volatile private[graft] var lastOverrideShufflePartitions: Option[Int] = None
+  /** Shuffle-partition count each overridden stream actually ran under
+    * (read back from its child session), KEYED BY QUERY NAME — test
+    * observability for the state-shard override, which has no other
+    * externally visible trace once the stream's temp checkpoint is
+    * gone. Per-name keying (ADVICE r17): concurrent runToMemory calls
+    * are explicitly permitted by the child-session design, and a single
+    * shared slot could hand a test another stream's value. */
+  private[graft] val overrideShufflePartitions =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[graft] def lastOverrideShufflePartitions(name: String): Option[Int] =
+    overrideShufflePartitions.get(name)
 
   def runToMemory(df: DataFrame, name: String, outputMode: String,
       statePartitions: Option[Int] = None,
@@ -242,8 +248,8 @@ object SilverStream {
         statePartitions.foreach(n =>
           s2.conf.set("spark.sql.shuffle.partitions", n))
         streamConfs.foreach { case (k, v) => s2.conf.set(k, v) }
-        lastOverrideShufflePartitions =
-          Some(s2.conf.get("spark.sql.shuffle.partitions").toInt)
+        overrideShufflePartitions(name) =
+          s2.conf.get("spark.sql.shuffle.partitions").toInt
         val handoff = s"graft_stream_in_${handoffIds.incrementAndGet()}"
         df.createOrReplaceGlobalTempView(handoff)
         try {

@@ -59,9 +59,12 @@ class MultiSessionSpec extends SparkTestBase {
       s"caller-session $key must stay at $default for the whole stream run; " +
         s"saw ${samples.asScala.toSet}")
     assert(spark.conf.get(key) == default)
-    // the override itself must still be in force on the child session
-    assert(graft.streaming.SilverStream.lastOverrideShufflePartitions
-      .exists(n => n >= 2 && n.toString != default),
-      s"child-session override read-back: ${graft.streaming.SilverStream.lastOverrideShufflePartitions}")
+    // the override itself must still be in force on the child session —
+    // read back from the per-query-name observability map (the r18
+    // ADVICE fix: a shared slot could hand us another stream's value)
+    val readBack = graft.streaming.SilverStream.overrideShufflePartitions
+      .filter { case (n, _) => n.startsWith("p06_stream_") }
+    assert(readBack.values.exists(n => n >= 2 && n.toString != default),
+      s"child-session override read-back: $readBack")
   }
 }

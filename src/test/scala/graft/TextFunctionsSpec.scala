@@ -70,6 +70,36 @@ class TextFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_bigram_pairs equals the interpreted HOF struct chain (edges + non-ASCII + generated)") {
+    graft.functions.GraftExpressions.register(spark)
+    // the codegen'd one-pass expression must be BIT-identical to the
+    // interpreted transform/sequence/struct chain it replaced (r18 —
+    // the graft_shingles discipline): multi-space tokenization, the
+    // short-doc empty array, field names and order, non-ASCII tokens
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "bb", "ccc", "dd", "é", "zz", "日本", "x")
+    val gen = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  "))
+    val edge = Seq("", " ", "  ", "one", "one two", "a a a a", "é z 日本 a b")
+    val df = (gen ++ edge).toDF("text")
+      .withColumn("sp", TextFunctions.tokens(col("text")))
+      .withColumn("oldbg", when(size(col("sp")) < 2,
+          expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+        .otherwise(expr(
+          "transform(sequence(1, size(sp) - 1), j -> struct(sp[j-1] AS w1, sp[j] AS w2))")))
+      .withColumn("newbg", expr("graft_bigram_pairs(text)"))
+    val bad = df.filter(not(col("oldbg") <=> col("newbg"))).collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // the struct pairs agree with the string n-grams they mirror
+    val cross = df.filter(size(col("newbg")) > 0)
+      .withColumn("viangrams", expr("graft_ngrams(text, 2)"))
+      .withColumn("joined",
+        expr("transform(newbg, b -> concat(b.w1, ' ', b.w2))"))
+      .filter(not(col("viangrams") <=> col("joined"))).collect()
+    assert(cross.isEmpty, cross.mkString("\n"))
+  }
+
   test("registeredDomain: suffix priority, private registries, PSL default, junk") {
     import TextFunctions.registeredDomain
     // longest matching suffix wins; registered = one label left of it
