@@ -218,17 +218,11 @@ object Merge {
     val u = updates
       .withColumn("_bucket",
         pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
-      .cache()
-    // ≤ numBuckets small ints — the one driver collect, and the point:
-    // the apply must know which partitions to touch without scanning any
-    val dirty = u.select(col("_bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(ordCols.map(col(_).desc): _*)
     def lww(df: DataFrame): DataFrame = df
       .withColumn("_lww_rn", row_number().over(w))
       .filter(col("_lww_rn") === 1).drop("_lww_rn")
-    if (dirty.isEmpty) { u.unpersist(); return dirty } // empty micro-batch
     if (!fs.exists(path)) {
       // bootstrap: same temp+rename discipline as the unbucketed path —
       // a crash mid-write leaves targetDir absent, never half-committed.
@@ -236,6 +230,14 @@ object Merge {
       // of one-per-(task × bucket) — at numBuckets sized for ~1 GB
       // buckets that is the layout a 100 TB table needs, and it makes
       // touched-FILE count track dirty buckets on later applies.
+      // No batch cache and no dirty pre-scan here (r18): bootstrap
+      // consumes the batch exactly once (the lww+write job), so the
+      // apply path's cache+distinct+collect would be a pure extra pass —
+      // the dirty set is read back from the written partition layout
+      // (one directory LIST, no Spark job). isEmpty guards the
+      // empty-first-micro-batch case the dirty pre-scan used to catch
+      // (stops at the first row, far cheaper than a distinct).
+      if (updates.isEmpty) return Seq.empty
       val tmp = new org.apache.hadoop.fs.Path(targetDir + "_lww")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       lww(u).repartition(numBuckets, col("_bucket"))
@@ -250,6 +252,9 @@ object Merge {
       writeBucketCount(fs, targetDir, numBuckets)
       require(fs.rename(tmp, path),
         s"bootstrap failed: could not move $tmp into place")
+      fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.startsWith("_bucket="))
+        .map(_.stripPrefix("_bucket=").toInt).sorted.toSeq
     } else {
       // a PRESENT table with no side file is never acceptable: either
       // the target pre-exists with an unknown layout (it was not
@@ -266,13 +271,22 @@ object Merge {
           "(or rebuild the table) to resume."))
       require(n == numBuckets,
         s"bucket-count mismatch: table at $targetDir has $n buckets, apply used $numBuckets")
+      // the apply path consumes the batch twice (dirty pre-scan + the
+      // merge itself) — cache it for the pair; the pre-scan is what
+      // lets the apply know which partitions to touch without scanning
+      // any, so per-apply cost tracks the batch, not the table
+      val uc = u.cache()
+      // ≤ numBuckets small ints — the one driver collect
+      val dirty = uc.select(col("_bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (dirty.isEmpty) { uc.unpersist(); return dirty } // empty micro-batch
       val target = spark.read.parquet(targetDir)
-      require(target.columns.toSet == u.columns.toSet,
-        s"schema mismatch: ${target.columns.mkString(",")} vs ${u.columns.mkString(",")}")
+      require(target.columns.toSet == uc.columns.toSet,
+        s"schema mismatch: ${target.columns.mkString(",")} vs ${uc.columns.mkString(",")}")
       // partition-pruned: only the dirty buckets' files are read
       val scoped = target.filter(col("_bucket")
         .isin(dirty.map(Int.box): _*))
-      val merged = lww(scoped.unionByName(u.select(target.columns.map(col): _*)))
+      val merged = lww(scoped.unionByName(uc.select(target.columns.map(col): _*)))
       val tmp = new org.apache.hadoop.fs.Path(targetDir + "_lww")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       merged.repartition(dirty.size, col("_bucket"))
@@ -294,9 +308,9 @@ object Merge {
         fs.delete(bak, true)
       }
       fs.delete(tmp, true)
+      uc.unpersist()
+      dirty
     }
-    u.unpersist()
-    dirty
   }
 
   /** Writes `df` to a temp sibling then swaps it into `dir`, checking

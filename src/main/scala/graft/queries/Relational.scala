@@ -497,14 +497,36 @@ object Relational {
     * the dedup shuffle carries narrow pairs, the wide sketch state
     * stays one-buffer-per-group. */
   private def q23(spark: SparkSession, dir: String): DataFrame = {
+    // ONE lineitem pass for both key spaces (r18): the two-`side` form
+    // scanned (and rebalance-exchanged) lineitem once per side before
+    // its own distinct. Exploding each row into ('p', l_partkey) /
+    // ('o', l_orderkey) pairs feeds ONE dedup shuffle carrying the same
+    // total rows, and the per-(flag, side) estimates/counts are
+    // bit-identical: HLL register state is a pure set function and the
+    // deduplicated (flag, side, key) sets are exactly the old sides'.
+    // The distinct-first shape (NOT countDistinct-beside-HLL in one
+    // agg) is load-bearing — see the class doc: the combined agg's
+    // EXPAND carries a ~16 KB rsd-0.01 sketch buffer per (group, key)
+    // entry, measured 32–57 s at sf0.1.
     val li = Corpus.lineitem(spark, dir)
-    def side(key: String, exactCol: String, approxCol: String) =
-      li.select(col("l_returnflag"), col(key)).distinct()
-        .groupBy(col("l_returnflag")).agg(
-          count(lit(1)).as(exactCol),
-          approx_count_distinct(col(key), 0.01).as(approxCol))
-    side("l_partkey", "exact_parts", "approx_parts")
-      .join(side("l_orderkey", "exact_orders", "approx_orders"), "l_returnflag")
+    val sides = li
+      .select(col("l_returnflag"), explode(array(
+        struct(lit("p").as("side"), col("l_partkey").as("k")),
+        struct(lit("o").as("side"), col("l_orderkey").as("k")))).as("e"))
+      .select(col("l_returnflag"), col("e.side").as("side"), col("e.k").as("k"))
+      .distinct()
+      .groupBy(col("l_returnflag"), col("side")).agg(
+        count(lit(1)).as("exact"),
+        approx_count_distinct(col("k"), 0.01).as("approx"))
+    // pivot, not a self-join of filtered halves: two filters over the
+    // aggregated frame would plan (and run) the whole scan+dedup subtree
+    // twice — no cross-branch CSE in Catalyst
+    sides
+      .groupBy(col("l_returnflag")).pivot("side", Seq("p", "o"))
+      .agg(first(col("exact")).as("exact"), first(col("approx")).as("approx"))
+      .select(col("l_returnflag"),
+        col("p_exact").as("exact_parts"), col("p_approx").as("approx_parts"),
+        col("o_exact").as("exact_orders"), col("o_approx").as("approx_orders"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("approx_parts") - col("exact_parts"))
           <= lit(0.05) * col("exact_parts")).as("parts_ok"),
@@ -602,10 +624,19 @@ object Relational {
   private def q27(spark: SparkSession, dir: String): DataFrame =
     Corpus.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
+      // ONE percentile buffer for both quantiles (r18): two separate
+      // percentile() aggregates each build, shuffle, and merge their own
+      // per-group value→count map over the same column — the array form
+      // computes both quantiles from a single map (half the agg state
+      // and merge bytes), with the identical sort + linear interpolation
+      // per quantile, so the values are bit-identical.
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("pcts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("pcts").getItem(0).as("median_price"),
+        col("pcts").getItem(1).as("p90_price"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   private val q27Sql =
